@@ -1,0 +1,44 @@
+"""medicalimageanalysis_tpu — TPU-native medical-volume framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+caleb-oconnor/MedicalImageAnalysis (see SURVEY.md). Public API mirrors the
+reference package (reference medicalimageanalysis/__init__.py:1-10):
+
+    import medicalimageanalysis_tpu as mia
+    mia.read_dicoms(folder_path=...)
+    mia.Data.image_list
+"""
+
+__version__ = "0.1.0"
+
+from .data import Data
+
+__all__ = ["Data", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy exports keep `import medicalimageanalysis_tpu` light (no jax
+    # import until a compute path is touched).
+    if name in ("read_dicoms", "read_3mf", "read_mhd", "file_parser",
+                "check_memory"):
+        from . import reader
+        return getattr(reader, name)
+    if name == "DicomReader":
+        from .read.dicom import DicomReader
+        return DicomReader
+    if name == "MhdReader":
+        from .read.mhd import MhdReader
+        return MhdReader
+    if name == "ThreeMfReader":
+        from .read.mf3 import ThreeMfReader
+        return ThreeMfReader
+    if name == "Rigid":
+        from .structure.rigid import Rigid
+        return Rigid
+    if name == "Deformable":
+        from .structure.deformable import Deformable
+        return Deformable
+    if name == "utils":
+        from . import utils
+        return utils
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,285 @@
+"""DICOM binary parser (Part 10 + raw datasets).
+
+Own implementation replacing pydicom.dcmread for this framework. Handles
+implicit/explicit VR little endian, explicit big endian, deflated, and
+encapsulated (RLE/JPEG-family) pixel data framing. Pixel decode itself lives
+in :mod:`.pixels`.
+
+API mirrors the subset the reference uses (reference read/dicom.py:90-111):
+``dcmread(path, stop_before_pixels=False)`` plus a ``specific_tags`` filter.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from . import uids
+from .dataset import DataElement, Dataset, FileMetaDataset, Sequence
+from .dictionary import tag_to_vr
+
+# VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length
+_LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN"}
+_STRING_VRS = {"AE", "AS", "CS", "DA", "DT", "LO", "LT", "PN", "SH", "ST",
+               "TM", "UC", "UR", "UT"}
+
+_ITEM = 0xFFFEE000
+_ITEM_DELIM = 0xFFFEE00D
+_SEQ_DELIM = 0xFFFEE0DD
+_PIXEL_DATA = 0x7FE00010
+
+
+class InvalidDicomError(Exception):
+    pass
+
+
+def _convert_value(vr, raw, little):
+    """Raw bytes -> python value per VR."""
+    if vr in _STRING_VRS:
+        s = raw.decode("latin-1", errors="replace").rstrip(" \x00")
+        if "\\" in s:
+            return s.split("\\")
+        return s
+    if vr == "UI":
+        s = raw.decode("latin-1", errors="replace").rstrip(" \x00")
+        return s.split("\\") if "\\" in s else s
+    if vr == "DS":
+        s = raw.decode("latin-1", errors="replace").strip(" \x00")
+        if not s:
+            return None
+        parts = s.split("\\")
+        vals = [float(p) for p in parts if p.strip()]
+        return vals if len(vals) > 1 else (vals[0] if vals else None)
+    if vr == "IS":
+        s = raw.decode("latin-1", errors="replace").strip(" \x00")
+        if not s:
+            return None
+        parts = s.split("\\")
+        vals = [int(float(p)) for p in parts if p.strip()]
+        return vals if len(vals) > 1 else (vals[0] if vals else None)
+    order = "<" if little else ">"
+    if vr in ("US", "SS", "UL", "SL", "FL", "FD", "SV", "UV"):
+        fmt = {"US": "u2", "SS": "i2", "UL": "u4", "SL": "i4",
+               "FL": "f4", "FD": "f8", "SV": "i8", "UV": "u8"}[vr]
+        arr = np.frombuffer(raw, dtype=order + fmt)
+        if arr.size == 1:
+            return arr[0].item()
+        return arr.tolist()
+    if vr == "AT":
+        arr = np.frombuffer(raw, dtype=order + "u2")
+        tags = [((int(arr[i]) << 16) | int(arr[i + 1]))
+                for i in range(0, len(arr) - 1, 2)]
+        return tags if len(tags) > 1 else (tags[0] if tags else None)
+    # binary blobs kept raw
+    return bytes(raw)
+
+
+class _Reader:
+    __slots__ = ("buf", "pos", "explicit", "little", "stop_before_pixels",
+                 "specific")
+
+    def __init__(self, buf, explicit, little, stop_before_pixels=False,
+                 specific=None):
+        self.buf = buf
+        self.pos = 0
+        self.explicit = explicit
+        self.little = little
+        self.stop_before_pixels = stop_before_pixels
+        self.specific = specific
+
+    def u16(self):
+        v = struct.unpack_from("<H" if self.little else ">H", self.buf, self.pos)[0]
+        self.pos += 2
+        return v
+
+    def u32(self):
+        v = struct.unpack_from("<I" if self.little else ">I", self.buf, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def read_tag_header(self):
+        """Returns (tag, vr, length)."""
+        group = self.u16()
+        elem = self.u16()
+        tag = (group << 16) | elem
+        if group == 0xFFFE:
+            length = self.u32()
+            return tag, None, length
+        if self.explicit:
+            vr = self.buf[self.pos:self.pos + 2].decode("ascii", errors="replace")
+            self.pos += 2
+            if vr in _LONG_VRS:
+                self.pos += 2
+                length = self.u32()
+            else:
+                length = self.u16()
+        else:
+            vr = tag_to_vr(tag)
+            length = self.u32()
+        return tag, vr, length
+
+    def parse_dataset(self, end=None, top_level=False):
+        ds = Dataset()
+        n = len(self.buf) if end is None else end
+        while self.pos + 8 <= n:
+            start = self.pos
+            tag, vr, length = self.read_tag_header()
+
+            if tag == _ITEM_DELIM or tag == _SEQ_DELIM:
+                # stray delimiter at this level: caller handles; rewind & stop
+                self.pos = start
+                break
+
+            if top_level and self.stop_before_pixels and tag >= _PIXEL_DATA:
+                break
+
+            if vr is None or vr == "SQ" or (vr == "UN" and length == 0xFFFFFFFF):
+                value = self.parse_sequence(length)
+                ds[tag] = DataElement(tag, "SQ", value)
+                continue
+
+            if length == 0xFFFFFFFF:
+                # encapsulated pixel data (or undefined-length OB)
+                frags = self.parse_fragments()
+                ds[tag] = DataElement(tag, vr, frags)
+                continue
+
+            raw = self.buf[self.pos:self.pos + length]
+            self.pos += length
+
+            if self.specific is not None and tag not in self.specific \
+                    and tag != _PIXEL_DATA:
+                continue
+
+            if tag == _PIXEL_DATA or vr in ("OB", "OW", "OF", "OD", "OL", "OV"):
+                ds[tag] = DataElement(tag, vr, bytes(raw))
+            else:
+                ds[tag] = DataElement(tag, vr, _convert_value(vr, raw, self.little))
+        return ds
+
+    def parse_sequence(self, length):
+        seq = Sequence()
+        seq_end = None if length == 0xFFFFFFFF else self.pos + length
+        n = len(self.buf)
+        while self.pos + 8 <= (seq_end if seq_end is not None else n):
+            tag, _, ilen = self.read_tag_header()
+            if tag == _SEQ_DELIM:
+                break
+            if tag != _ITEM:
+                raise InvalidDicomError(
+                    f"expected Item tag in sequence, got {tag:08X}")
+            if ilen == 0xFFFFFFFF:
+                item = self.parse_dataset()
+                # consume the item delimiter
+                tag2, _, _ = self.read_tag_header()
+                if tag2 != _ITEM_DELIM:
+                    raise InvalidDicomError("missing item delimiter")
+            else:
+                item_end = self.pos + ilen
+                item = self.parse_dataset(end=item_end)
+                self.pos = item_end
+            seq.append(item)
+            if seq_end is not None and self.pos >= seq_end:
+                break
+        if seq_end is not None:
+            self.pos = seq_end
+        return seq
+
+    def parse_fragments(self):
+        """Encapsulated pixel data: returns list of fragment bytes
+        (first item = basic offset table, dropped)."""
+        frags = []
+        first = True
+        while self.pos + 8 <= len(self.buf):
+            tag, _, ilen = self.read_tag_header()
+            if tag == _SEQ_DELIM:
+                break
+            if tag != _ITEM:
+                raise InvalidDicomError("bad encapsulated pixel data item")
+            raw = self.buf[self.pos:self.pos + ilen]
+            self.pos += ilen
+            if first:
+                first = False  # basic offset table — ignored
+                continue
+            frags.append(bytes(raw))
+        return frags
+
+
+def dcmread(path_or_bytes, stop_before_pixels=False, specific_tags=None,
+            force=False):
+    """Read a DICOM file into a :class:`Dataset`.
+
+    Parameters mirror the pydicom call the reference makes at
+    read/dicom.py:90-111 (``stop_before_pixels`` backs ``only_tags``).
+    """
+    filename = None
+    if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+        buf = bytes(path_or_bytes)
+    else:
+        filename = str(path_or_bytes)
+        with open(filename, "rb") as f:
+            buf = f.read()
+
+    specific = None
+    if specific_tags is not None:
+        specific = set()
+        for t in specific_tags:
+            if isinstance(t, tuple):
+                specific.add((t[0] << 16) | t[1])
+            else:
+                specific.add(t)
+
+    if len(buf) > 132 and buf[128:132] == b"DICM":
+        meta_reader = _Reader(buf, explicit=True, little=True)
+        meta_reader.pos = 132
+        # file meta group length tells us where meta ends
+        tag, vr, length = meta_reader.read_tag_header()
+        if tag != 0x00020000:
+            raise InvalidDicomError("missing FileMetaInformationGroupLength")
+        group_len = _convert_value(vr, buf[meta_reader.pos:meta_reader.pos + length], True)
+        meta_reader.pos += length
+        meta_end = meta_reader.pos + group_len
+        meta = meta_reader.parse_dataset(end=meta_end)
+        fm = FileMetaDataset()
+        fm._dict.update(meta._dict)
+        fm.add(0x00020000, "UL", group_len)
+
+        ts = fm.get("TransferSyntaxUID", uids.ExplicitVRLittleEndian)
+        body = buf
+        start = meta_end
+        if ts == uids.DeflatedExplicitVRLittleEndian:
+            body = zlib.decompress(buf[meta_end:], -15)
+            start = 0
+            ts = uids.ExplicitVRLittleEndian
+        explicit = ts != uids.ImplicitVRLittleEndian
+        little = ts != uids.ExplicitVRBigEndian
+        reader = _Reader(body, explicit=explicit, little=little,
+                         stop_before_pixels=stop_before_pixels,
+                         specific=specific)
+        reader.pos = start
+        ds = reader.parse_dataset(top_level=True)
+        ds.file_meta = fm
+    elif force or _looks_like_raw_dicom(buf):
+        # raw dataset without preamble: sniff explicit vs implicit
+        explicit = buf[4:6].isalpha() and buf[4:6].decode("ascii", "replace") \
+            in (_LONG_VRS | _STRING_VRS | {"UI", "US", "UL", "SS", "SL",
+                                           "FL", "FD", "DS", "IS", "AT"})
+        reader = _Reader(buf, explicit=explicit, little=True,
+                         stop_before_pixels=stop_before_pixels,
+                         specific=specific)
+        ds = reader.parse_dataset(top_level=True)
+        ds.file_meta = None
+    else:
+        raise InvalidDicomError("not a DICOM file")
+
+    ds.filename = filename
+    return ds
+
+
+def _looks_like_raw_dicom(buf):
+    if len(buf) < 8:
+        return False
+    group = struct.unpack_from("<H", buf, 0)[0]
+    return group in (0x0002, 0x0008, 0x0010, 0x0018, 0x0020, 0x0028)

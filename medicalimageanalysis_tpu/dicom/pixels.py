@@ -1,0 +1,177 @@
+"""Pixel data decoders.
+
+Own implementations of the decode paths the reference gets from
+GDCM/pylibjpeg through pydicom (reference requirements.txt pins
+python-gdcm/pylibjpeg; reference read/dicom.py:52 imports gdcm):
+
+- native little/big-endian uncompressed
+- RLE Lossless (PackBits segments, DICOM PS3.5 annex G)
+- JPEG family via OpenCV ``imdecode`` (baseline 8-bit, JPEG2000)
+
+JPEG-Lossless (process 14) is intentionally routed through a clear error
+until the native C++ decoder lands (tracked in PARITY.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import uids
+
+
+def _native_dtype(ds, little=True):
+    bits = int(ds.get("BitsAllocated", 16))
+    signed = int(ds.get("PixelRepresentation", 0)) == 1
+    if bits == 8:
+        base = "i1" if signed else "u1"
+    elif bits == 16:
+        base = "i2" if signed else "u2"
+    elif bits == 32:
+        base = "i4" if signed else "u4"
+    else:
+        raise ValueError(f"unsupported BitsAllocated={bits}")
+    return np.dtype(("<" if little else ">") + base)
+
+
+def _target_shape(ds):
+    rows = int(ds.Rows)
+    cols = int(ds.Columns)
+    frames = int(ds.get("NumberOfFrames", 1) or 1)
+    samples = int(ds.get("SamplesPerPixel", 1) or 1)
+    return frames, rows, cols, samples
+
+
+def _reshape(arr, ds):
+    frames, rows, cols, samples = _target_shape(ds)
+    planar = int(ds.get("PlanarConfiguration", 0) or 0)
+    if samples > 1:
+        if planar == 1:
+            arr = arr.reshape(frames, samples, rows, cols)
+            arr = np.moveaxis(arr, 1, -1)
+        else:
+            arr = arr.reshape(frames, rows, cols, samples)
+    else:
+        arr = arr.reshape(frames, rows, cols)
+    if frames == 1:
+        arr = arr[0]
+    return arr
+
+
+def decode_native(ds, little=True):
+    frames, rows, cols, samples = _target_shape(ds)
+    n = frames * rows * cols * samples
+    dtype = _native_dtype(ds, little)
+    raw = ds.PixelData
+    arr = np.frombuffer(raw, dtype=dtype, count=n)
+    if not little:
+        arr = arr.astype(arr.dtype.newbyteorder("<"))
+    return _reshape(arr, ds)
+
+
+def _packbits_decode(data, expected):
+    """PackBits run-length decode (DICOM PS3.5 G.3.1)."""
+    out = np.empty(expected, dtype=np.uint8)
+    src = np.frombuffer(data, dtype=np.uint8)
+    i = 0
+    o = 0
+    n = len(src)
+    while i < n and o < expected:
+        header = int(src[i])
+        i += 1
+        if header <= 127:
+            count = header + 1
+            out[o:o + count] = src[i:i + count]
+            i += count
+            o += count
+        elif header >= 129:
+            count = 257 - header
+            out[o:o + count] = src[i]
+            i += 1
+            o += count
+        # header == 128: no-op
+    return out[:o]
+
+
+def decode_rle(ds):
+    frames, rows, cols, samples = _target_shape(ds)
+    bits = int(ds.get("BitsAllocated", 16))
+    bytes_per_sample = bits // 8
+    frame_px = rows * cols
+    frags = ds.PixelData
+    if isinstance(frags, (bytes, bytearray)):
+        frags = [bytes(frags)]
+    out_frames = []
+    for f in range(frames):
+        frag = frags[f]
+        header = np.frombuffer(frag[:64], dtype="<u4")
+        nseg = int(header[0])
+        offsets = [int(v) for v in header[1:1 + nseg]] + [len(frag)]
+        segs = []
+        for s in range(nseg):
+            segs.append(_packbits_decode(frag[offsets[s]:offsets[s + 1]],
+                                         frame_px))
+        # segments: for each sample, MSB..LSB byte planes
+        frame = np.zeros((samples, frame_px), dtype=np.uint32)
+        for samp in range(samples):
+            for b in range(bytes_per_sample):
+                seg = segs[samp * bytes_per_sample + b]
+                shift = 8 * (bytes_per_sample - 1 - b)
+                frame[samp] |= seg.astype(np.uint32) << shift
+        dtype = _native_dtype(ds)
+        frame = frame.astype(np.uint32).astype(dtype.newbyteorder("="))
+        if samples > 1:
+            out_frames.append(frame.reshape(samples, rows, cols))
+        else:
+            out_frames.append(frame.reshape(rows, cols))
+    arr = np.stack(out_frames)
+    if samples > 1:
+        arr = np.moveaxis(arr, 1, -1)
+    if frames == 1:
+        arr = arr[0]
+    return arr
+
+
+def decode_jpeg_cv2(ds):
+    import cv2
+
+    frames, rows, cols, samples = _target_shape(ds)
+    frags = ds.PixelData
+    if isinstance(frags, (bytes, bytearray)):
+        frags = [bytes(frags)]
+    if len(frags) > frames:
+        # fragments per frame unknown -> merge all into one stream per frame
+        merged = b"".join(frags)
+        frags = [merged]
+    out = []
+    for frag in frags[:frames] if frames > 1 else [b"".join(frags)]:
+        buf = np.frombuffer(frag, dtype=np.uint8)
+        img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise ValueError("cv2 could not decode JPEG fragment "
+                             "(unsupported process, e.g. JPEG-Lossless p14)")
+        if img.ndim == 3:
+            img = img[..., ::-1]  # BGR -> RGB
+        out.append(img)
+    arr = np.stack(out) if len(out) > 1 else out[0]
+    return arr
+
+
+def decode_pixel_data(ds):
+    if "PixelData" not in ds:
+        if "FloatPixelData" in ds:
+            frames, rows, cols, samples = _target_shape(ds)
+            arr = np.frombuffer(ds.FloatPixelData, dtype="<f4",
+                                count=frames * rows * cols * samples)
+            return _reshape(arr, ds)
+        raise AttributeError("Dataset has no PixelData")
+    ts = None
+    if ds.file_meta is not None:
+        ts = ds.file_meta.get("TransferSyntaxUID")
+    if ts is None or ts in uids.UNCOMPRESSED_SYNTAXES:
+        return decode_native(ds, little=(ts != uids.ExplicitVRBigEndian))
+    if ts == uids.RLELossless:
+        return decode_rle(ds)
+    if ts in uids.ENCAPSULATED_SYNTAXES:
+        return decode_jpeg_cv2(ds)
+    # unknown syntax: try native
+    return decode_native(ds)

@@ -1,0 +1,149 @@
+"""Round-trip tests for the from-scratch DICOM core."""
+
+import numpy as np
+import pytest
+
+from medicalimageanalysis_tpu.dicom import (
+    Dataset, Sequence, dcmread, dcmwrite, generate_uid)
+from medicalimageanalysis_tpu.dicom import uids
+from medicalimageanalysis_tpu.dicom.writer import encode_rle_frame
+
+
+def make_ct_slice(arr, z=0.0):
+    ds = Dataset()
+    ds.SOPClassUID = uids.CTImageStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "CT"
+    ds.PatientName = "Test^Patient"
+    ds.PatientID = "MRN001"
+    ds.SeriesInstanceUID = "1.2.3.4"
+    ds.StudyInstanceUID = "1.2.3"
+    ds.FrameOfReferenceUID = "1.2.3.9"
+    ds.ImagePositionPatient = [-250.0, -250.0, float(z)]
+    ds.ImageOrientationPatient = [1, 0, 0, 0, 1, 0]
+    ds.PixelSpacing = [0.9765625, 0.9765625]
+    ds.SliceThickness = 3.0
+    ds.RescaleIntercept = -1024.0
+    ds.RescaleSlope = 1.0
+    ds.Rows = arr.shape[0]
+    ds.Columns = arr.shape[1]
+    ds.BitsAllocated = 16
+    ds.BitsStored = 16
+    ds.HighBit = 15
+    ds.PixelRepresentation = 0
+    ds.SamplesPerPixel = 1
+    ds.PhotometricInterpretation = "MONOCHROME2"
+    ds.PixelData = arr.astype("<u2").tobytes()
+    return ds
+
+
+def test_explicit_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 3000, size=(64, 64)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    path = tmp_path / "ct.dcm"
+    dcmwrite(path, ds)
+
+    out = dcmread(path)
+    assert out.Modality == "CT"
+    assert out.PatientName == "Test^Patient"
+    assert out.PixelSpacing == [0.9765625, 0.9765625]
+    assert out.ImagePositionPatient == [-250.0, -250.0, 0.0]
+    assert out.RescaleIntercept == -1024.0
+    assert out.Rows == 64 and out.Columns == 64
+    np.testing.assert_array_equal(out.pixel_array, arr)
+    assert out.file_meta.TransferSyntaxUID == uids.ExplicitVRLittleEndian
+
+
+def test_implicit_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 3000, size=(32, 48)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    path = tmp_path / "ct_implicit.dcm"
+    dcmwrite(path, ds, transfer_syntax=uids.ImplicitVRLittleEndian)
+
+    out = dcmread(path)
+    assert out.Modality == "CT"
+    np.testing.assert_array_equal(out.pixel_array, arr)
+
+
+def test_stop_before_pixels(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(16, 16)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    path = tmp_path / "ct.dcm"
+    dcmwrite(path, ds)
+    out = dcmread(path, stop_before_pixels=True)
+    assert "PixelData" not in out
+    assert out.Modality == "CT"
+
+
+def test_sequences_roundtrip(tmp_path):
+    ds = Dataset()
+    ds.SOPClassUID = uids.RTStructureSetStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "RTSTRUCT"
+    item = Dataset()
+    item.ROINumber = 1
+    item.ROIName = "Liver"
+    item2 = Dataset()
+    item2.ROINumber = 2
+    item2.ROIName = "Tumor"
+    ds.StructureSetROISequence = Sequence([item, item2])
+
+    inner = Dataset()
+    inner.ContourGeometricType = "CLOSED_PLANAR"
+    inner.ContourData = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.5, 8.5, 9.5]
+    roi_item = Dataset()
+    roi_item.ReferencedROINumber = 1
+    roi_item.ROIDisplayColor = [255, 0, 0]
+    roi_item.ContourSequence = Sequence([inner])
+    ds.ROIContourSequence = Sequence([roi_item])
+
+    path = tmp_path / "rs.dcm"
+    dcmwrite(path, ds)
+    out = dcmread(path)
+    assert out.StructureSetROISequence[0].ROIName == "Liver"
+    assert out.StructureSetROISequence[1].ROIName == "Tumor"
+    cs = out.ROIContourSequence[0].ContourSequence[0]
+    assert cs.ContourGeometricType == "CLOSED_PLANAR"
+    assert cs.ContourData == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.5, 8.5, 9.5]
+    assert out.ROIContourSequence[0].ROIDisplayColor == [255, 0, 0]
+
+
+def test_rle_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 3000, size=(64, 64)).astype(np.int16)
+    arr[10:20, :] = 42  # compressible run
+    ds = make_ct_slice(arr.astype(np.uint16))
+    ds.PixelRepresentation = 1
+    ds.PixelData = [encode_rle_frame(arr)]
+    path = tmp_path / "ct_rle.dcm"
+    dcmwrite(path, ds, transfer_syntax=uids.RLELossless)
+    # hand-frame the encapsulated pixel data for writing
+    raw = dcmread(path, stop_before_pixels=True)
+    assert raw.file_meta.TransferSyntaxUID == uids.RLELossless
+
+
+def test_rle_decode(rng):
+    from medicalimageanalysis_tpu.dicom.pixels import decode_rle
+    arr = rng.integers(-1000, 3000, size=(64, 64)).astype(np.int16)
+    arr[10:20, :] = 42
+    ds = make_ct_slice(np.zeros((64, 64), np.uint16))
+    ds.PixelRepresentation = 1
+    ds.PixelData = [encode_rle_frame(arr)]
+    out = decode_rle(ds)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_dataset_contains_and_get():
+    ds = Dataset()
+    ds.RescaleIntercept = -1024.0
+    assert (0x0028, 0x1052) in ds
+    assert "RescaleIntercept" in ds
+    assert "RescaleSlope" not in ds
+    assert ds.get("RescaleSlope", 1) == 1
+    del ds.RescaleIntercept
+    assert "RescaleIntercept" not in ds
+
+
+def test_generate_uid_unique():
+    seen = {generate_uid() for _ in range(100)}
+    assert len(seen) == 100
+    assert all(u.startswith("2.25.") and len(u) <= 64 for u in seen)
