@@ -1,0 +1,277 @@
+"""DICOM ingest orchestration: parallel parse, series grouping, dispatch.
+
+Behavior-parity rebuild of the reference pipeline (reference
+read/dicom.py:114-425): group slices by Modality -> SeriesInstanceUID ->
+orientation (rounded 3 dp) -> AcquisitionNumber, sort along the dominant
+axis by the slice-direction sign, merge non-overlapping gap-uniform
+acquisitions, then dispatch per modality. Parsing uses a bounded thread
+pool with deterministic result ordering (the reference spawns one thread
+per file and relies on GIL list-append ordering; read/dicom.py:202-216).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..data import Data
+from ..dicom import dcmread
+
+__all__ = ["DicomReader", "thread_process_dicom", "sort_images_by_datetime",
+           "create_image_name", "create_dose_name"]
+
+_2D_OR_STRUCT = ["US", "DX", "RF", "CR", "RTSTRUCT", "REG", "RTDOSE"]
+
+
+def sort_images_by_datetime():
+    """Reorder Data.image / Data.image_list lexicographically by
+    str(date)+str(time) (reference read/dicom.py:69-87)."""
+    date_time = [
+        str(Data.image[name].date) + str(Data.image[name].time)
+        for name in Data.image_list
+    ]
+    new_key_order = [Data.image_list[idx] for idx in np.argsort(date_time)]
+    Data.image = {key: Data.image[key] for key in new_key_order}
+    Data.image_list = list(Data.image.keys())
+
+
+def thread_process_dicom(path, stop_before_pixels=False):
+    """Tolerant single-file parse: unparseable files become []
+    (reference read/dicom.py:90-111)."""
+    try:
+        datasets = dcmread(str(path), stop_before_pixels=stop_before_pixels)
+    except Exception:
+        datasets = []
+    return datasets
+
+
+def create_image_name(modality):
+    """'{modality} NN' zero-padded sequential name off the registry length
+    (reference read/dicom.py:2113-2146)."""
+    idx = len(Data.image_list)
+    if idx < 9:
+        return modality + " 0" + str(1 + idx)
+    return modality + " " + str(1 + idx)
+
+
+def create_dose_name(modality):
+    """Sequential dose naming (reference read/dicom.py:2149-2178)."""
+    idx = len(Data.dose_list)
+    if idx < 9:
+        return modality + " 0" + str(1 + idx)
+    return modality + " " + str(1 + idx)
+
+
+class DicomReader(object):
+    """Full DICOM pipeline: read -> group -> build -> sort.
+
+    Parameters mirror reference read/dicom.py:114-216.
+    """
+
+    def __init__(self, files, only_tags, only_modality, only_load_roi_names,
+                 clear):
+        self.files = files
+        self.only_tags = only_tags
+        self.only_load_roi_names = only_load_roi_names
+
+        self.only_modality = (
+            only_modality if only_modality is not None
+            else ["CT", "MR", "PT", "US", "DX", "RF", "CR", "RTSTRUCT",
+                  "REG", "RTDOSE"]
+        )
+
+        if clear:
+            Data.clear()
+
+        self.ds = []
+        self.ds_modality = {key: [] for key in self.only_modality}
+
+    def load(self, display_time=False):
+        t1 = time.time()
+
+        self.read()
+        self.separate_modalities_and_images()
+        self.image_creation()
+        sort_images_by_datetime()
+
+        t2 = time.time()
+        if display_time:
+            print("Dicom Read Time:", t2 - t1)
+
+    def read(self):
+        """Parse all files in a bounded thread pool (deterministic order)."""
+        paths = self.files["Dicom"] if self.files else []
+        if not paths:
+            return
+        workers = min(32, max(1, len(paths)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            self.ds = list(pool.map(
+                lambda p: thread_process_dicom(
+                    p, stop_before_pixels=self.only_tags),
+                paths))
+
+    def add_datasets(self, datasets):
+        """Inject pre-parsed datasets (in-memory ingest path; used by
+        creation utilities and tests)."""
+        self.ds.extend(datasets)
+
+    # ------------------------------------------------------------------
+    # grouping
+    # ------------------------------------------------------------------
+    def separate_modalities_and_images(self):
+        """Series-grouping algorithm (reference read/dicom.py:218-382)."""
+        for modality in list(self.ds_modality.keys()):
+            images = [d for d in self.ds
+                      if d and (0x0008, 0x0060) in d
+                      and d["Modality"].value == modality]
+            if not images or modality not in self.only_modality:
+                continue
+
+            if modality in _2D_OR_STRUCT:
+                for image in images:
+                    self.ds_modality[modality].append(image)
+                continue
+
+            entries = []
+            for img in images:
+                if ("ImageOrientationPatient" not in img
+                        or "ImagePositionPatient" not in img):
+                    continue
+                orient = np.asarray(img["ImageOrientationPatient"].value,
+                                    dtype=np.float64)
+                pos = np.asarray(img["ImagePositionPatient"].value,
+                                 dtype=np.float64)
+                acq = img.get("AcquisitionNumber")
+                acq = np.int64(acq) if acq is not None else np.int64(1)
+                entries.append((img["SeriesInstanceUID"].value, acq,
+                                orient, pos, img))
+            if not entries:
+                continue
+
+            series_uids = sorted({e[0] for e in entries})
+            for series in series_uids:
+                series_entries = [e for e in entries if e[0] == series]
+                self._group_series(modality, series_entries)
+
+    def _group_series(self, modality, series_entries):
+        orientations = np.asarray([e[2] for e in series_entries])
+        rounded = np.round(orientations, 3)
+        _, first_idx = np.unique(rounded, axis=0, return_index=True)
+        for ind in sorted(first_idx):
+            key = rounded[ind]
+            sel = np.all(rounded == key, axis=1)
+            group = [series_entries[i] for i in np.nonzero(sel)[0]]
+            self._group_orientation(modality, group)
+
+    def _group_orientation(self, modality, group):
+        orientation = group[0][2]
+        x = np.abs(orientation[0]) + np.abs(orientation[3])
+        y = np.abs(orientation[1]) + np.abs(orientation[4])
+        z = np.abs(orientation[2]) + np.abs(orientation[5])
+        slice_direction = np.cross(orientation[:3], orientation[3:])
+
+        if x < y and x < z:
+            comp, ascending = 0, slice_direction[0] > 0
+        elif y < x and y < z:
+            comp, ascending = 1, slice_direction[1] > 0
+        else:
+            comp, ascending = 2, slice_direction[2] > 0
+
+        acq_values = sorted({int(e[1]) for e in group})
+        acq_images = []
+        acq_ranges = []
+        for acq in acq_values:
+            sub = [e for e in group if int(e[1]) == acq]
+            positions = np.asarray([e[3][comp] for e in sub])
+            order = np.argsort(positions)
+            if not ascending:
+                order = order[::-1]
+            sorted_sub = [sub[i][4] for i in order]
+            sorted_pos = positions[order]
+            acq_images.append(sorted_sub)
+            acq_ranges.append((float(sorted_pos[0]), float(sorted_pos[-1])))
+
+        if len(acq_images) <= 1:
+            for img in acq_images:
+                self.ds_modality[modality].append(img)
+            return
+
+        # pairwise overlap detection along the slice axis
+        # (reference read/dicom.py:318-355)
+        overlap = False
+        for ii in range(len(acq_ranges)):
+            for jj in range(len(acq_ranges)):
+                if ii == jj:
+                    continue
+                b_first, b_last = acq_ranges[ii]
+                c_first, c_last = acq_ranges[jj]
+                if b_first > c_first and b_first > c_last:
+                    pass
+                elif b_last < c_first and b_last < c_last:
+                    pass
+                else:
+                    overlap = True
+
+        if overlap:
+            for img in acq_images:
+                self.ds_modality[modality].append(img)
+            return
+
+        # non-overlapping: merge if inter-acquisition gaps are uniform
+        # (reference read/dicom.py:356-375)
+        starts = np.asarray([r[0] for r in acq_ranges])
+        order = np.argsort(starts)
+        gaps = [acq_ranges[order[ii + 1]][0] - acq_ranges[order[ii]][1]
+                for ii in range(len(order) - 1)]
+        if len(np.unique(np.round(gaps, 2))) == 1:
+            merged = []
+            for ii in order:
+                merged.extend(acq_images[ii])
+            self.ds_modality[modality].append(merged)
+        else:
+            for img in acq_images:
+                self.ds_modality[modality].append(img)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    def image_creation(self):
+        """Dispatch grouped datasets to per-modality builders
+        (reference read/dicom.py:384-425)."""
+        from .volume3d import Read3D
+        from .planar import ReadRF, ReadUS, ReadXRay
+
+        for modality in ["CT", "MR", "PT", "DX", "RF", "CR", "US"]:
+            for image_set in self.ds_modality.get(modality, []):
+                if modality in ["CT", "MR", "PT"]:
+                    Read3D(image_set, self.only_tags)
+                elif modality in ["DX", "CR"]:
+                    ReadXRay(image_set, self.only_tags)
+                elif modality == "RF":
+                    ReadRF(image_set, self.only_tags)
+                elif modality == "US":
+                    ReadUS(image_set, self.only_tags)
+
+        if self.ds_modality.get("RTSTRUCT"):
+            from .rtstruct import ReadRTStruct
+            for image_set in self.ds_modality["RTSTRUCT"]:
+                read_rtstruct = ReadRTStruct(
+                    image_set, self.only_tags,
+                    only_load_roi_names=self.only_load_roi_names)
+                if read_rtstruct.match_image_name is not None:
+                    Data.image[read_rtstruct.match_image_name].input_rtstruct(
+                        read_rtstruct)
+                else:
+                    print("dicom: rtstruct has no matching image")
+
+        if self.ds_modality.get("REG"):
+            from .reg import ReadREG
+            for image_set in self.ds_modality["REG"]:
+                ReadREG(image_set, self.only_tags)
+
+        if self.ds_modality.get("RTDOSE"):
+            from .rtdose import ReadRTDose
+            for image_set in self.ds_modality["RTDOSE"]:
+                ReadRTDose(image_set, self.only_tags)

@@ -1,0 +1,121 @@
+"""Top-level IO orchestration: file parsing and reader entry points.
+
+Mirrors the reference API surface (reference reader.py:54-459):
+``check_memory``, ``file_parser``, ``read_dicoms``, ``read_3mf``,
+``read_mhd``.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import psutil
+
+__all__ = ["check_memory", "file_parser", "read_dicoms", "read_3mf",
+           "read_mhd"]
+
+
+def check_memory(files):
+    """Remaining system memory (GB) after hypothetically loading `files`
+    (reference reader.py:54-108)."""
+    total_size = sum(
+        Path(file).stat().st_size
+        for file_list in files.values()
+        for file in file_list
+    )
+    available_memory = psutil.virtual_memory().available
+    return (available_memory - total_size) / 1e9
+
+
+def file_parser(folder_path=None, file_list=None, exclude_files=None):
+    """Recursive extension bucketing (reference reader.py:111-227).
+
+    Returns dict with keys Dicom/MHD/Raw/Nifti/Stl/Vtk/3mf/NoExtension.
+    ``file_list`` overrides ``folder_path``; ``exclude_files`` honored.
+    """
+    files = {
+        "Dicom": [],
+        "MHD": [],
+        "Raw": [],
+        "Nifti": [],
+        "Stl": [],
+        "Vtk": [],
+        "3mf": [],
+        "NoExtension": [],
+    }
+
+    exclude_files = exclude_files or []
+
+    if file_list is None:
+        file_list = []
+        for root, _, filenames in os.walk(folder_path):
+            file_list.extend(str(Path(root) / fn) for fn in filenames)
+
+    for filepath in file_list:
+        if filepath in exclude_files:
+            continue
+        extension = Path(filepath).suffix.lower()
+        if extension == ".dcm":
+            files["Dicom"].append(filepath)
+        elif extension == ".mhd":
+            files["MHD"].append(filepath)
+        elif extension == ".raw":
+            files["Raw"].append(filepath)
+        elif filepath.lower().endswith(".nii.gz"):
+            files["Nifti"].append(filepath)
+        elif extension == ".stl":
+            files["Stl"].append(filepath)
+        elif extension == ".vtk":
+            files["Vtk"].append(filepath)
+        elif extension == ".3mf":
+            files["3mf"].append(filepath)
+        elif extension == "":
+            files["NoExtension"].append(filepath)
+
+    return files
+
+
+def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
+                only_tags=False, only_modality=None,
+                only_load_roi_names=None, clear=True):
+    """Load DICOM files into the global Data registry
+    (reference reader.py:230-329)."""
+    from .read.dicom import DicomReader
+
+    if only_modality is None:
+        only_modality = ["CT", "MR", "PT", "US", "DX", "RF", "CR",
+                         "RTSTRUCT", "REG", "RTDOSE"]
+
+    files = None
+    if folder_path is not None or file_list is not None:
+        files = file_parser(folder_path=folder_path, file_list=file_list,
+                            exclude_files=exclude_files)
+
+    dicom_reader = DicomReader(files, only_tags, only_modality,
+                               only_load_roi_names, clear)
+    dicom_reader.load()
+    return dicom_reader
+
+
+def read_3mf(file, roi_name=None):
+    """Load a 3MF mesh file (reference reader.py:332-372)."""
+    from .read.mf3 import ThreeMfReader
+
+    reader = ThreeMfReader(file, roi_name)
+    reader.load()
+    return reader
+
+
+def read_mhd(file=None, image_name=None, roi_names=None, dose_name=None,
+             reference_name=None, moving_name=None, dvf=False):
+    """Load a MetaImage (.mhd) file (reference reader.py:375-459)."""
+    from .read.mhd import MhdReader
+
+    reader = MhdReader(file=file, image_name=image_name,
+                       roi_names=roi_names, dose_name=dose_name,
+                       reference_name=reference_name,
+                       moving_name=moving_name, dvf=dvf)
+    reader.load()
+    return reader

@@ -1,0 +1,591 @@
+"""Image domain object + Display view state.
+
+Behavior-parity rebuild of reference structure/image.py:39-1411. The 4x4
+transform math lives in ops/geometry (canonical); the off-axis reslice
+runs on device through ops/resample.reslice_rotation instead of VTK.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import json
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from ..config import config
+from ..data import Data
+from ..dicom import generate_uid
+from ..ops import geometry as geo
+from .poi import Poi
+from .roi import Roi
+
+__all__ = ["Display", "Image"]
+
+
+class Display(object):
+    """Slice viewing state + coordinate spaces + off-axis reslicing
+    (reference structure/image.py:39-306)."""
+
+    def __init__(self, image):
+        self.image = image
+
+        self.matrix = copy.deepcopy(self.image.matrix)
+        self.spacing = copy.deepcopy(self.image.spacing)
+        self.origin = copy.deepcopy(self.image.origin)
+
+        self.slice_location = self.image.compute_center(position=False,
+                                                        zyx=True)
+        self.scroll_max = [self.image.dimensions[0] - 1,
+                           self.image.dimensions[1] - 1,
+                           self.image.dimensions[2] - 1]
+        self.secondary_array = None
+        self.misc = {}
+
+    def compute_matrix_pixel_to_position(self):
+        return geo.pixel_to_position_matrix(self.matrix, self.spacing,
+                                            self.origin)
+
+    def compute_matrix_position_to_pixel(self):
+        return geo.position_to_pixel_matrix(self.matrix, self.spacing,
+                                            self.origin)
+
+    def compute_array(self, slice_plane):
+        """2D slice at the current slice_location on a standard plane."""
+        source = self.image.array if self.secondary_array is None \
+            else self.secondary_array
+        if slice_plane == "Axial":
+            array = source[self.slice_location[0], :, :]
+        elif slice_plane == "Coronal":
+            array = source[:, self.slice_location[1], :]
+        else:
+            array = source[:, :, self.slice_location[2]]
+        return np.asarray(array).astype(np.float32)
+
+    def compute_index_positions(self, xyz):
+        m = self.compute_matrix_pixel_to_position()
+        return geo.apply_homogeneous([xyz[0], xyz[1], xyz[2]], m)
+
+    def compute_offaxis_array(self):
+        """Off-axis reslice through the current display matrix
+        (reference structure/image.py:160-215; device kernel instead of
+        vtkImageReslice)."""
+        from ..ops.resample import reslice_rotation
+
+        loc = np.flip(self.slice_location)
+        base_position_matrix = self.compute_matrix_pixel_to_position()
+        slice_position = geo.apply_homogeneous(
+            [loc[0], loc[1], loc[2]], base_position_matrix)
+
+        resliced, new_origin = reslice_rotation(
+            self.image.array, self.image.matrix, self.image.spacing,
+            self.image.origin, self.matrix,
+            background=config.background_fill)
+        self.origin = np.asarray(new_origin)
+
+        dimensions = (resliced.shape[2], resliced.shape[1],
+                      resliced.shape[0])
+        position_to_pixel_matrix = self.compute_matrix_position_to_pixel()
+        location = geo.apply_homogeneous(slice_position,
+                                         position_to_pixel_matrix)
+        self.slice_location = list(
+            np.flip(np.round(location)).astype(np.int32))
+        self.scroll_max = [dimensions[2] - 1, dimensions[1] - 1,
+                           dimensions[0] - 1]
+        for i in range(3):
+            if self.slice_location[i] > dimensions[2 - i] - 1:
+                self.slice_location[i] = dimensions[2 - i] - 1
+            if self.slice_location[i] < 0:
+                self.slice_location[i] = 0
+
+        self.secondary_array = resliced
+
+    def compute_scroll_max(self):
+        if self.secondary_array is not None:
+            self.scroll_max = [self.secondary_array.shape[0] - 1,
+                               self.secondary_array.shape[1] - 1,
+                               self.secondary_array.shape[2] - 1]
+        else:
+            self.scroll_max = [self.image.dimensions[0] - 1,
+                               self.image.dimensions[1] - 1,
+                               self.image.dimensions[2] - 1]
+
+    def compute_slice(self, slice_plane):
+        """2D slice + its physical placement (replaces compute_vtk_slice,
+        reference structure/image.py:234-284, minus the VTK container)."""
+        source = self.image.array if self.secondary_array is None \
+            else self.secondary_array
+        if slice_plane == "Axial":
+            location = [0, 0, self.slice_location[0]]
+            array_slice = source[self.slice_location[0], :, :]
+        elif slice_plane == "Coronal":
+            location = [0, self.slice_location[1], 0]
+            array_slice = source[:, self.slice_location[1], :]
+        else:
+            location = [self.slice_location[2], 0, 0]
+            array_slice = source[:, :, self.slice_location[2]]
+        m = self.compute_matrix_pixel_to_position()
+        origin = geo.apply_homogeneous(location, m)
+        return {"array": np.asarray(array_slice), "origin": origin,
+                "spacing": self.spacing, "matrix": self.matrix}
+
+    # kept as alias for API familiarity
+    compute_vtk_slice = compute_slice
+
+    def update_slice_location(self, scroll, slice_plane):
+        if slice_plane == "Axial":
+            self.slice_location[0] = scroll
+        elif slice_plane == "Coronal":
+            self.slice_location[1] = scroll
+        else:
+            self.slice_location[2] = scroll
+
+
+class Image(object):
+    """Volume + identity metadata + geometry + ROI/POI containers
+    (reference structure/image.py:309-358)."""
+
+    def __init__(self, image):
+        self.rois = {}
+        self.pois = {}
+
+        self.tags = image.image_set
+        self.array = image.array
+
+        self.image_name = image.image_name
+        self.modality = image.modality
+
+        self.patient_name = self.get_patient_name()
+        self.mrn = self.get_mrn()
+        self.birthdate = self.get_birthdate()
+        self.date = self.get_date()
+        self.time = self.get_time()
+        self.local_uid = generate_uid()
+        self.series_uid = self.get_series_uid()
+        self.acq_number = self.get_acq_number()
+        self.frame_ref = self.get_frame_ref()
+        self.window = self.get_window()
+
+        self.filepaths = image.filepaths
+        self.sops = image.sops
+
+        self.plane = image.plane
+        self.spacing = image.spacing
+        self.dimensions = image.dimensions
+        self.orientation = image.orientation
+        self.origin = image.origin
+        self.matrix = image.image_matrix
+
+        self.unverified = image.unverified
+        self.skipped_slice = image.skipped_slice
+        self.rgb = image.rgb
+
+        self.camera_position = None
+
+        self.visual = {"colormap": "gray", "bounds": None}
+        self.misc = {}
+
+        self.display = Display(self)
+
+    # -- intake --------------------------------------------------------
+    def input_mhd(self, filename, roi_names, values, plane="Axial"):
+        """Label volume -> per-label ROI masks (reference
+        structure/image.py:360-387; own MHD reader instead of sitk)."""
+        from ..read.mhd import read_mhd_volume
+
+        roi_array, _, _, _ = read_mhd_volume(filename)
+        for ii, roi_name in enumerate(roi_names):
+            if roi_name not in self.rois:
+                self.rois[roi_name] = Roi(self, name=roi_name, visible=True,
+                                          filepaths=filename, plane=plane)
+            roi_mask = roi_array == values[ii]
+            self.rois[roi_name].convert_mask(roi_mask)
+
+    def input_rtstruct(self, rtstruct):
+        """Populate ROIs/POIs from a parsed RTSTRUCT (reference
+        structure/image.py:389-413)."""
+        for ii, roi_name in enumerate(rtstruct.roi_names):
+            if roi_name not in self.rois \
+                    or self.rois[roi_name].contour_position is None:
+                self.rois[roi_name] = Roi(
+                    self, position=rtstruct.contours[ii], name=roi_name,
+                    color=rtstruct.roi_colors[ii], visible=False,
+                    filepaths=rtstruct.filepaths)
+
+        for ii, poi_name in enumerate(rtstruct.poi_names):
+            if poi_name not in self.pois \
+                    or self.pois[poi_name].point_position is None:
+                self.pois[poi_name] = Poi(
+                    self, position=rtstruct.points[ii], name=poi_name,
+                    color=rtstruct.poi_colors[ii], visible=False,
+                    filepaths=rtstruct.filepaths)
+
+        Data.match_rois()
+        Data.match_pois()
+
+    def add_roi(self, roi_name=None, color=None, visible=False, path=None,
+                contour=None, plane="Axial"):
+        self.rois[roi_name] = Roi(self, position=contour, name=roi_name,
+                                  color=color, visible=visible,
+                                  filepaths=path, plane=plane)
+        Data.match_rois()
+
+    def add_poi(self, poi_name=None, color=None, visible=False, path=None,
+                point=None):
+        self.pois[poi_name] = Poi(self, position=point, name=poi_name,
+                                  color=color, visible=visible,
+                                  filepaths=path)
+        Data.match_pois()
+
+    def create_roi(self, name=None, color=None, visible=False, filepath=None):
+        self.rois[name] = Roi(self, name=name, color=color, visible=visible,
+                              filepaths=filepath)
+        Data.match_rois()
+
+    def create_rtstruct(self, roi_names=None, poi_names=None):
+        """Stub kept for API-shape parity (reference
+        structure/image.py:488-503 is an empty stub)."""
+        pass
+
+    # -- metadata fallback chains (reference structure/image.py:505-706) --
+    def get_patient_name(self):
+        if "PatientName" in self.tags[0]:
+            return str(self.tags[0].PatientName).split("^")[:3]
+        return "missing"
+
+    def get_mrn(self):
+        if "PatientID" in self.tags[0]:
+            return str(self.tags[0].PatientID)
+        return "missing"
+
+    def get_birthdate(self):
+        if "PatientBirthDate" in self.tags[0]:
+            return str(self.tags[0].PatientBirthDate)
+        return ""
+
+    def get_date(self):
+        for key in ("SeriesDate", "ContentDate", "AcquisitionDate",
+                    "StudyDate"):
+            if key in self.tags[0]:
+                return self.tags[0].get(key)
+        return "00000"
+
+    def get_time(self):
+        for key in ("SeriesTime", "ContentTime", "AcquisitionTime",
+                    "StudyTime"):
+            if key in self.tags[0]:
+                return self.tags[0].get(key)
+        return "00000"
+
+    def get_study_uid(self):
+        if "StudyInstanceUID" in self.tags[0]:
+            return self.tags[0].StudyInstanceUID
+        return "00000.00000"
+
+    def get_series_uid(self):
+        if "SeriesInstanceUID" in self.tags[0]:
+            return self.tags[0].SeriesInstanceUID
+        return "00000.00000"
+
+    def get_acq_number(self):
+        if "AcquisitionNumber" in self.tags[0]:
+            return self.tags[0].AcquisitionNumber
+        return "1"
+
+    def get_frame_ref(self):
+        if "FrameOfReferenceUID" in self.tags[0]:
+            return self.tags[0].FrameOfReferenceUID
+        return "00000.00000"
+
+    def get_window(self):
+        if (0x0028, 0x1050) in self.tags[0] and (0x0028, 0x1051) in self.tags[0]:
+            center = self.tags[0].WindowCenter
+            width = self.tags[0].WindowWidth
+            if not isinstance(center, float):
+                center = center[0]
+            if not isinstance(width, float):
+                width = width[0]
+            return [int(center) - int(np.round(width / 2)),
+                    int(center) + int(np.round(width / 2))]
+        if self.array is not None:
+            return [np.min(self.array), np.max(self.array)]
+        return [0, 1]
+
+    def get_specific_tag(self, tag):
+        if tag in self.tags[0]:
+            return self.tags[0][tag]
+        return None
+
+    def get_specific_tag_on_all_files(self, tag):
+        if tag in self.tags[0]:
+            return [t[tag] for t in self.tags]
+        return None
+
+    # -- persistence (documented schema: npz + json instead of pickle) --
+    def save_image(self, path, rois=True, pois=True):
+        """Serialize metadata (json) + array (npy) + ROI/POI folders
+        (replaces the reference's pickled DataFrame, structure/
+        image.py:708-801, with a documented schema)."""
+        base = os.path.join(str(path), self.image_name)
+        os.makedirs(base, exist_ok=True)
+        meta = {
+            "image_name": self.image_name, "modality": self.modality,
+            "patient_name": self.patient_name, "mrn": self.mrn,
+            "birthdate": self.birthdate, "date": str(self.date),
+            "time": str(self.time), "series_uid": self.series_uid,
+            "acq_number": str(self.acq_number), "frame_ref": self.frame_ref,
+            "window": [float(w) for w in self.window], "plane": self.plane,
+            "spacing": np.asarray(self.spacing, dtype=float).tolist(),
+            "dimensions": np.asarray(self.dimensions).astype(int).tolist(),
+            "orientation": np.asarray(self.orientation,
+                                      dtype=float).tolist(),
+            "origin": np.asarray(self.origin, dtype=float).tolist(),
+            "matrix": np.asarray(self.matrix, dtype=float).tolist(),
+            "unverified": self.unverified,
+            "skipped_slice": list(self.skipped_slice or []),
+            "rgb": bool(self.rgb),
+            "sops": list(self.sops or []),
+            "filepaths": [str(f) for f in (self.filepaths or [])],
+        }
+        with open(os.path.join(base, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        if self.array is not None:
+            np.save(os.path.join(base, "array.npy"), np.asarray(self.array))
+        if rois:
+            self.save_rois(base)
+        if pois:
+            self.save_pois(base)
+
+    def save_rois(self, path, create_main_folder=False):
+        base = os.path.join(str(path), "rois") if not create_main_folder \
+            else os.path.join(str(path), self.image_name, "rois")
+        for name, roi in self.rois.items():
+            if roi.contour_position is None:
+                continue
+            folder = os.path.join(base, name)
+            os.makedirs(folder, exist_ok=True)
+            with open(os.path.join(folder, "roi.json"), "w") as f:
+                json.dump({"name": name, "color": list(roi.color or []),
+                           "visible": bool(roi.visible),
+                           "plane": roi.plane}, f)
+            for ii, c in enumerate(roi.contour_position):
+                np.save(os.path.join(folder, f"contour_{ii:04d}.npy"),
+                        np.asarray(c))
+
+    def save_pois(self, path, create_main_folder=False):
+        base = os.path.join(str(path), "pois") if not create_main_folder \
+            else os.path.join(str(path), self.image_name, "pois")
+        for name, poi in self.pois.items():
+            if poi.point_position is None:
+                continue
+            folder = os.path.join(base, name)
+            os.makedirs(folder, exist_ok=True)
+            with open(os.path.join(folder, "poi.json"), "w") as f:
+                json.dump({"name": name, "color": list(poi.color or []),
+                           "visible": bool(poi.visible)}, f)
+            np.save(os.path.join(folder, "point.npy"),
+                    np.asarray(poi.point_position))
+
+    def load_rois(self, roi_path):
+        """Load ROI folders; name collisions get _N suffixes (reference
+        structure/image.py:836-869 semantics, pickle replaced)."""
+        for entry in sorted(os.listdir(roi_path)):
+            folder = os.path.join(roi_path, entry)
+            if not os.path.isdir(folder):
+                continue
+            with open(os.path.join(folder, "roi.json")) as f:
+                meta = json.load(f)
+            name = meta["name"]
+            ii = 1
+            while name in self.rois and \
+                    self.rois[name].contour_position is not None:
+                ii += 1
+                name = f"{meta['name']}_{ii}"
+            contours = [np.load(os.path.join(folder, f))
+                        for f in sorted(os.listdir(folder))
+                        if f.startswith("contour_")]
+            self.rois[name] = Roi(self, position=contours, name=name,
+                                  color=meta.get("color"),
+                                  visible=meta.get("visible", False),
+                                  filepaths=folder,
+                                  plane=meta.get("plane"))
+        Data.match_rois()
+
+    def load_pois(self, poi_path):
+        """Fixed vs reference: structure/image.py:896 instantiates
+        lowercase `poi` (NameError) and :903 writes into self.rois."""
+        for entry in sorted(os.listdir(poi_path)):
+            folder = os.path.join(poi_path, entry)
+            if not os.path.isdir(folder):
+                continue
+            with open(os.path.join(folder, "poi.json")) as f:
+                meta = json.load(f)
+            name = meta["name"]
+            ii = 1
+            while name in self.pois and \
+                    self.pois[name].point_position is not None:
+                ii += 1
+                name = f"{meta['name']}_{ii}"
+            point = np.load(os.path.join(folder, "point.npy"))
+            self.pois[name] = Poi(self, position=point, name=name,
+                                  color=meta.get("color"),
+                                  visible=meta.get("visible", False),
+                                  filepaths=folder)
+        Data.match_pois()
+
+    @classmethod
+    def load_image(cls, image_path, rois=True, pois=True):
+        """Reconstruct an Image from a save_image folder and register it."""
+        from ..utils.creation import image_from_saved
+        return image_from_saved(image_path, rois=rois, pois=pois)
+
+    # -- external contour ------------------------------------------------
+    def create_external(self, name="External", color=None, visible=False,
+                        filepaths=None, threshold=-250):
+        """Threshold -> largest component -> contours -> ROI (reference
+        structure/image.py:961-994)."""
+        from ..utils.image.threshold import external
+        from ..utils.roi.contour import contours_from_mask
+
+        mask = external(self.array, threshold=threshold)["mask"]
+        contours_pixel = contours_from_mask(mask)
+        roi = Roi(self, name=name, color=color, visible=visible,
+                  filepaths=filepaths)
+        if contours_pixel:
+            roi.contour_pixel = [
+                np.vstack((c, c[0:1, :])) for c in contours_pixel]
+            roi.contour_position = roi.convert_pixel_to_position(
+                contours_pixel)
+        self.rois[name] = roi
+        Data.match_rois()
+        return roi
+
+    # -- geometry queries (reference structure/image.py:996-1181) --------
+    def compute_aspect(self, slice_plane):
+        if slice_plane == "Axial":
+            return np.round(self.spacing[0] / self.spacing[1], 2)
+        if slice_plane == "Coronal":
+            return np.round(self.spacing[0] / self.spacing[2], 2)
+        return np.round(self.spacing[1] / self.spacing[2], 2)
+
+    def _vtk_style_bounds(self):
+        """AABB like vtkImageData.GetBounds with the reference's exact
+        configuration (structure/image.py:1019-1038: SetDimensions
+        [shape[1], shape[2], shape[0]], direction = self.matrix rows
+        applied as a matrix)."""
+        shape = self.array.shape
+        dims = np.array([shape[1], shape[2], shape[0]])
+        M = np.asarray(self.matrix, dtype=np.float64)
+        spacing = np.asarray(self.spacing, dtype=np.float64)
+        pts = []
+        for k in (0, dims[2] - 1):
+            for j in (0, dims[1] - 1):
+                for i in (0, dims[0] - 1):
+                    v = np.array([i * spacing[0], j * spacing[1],
+                                  k * spacing[2]])
+                    pts.append(M @ v + np.asarray(self.origin))
+        pts = np.asarray(pts)
+        return pts.min(axis=0), pts.max(axis=0)
+
+    def compute_bounds(self):
+        lo, hi = self._vtk_style_bounds()
+        return [lo[0], hi[0], lo[1], hi[1], lo[2], hi[2]]
+
+    def compute_center(self, position=True, zyx=False):
+        pixel_index = [int(self.dimensions[2] / 2),
+                       int(self.dimensions[1] / 2),
+                       int(self.dimensions[0] / 2)]
+        if position:
+            m = self.display.compute_matrix_pixel_to_position()
+            center = geo.apply_homogeneous(pixel_index, m)
+            return np.flip(center) if zyx else center
+        if zyx:
+            return [pixel_index[2], pixel_index[1], pixel_index[0]]
+        return pixel_index
+
+    def compute_corner_positions(self):
+        lo, hi = self._vtk_style_bounds()
+        x_min, y_min, z_min = lo
+        x_max, y_max, z_max = hi
+        return [(x_min, y_min, z_min), (x_max, y_min, z_min),
+                (x_max, y_max, z_min), (x_min, y_max, z_min),
+                (x_min, y_min, z_max), (x_max, y_min, z_max),
+                (x_max, y_max, z_max), (x_min, y_max, z_max)]
+
+    def compute_corner_sides(self):
+        """Box surface mesh over the volume bounds (reference
+        structure/image.py:1106-1125 returned a pyvista box)."""
+        from ..utils.mesh.surface import box_mesh
+        lo, hi = self._vtk_style_bounds()
+        return box_mesh(lo, hi)
+
+    def compute_pixel(self, position):
+        m = self.display.compute_matrix_position_to_pixel()
+        return np.round(geo.apply_homogeneous(position, m)).astype(np.int32)
+
+    def compute_position(self, xyz):
+        m = self.display.compute_matrix_pixel_to_position()
+        return geo.apply_homogeneous(xyz, m)
+
+    # -- view ops (reference structure/image.py:1223-1412) ---------------
+    def reset_array(self):
+        self.display.secondary_array = None
+        self.display.matrix = copy.deepcopy(self.matrix)
+        self.display.origin = copy.deepcopy(self.origin)
+        self.display.slice_location = self.compute_center(position=False,
+                                                          zyx=True)
+
+    def retrieve_angles(self, order="ZXY"):
+        rotation = Rotation.from_matrix(self.display.matrix[:3, :3])
+        return rotation.as_euler(order, degrees=True)
+
+    def retrieve_array_plane(self, slice_plane):
+        return self.display.compute_array(slice_plane=slice_plane)
+
+    def retrieve_slice_location(self, slice_plane):
+        if slice_plane == "Axial":
+            return self.display.slice_location[0]
+        if slice_plane == "Coronal":
+            return self.display.slice_location[1]
+        return self.display.slice_location[2]
+
+    def retrieve_slice_position(self, slice_plane=None):
+        m = self.display.compute_matrix_pixel_to_position()
+        if slice_plane is None:
+            location = [self.display.slice_location[2],
+                        self.display.slice_location[1],
+                        self.display.slice_location[0]]
+        elif slice_plane == "Axial":
+            location = [0, 0, self.display.slice_location[0]]
+        elif slice_plane == "Coronal":
+            location = [0, self.display.slice_location[1], 0]
+        else:
+            location = [self.display.slice_location[2], 0, 0]
+        return geo.apply_homogeneous(location, m)
+
+    def retrieve_scroll_max(self, slice_plane):
+        if slice_plane == "Axial":
+            return self.display.scroll_max[0]
+        if slice_plane == "Coronal":
+            return self.display.scroll_max[1]
+        return self.display.scroll_max[2]
+
+    def retrieve_slice(self, slice_plane):
+        return self.display.compute_slice(slice_plane)
+
+    retrieve_vtk_slice = retrieve_slice
+
+    def update_rotation(self, r_x=0, r_y=0, r_z=0, base=True):
+        if r_x != 0 or r_y != 0 or r_z != 0:
+            r = Rotation.from_euler("xyz", [r_x, r_y, r_z], degrees=True)
+            new_matrix = r.as_matrix()
+            if base:
+                self.display.matrix = new_matrix @ copy.deepcopy(self.matrix)
+            else:
+                self.display.matrix = new_matrix @ self.display.matrix
+            self.display.compute_offaxis_array()
+            self.display.compute_scroll_max()
+        else:
+            self.display.compute_scroll_max()
+            self.reset_array()

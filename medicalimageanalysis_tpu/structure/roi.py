@@ -1,0 +1,255 @@
+"""Roi: contours, masks, meshes for one structure on one image.
+
+Behavior-parity rebuild of reference structure/roi.py:26-584. Mask
+rasterization and marching cubes run on device (utils/convert/contour ->
+ops/rasterize, ops/marching_cubes); meshes are our own TriMesh instead of
+pyvista PolyData.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from ..ops import geometry as geo
+
+__all__ = ["random_color", "Roi"]
+
+
+def random_color(rgb_255=True):
+    """Random RGB tuple, 0-255 ints or 0-1 floats
+    (reference structure/roi.py:26-59)."""
+    if rgb_255:
+        return (random.randint(0, 255), random.randint(0, 255),
+                random.randint(0, 255))
+    return (random.random(), random.random(), random.random())
+
+
+class Roi(object):
+    """Region of Interest: physical contours + pixel contours + mesh."""
+
+    def __init__(self, image, position=None, name=None, color=None,
+                 visible=False, filepaths=None, plane=None):
+        self.image = image
+
+        self.name = name
+        self.visible = visible
+        self.color = color
+        self.filepaths = filepaths
+
+        self.plane = plane if plane is not None else self.image.plane
+
+        if position is not None:
+            self.contour_position = position
+            self.contour_pixel = self.convert_position_to_pixel(position)
+        else:
+            self.contour_position = None
+            self.contour_pixel = None
+
+        if color is None:
+            self.color = random_color()
+
+        self.mesh = None
+        self.volume = None
+        self.com = None
+        self.bounds = None
+
+        self.fixed_name = False
+        self.visual = {"2d": None, "3d": None, "opacity": None,
+                       "multicolor": None}
+        self.misc = {}
+
+    def add_mesh(self, mesh):
+        self.mesh = mesh
+        self.volume = mesh.volume
+        self.com = mesh.center
+        self.bounds = mesh.bounds
+
+    def clear(self):
+        self.contour_position = None
+        self.contour_pixel = None
+        self.mesh = None
+        self.volume = None
+        self.com = None
+        self.bounds = None
+        self.fixed_name = False
+        self.visual = {"2d": None, "3d": None, "opacity": None,
+                       "multicolor": None}
+        self.misc = {}
+
+    # -- coordinate conversion (reference structure/roi.py:162-207) -----
+    def convert_position_to_pixel(self, position=None):
+        """Physical mm -> pixel; output contours are closed by repeating
+        the first point (reference structure/roi.py:178-184)."""
+        m = self.image.display.compute_matrix_position_to_pixel()
+        pixel = []
+        for pos in position:
+            pos = np.asarray(pos, dtype=np.float64)
+            p = geo.apply_homogeneous(pos, m)
+            pixel.append(np.vstack((p, p[0, :])))
+        return pixel
+
+    def convert_pixel_to_position(self, pixel=None):
+        m = self.image.display.compute_matrix_pixel_to_position()
+        position = []
+        for pix in pixel:
+            position.append(geo.apply_homogeneous(
+                np.asarray(pix, dtype=np.float64), m))
+        return position
+
+    # -- meshing (reference structure/roi.py:209-330) -------------------
+    def _mesher(self):
+        from ..utils.convert.contour import ContourToDiscreteMesh
+        return ContourToDiscreteMesh(
+            contour_pixel=self.contour_pixel, spacing=self.image.spacing,
+            origin=self.image.origin, dimensions=self.image.dimensions,
+            matrix=self.image.matrix, plane=self.plane)
+
+    def create_mesh(self, smoothing_iterations=20, smoothing_relaxation=.5,
+                    smoothing_distance=1):
+        self.mesh = self._mesher().compute_mesh(
+            smoothing_iterations=smoothing_iterations,
+            smoothing_relaxation=smoothing_relaxation,
+            smoothing_distance=smoothing_distance)
+        self.volume = self.mesh.volume
+        self.com = self.mesh.center
+        self.bounds = self.mesh.bounds
+
+    def create_discrete_mesh(self):
+        self.mesh = self._mesher().compute_mesh(discrete=True)
+        self.volume = self.mesh.volume
+        self.com = self.mesh.center
+        self.bounds = self.mesh.bounds
+
+    def create_display_mesh(self, iterations=20, angle=60, passband=0.001):
+        from ..utils.mesh.surface import Refinement
+        refine = Refinement(self.mesh)
+        self.mesh = refine.smooth(iterations=iterations, angle=angle,
+                                  passband=passband)
+
+    def create_decimate_mesh(self, percent=None, set_mesh=False):
+        if percent is None:
+            points = np.round(10 * np.sqrt(self.mesh.number_of_points))
+            percent = 1 - (points / self.mesh.number_of_points)
+        mesh = self.mesh.decimate(percent)
+        if set_mesh:
+            self.mesh = mesh
+        return mesh
+
+    def create_cluster_mesh(self, points=None, set_mesh=False):
+        from ..utils.mesh.surface import Refinement
+        refine = Refinement(self.mesh)
+        mesh = refine.cluster(points=points)
+        if set_mesh:
+            self.mesh = mesh
+        return mesh
+
+    # -- mask / contour ops (reference structure/roi.py:332-584) ---------
+    def compute_contour(self, slice_location, offset=0):
+        """Closed in-plane loops at one slice index
+        (reference structure/roi.py:332-382)."""
+        contour_list = []
+        if self.contour_pixel is None:
+            return contour_list
+
+        if self.plane == "Axial":
+            axis, cols = 2, (0, 1)
+        elif self.plane == "Coronal":
+            axis, cols = 1, (0, 2)
+        else:
+            axis, cols = 0, (1, 2)
+
+        locs = [np.round(c[0, axis]).astype(int) for c in self.contour_pixel]
+        keep_idx = np.argwhere(np.asarray(locs) == slice_location)
+        for idx in keep_idx:
+            c = self.contour_pixel[idx[0]]
+            two_d = np.column_stack((c[:, cols[0]] + offset,
+                                     c[:, cols[1]] + offset))
+            closed = np.vstack((two_d, two_d[0:1, :]))
+            contour_list.append(closed)
+        return contour_list
+
+    def compute_mask(self):
+        return self._mesher().mask
+
+    def compute_mesh_slice(self, location=None, slice_plane=None, offset=0,
+                           return_pixel=False):
+        """Mesh-plane cross-section -> polylines (-> 2D pixel paths)
+        (reference structure/roi.py:406-486)."""
+        matrix = np.linalg.inv(self.image.display.matrix)
+        if slice_plane == "Axial":
+            normal = matrix[:3, 2]
+        elif slice_plane == "Coronal":
+            normal = matrix[:3, 1]
+        else:
+            normal = matrix[:3, 0]
+
+        if self.mesh is None:
+            return [], []
+        polylines = self.mesh.slice_plane(normal=normal, origin=location)
+
+        if not return_pixel:
+            return polylines, None
+        if not polylines:
+            return [], None
+        pixels = self.convert_position_to_pixel(position=polylines)
+        pixel_corrected = []
+        for pixel in pixels:
+            if slice_plane == "Axial":
+                pixel_corrected.append(pixel[:, :2] + offset)
+            elif slice_plane == "Coronal":
+                pixel_corrected.append(
+                    np.column_stack((pixel[:, 0] + offset,
+                                     pixel[:, 2] + offset)))
+            else:
+                pixel_corrected.append(pixel[:, 1:] + offset)
+        return pixel_corrected, None
+
+    def create_mask_volume(self):
+        """Mask + grid geometry bundle (replaces create_sitk_mask,
+        reference structure/roi.py:488-509, without SimpleITK)."""
+        return {"array": self.compute_mask(),
+                "spacing": np.asarray(self.image.spacing, dtype=float),
+                "origin": np.asarray(self.image.origin, dtype=float),
+                "matrix": np.asarray(self.image.matrix, dtype=float)}
+
+    create_sitk_mask = create_mask_volume
+
+    def convert_mask(self, mask):
+        """Mask -> contours -> meshes (reference structure/roi.py:511-535)."""
+        from ..utils.convert.contour import MaskToContour
+        mask_to_contour = MaskToContour(
+            mask, spacing=self.image.spacing, origin=self.image.origin,
+            matrix=self.image.matrix, plane=self.plane)
+        self.contour_pixel, self.contour_position = \
+            mask_to_contour.create_contours()
+
+        if len(self.contour_pixel) > 0:
+            self.create_discrete_mesh()
+            self.create_display_mesh()
+        else:
+            self.mesh = None
+            self.volume = None
+            self.com = None
+            self.bounds = None
+
+    def update_pixel(self, pixel, plane="Axial"):
+        self.plane = plane
+        self.contour_pixel = pixel
+        if pixel is not None and len(pixel) > 0:
+            self.contour_position = self.convert_pixel_to_position(pixel=pixel)
+            self.create_discrete_mesh()
+            self.create_display_mesh()
+        else:
+            self.contour_pixel = None
+            self.contour_position = None
+            self.mesh = None
+
+    def update_mesh(self, mesh):
+        self.mesh = mesh
+        self.volume = mesh.volume
+        self.com = mesh.center
+        self.bounds = mesh.bounds
+        self.contour_pixel = None
+        self.contour_position = None

@@ -1,0 +1,138 @@
+"""End-to-end ingest tests: read_dicoms on synthetic CT series.
+
+These exercise BASELINE.json config #1: single CT series -> 3D array +
+tags + FFS reorientation, CPU-runnable.
+"""
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+
+@pytest.fixture
+def ct_series(tmp_path, rng):
+    arr = rng.integers(-1000, 2000, size=(12, 32, 32)).astype(np.int16)
+    gen = CreateDicomImage(tmp_path / "ct", arr, origin=[-100, -120, -50],
+                           spacing=[0.8, 0.8], thickness=2.5)
+    (tmp_path / "ct").mkdir()
+    gen.run(patient_name="Doe^Jane", patient_id="MRN42", modality="CT")
+    return tmp_path / "ct", arr
+
+
+def test_single_ct_series(ct_series):
+    folder, arr = ct_series
+    mia.read_dicoms(folder_path=str(folder))
+
+    assert Data.image_list == ["CT 01"]
+    img = Data.image["CT 01"]
+    assert img.modality == "CT"
+    assert img.plane == "Axial"
+    np.testing.assert_array_equal(img.array, arr)
+    np.testing.assert_allclose(img.spacing, [0.8, 0.8, 2.5])
+    np.testing.assert_allclose(img.origin, [-100, -120, -50])
+    np.testing.assert_allclose(img.orientation, [1, 0, 0, 0, 1, 0])
+    np.testing.assert_allclose(img.matrix, np.eye(3))
+    np.testing.assert_array_equal(img.dimensions, [12, 32, 32])
+    assert img.mrn == "MRN42"
+    assert img.patient_name == ["Doe", "Jane"]
+    assert len(img.tags) == 12
+    assert img.unverified is None
+
+
+def test_only_tags(ct_series):
+    """only_tags must produce identical metadata with no array
+    (fixed vs reference, SURVEY.md §2.2)."""
+    folder, arr = ct_series
+    mia.read_dicoms(folder_path=str(folder), only_tags=True)
+    img = Data.image["CT 01"]
+    assert img.array is None
+    np.testing.assert_allclose(img.spacing, [0.8, 0.8, 2.5])
+    np.testing.assert_allclose(img.origin, [-100, -120, -50])
+    np.testing.assert_array_equal(img.dimensions, [12, 32, 32])
+    assert img.window == [0, 1]
+
+
+def test_unordered_files_sorted(tmp_path, rng):
+    """Slice files discovered in arbitrary order assemble in z order."""
+    arr = rng.integers(0, 100, size=(8, 16, 16)).astype(np.int16)
+    folder = tmp_path / "ct"
+    folder.mkdir()
+    CreateDicomImage(folder, arr, spacing=[1, 1], thickness=3.0).run()
+    # pass a scrambled explicit file list
+    files = sorted(str(p) for p in folder.glob("*.dcm"))
+    scrambled = files[::2] + files[1::2]
+    mia.read_dicoms(file_list=scrambled)
+    img = Data.image["CT 01"]
+    np.testing.assert_array_equal(img.array, arr)
+
+
+def test_two_series_grouped(tmp_path, rng):
+    a = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    b = rng.integers(0, 100, size=(6, 16, 16)).astype(np.int16)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    CreateDicomImage(tmp_path / "a", a, thickness=1.0).run(modality="CT")
+    CreateDicomImage(tmp_path / "b", b, thickness=2.0).run(modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.image_list) == 2
+    modalities = sorted(Data.image[n].modality for n in Data.image_list)
+    assert modalities == ["CT", "MR"]
+    shapes = sorted(Data.image[n].array.shape[0] for n in Data.image_list)
+    assert shapes == [4, 6]
+
+
+def test_only_modality_filter(ct_series):
+    folder, _ = ct_series
+    mia.read_dicoms(folder_path=str(folder), only_modality=["MR"])
+    assert Data.image_list == []
+
+
+def test_rescale_applied(tmp_path, rng):
+    """RescaleSlope/Intercept fused on device must match numpy golden."""
+    from medicalimageanalysis_tpu.ops.volume import (
+        assemble_volume, assemble_volume_numpy)
+    raw = rng.integers(0, 4000, size=(5, 24, 24)).astype(np.uint16)
+    slopes = np.ones(5) * 1.0
+    intercepts = np.ones(5) * -1024.0
+    for op in ["none", "ax_rot1", "ax_rot2", "ax_rot3", "cor_rot1",
+               "sag_fix"]:
+        dev = assemble_volume(raw, slopes, intercepts, ffs_op=op)
+        gold = assemble_volume_numpy(raw, slopes, intercepts, ffs_op=op)
+        np.testing.assert_array_equal(dev, gold)
+
+
+def test_skipped_slice_interpolation(tmp_path, rng):
+    """Remove a middle slice; reader must detect + interpolate it."""
+    arr = np.zeros((8, 16, 16), np.int16)
+    for z in range(8):
+        arr[z] = z * 100
+    folder = tmp_path / "ct"
+    folder.mkdir()
+    CreateDicomImage(folder, arr, thickness=2.0).run()
+    (folder / "4.dcm").unlink()  # remove slice z=4
+
+    mia.read_dicoms(folder_path=str(folder))
+    img = Data.image["CT 01"]
+    assert img.array.shape == (8, 16, 16)
+    assert img.unverified == "Skipped"
+    assert img.skipped_slice
+    # interpolated slice is mean of neighbors
+    np.testing.assert_allclose(img.array[4], (300 + 500) / 2, atol=1)
+
+
+def test_datetime_sorting(tmp_path, rng):
+    """Images re-ordered lexicographically by date+time."""
+    import medicalimageanalysis_tpu.read.dicom as rd
+    a = rng.integers(0, 10, size=(2, 8, 8)).astype(np.int16)
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    CreateDicomImage(tmp_path / "a", a, thickness=1.0).run(modality="CT")
+    CreateDicomImage(tmp_path / "b", a, thickness=1.0).run(modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    # same date; order list must equal dict order
+    assert Data.image_list == list(Data.image.keys())
+    rd.sort_images_by_datetime()
+    assert Data.image_list == list(Data.image.keys())
