@@ -1,0 +1,202 @@
+"""Device isosurface extraction (marching tetrahedra).
+
+TPU-native replacement for VTK's vtkDiscreteMarchingCubes / surface-nets
+path (reference utils/convert/contour.py:118-162). Variable-length
+output vs XLA static shapes is handled two-pass (SURVEY.md §7 "hard
+parts"):
+
+1. a fused device pass marks *active* cubes (mixed corner signs) — cheap
+   full-volume scan;
+2. active cubes are compacted on host, then a second jitted pass emits
+   up to 12 triangles per active cube (6 tetrahedra x <=2 tris) into a
+   static (K, 12, 3, 3) buffer with a validity mask.
+
+Vertices lie on lattice edges at linear-interpolated crossings (midpoints
+for binary masks), welded afterwards via TriMesh.clean.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.mesh.trimesh import TriMesh
+
+__all__ = ["marching_cubes_mask", "mask_to_mesh"]
+
+# cube corners (x, y, z) offsets
+_CUBE_OFFSETS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+], dtype=np.int32)
+
+# 6-tetrahedra decomposition sharing the main diagonal c0-c6
+_TET_CORNERS = np.array([
+    [0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6],
+    [0, 7, 4, 6], [0, 4, 5, 6], [0, 5, 1, 6],
+], dtype=np.int32)
+
+# tet edges by local corner pairs
+_TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]],
+                      dtype=np.int32)
+
+# case -> up to 2 triangles of edge ids (-1 = unused)
+_TET_TRI_TABLE = np.array([
+    [[-1, -1, -1], [-1, -1, -1]],   # 0000
+    [[0, 1, 2], [-1, -1, -1]],      # 0001 inside {0}
+    [[0, 3, 4], [-1, -1, -1]],      # 0010 inside {1}
+    [[1, 3, 4], [1, 4, 2]],         # 0011 inside {0,1}
+    [[1, 3, 5], [-1, -1, -1]],      # 0100 inside {2}
+    [[0, 3, 5], [0, 5, 2]],         # 0101 inside {0,2}
+    [[0, 1, 5], [0, 5, 4]],         # 0110 inside {1,2}
+    [[2, 4, 5], [-1, -1, -1]],      # 0111 inside {0,1,2}
+    [[2, 4, 5], [-1, -1, -1]],      # 1000 inside {3}
+    [[0, 4, 5], [0, 5, 1]],         # 1001 inside {0,3}
+    [[0, 2, 5], [0, 5, 3]],         # 1010 inside {1,3}
+    [[1, 3, 5], [-1, -1, -1]],      # 1011 inside {0,1,3}
+    [[1, 2, 4], [1, 4, 3]],         # 1100 inside {2,3}
+    [[0, 3, 4], [-1, -1, -1]],      # 1101 inside {0,2,3}
+    [[0, 1, 2], [-1, -1, -1]],      # 1110 inside {1,2,3}
+    [[-1, -1, -1], [-1, -1, -1]],   # 1111
+], dtype=np.int32)
+
+
+@jax.jit
+def _active_cubes(vol, iso):
+    inside = vol > iso
+    c = inside
+    acc_any = jnp.zeros(
+        (vol.shape[0] - 1, vol.shape[1] - 1, vol.shape[2] - 1), dtype=bool)
+    acc_all = jnp.ones_like(acc_any)
+    for dx, dy, dz in _CUBE_OFFSETS:
+        corner = c[dz:dz + vol.shape[0] - 1,
+                   dy:dy + vol.shape[1] - 1,
+                   dx:dx + vol.shape[2] - 1]
+        acc_any = acc_any | corner
+        acc_all = acc_all & corner
+    return acc_any & (~acc_all)
+
+
+@partial(jax.jit, static_argnames=())
+def _emit_triangles(vol, cube_zyx, iso):
+    """cube_zyx: (K, 3) int32. Returns (K, 12, 3, 3) float32 vertex
+    positions in pixel (x, y, z) coords + (K, 12) validity."""
+    K = cube_zyx.shape[0]
+    cz, cy, cx = cube_zyx[:, 0], cube_zyx[:, 1], cube_zyx[:, 2]
+
+    # gather 8 corner values and positions
+    vals = []
+    pos = []
+    for dx, dy, dz in _CUBE_OFFSETS:
+        vals.append(vol[cz + dz, cy + dy, cx + dx])
+        pos.append(jnp.stack([cx + dx, cy + dy, cz + dz],
+                             axis=-1).astype(jnp.float32))
+    vals8 = jnp.stack(vals, axis=1)            # (K, 8)
+    pos8 = jnp.stack(pos, axis=1)              # (K, 8, 3)
+
+    tet_corners = jnp.asarray(_TET_CORNERS)
+    tet_edges = jnp.asarray(_TET_EDGES)
+    tri_table = jnp.asarray(_TET_TRI_TABLE)
+
+    all_tris = []
+    all_valid = []
+    for t in range(6):
+        corners = tet_corners[t]               # (4,)
+        v4 = vals8[:, corners]                 # (K, 4)
+        p4 = pos8[:, corners]                  # (K, 4, 3)
+        bits = (v4 > iso).astype(jnp.int32)
+        case = (bits[:, 0] + 2 * bits[:, 1] + 4 * bits[:, 2]
+                + 8 * bits[:, 3])              # (K,)
+
+        # edge crossing positions for all 6 tet edges
+        ea = tet_edges[:, 0]                   # (6,)
+        eb = tet_edges[:, 1]
+        va = v4[:, ea]                         # (K, 6)
+        vb = v4[:, eb]
+        denom = jnp.where(vb - va != 0, vb - va, 1.0)
+        tt = jnp.clip((iso - va) / denom, 0.0, 1.0)[..., None]
+        pa = p4[:, ea]                         # (K, 6, 3)
+        pb = p4[:, eb]
+        epos = pa + tt * (pb - pa)             # (K, 6, 3)
+
+        tris = tri_table[case]                 # (K, 2, 3) edge ids
+        valid = tris[:, :, 0] >= 0             # (K, 2)
+        safe = jnp.maximum(tris, 0)
+        # gather edge positions per triangle vertex: (K, 2, 3, 3)
+        tri_pos = epos[jnp.arange(K)[:, None, None], safe]
+
+        # orient consistently: normals point away from the inside corners
+        # (keeps the signed-volume/divergence identities valid)
+        w = bits.astype(jnp.float32)
+        inside_centroid = (w[:, :, None] * p4).sum(axis=1) \
+            / jnp.maximum(w.sum(axis=1), 1.0)[:, None]   # (K, 3)
+        v0 = tri_pos[:, :, 0]
+        v1 = tri_pos[:, :, 1]
+        v2 = tri_pos[:, :, 2]
+        nrm = jnp.cross(v1 - v0, v2 - v0)
+        tri_center = (v0 + v1 + v2) / 3.0
+        outward = jnp.einsum("ksd,ksd->ks", nrm,
+                             tri_center - inside_centroid[:, None, :])
+        flip = outward < 0
+        tri_pos = jnp.where(flip[:, :, None, None],
+                            tri_pos[:, :, [0, 2, 1]], tri_pos)
+        all_tris.append(tri_pos)
+        all_valid.append(valid)
+
+    return (jnp.concatenate(all_tris, axis=1),
+            jnp.concatenate(all_valid, axis=1))
+
+
+def _bucket(n, minimum=64):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def marching_cubes_mask(mask, iso=0.5, pad=True):
+    """Binary mask (Z, Y, X) -> TriMesh in *pixel* coordinates.
+
+    With pad=True the volume is zero-padded by 1 voxel (reference pads
+    via vtkImageConstantPad, utils/convert/contour.py:135-146) so
+    surfaces close at the borders; coordinates are shifted back.
+    """
+    vol = np.asarray(mask, dtype=np.float32)
+    if pad:
+        vol = np.pad(vol, 1)
+    volj = jnp.asarray(vol)
+
+    active = np.asarray(_active_cubes(volj, jnp.float32(iso)))
+    coords = np.argwhere(active).astype(np.int32)
+    if coords.shape[0] == 0:
+        return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+
+    K = coords.shape[0]
+    Kb = _bucket(K)
+    coords_pad = np.zeros((Kb, 3), dtype=np.int32)
+    coords_pad[:K] = coords
+
+    tris, valid = _emit_triangles(volj, jnp.asarray(coords_pad),
+                                  jnp.float32(iso))
+    tris = np.asarray(tris[:K])
+    valid = np.asarray(valid[:K])
+
+    flat = tris[valid]                         # (T, 3, 3)
+    if pad:
+        flat = flat - 1.0                      # undo pad offset
+    points = flat.reshape(-1, 3)
+    faces = np.arange(points.shape[0], dtype=np.int32).reshape(-1, 3)
+    return TriMesh(points, faces).clean(tolerance=1e-7)
+
+
+def mask_to_mesh(mask, spacing, origin, matrix, iso=0.5):
+    """Mask -> physical-space surface mesh using the image geometry."""
+    from . import geometry as geo
+
+    mesh = marching_cubes_mask(mask, iso=iso)
+    p2p = geo.pixel_to_position_matrix(matrix, spacing, origin)
+    return mesh.transform(p2p, inplace=True)

@@ -1,0 +1,186 @@
+"""Device polygon rasterization: contour -> 3D binary mask.
+
+TPU-native replacement for the reference's per-slice cv2.fillPoly + XOR
+loop (reference utils/convert/contour.py:76-116). Semantics preserved:
+
+- vertices truncated to int32 (the reference's ``astype(np.int32)``)
+- each polygon fills interior + 8-connected Bresenham boundary (cv2's
+  fillPoly convention)
+- polygons on the same slice combine by XOR (hole handling)
+
+Design (one fused XLA program, no per-slice host loop):
+- interior: even-odd crossing parity per row, expressed as a difference
+  array (each edge crossing at x* adds +1 to all px < x*) followed by a
+  cumulative sum along x — O(K*E*H) scatter + O(K*H*W) scan instead of
+  O(K*E*H*W) tests.
+- boundary: each edge contributes a contiguous covered run [lo, hi] per
+  row (shallow edges) or a single pixel per row (steep edges), also as a
+  difference array.
+- per-slice XOR = parity of the per-polygon bitmap sum (scatter-add then
+  mod 2).
+
+All shapes are static; polygons are padded to (K, E) buckets so jit
+caches a small number of compilations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rasterize_polygons", "polygon_bitmaps", "fill_polygons_2d"]
+
+
+def _bucket(n, minimum=8):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _polygon_bitmaps(verts, edge_valid, H, W):
+    """verts: (K, E+1, 2) int32 closed vertex chains (v[i], v[i+1]) edges;
+    edge_valid: (K, E) bool. Returns (K, H, W) uint8 bitmaps."""
+    K, E1, _ = verts.shape
+    E = E1 - 1
+    x1 = verts[:, :-1, 0].astype(jnp.float32)
+    y1 = verts[:, :-1, 1].astype(jnp.float32)
+    x2 = verts[:, 1:, 0].astype(jnp.float32)
+    y2 = verts[:, 1:, 1].astype(jnp.float32)
+    valid = edge_valid
+
+    py = jnp.arange(H, dtype=jnp.float32)[None, None, :]       # (1,1,H)
+    x1b = x1[:, :, None]
+    y1b = y1[:, :, None]
+    x2b = x2[:, :, None]
+    y2b = y2[:, :, None]
+    vb = valid[:, :, None]
+
+    # ---- interior: even-odd crossings ------------------------------
+    crosses = ((y1b > py) != (y2b > py)) & vb                   # (K,E,H)
+    denom = jnp.where(y2b != y1b, y2b - y1b, 1.0)
+    x_int = x1b + (py - y1b) * (x2b - x1b) / denom
+    # px < x_int  <=>  px <= ceil(x_int) - 1; crossing bin = ceil(x_int)
+    cross_bin = jnp.clip(jnp.ceil(x_int), 0, W).astype(jnp.int32)
+    cross_bin = jnp.where(crosses, cross_bin, W + 1)            # W+1: no-op
+
+    # difference array (K, H, W+2): +1 at 0, -1 at bin
+    diff = jnp.zeros((K, H, W + 2), dtype=jnp.int32)
+    k_idx = jnp.broadcast_to(jnp.arange(K)[:, None, None], cross_bin.shape)
+    h_idx = jnp.broadcast_to(jnp.arange(H)[None, None, :], cross_bin.shape)
+    diff = diff.at[k_idx, h_idx, jnp.zeros_like(cross_bin)].add(
+        jnp.where(crosses, 1, 0))
+    diff = diff.at[k_idx, h_idx, cross_bin].add(jnp.where(crosses, -1, 0))
+    counts = jnp.cumsum(diff[:, :, :W], axis=2)
+    interior = (counts % 2) == 1                                # (K,H,W)
+
+    # ---- boundary: 8-connected line coverage ------------------------
+    # cv2's fixed-point scan rounds half DOWN (x_screen =
+    # (x + 2^15 - 1) >> 16), so screen_y(x) == py <=> y(x) in
+    # (py-0.5, py+0.5]. EPS implements the open/closed ends for the
+    # exact half-integer crossings that integer vertices produce.
+    EPS = 1e-3
+    dx = x2b - x1b
+    dy = y2b - y1b
+    shallow = jnp.abs(dx) >= jnp.abs(dy)
+
+    # shallow: pixels x with screen_y(x) == py form a contiguous run.
+    # x(y) = x1 + (y - y1) * dx/dy; slope sign decides which end is open.
+    sdy = jnp.where(dy != 0, dy, 1.0)
+    t_m = x1b + (py - 0.5 - y1b) * dx / sdy   # x at y = py - 0.5
+    t_p = x1b + (py + 0.5 - y1b) * dx / sdy   # x at y = py + 0.5
+    # ties (exact half-integer crossings) are included at both ends —
+    # matches cv2's fixed-point rounding across slope signs
+    lo_sl = jnp.ceil(jnp.minimum(t_m, t_p) - EPS)
+    hi_sl = jnp.floor(jnp.maximum(t_m, t_p) + EPS)
+    # dy == 0: whole x-range when the row matches exactly
+    row_match = jnp.abs(py - y1b) < 0.5
+    lo_sh = jnp.where(dy != 0, lo_sl,
+                      jnp.where(row_match, -jnp.inf, jnp.inf))
+    hi_sh = jnp.where(dy != 0, hi_sl,
+                      jnp.where(row_match, jnp.inf, -jnp.inf))
+    xmin = jnp.minimum(x1b, x2b)
+    xmax = jnp.maximum(x1b, x2b)
+    lo_sh = jnp.maximum(lo_sh, xmin)
+    hi_sh = jnp.minimum(hi_sh, xmax)
+
+    # steep: one pixel per row: x = round_half_down(x(py)),
+    # rows py in [ymin, ymax]
+    x_at = x1b + (py - y1b) * dx / sdy
+    xs = jnp.floor(x_at + 0.5 - EPS)
+    ymin = jnp.minimum(y1b, y2b)
+    ymax = jnp.maximum(y1b, y2b)
+    in_rows = (py >= ymin) & (py <= ymax)
+    lo_st = jnp.where(in_rows, xs, 1.0)
+    hi_st = jnp.where(in_rows, xs, 0.0)
+
+    lo = jnp.where(shallow, lo_sh, lo_st)
+    hi = jnp.where(shallow, hi_sh, hi_st)
+    run = vb & (hi >= lo)
+    lo_c = jnp.clip(lo, 0, W).astype(jnp.int32)
+    hi_c = jnp.clip(hi + 1, 0, W + 1).astype(jnp.int32)
+    lo_c = jnp.where(run & (hi >= 0) & (lo <= W - 1), lo_c, W + 1)
+    hi_c = jnp.where(run & (hi >= 0) & (lo <= W - 1), hi_c, W + 1)
+
+    bdiff = jnp.zeros((K, H, W + 2), dtype=jnp.int32)
+    bdiff = bdiff.at[k_idx, h_idx, lo_c].add(1)
+    bdiff = bdiff.at[k_idx, h_idx, hi_c].add(-1)
+    boundary = jnp.cumsum(bdiff[:, :, :W], axis=2) > 0
+
+    return (interior | boundary).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("n_slices",))
+def _scatter_xor(bitmaps, slice_idx, n_slices):
+    H, W = bitmaps.shape[1], bitmaps.shape[2]
+    acc = jnp.zeros((n_slices + 1, H, W), dtype=jnp.uint8)
+    acc = acc.at[slice_idx].add(bitmaps)
+    return (acc[:n_slices] % 2).astype(jnp.uint8)
+
+
+def polygon_bitmaps(polygons, H, W):
+    """Host wrapper: list of (N, 2) float vertex arrays -> (K, H, W)
+    uint8 filled bitmaps (interior + boundary)."""
+    K = len(polygons)
+    if K == 0:
+        return np.zeros((0, H, W), dtype=np.uint8)
+    E = _bucket(max(p.shape[0] for p in polygons))
+    Kb = _bucket(K, minimum=1)
+    verts = np.zeros((Kb, E + 1, 2), dtype=np.int32)
+    edge_valid = np.zeros((Kb, E), dtype=bool)
+    for k, poly in enumerate(polygons):
+        p = np.asarray(poly)[:, :2].astype(np.int32)  # truncation like cv2
+        n = p.shape[0]
+        verts[k, :n] = p
+        verts[k, n:] = p[0]  # close + pad on first vertex
+        edge_valid[k, :n] = True  # n edges: v0..vn-1 -> v1..vn(=v0)
+    out = _polygon_bitmaps(jnp.asarray(verts), jnp.asarray(edge_valid), H, W)
+    return np.asarray(out[:K])
+
+
+def fill_polygons_2d(polygons, H, W):
+    """XOR-combine polygons into one 2D mask (cv2.fillPoly + XOR loop
+    equivalent for a single plane)."""
+    bitmaps = polygon_bitmaps(polygons, H, W)
+    if bitmaps.shape[0] == 0:
+        return np.zeros((H, W), dtype=np.uint8)
+    return (bitmaps.sum(axis=0) % 2).astype(np.uint8)
+
+
+def rasterize_polygons(polygons, slice_indices, n_slices, H, W):
+    """Full 3D rasterization: polygons (list of (N,2)) at slice_indices
+    -> (n_slices, H, W) uint8 mask with per-slice XOR semantics."""
+    K = len(polygons)
+    if K == 0:
+        return np.zeros((n_slices, H, W), dtype=np.uint8)
+    bitmaps = polygon_bitmaps(polygons, H, W)
+    idx = np.clip(np.asarray(slice_indices, dtype=np.int32), 0, None)
+    idx = np.where(idx < n_slices, idx, n_slices)  # out-of-range -> dump row
+    out = _scatter_xor(jnp.asarray(bitmaps), jnp.asarray(idx),
+                       int(n_slices))
+    return np.asarray(out)

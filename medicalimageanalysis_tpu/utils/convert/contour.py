@@ -1,0 +1,345 @@
+"""Contour <-> mask <-> mesh conversion.
+
+Behavior-parity rebuild of reference utils/convert/contour.py:24-461:
+
+- ContourToDiscreteMesh / ContourToMask: polygon rasterization now runs
+  as one fused device program (ops/rasterize) instead of a per-slice
+  cv2.fillPoly loop; XOR hole semantics and int32 truncation preserved.
+  ``backend='cv2'`` switches to a host path that is bit-identical to the
+  reference for validation.
+- MaskToContour: per-slice boundary tracing (host; inherently
+  sequential) via cv2.findContours like the reference.
+- ModelToMask: mesh -> fake-image voxelization used by the 3MF path.
+- compute_mesh: device marching tetrahedra (ops/marching_cubes) in place
+  of vtkDiscreteMarchingCubes / pyvista surface nets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...ops import geometry as geo
+from ...ops.rasterize import polygon_bitmaps
+from ..mesh.trimesh import TriMesh
+
+__all__ = ["ContourToDiscreteMesh", "ContourToMask", "MaskToContour",
+           "ModelToMask"]
+
+
+def _plane_split(contour_pixel, plane):
+    """Split (N, 3) pixel contours into 2D polygons + slice indices per
+    the reference's per-plane conventions
+    (reference utils/convert/contour.py:82-116)."""
+    polys = []
+    slices = []
+    for c in contour_pixel:
+        c = np.asarray(c)
+        if plane == "Axial":
+            poly = c[:, 0:2]
+            slices.append(int(np.round(c[0, 2])))
+        elif plane == "Coronal":
+            poly = np.stack((c[:, 0], c[:, 2]), axis=1)
+            slices.append(int(np.round(c[0, 1])))
+        else:
+            poly = c[:, 1:]
+            slices.append(int(np.round(c[0, 0])))
+        polys.append(poly)
+    return polys, slices
+
+
+def _rasterize_plane(contour_pixel, dimensions, plane, backend="device"):
+    """Rasterize contours into a (d0, d1, d2) mask with XOR semantics."""
+    d0, d1, d2 = (int(d) for d in dimensions[:3])
+    polys, slices = _plane_split(contour_pixel, plane)
+
+    if plane == "Axial":
+        S, H, W, axis = d0, d1, d2, 0
+    elif plane == "Coronal":
+        S, H, W, axis = d1, d0, d2, 1
+    else:
+        S, H, W, axis = d2, d0, d1, 2
+
+    if backend == "cv2":
+        import cv2
+        hold = np.zeros((S, H, W), dtype=np.uint8)
+        img = np.zeros((H, W), dtype=np.uint8)
+        for poly, s in zip(polys, slices):
+            img.fill(0)
+            cv2.fillPoly(img, np.array([poly], dtype=np.int32), 1)
+            if 0 <= s < S:
+                hold[s] = np.logical_xor(hold[s], img)
+        out = hold
+    else:
+        from ...ops.rasterize import rasterize_polygons
+        out = rasterize_polygons(polys, slices, S, H, W)
+
+    if axis == 1:
+        out = np.moveaxis(out, 0, 1)
+    elif axis == 2:
+        out = np.moveaxis(out, 0, 2)
+    return (out > 0).astype(np.uint8)
+
+
+class ContourToDiscreteMesh(object):
+    """Contours -> mask -> surface mesh
+    (reference utils/convert/contour.py:24-162)."""
+
+    def __init__(self, contour_position=None, contour_pixel=None,
+                 spacing=None, origin=None, dimensions=None, matrix=None,
+                 plane="Axial", mask=None, backend="device"):
+        self.contour_position = contour_position
+        self.contour_pixel = contour_pixel
+        self.spacing = spacing
+        self.origin = origin
+        self.dimensions = dimensions
+        self.plane = plane
+        self.backend = backend
+
+        self.mask = mask
+
+        self.matrix = np.identity(3) if matrix is None else matrix
+
+        if self.contour_pixel is None and self.mask is None:
+            self.convert_to_pixel_spacing()
+
+        if self.mask is None:
+            self.compute_mask()
+
+    def convert_to_pixel_spacing(self):
+        m = geo.position_to_pixel_matrix(self.matrix, self.spacing,
+                                         self.origin)
+        self.contour_pixel = [
+            geo.apply_homogeneous(np.asarray(pos), m)
+            for pos in self.contour_position]
+
+    def compute_mask(self):
+        self.mask = _rasterize_plane(self.contour_pixel, self.dimensions,
+                                     self.plane, backend=self.backend)
+
+    def compute_mesh(self, discrete=False, smoothing_iterations=20,
+                     smoothing_relaxation=.5, smoothing_distance=1):
+        """Mask -> physical-space mesh. discrete=True returns the raw
+        (blocky) isosurface; otherwise constrained smoothing follows
+        (the reference's surface-nets smoothing knobs map directly)."""
+        from ...ops.marching_cubes import mask_to_mesh
+        mesh = mask_to_mesh(self.mask, self.spacing, self.origin,
+                            self.matrix)
+        if not discrete and mesh.number_of_points > 0:
+            from ..mesh.surface import constrained_smooth
+            mesh = constrained_smooth(
+                mesh, iterations=smoothing_iterations,
+                relaxation=smoothing_relaxation,
+                max_distance=smoothing_distance)
+        return mesh
+
+
+class ContourToMask(object):
+    """Physical contours -> mask, converting through the image direction
+    matrix (reference utils/convert/contour.py:165-252, which used
+    sitk TransformPhysicalPointToContinuousIndex)."""
+
+    def __init__(self, contour_position=None, contour_pixel=None,
+                 spacing=None, origin=None, dimensions=None, matrix=None,
+                 plane="Axial", backend="device"):
+        self.contour_position = contour_position
+        self.contour_pixel = contour_pixel
+        self.spacing = spacing
+        self.origin = origin
+        self.dimensions = dimensions
+        self.matrix = matrix
+        self.plane = plane
+        self.backend = backend
+
+        self.mask = None
+
+    def create_mask(self):
+        if self.contour_pixel is None:
+            self.convert_to_pixel_spacing()
+        self.compute_mask()
+        return self.mask
+
+    def convert_to_pixel_spacing(self):
+        m = geo.position_to_pixel_matrix(self.matrix[0:3, 0:3]
+                                         if np.asarray(self.matrix).shape
+                                         == (4, 4) else self.matrix,
+                                         self.spacing, self.origin)
+        self.contour_pixel = [
+            geo.apply_homogeneous(np.asarray(pos), m)
+            for pos in self.contour_position]
+
+    def compute_mask(self):
+        self.mask = _rasterize_plane(self.contour_pixel, self.dimensions,
+                                     self.plane, backend=self.backend)
+
+
+class MaskToContour(object):
+    """Mask -> per-slice pixel contours -> physical contours
+    (reference utils/convert/contour.py:255-328). Boundary tracing is a
+    host op (sequential by nature); cv2.findContours with RETR_EXTERNAL
+    + CHAIN_APPROX_SIMPLE exactly as the reference."""
+
+    def __init__(self, mask=None, spacing=None, origin=None, matrix=None,
+                 plane="axial"):
+        self.mask = mask
+        self.spacing = spacing
+        self.origin = origin
+        self.matrix = matrix
+        self.plane = plane
+
+        self.contour_position = []
+        self.contour_pixel = []
+
+    def create_contours(self):
+        self.compute_pixel()
+        if self.spacing is not None and self.origin is not None \
+                and self.matrix is not None:
+            self.compute_position()
+        return self.contour_pixel, self.contour_position
+
+    def compute_pixel(self):
+        import cv2
+
+        plane = self.plane.lower()
+        axis = {"axial": 0, "coronal": 1}.get(plane, 2)
+        num_slices = self.mask.shape[axis]
+        for i in range(num_slices):
+            if axis == 0:
+                slice_2d = self.mask[i, :, :]
+            elif axis == 1:
+                slice_2d = self.mask[:, i, :]
+            else:
+                slice_2d = self.mask[:, :, i]
+
+            slice_2d = (slice_2d > 0).astype(np.uint8) * 255
+            if np.count_nonzero(slice_2d) == 0:
+                continue
+
+            contours, _ = cv2.findContours(slice_2d, cv2.RETR_EXTERNAL,
+                                           cv2.CHAIN_APPROX_SIMPLE)
+            for contour in contours:
+                if len(contour) > 2:
+                    contour = contour.squeeze(1)
+                    n = contour.shape[0]
+                    xyz = np.zeros((n, 3), dtype=np.int32)
+                    if axis == 0:
+                        xyz[:, 0] = contour[:, 0]
+                        xyz[:, 1] = contour[:, 1]
+                        xyz[:, 2] = i
+                    elif axis == 1:
+                        xyz[:, 0] = contour[:, 0]
+                        xyz[:, 1] = i
+                        xyz[:, 2] = contour[:, 1]
+                    else:
+                        xyz[:, 0] = i
+                        xyz[:, 1] = contour[:, 0]
+                        xyz[:, 2] = contour[:, 1]
+                    self.contour_pixel.append(xyz)
+
+    def compute_position(self):
+        m = geo.pixel_to_position_matrix(self.matrix, self.spacing,
+                                         self.origin)
+        for pix in self.contour_pixel:
+            self.contour_position.append(
+                geo.apply_homogeneous(np.asarray(pix, dtype=np.float64), m))
+
+
+class ModelToMask(object):
+    """Mesh(es) -> fake image volume (reference
+    utils/convert/contour.py:331-461). Used by the 3MF pipeline."""
+
+    def __init__(self, models, origin=None, spacing=None, dims=None,
+                 slice_locations=None, matrix=None, empty_array=True,
+                 convert=True):
+        self.models = models
+        self.empty_array = empty_array
+
+        self.spacing = spacing
+        self.origin = origin
+        self.dims = dims
+        self.slice_locations = slice_locations
+
+        self.matrix = np.identity(4) if matrix is None else matrix
+
+        self.bounds = None
+        self.contours = []
+        self.mask = None
+
+        if convert:
+            self.compute_bounds()
+            self.compute_contours()
+            self.compute_mask()
+
+    def compute_bounds(self):
+        """Joint bbox + 5-voxel pad; auto spacing [1,1,3] or [1,1,5] by
+        extent (reference utils/convert/contour.py:385-411)."""
+        model_bounds = [model.GetBounds() for model in self.models]
+        model_min = np.min(model_bounds, axis=0)
+        model_max = np.max(model_bounds, axis=0)
+        mm = [model_min[0], model_max[1], model_min[2], model_max[3],
+              model_min[4], model_max[5]]
+
+        if mm[1] - mm[0] < 512 and mm[3] - mm[2] < 512:
+            if mm[5] - mm[4] < 450:
+                self.spacing = [1, 1, 3]
+            elif mm[5] - mm[4] < 750:
+                self.spacing = [1, 1, 5]
+
+        if self.spacing is not None:
+            self.bounds = [
+                int(mm[0] - 5 * self.spacing[0]),
+                int(mm[1] + 5 * self.spacing[0]),
+                int(mm[2] - 5 * self.spacing[1]),
+                int(mm[3] + 5 * self.spacing[1]),
+                int(mm[4] - 5 * self.spacing[2]),
+                int(mm[5] + 5 * self.spacing[2])]
+            self.origin = [self.bounds[0], self.bounds[2], self.bounds[4]]
+            self.slice_locations = list(
+                range(self.bounds[4], self.bounds[5], self.spacing[2]))
+            self.dims = [len(self.slice_locations),
+                         self.bounds[3] - self.bounds[2] + 1,
+                         self.bounds[1] - self.bounds[0] + 1]
+
+    def compute_contours(self):
+        """Per-z mesh plane cuts -> 2D pixel polygons
+        (reference utils/convert/contour.py:413-433)."""
+        for model in self.models:
+            com = model.center
+            org_bounds = model.GetBounds()
+            model_contours = []
+            for s in self.slice_locations:
+                if org_bounds[4] < s < org_bounds[5]:
+                    loops = model.slice_plane(
+                        normal=[0, 0, 1], origin=[com[0], com[1], s])
+                    if loops:
+                        pts = np.concatenate(loops, axis=0)
+                        model_contours.append(
+                            (pts[:, 0:2]
+                             - (self.bounds[0], self.bounds[2]))
+                            / self.spacing[0:2])
+                    else:
+                        model_contours.append([])
+                else:
+                    model_contours.append([])
+            self.contours.append(model_contours)
+
+    def compute_mask(self):
+        """Empty by default (reference default); otherwise additive fill
+        per model/slice (reference utils/convert/contour.py:435-446)."""
+        self.mask = np.zeros((self.dims[0], self.dims[1], self.dims[2]))
+        if not self.empty_array:
+            from ...ops.rasterize import fill_polygons_2d
+            for model_contours in self.contours:
+                for jj, _ in enumerate(self.slice_locations):
+                    poly = model_contours[jj]
+                    if len(poly) > 0:
+                        frame = fill_polygons_2d(
+                            [np.asarray(poly)], self.dims[1], self.dims[2])
+                        self.mask[jj, :, :] = self.mask[jj, :, :] + frame
+        self.mask = self.mask.astype(np.int8)
+
+    def save_image(self, export_path):
+        """Write the mask as an MHD volume (reference wrote via sitk)."""
+        from ...read.mhd import write_mhd_volume
+        write_mhd_volume(export_path, self.mask, spacing=self.spacing,
+                         origin=[self.bounds[0], self.bounds[2],
+                                 self.bounds[4]])

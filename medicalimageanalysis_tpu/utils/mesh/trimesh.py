@@ -1,0 +1,356 @@
+"""TriMesh: the framework's triangle-mesh object.
+
+Own replacement for the pyvista PolyData surface the reference passes
+around (reference structure/roi.py:209-330, utils/mesh/surface.py).
+Vertices are float64 numpy (N, 3); faces int32 (M, 3). Exposes the
+attribute surface the reference relies on: ``volume``, ``center``,
+``bounds``, ``number_of_points``, ``GetBounds()``, ``transform``,
+``decimate``, ``slice``/``slice_plane``, ``split_bodies``, ``save``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["TriMesh", "box_mesh"]
+
+
+class TriMesh:
+    def __init__(self, points, faces):
+        self.points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+        self.faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+
+    # -- basic properties ------------------------------------------------
+    @property
+    def number_of_points(self):
+        return self.points.shape[0]
+
+    @property
+    def n_points(self):
+        return self.points.shape[0]
+
+    @property
+    def number_of_faces(self):
+        return self.faces.shape[0]
+
+    @property
+    def n_cells(self):
+        return self.faces.shape[0]
+
+    @property
+    def bounds(self):
+        if self.points.size == 0:
+            return [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        lo = self.points.min(axis=0)
+        hi = self.points.max(axis=0)
+        return [lo[0], hi[0], lo[1], hi[1], lo[2], hi[2]]
+
+    def GetBounds(self):
+        return tuple(self.bounds)
+
+    @property
+    def center(self):
+        b = self.bounds
+        return [(b[0] + b[1]) / 2, (b[2] + b[3]) / 2, (b[4] + b[5]) / 2]
+
+    @property
+    def center_of_mass(self):
+        return self.points.mean(axis=0)
+
+    @property
+    def volume(self):
+        """Enclosed volume via signed tetrahedra (watertight surfaces)."""
+        if self.faces.size == 0:
+            return 0.0
+        p = self.points
+        a = p[self.faces[:, 0]]
+        b = p[self.faces[:, 1]]
+        c = p[self.faces[:, 2]]
+        return float(abs(np.einsum("ij,ij->i", a, np.cross(b, c)).sum()) / 6.0)
+
+    @property
+    def area(self):
+        if self.faces.size == 0:
+            return 0.0
+        p = self.points
+        a = p[self.faces[:, 0]]
+        b = p[self.faces[:, 1]]
+        c = p[self.faces[:, 2]]
+        return float(np.linalg.norm(np.cross(b - a, c - a), axis=1).sum() / 2)
+
+    def copy(self):
+        return TriMesh(self.points.copy(), self.faces.copy())
+
+    # -- transforms -------------------------------------------------------
+    def transform(self, matrix4, inplace=True):
+        """Apply a 4x4 homogeneous transform to the vertices."""
+        m = np.asarray(matrix4, dtype=np.float64)
+        pts = np.hstack([self.points, np.ones((self.points.shape[0], 1))])
+        new_pts = pts @ m.T
+        new_pts = new_pts[:, :3]
+        if inplace:
+            self.points = new_pts
+            return self
+        return TriMesh(new_pts, self.faces.copy())
+
+    # -- cleaning / components --------------------------------------------
+    def clean(self, tolerance=1e-9):
+        """Merge duplicate vertices, drop degenerate faces."""
+        if self.points.size == 0:
+            return self
+        scale = max(1.0, np.abs(self.points).max())
+        quant = np.round(self.points / (tolerance * scale)).astype(np.int64)
+        _, first_idx, inverse = np.unique(quant, axis=0, return_index=True,
+                                          return_inverse=True)
+        new_points = self.points[first_idx]
+        new_faces = inverse[self.faces]
+        valid = ((new_faces[:, 0] != new_faces[:, 1])
+                 & (new_faces[:, 1] != new_faces[:, 2])
+                 & (new_faces[:, 0] != new_faces[:, 2]))
+        return TriMesh(new_points, new_faces[valid])
+
+    def split_bodies(self):
+        """Connected components (vertex-connectivity) -> list of TriMesh."""
+        n = self.number_of_points
+        if n == 0:
+            return []
+        parent = np.arange(n)
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        for f in self.faces:
+            a, b, c = find(f[0]), find(f[1]), find(f[2])
+            parent[b] = a
+            parent[c] = a
+        roots = np.array([find(i) for i in range(n)])
+        bodies = []
+        for r in np.unique(roots[self.faces[:, 0]] if self.faces.size
+                           else roots):
+            vmask = roots == r
+            fmask = vmask[self.faces[:, 0]]
+            if not fmask.any():
+                continue
+            vidx = np.nonzero(vmask)[0]
+            remap = -np.ones(n, dtype=np.int64)
+            remap[vidx] = np.arange(len(vidx))
+            bodies.append(TriMesh(self.points[vidx],
+                                  remap[self.faces[fmask]]))
+        return bodies
+
+    # -- decimation --------------------------------------------------------
+    def decimate(self, fraction):
+        """Reduce triangle count by `fraction` (0..1) via vertex-grid
+        clustering (replaces pyvista decimate, reference
+        structure/roi.py:283-307)."""
+        target_points = max(4, int(round(self.number_of_points
+                                         * (1 - fraction))))
+        return self.cluster_decimate(target_points)
+
+    def decimate_pro(self, fraction):
+        return self.decimate(fraction)
+
+    def cluster_decimate(self, target_points):
+        """Uniform-grid vertex clustering to approximately target_points."""
+        if self.number_of_points <= target_points or self.faces.size == 0:
+            return self.copy()
+        b = self.bounds
+        extent = np.array([b[1] - b[0], b[3] - b[2], b[5] - b[4]])
+        extent = np.maximum(extent, 1e-9)
+        # choose grid so that expected occupied cells ~ target_points
+        cell = (extent.prod() / max(target_points * 4, 8)) ** (1 / 3)
+        for _ in range(8):
+            idx = np.floor((self.points - [b[0], b[2], b[4]])
+                           / cell).astype(np.int64)
+            key = (idx[:, 0] * 73856093) ^ (idx[:, 1] * 19349663) \
+                ^ (idx[:, 2] * 83492791)
+            uniq = np.unique(key).size
+            if uniq <= target_points * 1.3:
+                break
+            cell *= 1.3
+        _, first, inverse = np.unique(key, return_index=True,
+                                      return_inverse=True)
+        # cluster centroid
+        sums = np.zeros((first.size, 3))
+        counts = np.zeros(first.size)
+        np.add.at(sums, inverse, self.points)
+        np.add.at(counts, inverse, 1)
+        new_points = sums / counts[:, None]
+        new_faces = inverse[self.faces]
+        valid = ((new_faces[:, 0] != new_faces[:, 1])
+                 & (new_faces[:, 1] != new_faces[:, 2])
+                 & (new_faces[:, 0] != new_faces[:, 2]))
+        return TriMesh(new_points, new_faces[valid])
+
+    # -- plane cross-section ------------------------------------------------
+    def slice_plane(self, normal, origin):
+        """Cross-section with the plane (normal, origin) -> list of
+        (N, 3) polyline loops (replaces pyvista .slice + .strip,
+        reference structure/roi.py:406-486)."""
+        if isinstance(normal, str):
+            normal = {"x": [1, 0, 0], "y": [0, 1, 0],
+                      "z": [0, 0, 1]}[normal.lower()]
+        n = np.asarray(normal, dtype=np.float64)
+        n = n / np.linalg.norm(n)
+        o = np.asarray(origin, dtype=np.float64)
+
+        d = (self.points - o) @ n  # signed distances
+        f = self.faces
+        df = d[f]
+        side = df > 0
+        crossing = (side.any(axis=1)) & (~side.all(axis=1))
+        if not crossing.any():
+            return []
+
+        segments = []
+        for fi in np.nonzero(crossing)[0]:
+            vs = f[fi]
+            ds = d[vs]
+            pts = []
+            for a, b in ((0, 1), (1, 2), (2, 0)):
+                da, db = ds[a], ds[b]
+                if (da > 0) != (db > 0):
+                    t = da / (da - db)
+                    pts.append(self.points[vs[a]]
+                               + t * (self.points[vs[b]]
+                                      - self.points[vs[a]]))
+                elif da == 0 and db == 0:
+                    pts.append(self.points[vs[a]])
+                    pts.append(self.points[vs[b]])
+            if len(pts) >= 2:
+                segments.append((pts[0], pts[1]))
+        if not segments:
+            return []
+        return _chain_segments(segments)
+
+    def slice(self, normal, origin):
+        """pyvista-style alias returning a polyline container object."""
+        loops = self.slice_plane(normal, origin)
+        return _SliceResult(loops)
+
+    # -- IO ------------------------------------------------------------------
+    def save(self, path):
+        path = str(path)
+        if path.lower().endswith(".stl"):
+            from ...read.stl import write_stl
+            write_stl(path, self)
+        elif path.lower().endswith(".vtk"):
+            from ...read.vtk import write_vtk_polydata
+            write_vtk_polydata(path, self)
+        else:
+            np.savez(path, points=self.points, faces=self.faces)
+
+
+class _SliceResult:
+    """Polyline container mimicking the bits of pyvista's slice output
+    the reference touches (points, number_of_points, strip().cell)."""
+
+    def __init__(self, loops):
+        self.loops = loops
+        self.points = np.concatenate(loops, axis=0) if loops \
+            else np.zeros((0, 3))
+
+    @property
+    def number_of_points(self):
+        return self.points.shape[0]
+
+    def strip(self, max_length=None):
+        return self
+
+    @property
+    def cell(self):
+        return [_Polyline(loop) for loop in self.loops]
+
+
+class _Polyline:
+    def __init__(self, pts):
+        self.points = np.asarray(pts)
+
+    @property
+    def point_ids(self):
+        return np.arange(self.points.shape[0])
+
+
+def _chain_segments(segments, tol=1e-6):
+    """Chain unordered segments into polylines/loops."""
+    pts = []
+    for a, b in segments:
+        pts.append(a)
+        pts.append(b)
+    pts = np.asarray(pts)
+    scale = max(1.0, np.abs(pts).max())
+    quant = np.round(pts / (tol * scale)).astype(np.int64)
+    _, inverse = np.unique(quant, axis=0, return_inverse=True)
+    n_seg = len(segments)
+    seg_ids = inverse.reshape(n_seg, 2)
+
+    # adjacency: node -> list of (segment, other node)
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for si, (a, b) in enumerate(seg_ids):
+        adj[a].append((si, b))
+        adj[b].append((si, a))
+
+    id_to_point = {}
+    for i, pid in enumerate(inverse):
+        id_to_point[pid] = pts[i]
+
+    used = np.zeros(n_seg, dtype=bool)
+    loops = []
+    for start_seg in range(n_seg):
+        if used[start_seg]:
+            continue
+        a, b = seg_ids[start_seg]
+        used[start_seg] = True
+        chain = [a, b]
+        # extend forward
+        current = b
+        prev_seg = start_seg
+        while True:
+            nxt = [(si, other) for si, other in adj[current]
+                   if not used[si]]
+            if not nxt:
+                break
+            si, other = nxt[0]
+            used[si] = True
+            if other == chain[0]:
+                break  # loop closed
+            chain.append(other)
+            current = other
+        # extend backward
+        current = chain[0]
+        while True:
+            nxt = [(si, other) for si, other in adj[current]
+                   if not used[si]]
+            if not nxt:
+                break
+            si, other = nxt[0]
+            used[si] = True
+            chain.insert(0, other)
+            current = other
+        loops.append(np.asarray([id_to_point[c] for c in chain]))
+    return loops
+
+
+def box_mesh(lo, hi):
+    """Axis-aligned box surface (replaces pv.Box, reference
+    structure/image.py:1106-1125)."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    points = np.array([
+        [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+        [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]])
+    faces = np.array([
+        [0, 2, 1], [0, 3, 2],  # bottom
+        [4, 5, 6], [4, 6, 7],  # top
+        [0, 1, 5], [0, 5, 4],  # front
+        [2, 3, 7], [2, 7, 6],  # back
+        [1, 2, 6], [1, 6, 5],  # right
+        [3, 0, 4], [3, 4, 7],  # left
+    ])
+    return TriMesh(points, faces)

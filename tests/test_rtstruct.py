@@ -1,0 +1,140 @@
+"""RTSTRUCT ingest + contour->mask->mesh pipeline tests
+(BASELINE.json config #2)."""
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+
+from helpers import square_contour_mm, write_ct_series, write_rtstruct
+
+
+@pytest.fixture
+def ct_with_rtstruct(tmp_path, rng):
+    arr = rng.integers(-1000, 2000, size=(12, 32, 32)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr)
+    rois = {
+        "Liver": [(square_contour_mm(info, z), z) for z in range(3, 8)],
+        "Tumor": [(square_contour_mm(info, z, 8, 12), z)
+                  for z in range(5, 7)],
+    }
+    pois = {"Marker": [-96.0, -116.0, -45.0]}
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois, pois)
+    return tmp_path, info
+
+
+def test_rtstruct_attached(ct_with_rtstruct):
+    tmp_path, info = ct_with_rtstruct
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    assert set(img.rois.keys()) == {"Liver", "Tumor"}
+    assert set(img.pois.keys()) == {"Marker"}
+    assert sorted(Data.roi_list) == ["Liver", "Tumor"]
+    liver = img.rois["Liver"]
+    assert len(liver.contour_position) == 5
+    assert liver.color == [255, 0, 0]
+    # pixel contours are closed (first point repeated)
+    np.testing.assert_allclose(liver.contour_pixel[0][0],
+                               liver.contour_pixel[0][-1])
+    # poi position intact
+    np.testing.assert_allclose(
+        np.asarray(img.pois["Marker"].point_position).reshape(-1),
+        [-96.0, -116.0, -45.0])
+
+
+def test_roi_mask(ct_with_rtstruct):
+    tmp_path, info = ct_with_rtstruct
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    mask = img.rois["Liver"].compute_mask()
+    assert mask.shape == (12, 32, 32)
+    assert mask.dtype == np.uint8
+    # square px 5..15 inclusive on slices 3..7
+    expected = np.zeros((12, 32, 32), np.uint8)
+    expected[3:8, 5:16, 5:16] = 1
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_mask_parity_cv2_backend(ct_with_rtstruct):
+    tmp_path, info = ct_with_rtstruct
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    roi = img.rois["Liver"]
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        ContourToDiscreteMesh)
+    device = ContourToDiscreteMesh(
+        contour_pixel=roi.contour_pixel, spacing=img.spacing,
+        origin=img.origin, dimensions=img.dimensions, matrix=img.matrix,
+        plane=roi.plane, backend="device").mask
+    cv2m = ContourToDiscreteMesh(
+        contour_pixel=roi.contour_pixel, spacing=img.spacing,
+        origin=img.origin, dimensions=img.dimensions, matrix=img.matrix,
+        plane=roi.plane, backend="cv2").mask
+    np.testing.assert_array_equal(device, cv2m)
+
+
+def test_only_load_roi_names(ct_with_rtstruct):
+    tmp_path, info = ct_with_rtstruct
+    mia.read_dicoms(folder_path=str(tmp_path),
+                    only_load_roi_names=["Tumor"])
+    img = Data.image["CT 01"]
+    assert "Tumor" in img.rois
+    assert "Liver" not in img.rois
+
+
+def test_mask_to_contour_roundtrip(ct_with_rtstruct):
+    tmp_path, info = ct_with_rtstruct
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    roi = img.rois["Liver"]
+    mask = roi.compute_mask()
+    roi.convert_mask(mask)
+    # round trip: contours regenerated, mask identical
+    mask2 = roi.compute_mask()
+    np.testing.assert_array_equal(mask, mask2)
+    assert roi.mesh is not None
+    assert roi.mesh.number_of_points > 0
+
+
+def test_roi_mesh_volume(ct_with_rtstruct):
+    """Mesh from an 11x11 px x 5 slice box: volume close to analytic."""
+    tmp_path, info = ct_with_rtstruct
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    roi = img.rois["Liver"]
+    roi.create_discrete_mesh()
+    # voxel volume: 11*11*0.8*0.8*... mask is 11x11 px * 5 slices
+    voxel_vol = 0.8 * 0.8 * 2.5
+    expected = 11 * 11 * 5 * voxel_vol
+    # marching-cubes surface at 0.5 iso adds a half-voxel shell
+    assert roi.volume == pytest.approx(expected, rel=0.25)
+    assert roi.com is not None
+    assert len(roi.bounds) == 6
+
+
+def test_match_rois_injects_stubs(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    info_a = write_ct_series(tmp_path / "a", arr)
+    info_b = write_ct_series(tmp_path / "b", arr, modality="MR")
+    rois = {"Liver": [(square_contour_mm(info_a, 1), 1)]}
+    write_rtstruct(tmp_path / "a" / "rs.dcm", info_a, rois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    # both images must have a Liver roi (stub on the MR)
+    names = [n for n in Data.image_list]
+    assert len(names) == 2
+    for n in names:
+        assert "Liver" in Data.image[n].rois
+    stubs = [Data.image[n].rois["Liver"].contour_position is None
+             for n in names]
+    assert sorted(stubs) == [False, True]
+
+
+def test_compute_contour_slices(ct_with_rtstruct):
+    tmp_path, info = ct_with_rtstruct
+    mia.read_dicoms(folder_path=str(tmp_path))
+    roi = Data.image["CT 01"].rois["Liver"]
+    loops = roi.compute_contour(slice_location=4)
+    assert len(loops) == 1
+    assert loops[0].shape[1] == 2
+    assert len(roi.compute_contour(slice_location=11)) == 0
