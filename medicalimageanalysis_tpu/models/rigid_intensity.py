@@ -1,0 +1,167 @@
+"""Intensity-based 6-DoF rigid registration (differentiable, TPU-first).
+
+No reference counterpart (the reference only has mesh ICP); this is the
+framework's fast path for the BASELINE "rigid registration CT<->CT pair
+< 100 ms" target: the resample is the trilinear gather kernel, the MSE
+loss differentiates straight through it, and the whole multi-resolution
+descent is one jit per pyramid level.
+
+Pose parameterization: 3 Euler angles (radians) + 3 translations (mm)
+about the reference volume center. The result converts to the same 4x4
+``reference -> moving`` physical matrix the Rigid object stores
+(reference structure/rigid.py:438-477 semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import geometry as geo
+
+__all__ = ["register_rigid_intensity", "pose_to_matrix"]
+
+
+def _rot_mats(angles):
+    ax, ay, az = angles[0], angles[1], angles[2]
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def pose_to_matrix(pose, center):
+    """(6,) pose -> 4x4 physical transform rotating about `center`."""
+    pose = jnp.asarray(pose)
+    R = _rot_mats(pose[:3])
+    c = jnp.asarray(center)
+    t = pose[3:]
+    m = jnp.eye(4)
+    m = m.at[:3, :3].set(R)
+    m = m.at[:3, 3].set(c + t - R @ c)
+    return m
+
+
+def _sample_grid(shape_zyx, step):
+    zz = jnp.arange(0, shape_zyx[0], step[0], dtype=jnp.float32)
+    yy = jnp.arange(0, shape_zyx[1], step[1], dtype=jnp.float32)
+    xx = jnp.arange(0, shape_zyx[2], step[2], dtype=jnp.float32)
+    Z, Y, X = jnp.meshgrid(zz, yy, xx, indexing="ij")
+    return jnp.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)  # (N,3) xyz
+
+
+# Adam's per-parameter step equals lr in parameter units, so angles
+# (radians) and translations (mm) need different effective step sizes.
+# Optimize scaled parameters: pose = params * _POSE_SCALE.
+_POSE_SCALE = np.array([0.05, 0.05, 0.05, 5.0, 5.0, 5.0], np.float32)
+
+
+@partial(jax.jit, static_argnames=("steps", "stride"))
+def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
+                    pose0, lr, steps, stride):
+    """One pyramid level of Adam descent on masked MSE."""
+    shape = ref_vol.shape
+    coords_pix = _sample_grid(shape, stride)                    # (N, 3) xyz
+    ones = jnp.ones((coords_pix.shape[0], 1), jnp.float32)
+    coords_h = jnp.concatenate([coords_pix, ones], axis=1)
+    ref_pos = coords_h @ ref_pix2pos.T                          # (N, 4)
+    ref_vals = _trilinear_flat(ref_vol, coords_pix)
+    scale = jnp.asarray(_POSE_SCALE)
+
+    def loss_fn(params):
+        m = pose_to_matrix(params * scale, center)              # ref->mov
+        mov_pos = ref_pos @ m.T                                 # (N, 4)
+        mov_pix = mov_pos @ mov_pos2pix.T
+        vals = _trilinear_flat(mov_vol, mov_pix[:, :3])
+        inside = _inside_mask(mov_vol.shape, mov_pix[:, :3])
+        diff = (vals - ref_vals) * inside
+        return jnp.sum(diff * diff) / jnp.maximum(jnp.sum(inside), 1.0)
+
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    params0 = pose0 / scale
+    (params, _), losses = jax.lax.scan(
+        step, (params0, opt.init(params0)), None, length=steps)
+    return params * scale, losses
+
+
+def _trilinear_flat(vol, coords_xyz):
+    from ..ops.resample import _trilinear
+    return _trilinear(vol, coords_xyz, jnp.float32(0.0))
+
+
+def _inside_mask(shape, coords_xyz):
+    x, y, z = coords_xyz[:, 0], coords_xyz[:, 1], coords_xyz[:, 2]
+    return ((x >= 0) & (x <= shape[2] - 1) & (y >= 0)
+            & (y <= shape[1] - 1) & (z >= 0)
+            & (z <= shape[0] - 1)).astype(jnp.float32)
+
+
+def register_rigid_intensity(reference_image, moving_image, pose0=None,
+                             levels=((4, 60, 0.3), (2, 40, 0.1),
+                                     (1, 25, 0.03)),
+                             normalize=True):
+    """Register moving onto reference by masked-MSE gradient descent.
+
+    Parameters
+    ----------
+    reference_image, moving_image : objects with .array/.matrix/
+        .spacing/.origin (Image instances or equivalents)
+    levels : tuple of (stride, steps, lr) coarse-to-fine schedule
+
+    Returns (matrix4 ``reference -> moving``, info dict).
+    """
+    ref = np.asarray(reference_image.array, dtype=np.float32)
+    mov = np.asarray(moving_image.array, dtype=np.float32)
+    if normalize:
+        def norm(a):
+            lo, hi = np.percentile(a, [2, 98])
+            return np.clip((a - lo) / max(hi - lo, 1e-6), 0, 1)
+        ref = norm(ref)
+        mov = norm(mov)
+
+    ref_pix2pos = geo.pixel_to_position_matrix(
+        reference_image.matrix, reference_image.spacing,
+        reference_image.origin).astype(np.float32)
+    mov_pos2pix = geo.position_to_pixel_matrix(
+        moving_image.matrix, moving_image.spacing,
+        moving_image.origin).astype(np.float32)
+    center = np.asarray(reference_image.compute_center()
+                        if hasattr(reference_image, "compute_center")
+                        else geo.apply_homogeneous(
+                            [ref.shape[2] / 2, ref.shape[1] / 2,
+                             ref.shape[0] / 2], ref_pix2pos),
+                        dtype=np.float32)
+
+    pose = jnp.zeros(6, jnp.float32) if pose0 is None \
+        else jnp.asarray(pose0, jnp.float32)
+    losses_all = []
+    refj = jnp.asarray(ref)
+    movj = jnp.asarray(mov)
+    for stride, steps, lr in levels:
+        pose, losses = _register_level(
+            refj, movj, jnp.asarray(ref_pix2pos),
+            jnp.asarray(mov_pos2pix), jnp.asarray(center), pose,
+            jnp.float32(lr), int(steps), (stride, stride, stride))
+        losses_all.append(np.asarray(losses))
+
+    matrix = np.asarray(pose_to_matrix(pose, jnp.asarray(center)),
+                        dtype=np.float64)
+    return matrix, {"pose": np.asarray(pose),
+                    "loss": float(losses_all[-1][-1]),
+                    "losses": losses_all}

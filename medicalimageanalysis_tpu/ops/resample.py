@@ -206,6 +206,44 @@ def separable_resample(volume, out_shape, in_spacing_zyx=None,
     return _separable_apply(vol, mz, my, mx)
 
 
+def reslice_transform(volume, vol_matrix, vol_spacing, vol_origin,
+                      phys_transform, out_spacing, background=None):
+    """vtkImageReslice(AutoCrop) behavioral equivalent with an arbitrary
+    physical reslice transform (reference structure/rigid.py:691-740):
+    output grid has identity direction and `out_spacing`; output point p
+    samples the input volume at ``phys_transform @ p``; the output
+    extent covers the inverse-transformed input bounding box.
+
+    Returns dict(array (Z,Y,X) float32, origin, spacing, dimensions).
+    """
+    if background is None:
+        background = config.background_fill
+    volume = np.asarray(volume)
+    T = np.asarray(phys_transform, dtype=np.float64)
+    out_spacing = np.asarray(out_spacing, dtype=np.float64)
+
+    Z, Y, X = volume.shape
+    pix2p = geo.pixel_to_position_matrix(vol_matrix, vol_spacing,
+                                         vol_origin)
+    corners_pix = np.array([[x, y, z] for z in (0, Z - 1)
+                            for y in (0, Y - 1) for x in (0, X - 1)],
+                           dtype=np.float64)
+    corners_phys = geo.apply_homogeneous(corners_pix, pix2p)
+    out_corners = geo.apply_homogeneous(corners_phys, np.linalg.inv(T))
+    lo = out_corners.min(axis=0)
+    hi = out_corners.max(axis=0)
+    out_dims = np.maximum(
+        np.round((hi - lo) / out_spacing).astype(int) + 1, 1)
+
+    A = compose_pixel_matrix(vol_matrix, vol_spacing, vol_origin,
+                             np.eye(3), out_spacing, lo,
+                             phys_transform=T)
+    out_shape = (int(out_dims[2]), int(out_dims[1]), int(out_dims[0]))
+    arr = np.asarray(affine_resample(volume, A, out_shape, background))
+    return {"array": arr, "origin": lo, "spacing": out_spacing,
+            "dimensions": np.asarray(out_dims)}
+
+
 def reslice_rotation(volume, volume_matrix, spacing, origin, display_matrix,
                      background=None):
     """Behavioral equivalent of the reference's off-axis

@@ -1,0 +1,221 @@
+"""MetaImage (.mhd/.raw) IO + MhdReader.
+
+Own MHD codec replacing SimpleITK ReadImage/WriteImage for the MHD
+paths (reference read/mhd.py:51-252, structure/rigid.py:742-761,
+utils/convert/contour.py:448-461). Supports uncompressed and
+zlib-compressed binary data, MET_* element types, local or external
+.raw payloads.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+
+from ..data import Data
+
+__all__ = ["read_mhd_volume", "write_mhd_volume", "MhdReader"]
+
+_MET_TO_DTYPE = {
+    "MET_CHAR": np.int8, "MET_UCHAR": np.uint8,
+    "MET_SHORT": np.int16, "MET_USHORT": np.uint16,
+    "MET_INT": np.int32, "MET_UINT": np.uint32,
+    "MET_LONG": np.int64, "MET_ULONG": np.uint64,
+    "MET_FLOAT": np.float32, "MET_DOUBLE": np.float64,
+}
+_DTYPE_TO_MET = {np.dtype(v): k for k, v in _MET_TO_DTYPE.items()}
+
+
+def read_mhd_volume(path):
+    """Read .mhd -> (array, spacing_xyz, origin_xyz, direction (3,3)).
+
+    Array axis order follows the sitk convention the reference relied
+    on: (z, y, x) for scalar volumes, (z, y, x, C) for vector volumes.
+    """
+    header = {}
+    data_file = None
+    with open(path, "rb") as f:
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            text = line.decode("latin-1").strip()
+            if "=" not in text:
+                continue
+            key, value = (s.strip() for s in text.split("=", 1))
+            header[key] = value
+            if key == "ElementDataFile":
+                data_file = value
+                break
+        local_payload = f.read() if data_file == "LOCAL" else None
+
+    ndims = int(header.get("NDims", 3))
+    dims = [int(v) for v in header["DimSize"].split()]
+    spacing = [float(v) for v in header.get(
+        "ElementSpacing", " ".join(["1"] * ndims)).split()]
+    origin = [float(v) for v in header.get(
+        "Offset", " ".join(["0"] * ndims)).split()]
+    direction = np.asarray([float(v) for v in header.get(
+        "TransformMatrix", "1 0 0 0 1 0 0 0 1").split()]).reshape(3, 3) \
+        if ndims >= 3 else np.eye(3)
+    dtype = _MET_TO_DTYPE[header.get("ElementType", "MET_SHORT")]
+    channels = int(header.get("ElementNumberOfChannels", 1))
+    msb = header.get("BinaryDataByteOrderMSB", "False").lower() == "true"
+    compressed = header.get("CompressedData", "False").lower() == "true"
+
+    if local_payload is not None:
+        raw = local_payload
+    else:
+        raw_path = os.path.join(os.path.dirname(str(path)), data_file)
+        with open(raw_path, "rb") as f:
+            raw = f.read()
+    if compressed:
+        raw = zlib.decompress(raw)
+
+    count = int(np.prod(dims)) * channels
+    arr = np.frombuffer(raw, dtype=dtype, count=count)
+    if msb:
+        arr = arr.astype(np.dtype(dtype).newbyteorder(">")).astype(dtype)
+    # MHD dims are (x, y, z); numpy layout is reversed
+    shape = list(reversed(dims))
+    if channels > 1:
+        arr = arr.reshape(shape + [channels])
+    else:
+        arr = arr.reshape(shape)
+    return arr, np.asarray(spacing), np.asarray(origin), direction
+
+
+def write_mhd_volume(path, array, spacing=(1, 1, 1), origin=(0, 0, 0),
+                     direction=None, compressed=False):
+    """Write a (z, y, x[, C]) array as .mhd + .raw pair."""
+    path = str(path)
+    if not path.lower().endswith(".mhd"):
+        path = path + ".mhd"
+    array = np.ascontiguousarray(array)
+    vector = array.ndim == 4
+    shape = array.shape[:3]
+    dims = list(reversed(shape))  # (x, y, z)
+    met = _DTYPE_TO_MET[np.dtype(array.dtype)]
+    raw_name = os.path.basename(path)[:-4] + (".zraw" if compressed
+                                              else ".raw")
+    direction = np.eye(3) if direction is None else np.asarray(direction)
+
+    lines = [
+        "ObjectType = Image",
+        "NDims = 3",
+        "BinaryData = True",
+        "BinaryDataByteOrderMSB = False",
+        f"CompressedData = {compressed}",
+        "TransformMatrix = " + " ".join(
+            f"{v:g}" for v in direction.flatten()),
+        "Offset = " + " ".join(f"{float(v):g}" for v in origin[:3]),
+        "CenterOfRotation = 0 0 0",
+        "AnatomicalOrientation = RAI",
+        "ElementSpacing = " + " ".join(
+            f"{float(v):g}" for v in spacing[:3]),
+        f"DimSize = {dims[0]} {dims[1]} {dims[2]}",
+    ]
+    if vector:
+        lines.append(f"ElementNumberOfChannels = {array.shape[3]}")
+    lines += [
+        f"ElementType = {met}",
+        f"ElementDataFile = {raw_name}",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    payload = array.tobytes()
+    if compressed:
+        payload = zlib.compress(payload)
+    with open(os.path.join(os.path.dirname(path), raw_name), "wb") as f:
+        f.write(payload)
+    return path
+
+
+class MhdReader(object):
+    """Dispatcher: plain image vs DVF vs (stub) ROI/dose
+    (reference read/mhd.py:51-252)."""
+
+    def __init__(self, file, modality=None, reference_name=None,
+                 moving_name=None, roi_name=None, roi_names=None,
+                 image_name=None, dose_name=None, dose=None, dvf=None):
+        self.file = file
+        self.modality = modality
+        self.reference_name = reference_name
+        self.moving_name = moving_name
+        self.roi_name = roi_name
+        self.roi_names = roi_names
+        self.image_name = image_name
+        self.dose_name = dose_name
+        self.dose = dose
+        self.dvf = dvf
+
+        self.mhd = None
+
+    def load(self):
+        self.mhd = read_mhd_volume(self.file)
+
+        if self.reference_name is not None:
+            if self.dvf is not None and self.dvf is not False \
+                    and self.moving_name is not None:
+                self.create_dvf()
+            elif self.dose is not None:
+                pass  # reserved, like the reference (read/mhd.py:148-152)
+            elif self.roi_name is not None:
+                pass  # reserved, like the reference (read/mhd.py:148-152)
+        else:
+            self.create_image()
+
+    def create_image(self):
+        """Register the volume as an Image via CreateImageFromMask
+        (reference read/mhd.py:157-196)."""
+        from ..utils.creation import CreateImageFromMask
+
+        array, spacing, origin, direction = self.mhd
+
+        if self.modality is None:
+            filename = os.path.basename(str(self.file))
+            image_name = os.path.splitext(filename)[0]
+            self.modality = "CT"
+        else:
+            idx = len(Data.image_list)
+            image_name = (f"{self.modality} {idx + 1:02d}" if idx < 9
+                          else f"{self.modality} {idx + 1}")
+        if self.image_name is not None:
+            image_name = self.image_name
+
+        orientation = direction.flatten()
+        creator = CreateImageFromMask(
+            array, origin, spacing, image_name,
+            dimensions=np.asarray(array.shape),
+            orientation=orientation[:6], plane="Axial",
+            description="Mhd to Image", modality=self.modality)
+        creator.add_image()
+        return Data.image[image_name]
+
+    def create_roi(self):
+        pass  # stub, like the reference (read/mhd.py:198-205)
+
+    def create_dose(self):
+        pass  # stub, like the reference (read/mhd.py:207-212)
+
+    def create_dvf(self):
+        """Register a Deformable built from the vector volume
+        (reference read/mhd.py:214-252)."""
+        from ..structure.deformable import Deformable
+
+        array, spacing, origin, direction = self.mhd
+        registration_name = f"DVF_{self.reference_name}_{self.moving_name}"
+        if registration_name in Data.deformable_list:
+            n = 1
+            while f"{registration_name}_{n}" in Data.deformable_list:
+                n += 1
+            registration_name = f"{registration_name}_{n}"
+
+        dimensions = np.asarray(array.shape[:3])
+        Deformable(array, origin, spacing, dimensions,
+                   dvf_matrix=direction,
+                   registration_name=registration_name,
+                   reference_name=self.reference_name,
+                   moving_name=self.moving_name)

@@ -443,23 +443,26 @@ class Image(object):
     # -- external contour ------------------------------------------------
     def create_external(self, name="External", color=None, visible=False,
                         filepaths=None, threshold=-250):
-        """Threshold -> largest component -> contours -> ROI (reference
-        structure/image.py:961-994)."""
+        """Threshold -> largest component -> contours -> ROI + mesh
+        (reference structure/image.py:961-994)."""
         from ..utils.image.threshold import external
         from ..utils.roi.contour import contours_from_mask
 
-        mask = external(self.array, threshold=threshold)["mask"]
-        contours_pixel = contours_from_mask(mask)
-        roi = Roi(self, name=name, color=color, visible=visible,
-                  filepaths=filepaths)
-        if contours_pixel:
-            roi.contour_pixel = [
-                np.vstack((c, c[0:1, :])) for c in contours_pixel]
-            roi.contour_position = roi.convert_pixel_to_position(
-                contours_pixel)
-        self.rois[name] = roi
-        Data.match_rois()
-        return roi
+        if color is None:
+            color = [0, 255, 0]
+
+        if name not in self.rois:
+            self.rois[name] = Roi(self, name=name, color=color,
+                                  visible=visible, filepaths=filepaths)
+
+        mask = external(self.array, threshold=threshold, only_mask=True)
+        contours = contours_from_mask(mask.astype(np.uint8))
+        positions = self.rois[name].convert_pixel_to_position(pixel=contours)
+
+        self.rois[name].contour_pixel = contours
+        self.rois[name].contour_position = positions
+        self.rois[name].create_discrete_mesh()
+        return self.rois[name]
 
     # -- geometry queries (reference structure/image.py:996-1181) --------
     def compute_aspect(self, slice_plane):

@@ -1,0 +1,135 @@
+"""Rigid registration tests: device ICP, intensity 6-DoF, Rigid object
+(BASELINE config #4)."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+from medicalimageanalysis_tpu.ops.registration.icp import icp_rigid, kabsch
+
+from helpers import write_ct_series
+
+
+def sphere_points(n=1500, radius=40.0, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # ellipsoid for orientation information
+    return v * radius * np.array([1.0, 0.7, 1.3])
+
+
+def test_kabsch_exact():
+    rng = np.random.default_rng(3)
+    src = rng.normal(size=(50, 3)).astype(np.float32)
+    R = Rotation.from_euler("xyz", [10, -5, 20], degrees=True).as_matrix()
+    t = np.array([4.0, -2.0, 7.0])
+    tgt = src @ R.T + t
+    m = np.asarray(kabsch(src, tgt))
+    np.testing.assert_allclose(m[:3, :3], R, atol=1e-4)
+    np.testing.assert_allclose(m[:3, 3], t, atol=1e-3)
+
+
+def test_icp_recovers_transform():
+    src = sphere_points()
+    R = Rotation.from_euler("xyz", [4, -3, 6], degrees=True).as_matrix()
+    t = np.array([5.0, -8.0, 3.0])
+    tgt = src @ R.T + t
+    m, info = icp_rigid(src, tgt, distance=1e-7, iterations=100,
+                        landmarks=400)
+    # src transformed by m should coincide with tgt
+    moved = src @ m[:3, :3].T + m[:3, 3]
+    rms = np.sqrt(np.mean(np.sum((moved - tgt) ** 2, axis=1)))
+    assert rms < 0.5
+    assert info["iterations"] >= 1
+
+
+def test_icp_class_api():
+    from medicalimageanalysis_tpu.utils.rigid.icp import ICP
+    from medicalimageanalysis_tpu.utils.mesh.trimesh import TriMesh
+    src_pts = sphere_points(800, seed=1)
+    t = np.array([3.0, 1.0, -2.0])
+    tgt_pts = src_pts + t
+    src = TriMesh(src_pts, np.zeros((0, 3), np.int32))
+    tgt = TriMesh(tgt_pts, np.zeros((0, 3), np.int32))
+    icp = ICP(src, tgt)
+    icp.compute_vtk(distance=1e-7, iterations=50)
+    m = icp.get_matrix()
+    np.testing.assert_allclose(m[:3, 3], t, atol=0.2)
+    corr = icp.get_correspondence_set()
+    assert corr.shape[1] == 2
+
+
+@pytest.fixture
+def two_images(tmp_path, rng):
+    base = np.zeros((12, 32, 32), np.float32)
+    zz, yy, xx = np.mgrid[0:12, 0:32, 0:32]
+    base += 800 * np.exp(-(((zz - 6) / 3.0) ** 2 + ((yy - 14) / 6.0) ** 2
+                           + ((xx - 18) / 5.0) ** 2))
+    base += rng.normal(0, 5, base.shape)
+    moved = np.roll(base, shift=(0, 3, -2), axis=(0, 1, 2))
+    write_ct_series(tmp_path / "a", base.astype(np.int16),
+                    spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", moved.astype(np.int16),
+                    spacing=(1, 1), thickness=2.0, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    names = sorted(Data.image_list)
+    ct = [n for n in names if Data.image[n].modality == "CT"][0]
+    mr = [n for n in names if Data.image[n].modality == "MR"][0]
+    return ct, mr
+
+
+def test_rigid_object_registry(two_images):
+    ct, mr = two_images
+    rigid = mia.Rigid(ct, mr)
+    assert rigid.rigid_name == f"{ct}_{mr}"
+    assert Data.rigid_list == [f"{ct}_{mr}"]
+    # collision suffixing
+    rigid2 = mia.Rigid(ct, mr)
+    assert rigid2.rigid_name == f"{ct}_{mr}_1"
+
+
+def test_rigid_create_image_identity(two_images):
+    ct, mr = two_images
+    rigid = mia.Rigid(ct, mr)
+    out = rigid.create_image()
+    mov = Data.image[mr]
+    assert tuple(out["array"].shape) == tuple(mov.array.shape)
+    np.testing.assert_allclose(out["origin"], mov.origin, atol=1e-4)
+    np.testing.assert_allclose(out["array"], mov.array, atol=0.5)
+
+
+def test_rigid_update_translation_rotation(two_images):
+    ct, mr = two_images
+    rigid = mia.Rigid(ct, mr)
+    rigid.update_translation(t_x=5, t_y=-2, t_z=1)
+    np.testing.assert_allclose(rigid.retrieve_translation(), [5, -2, 1])
+    rigid.update_rotation(center=[0, 0, 0], r_z=10)
+    ang = rigid.retrieve_angles(order="ZXY")
+    assert abs(ang[0] - 10) < 1e-3
+
+
+def test_rigid_intensity_registration(two_images):
+    """Recover a pure translation (y+3 px, x-2 px at 1 mm spacing)."""
+    ct, mr = two_images
+    rigid = mia.Rigid(ct, mr)
+    info = rigid.compute_intensity(
+        levels=((2, 80, 0.2), (1, 60, 0.05)))
+    # matrix maps reference -> moving physical: moving = ref + (dx, dy)
+    t = rigid.matrix[:3, 3]
+    # moved = roll(base, y+3, x-2): feature at ref pos p appears in moving
+    # at p + (-2, 3, 0) -> ref->mov sampling offset is (-2, +3, 0)
+    np.testing.assert_allclose(t, [-2.0, 3.0, 0.0], atol=0.7)
+    # registration quality: resampled moving ~ reference
+    out = rigid.create_image()
+    assert info["loss"] < 0.002
+
+
+def test_pre_alignment_origin(two_images):
+    ct, mr = two_images
+    rigid = mia.Rigid(ct, mr)
+    rigid.pre_alignment(origin=True)
+    np.testing.assert_allclose(
+        rigid.matrix[:3, 3],
+        np.asarray(Data.image[mr].origin) - np.asarray(Data.image[ct].origin))
