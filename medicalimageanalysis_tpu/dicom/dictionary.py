@@ -44,6 +44,8 @@ TAG_DICT = {
     0x00081150: ("UI", "ReferencedSOPClassUID"),
     0x00081155: ("UI", "ReferencedSOPInstanceUID"),
     0x00081115: ("SQ", "ReferencedSeriesSequence"),
+    0x0008114A: ("SQ", "ReferencedInstanceSequence"),
+    0x00081200: ("SQ", "StudiesContainingOtherReferencedInstancesSequence"),
     0x00082112: ("SQ", "SourceImageSequence"),
     0x00089215: ("SQ", "DerivationCodeSequence"),
     # patient

@@ -1,0 +1,126 @@
+"""Demons deformable registration (device stencil iterations).
+
+TPU-native replacement for ITK's DemonsRegistrationFilter /
+FastSymmetricForcesDemonsRegistrationFilter /
+DiffeomorphicDemonsRegistrationFilter
+(reference utils/deformable/simpleitk.py:178-256). Demons is pure
+stencil + gather math — ideal XLA material: the whole iteration loop is
+one fori_loop inside one jit, with per-iteration separable Gaussian
+field smoothing on the MXU.
+
+Update rule (Thirion, as in ITK): for difference D = f - m(x+u) and
+gradient g (fixed grad, or symmetric mean for the fast variant):
+    du = D * g / (|g|^2 + D^2 / K),  K = mean voxel spacing squared
+Diffeomorphic composes exp(du) into the field instead of adding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..filters import _gauss_kernel_matrix
+from .dvf import _base_coords, _compose
+
+__all__ = ["demons_registration"]
+
+
+def _spatial_gradient(vol, sp):
+    gz, gy, gx = jnp.gradient(vol)
+    return jnp.stack([gx / sp[0], gy / sp[1], gz / sp[2]], axis=-1)
+
+
+def _smooth_field(u, mz, my, mx):
+    def one(c):
+        out = jnp.einsum("ij,jyx->iyx", mz, u[..., c],
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("kj,zjx->zkx", my, out,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("lj,zyj->zyl", mx, out,
+                         preferred_element_type=jnp.float32)
+        return out
+    return jnp.stack([one(0), one(1), one(2)], axis=-1)
+
+
+@partial(jax.jit,
+         static_argnames=("iterations", "method", "smooth", "std_vox"))
+def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
+                 iterations, method, smooth):
+    from ..resample import _trilinear
+
+    Xg, Yg, Zg = _base_coords(fixed.shape)
+    grad_f = _spatial_gradient(fixed, sp)
+    K = jnp.mean(sp) ** 2
+
+    mz = jnp.asarray(_gauss_kernel_matrix(fixed.shape[0],
+                                          max(float(std_vox), 1e-3)))
+    my = jnp.asarray(_gauss_kernel_matrix(fixed.shape[1],
+                                          max(float(std_vox), 1e-3)))
+    mx = jnp.asarray(_gauss_kernel_matrix(fixed.shape[2],
+                                          max(float(std_vox), 1e-3)))
+
+    def warp(vol, u_vox):
+        coords = jnp.stack([Xg + u_vox[..., 0], Yg + u_vox[..., 1],
+                            Zg + u_vox[..., 2]], axis=-1)
+        return _trilinear(vol, coords, jnp.float32(0.0))
+
+    def body(_, u_vox):
+        warped = warp(moving, u_vox)
+        diff = fixed - warped
+        if method == "fast" or method == "diffeomorphic":
+            grad_m = _spatial_gradient(moving, sp)
+            grad_w = jnp.stack([warp(grad_m[..., c], u_vox)
+                                for c in range(3)], axis=-1)
+            g = 0.5 * (grad_f + grad_w)
+        else:
+            g = grad_f
+        g2 = jnp.sum(g * g, axis=-1)
+        denom = g2 + (diff * diff) / K
+        active = (jnp.abs(diff) > intensity_threshold) & (denom > 1e-9)
+        upd_mm = jnp.where(active[..., None],
+                           (diff / jnp.maximum(denom, 1e-9))[..., None] * g,
+                           0.0)
+        if method in ("fast", "diffeomorphic"):
+            max_norm = jnp.max(jnp.linalg.norm(upd_mm, axis=-1))
+            scale = jnp.minimum(1.0, step / jnp.maximum(max_norm, 1e-9))
+            upd_mm = upd_mm * scale
+        upd_vox = upd_mm / sp
+        if method == "diffeomorphic":
+            # exp(upd) via scaling and squaring (3 squarings)
+            v = upd_vox / 8.0
+            for _s in range(3):
+                v = _compose(v, v)
+            u_new = _compose(u_vox, v)
+        else:
+            u_new = u_vox + upd_vox
+        if smooth:
+            u_new = _smooth_field(u_new, mz, my, mx)
+        return u_new
+
+    u0 = jnp.zeros(fixed.shape + (3,), jnp.float32)
+    u = jax.lax.fori_loop(0, iterations, body, u0)
+    return u * sp  # voxels -> mm
+
+
+def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
+                        method="demons", smooth=True, std=1,
+                        iterations=50, intensity_threshold=0.001,
+                        step=2.0):
+    """Run a demons variant; returns (Z, Y, X, 3) DVF in mm such that
+    moving(x + d(x)) ~ fixed(x) on the fixed grid.
+
+    method: 'demons' | 'fast' | 'diffeomorphic' — mirrors the three ITK
+    filters the reference selects between
+    (reference structure/deformable.py:677-690).
+    """
+    fixed = jnp.asarray(fixed, dtype=jnp.float32)
+    moving = jnp.asarray(moving, dtype=jnp.float32)
+    sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
+    out = _demons_core(fixed, moving, sp, float(std), jnp.float32(step),
+                       jnp.float32(intensity_threshold), int(iterations),
+                       method, bool(smooth))
+    return np.asarray(out)

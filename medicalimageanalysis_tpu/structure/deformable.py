@@ -1,0 +1,533 @@
+"""Deformable registration object + Display.
+
+Behavior-parity rebuild of reference structure/deformable.py:32-1001 on
+the device kernels (ops/registration/{demons,bspline,dvf}). DVFs are
+(Z, Y, X, 3) mm fields in the "point displacement" convention the
+reference's consumers assume (update_rois adds d(p) to moving points;
+create_image inverts to get the sampling field) — the reference's
+``ratio`` parameter, ignored there (structure/deformable.py:766 comment),
+is honored here so fractional-deformation display works.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+
+import numpy as np
+
+from ..config import config
+from ..data import Data
+from ..dicom import generate_uid
+from ..ops import geometry as geo
+from ..ops.registration.dvf import invert_dvf, sample_dvf_at_points
+from ..ops.resample import (affine_resample, compose_pixel_matrix,
+                            trilinear_gather)
+
+__all__ = ["Display", "Deformable"]
+
+
+class Display(object):
+    """Deformation view state: list of arrays at fractional ratios +
+    DVF component slices (reference structure/deformable.py:32-384)."""
+
+    def __init__(self, deformable):
+        self.deformable = deformable
+
+        self.origin = None
+        self.spacing = None
+        self.array = []
+        self.image = None
+        self.matrix = np.identity(3)
+
+        self.slice_location = [0, 0, 0]
+        self.scroll_max = None
+        self.offset = {"Axial": [0, 0], "Coronal": [0, 0],
+                       "Sagittal": [0, 0]}
+        self.misc = {}
+
+        self.compute_scroll_max()
+
+    def compute_array(self, slice_plane, portion=0):
+        array_slice = None
+        if slice_plane == "Axial":
+            if 0 <= self.slice_location[0] < self.array[portion].shape[0]:
+                array_slice = self.array[portion][
+                    self.slice_location[0], :, :].astype(np.double)
+        elif slice_plane == "Coronal":
+            if 0 <= self.slice_location[1] < self.array[portion].shape[1]:
+                array_slice = self.array[portion][
+                    :, self.slice_location[1], :].astype(np.double)
+        else:
+            if 0 <= self.slice_location[2] < self.array[portion].shape[2]:
+                array_slice = self.array[portion][
+                    :, :, self.slice_location[2]].astype(np.double)
+        return array_slice
+
+    def compute_deformation(self, division=1):
+        """Sample the field at fractional ratios -> progressive frames
+        (reference structure/deformable.py:124-141)."""
+        for ii in range(division):
+            ratio = (ii + 1) / division
+            out = self.deformable.create_image(ratio=ratio)
+            self.array += [out["array"]]
+            self.spacing = tuple(out["spacing"])
+            self.origin = np.asarray(out["origin"])
+        self.compute_offset()
+        self.compute_scroll_max()
+
+    def compute_grid(self, slice_plane="Axial", vector="x"):
+        """DVF component cross-section
+        (reference structure/deformable.py:143-173)."""
+        dvf = self.deformable.dvf
+        if slice_plane == "Axial":
+            dvf_plane = dvf[self.slice_location[0], :, :, :]
+        elif slice_plane == "Coronal":
+            dvf_plane = dvf[:, self.slice_location[1], :, :]
+        else:
+            dvf_plane = dvf[:, :, self.slice_location[2], :]
+        comp = {"x": 0, "y": 1}.get(vector, 2)
+        return dvf_plane[:, :, comp].astype(np.float32)
+
+    def compute_matrix_pixel_to_position(self):
+        return geo.pixel_to_position_matrix(self.matrix, self.spacing,
+                                            self.origin)
+
+    def compute_matrix_position_to_pixel(self):
+        return geo.position_to_pixel_matrix(self.matrix, self.spacing,
+                                            self.origin)
+
+    def compute_mesh_slice(self, roi_name=None, location=None,
+                           slice_plane=None, return_pixel=False):
+        """Deformed-ROI-mesh plane cut
+        (reference structure/deformable.py:216-275)."""
+        if self.deformable.rois.get(roi_name) is None:
+            self.deformable.update_rois(roi_name=roi_name)
+        mesh = self.deformable.rois.get(roi_name)
+        if mesh is None:
+            return []
+
+        m3 = np.identity(3)
+        if slice_plane == "Axial":
+            normal = m3[:3, 2]
+        elif slice_plane == "Coronal":
+            normal = m3[:3, 1]
+        else:
+            normal = m3[:3, 0]
+
+        loops = mesh.slice_plane(normal=normal, origin=location)
+        if not return_pixel:
+            from ..utils.mesh.trimesh import _SliceResult
+            return _SliceResult(loops)
+        if not loops:
+            return []
+        pixels = self.convert_position_to_pixel(position=loops)
+        pixel_corrected = []
+        for pixel in pixels:
+            if slice_plane == "Axial":
+                pixel_corrected.append(pixel[:, :2])
+            elif slice_plane == "Coronal":
+                pixel_corrected.append(
+                    np.column_stack((pixel[:, 0], pixel[:, 2])))
+            else:
+                pixel_corrected.append(pixel[:, 1:])
+        return pixel_corrected
+
+    def compute_offset(self):
+        if self.deformable.reference_name is not None:
+            pos = Data.image[self.deformable.reference_name].origin
+            self.offset["Axial"][0] = (self.origin[0] - pos[0]) \
+                / self.spacing[0]
+            self.offset["Axial"][1] = (self.origin[1] - pos[1]) \
+                / self.spacing[1]
+            self.offset["Coronal"][0] = (self.origin[0] - pos[0]) \
+                / self.spacing[0]
+            self.offset["Coronal"][1] = (self.origin[2] - pos[2]) \
+                / self.spacing[2]
+            self.offset["Sagittal"][0] = (self.origin[1] - pos[1]) \
+                / self.spacing[1]
+            self.offset["Sagittal"][1] = (self.origin[2] - pos[2]) \
+                / self.spacing[2]
+
+    def compute_slice_location(self, position=None):
+        if position is None:
+            src = Data.image[self.deformable.reference_name].display
+            source_location = np.flip(src.slice_location)
+            position = src.compute_index_positions(source_location)
+        self.slice_location = np.flip(np.round(
+            (position - self.origin) / self.spacing).astype(np.int32))
+
+    def compute_slice_origin(self, slice_plane):
+        slice_origin = None
+        if slice_plane == "Axial" \
+                and 0 <= self.slice_location[0] <= self.scroll_max[0]:
+            location = np.asarray([0, 0, self.slice_location[0]])
+            slice_origin = self.origin + location * self.spacing
+        elif slice_plane == "Coronal" \
+                and 0 <= self.slice_location[1] <= self.scroll_max[1]:
+            location = np.asarray([0, self.slice_location[1], 0])
+            slice_origin = self.origin + location * self.spacing
+        elif slice_plane == "Sagittal" \
+                and 0 <= self.slice_location[2] <= self.scroll_max[2]:
+            location = np.asarray([self.slice_location[2], 0, 0])
+            slice_origin = self.origin + location * self.spacing
+        return slice_origin
+
+    def compute_scroll_max(self):
+        if len(self.array) == 0:
+            if self.deformable.dimensions is not None:
+                self.scroll_max = np.asarray(
+                    self.deformable.dimensions) - 1
+        else:
+            self.scroll_max = [self.array[-1].shape[0] - 1,
+                               self.array[-1].shape[1] - 1,
+                               self.array[-1].shape[2] - 1]
+
+    def convert_position_to_pixel(self, position=None):
+        m = self.compute_matrix_position_to_pixel()
+        return [geo.apply_homogeneous(np.asarray(p, dtype=np.float64), m)
+                for p in position]
+
+    def update_slice_location(self, scroll, slice_plane):
+        if slice_plane == "Axial":
+            self.slice_location[0] = scroll
+        elif slice_plane == "Coronal":
+            self.slice_location[1] = scroll
+        else:
+            self.slice_location[2] = scroll
+
+
+class Deformable(object):
+    """Non-rigid registration record: DVF + rigid pre-transform
+    (reference structure/deformable.py:387-1001)."""
+
+    def __init__(self, dvf=None, origin=None, spacing=None, dimensions=None,
+                 roi_names=None, rigid_matrix=None, dvf_matrix=None,
+                 registration_name=None, reference_name=None,
+                 moving_name=None, reference_sops=None, moving_sops=None,
+                 reference_meshes=None, moving_meshes=None):
+        self.reference_name = reference_name
+        self.reference_sops = reference_sops
+        self.moving_name = moving_name
+        self.moving_sops = moving_sops
+        self.roi_names = roi_names
+        self.rigid_rois = dict.fromkeys(Data.roi_list)
+        self.rois = dict.fromkeys(Data.roi_list)
+        self.reference_mesh = reference_meshes
+        self.moving_mesh = moving_meshes
+        self.local_uid = generate_uid()
+
+        self.modality = None
+        if dvf_matrix is not None \
+                and not np.allclose(dvf_matrix, np.identity(3), atol=1e-3):
+            self.dvf, self.spacing, self.origin, self.dimensions = \
+                self.correct_dvf_direction(dvf, spacing, origin, dvf_matrix)
+        else:
+            self.dvf = dvf
+            self.origin = origin
+            self.spacing = spacing
+            self.dimensions = dimensions
+
+        self.rigid_matrix = np.identity(4) if rigid_matrix is None \
+            else rigid_matrix
+
+        self.deformable_name = self.add_deformable(registration_name)
+
+        self.display = Display(self)
+        if self.dvf is not None:
+            self.update_rois()
+
+    def add_deformable(self, deformable_name):
+        """'DVF_{ref}_{mov}[_N]' naming with collision suffixing
+        (reference structure/deformable.py:479-511)."""
+        if deformable_name is None:
+            if self.reference_name is None and self.moving_name is None:
+                deformable_name = "DVF_Unknown"
+            else:
+                deformable_name = ("DVF_" + str(self.reference_name) + "_"
+                                   + str(self.moving_name))
+            if deformable_name in Data.deformable_list:
+                n = 1
+                while f"{deformable_name}_{n}" in Data.deformable_list:
+                    n += 1
+                deformable_name = f"{deformable_name}_{n}"
+
+        Data.deformable[deformable_name] = self
+        Data.deformable_list += [deformable_name]
+        return deformable_name
+
+    def compute_aspect(self, slice_plane):
+        if slice_plane == "Axial":
+            return np.round(self.spacing[0] / self.spacing[1], 2)
+        if slice_plane == "Coronal":
+            return np.round(self.spacing[0] / self.spacing[2], 2)
+        return np.round(self.spacing[1] / self.spacing[2], 2)
+
+    def compute_biomechanical(self):
+        """Stub kept for API-shape parity (reference
+        structure/deformable.py:536-540 is an empty stub)."""
+        pass
+
+    def _backend(self, modality_gradient, sigma):
+        """Common setup: ref/mov volumes, cross-modality correction,
+        ROI mask union + blur (reference structure/deformable.py:569-613;
+        the reference's mask-union nesting bug — mov_mask only built on
+        later iterations, :584-592 — is fixed here)."""
+        from ..utils.deformable.jax_backend import DeformableJAX
+
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+
+        backend = DeformableJAX()
+        backend.create_sitk_image(ref.array, ref.origin, ref.spacing,
+                                  ref.matrix)
+        backend.create_sitk_image(mov.array, mov.origin, mov.spacing,
+                                  mov.matrix, reference=False)
+
+        if ref.modality != mov.modality and modality_gradient:
+            backend.cross_modality_correction()
+
+        ref_mask = None
+        mov_mask = None
+        for roi_name in (self.roi_names or []):
+            ref_roi = ref.rois.get(roi_name)
+            mov_roi = mov.rois.get(roi_name)
+            if ref_roi is None or mov_roi is None:
+                continue
+            if (ref_roi.mesh is not None
+                    or ref_roi.contour_pixel is not None) \
+                    and (mov_roi.mesh is not None
+                         or mov_roi.contour_pixel is not None):
+                rm = ref_roi.compute_mask()
+                mm = mov_roi.compute_mask()
+                ref_mask = rm if ref_mask is None else ref_mask + rm
+                mov_mask = mm if mov_mask is None else mov_mask + mm
+
+        if ref_mask is not None and mov_mask is not None:
+            backend.create_sitk_image(ref_mask, ref.origin, ref.spacing,
+                                      ref.matrix, mask=True)
+            backend.create_sitk_image(mov_mask, mov.origin, mov.spacing,
+                                      mov.matrix, reference=False,
+                                      mask=True)
+            if sigma is not None:
+                backend.blur_mask(sigma=sigma)
+        return backend
+
+    def _store_dvf(self, dvf_volume):
+        """Store in point-displacement convention: invert the sampling
+        field the solvers return."""
+        sampling = dvf_volume["array"]
+        self.origin = np.asarray(dvf_volume["origin"])
+        self.spacing = tuple(dvf_volume["spacing"])
+        self.dvf = invert_dvf(sampling, dvf_volume["spacing"])
+        self.dimensions = np.asarray(self.dvf.shape[:3])
+        self.display.compute_scroll_max()
+
+    def compute_bspline(self, modality_gradient=True, sigma=2,
+                        control_spacing=None, mesh_size=None,
+                        gradient=1e-5, iterations=100, crop=5):
+        """B-spline FFD (reference structure/deformable.py:542-613)."""
+        backend = self._backend(modality_gradient, sigma)
+        # rigid pre-transform: resample moving through rigid_matrix
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+        A = compose_pixel_matrix(mov.matrix, mov.spacing, mov.origin,
+                                 ref.matrix, ref.spacing, ref.origin,
+                                 phys_transform=self.rigid_matrix)
+        resampled = np.asarray(affine_resample(
+            np.asarray(mov.array, np.float32), A, ref.array.shape,
+            background=0.0))
+        backend.create_sitk_image(resampled, ref.origin, ref.spacing,
+                                  ref.matrix, reference=False)
+        backend.resample()
+        dvf_volume = backend.bspline(control_spacing=control_spacing,
+                                     mesh_size=mesh_size,
+                                     gradient=gradient,
+                                     iterations=iterations, crop=crop)
+        self._store_dvf(dvf_volume)
+
+    def compute_demons(self, method=None, modality_gradient=True, sigma=2,
+                       smooth=True, std=1, iterations=50,
+                       intensity_threshold=0.001, step=2.0, crop=5):
+        """Demons variants (reference structure/deformable.py:615-690)."""
+        backend = self._backend(modality_gradient, sigma)
+        backend.resample()
+        if method in ("Demons", "demons"):
+            dvf_volume = backend.demons(
+                smooth=smooth, std=std, iterations=iterations,
+                intensity_threshold=intensity_threshold, crop=crop)
+        elif method in ("Diffeomorphic", "diffeomorphic"):
+            dvf_volume = backend.diffeomorphic(
+                smooth=smooth, std=std, iterations=iterations,
+                intensity_threshold=intensity_threshold, crop=crop)
+        else:
+            dvf_volume = backend.fast_demons(
+                smooth=smooth, std=std, iterations=iterations,
+                intensity_threshold=intensity_threshold, step=step,
+                crop=crop)
+        self._store_dvf(dvf_volume)
+
+    @staticmethod
+    def correct_dvf_direction(dvf, spacing, origin, matrix):
+        """Rotate field vectors to identity direction about the volume
+        center, rewriting the origin
+        (reference structure/deformable.py:693-730)."""
+        D_new = np.identity(3)
+        R = D_new @ np.linalg.inv(matrix)
+
+        center_index = (np.flip(np.asarray(dvf.shape))[1:] - 1) / 2.0
+        center_phys = np.asarray(origin) + np.asarray(matrix) @ (
+            center_index * np.asarray(spacing))
+
+        Z, Y, X, _ = dvf.shape
+        dvf_rotated = (R @ dvf.reshape(-1, 3).T).T.reshape(Z, Y, X, 3)
+
+        origin_new = center_phys - D_new @ (center_index
+                                            * np.asarray(spacing))
+        return dvf_rotated, spacing, origin_new, dvf_rotated.shape[0:3]
+
+    def create_image(self, ratio=1):
+        """Rigid resample -> invert DVF -> displacement warp
+        (reference structure/deformable.py:732-774; `ratio` honored
+        here, scaling the field)."""
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+
+        A = compose_pixel_matrix(mov.matrix, mov.spacing, mov.origin,
+                                 ref.matrix, ref.spacing, ref.origin,
+                                 phys_transform=self.rigid_matrix)
+        resampled = np.asarray(affine_resample(
+            np.asarray(mov.array, np.float32), A, ref.array.shape,
+            background=config.background_fill))
+
+        dvf = np.asarray(self.dvf) * float(ratio)
+        inv = invert_dvf(dvf, self.spacing)
+
+        # sample the (possibly different-grid) inverse field at ref voxels
+        ref_p2p = geo.pixel_to_position_matrix(ref.matrix, ref.spacing,
+                                               ref.origin)
+        Z, Y, X = resampled.shape
+        zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y),
+                                 np.arange(X), indexing="ij")
+        pix = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=1)
+        pos = geo.apply_homogeneous(pix, ref_p2p)
+        disp = sample_dvf_at_points(inv, pos, self.origin, self.spacing,
+                                    mode_nearest=False)
+        # displaced sample positions -> ref pixel coords
+        sample_pos = pos + disp
+        ref_pos2pix = geo.position_to_pixel_matrix(
+            ref.matrix, ref.spacing, ref.origin)
+        sample_pix = geo.apply_homogeneous(sample_pos, ref_pos2pix) \
+            .reshape(Z, Y, X, 3).astype(np.float32)
+        warped = np.asarray(trilinear_gather(
+            resampled, sample_pix, background=config.background_fill))
+        return {"array": warped, "origin": np.asarray(ref.origin),
+                "spacing": np.asarray(ref.spacing),
+                "direction": np.asarray(ref.matrix)}
+
+    def export_image(self, path=None):
+        """(reference structure/deformable.py:776-788)."""
+        if self.moving_name is not None and path is not None:
+            out = self.create_image()
+            from ..read.mhd import write_mhd_volume
+            write_mhd_volume(path, out["array"], spacing=out["spacing"],
+                             origin=out["origin"])
+
+    # -- view queries (reference structure/deformable.py:790-937) -------
+    def retrieve_array_plane(self, slice_plane, solo=None, position=None,
+                             vector=None):
+        if len(self.display.array) == 0:
+            self.display.compute_deformation()
+            self.display.compute_slice_location()
+        if solo is None:
+            self.display.compute_slice_location(position=position)
+        if vector is None:
+            return self.display.compute_array(slice_plane)
+        if vector in ("x", "y", "z"):
+            return self.display.compute_grid(slice_plane=slice_plane,
+                                             vector=vector)
+        return None
+
+    def retrieve_grid(self, slice_plane="Axial", vector="x"):
+        return self.display.compute_grid(slice_plane=slice_plane,
+                                         vector=vector)
+
+    def retrieve_offset(self, slice_plane):
+        return self.display.offset[slice_plane]
+
+    def retrieve_slice_location(self, slice_plane):
+        if slice_plane == "Axial":
+            return self.display.slice_location[0]
+        if slice_plane == "Coronal":
+            return self.display.slice_location[1]
+        return self.display.slice_location[2]
+
+    def retrieve_slice_position(self, slice_plane=None):
+        m = self.display.compute_matrix_pixel_to_position()
+        if slice_plane is None:
+            location = [self.display.slice_location[2],
+                        self.display.slice_location[1],
+                        self.display.slice_location[0]]
+        elif slice_plane == "Axial":
+            location = [0, 0, self.display.slice_location[0]]
+        elif slice_plane == "Coronal":
+            location = [0, self.display.slice_location[1], 0]
+        else:
+            location = [self.display.slice_location[2], 0, 0]
+        return geo.apply_homogeneous(location, m)
+
+    def retrieve_scroll_max(self, slice_plane):
+        if slice_plane == "Axial":
+            return self.display.scroll_max[0]
+        if slice_plane == "Coronal":
+            return self.display.scroll_max[1]
+        return self.display.scroll_max[2]
+
+    def save_deformable(self, path):
+        """json metadata + dvf.npy (replaces the reference's pickled
+        DataFrame, structure/deformable.py:939-959)."""
+        os.makedirs(str(path), exist_ok=True)
+        payload = {
+            "deformable_name": self.deformable_name,
+            "reference_name": self.reference_name,
+            "moving_name": self.moving_name,
+            "roi_names": list(self.roi_names or []),
+            "origin": np.asarray(self.origin, dtype=float).tolist(),
+            "spacing": np.asarray(self.spacing, dtype=float).tolist(),
+            "dimensions": np.asarray(self.dimensions).astype(int).tolist()
+            if self.dimensions is not None else None,
+            "rigid_matrix": np.asarray(self.rigid_matrix).tolist(),
+        }
+        with open(os.path.join(str(path), "deformable.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+        np.save(os.path.join(str(path), "dvf.npy"), self.dvf)
+
+    def update_rois(self, roi_name=None, percent=100):
+        """Warp visible moving ROI meshes through the field
+        (reference structure/deformable.py:961-1001)."""
+        for name in list(self.rois.keys()):
+            if name not in Data.roi_list:
+                del self.rois[name]
+        for name in Data.roi_list:
+            if name not in self.rois:
+                self.rois[name] = None
+                self.rigid_rois[name] = None
+
+        if self.moving_name is None \
+                or self.moving_name not in Data.image:
+            return
+
+        for name in Data.roi_list:
+            if roi_name is None or name == roi_name:
+                roi = Data.image[self.moving_name].rois.get(name)
+                if roi is not None and roi.mesh is not None and roi.visible:
+                    self.rigid_rois[name] = roi.mesh.transform(
+                        np.linalg.inv(self.rigid_matrix), inplace=False)
+                    points = self.rigid_rois[name].points
+                    disp = sample_dvf_at_points(
+                        np.asarray(self.dvf) * (percent / 100.0), points,
+                        self.origin, self.spacing)
+                    deformed = copy.deepcopy(self.rigid_rois[name])
+                    deformed.points = points + disp
+                    self.rois[name] = deformed

@@ -1,0 +1,133 @@
+"""Dose domain object + Display + DVH analytics.
+
+Behavior-parity rebuild of reference structure/dose.py:35-1124. The
+Display machinery and metadata/geometry/view code is shared with Image
+(structure/common.py mixins, structure/image.Display); the dose-grid
+resample runs on device and the DVH reductions are the jitted
+ops/dvh kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..data import Data
+from ..dicom import generate_uid
+from ..ops.dvh import dvh_statistics
+from ..ops.resample import affine_resample, compose_pixel_matrix
+from .common import GeometryQueriesMixin, MetadataMixin, ViewOpsMixin
+from .image import Display as ImageDisplay
+
+__all__ = ["Display", "Dose"]
+
+
+class Display(ImageDisplay):
+    """Identical slicing/reslicing machinery to the image Display
+    (reference structure/dose.py:35-314 duplicates it verbatim)."""
+
+
+class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
+    """3D dose grid + metadata + DVH analytics
+    (reference structure/dose.py:317-1124)."""
+
+    def __init__(self, dose):
+        self.tags = dose.image_set
+        self.array = dose.array
+
+        self.dose_name = dose.dose_name
+        self.modality = dose.modality
+
+        self.patient_name = self.get_patient_name()
+        self.mrn = self.get_mrn()
+        self.birthdate = self.get_birthdate()
+        self.date = self.get_date()
+        self.time = self.get_time()
+        self.local_uid = generate_uid()
+        self.series_uid = self.get_series_uid()
+        self.acq_number = self.get_acq_number()
+        self.frame_ref = self.get_frame_ref()
+        self.window = self.get_window()
+
+        self.filepaths = dose.filepaths
+        self.sops = dose.sops
+
+        self.plane = dose.plane
+        self.spacing = dose.spacing
+        self.dimensions = dose.dimensions
+        self.orientation = dose.orientation
+        self.origin = dose.origin
+        self.matrix = dose.image_matrix
+
+        self.camera_position = None
+        self.misc = {}
+
+        self.rois = {}
+        self.display = Display(self)
+
+    # -- grid bundle (replaces create_sitk_image, dose.py:894-918) ------
+    def create_volume(self):
+        return {"array": np.asarray(self.array),
+                "origin": np.asarray(self.origin, dtype=float),
+                "spacing": np.asarray(self.spacing, dtype=float),
+                "direction": np.asarray(self.matrix, dtype=float)}
+
+    create_sitk_image = create_volume
+
+    # -- DVH analytics ----------------------------------------------------
+    def compute_dose_statistics(self):
+        """Stub kept for API-shape parity (reference
+        structure/dose.py:732-736 is an empty stub)."""
+        pass
+
+    def compute_roi_dose_array(self, image_name, roi_name):
+        """Resample the dose grid onto the image grid and extract the
+        masked voxels (reference structure/dose.py:738-772)."""
+        image = Data.image[image_name]
+        roi = image.rois[roi_name]
+        mask = roi.compute_mask()
+
+        A = compose_pixel_matrix(self.matrix, self.spacing, self.origin,
+                                 image.matrix, image.spacing, image.origin)
+        dose_resampled = np.asarray(affine_resample(
+            np.asarray(self.array, np.float32), A, image.array.shape,
+            background=0.0))
+        return dose_resampled[mask > 0]
+
+    def compute_roi_dose_statistics(self, image_name, roi_name,
+                                    max_dose=150, increment=5):
+        """Volume cc, Dmin/Dmax/Dmean/Dmedian/Dstd, D1..D99, VS{d}Gy bins
+        (reference structure/dose.py:774-816; device reductions)."""
+        spacing = Data.image[image_name].spacing
+        dose_in_roi = self.compute_roi_dose_array(image_name, roi_name)
+        voxel_vol_cc = np.prod(spacing) / 1000.0
+        return dvh_statistics(dose_in_roi, voxel_vol_cc,
+                              roi_name=roi_name, max_dose=max_dose,
+                              increment=increment)
+
+    # -- persistence -------------------------------------------------------
+    def save_image(self, path):
+        """json + npy schema (replaces the reference's pickle,
+        structure/dose.py:1072-1090)."""
+        base = os.path.join(str(path), self.dose_name)
+        os.makedirs(base, exist_ok=True)
+        meta = {
+            "dose_name": self.dose_name, "modality": self.modality,
+            "patient_name": self.patient_name, "mrn": self.mrn,
+            "date": str(self.date), "time": str(self.time),
+            "series_uid": self.series_uid, "frame_ref": self.frame_ref,
+            "plane": self.plane,
+            "spacing": np.asarray(self.spacing, dtype=float).tolist(),
+            "dimensions": np.asarray(self.dimensions).astype(int).tolist(),
+            "orientation": np.asarray(self.orientation,
+                                      dtype=float).tolist(),
+            "origin": np.asarray(self.origin, dtype=float).tolist(),
+            "matrix": np.asarray(self.matrix, dtype=float).tolist(),
+        }
+        with open(os.path.join(base, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        if self.array is not None:
+            np.save(os.path.join(base, "array.npy"),
+                    np.asarray(self.array))

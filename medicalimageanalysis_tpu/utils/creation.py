@@ -75,6 +75,11 @@ class CreateDicomImage(object):
 
         sop_class = uids.MODALITY_SOP_CLASS.get(modality,
                                                 uids.CTImageStorage)
+        # unique per-series SOP base (the reference hardcodes
+        # str(10000+ii), utils/creation.py:186, which collides across
+        # series and breaks REG/RTSTRUCT matching)
+        self.sops = [f"{self.series}.{ii}"
+                     for ii in range(self.data.shape[0])]
         today = str(datetime.date.today()).replace("-", "")
         os.makedirs(str(self.output_dir), exist_ok=True)
 
@@ -84,7 +89,7 @@ class CreateDicomImage(object):
             ds = Dataset()
             fm = FileMetaDataset()
             fm.add(0x00020002, "UI", sop_class)
-            fm.add(0x00020003, "UI", str(10000 + ii))
+            fm.add(0x00020003, "UI", self.sops[ii])
             fm.add(0x00020010, "UI", uids.ExplicitVRLittleEndian)
             fm.add(0x00020012, "UI", generate_uid())
             ds.file_meta = fm
@@ -100,7 +105,7 @@ class CreateDicomImage(object):
             ds.ContentTime = str(10)
             ds.StudyInstanceUID = self.study
             ds.SeriesInstanceUID = self.series
-            ds.SOPInstanceUID = str(10000 + ii)
+            ds.SOPInstanceUID = self.sops[ii]
             ds.SOPClassUID = sop_class
             ds.StudyID = "100"
 

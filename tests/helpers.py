@@ -17,7 +17,7 @@ def write_ct_series(folder, arr, origin=(-100.0, -120.0, -50.0),
     gen.run(modality=modality)
     # collect geometry for building RTSTRUCTs against this series
     series_uid = gen.series
-    sops = [str(10000 + i) for i in range(arr.shape[0])]
+    sops = list(gen.sops)
     return {"series_uid": series_uid, "sops": sops,
             "origin": np.asarray(origin), "spacing": np.asarray(spacing),
             "thickness": thickness, "frame": gen.frame}

@@ -1,0 +1,234 @@
+"""Deformable registration, DVF ops, REG/RTDOSE ingest, DVH tests."""
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+from medicalimageanalysis_tpu.dicom import (Dataset, Sequence, dcmwrite,
+                                            generate_uid, uids)
+
+from helpers import write_ct_series
+
+
+def make_blob(shape=(12, 32, 32), center=(6, 16, 16), sigma=(3, 6, 6)):
+    zz, yy, xx = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+    return 1000 * np.exp(-(((zz - center[0]) / sigma[0]) ** 2
+                           + ((yy - center[1]) / sigma[1]) ** 2
+                           + ((xx - center[2]) / sigma[2]) ** 2))
+
+
+def test_warp_invert_roundtrip(rng):
+    from medicalimageanalysis_tpu.ops.registration.dvf import (
+        invert_dvf, warp_volume)
+    vol = make_blob().astype(np.float32)
+    dvf = np.zeros(vol.shape + (3,), np.float32)
+    dvf[..., 0] = 2.0  # constant shift in x (mm = voxels here)
+    warped = np.asarray(warp_volume(vol, dvf, (1, 1, 1)))
+    # warp samples at x+2: warped(x) = vol(x+2) -> content moves -x
+    np.testing.assert_allclose(warped[:, :, 5], vol[:, :, 7], atol=1e-3)
+    inv = invert_dvf(dvf, (1, 1, 1))
+    np.testing.assert_allclose(inv[..., 0][3:-3, 3:-3, 3:-3], -2.0,
+                               atol=0.05)
+
+
+def test_demons_recovers_translation():
+    from medicalimageanalysis_tpu.ops.registration.demons import (
+        demons_registration)
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+    fixed = make_blob().astype(np.float32) / 1000.0
+    moving = np.roll(fixed, shift=2, axis=2)  # moved +x by 2 voxels
+    dvf = demons_registration(fixed, moving, (1, 1, 1), method="fast",
+                              iterations=60, std=1.0)
+    warped = np.asarray(warp_volume(moving, dvf, (1, 1, 1)))
+    err_before = np.abs(moving - fixed).mean()
+    err_after = np.abs(warped - fixed).mean()
+    assert err_after < 0.35 * err_before
+
+
+def test_bspline_recovers_translation():
+    from medicalimageanalysis_tpu.ops.registration.bspline import (
+        bspline_registration)
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+    fixed = make_blob().astype(np.float32) / 1000.0
+    moving = np.roll(fixed, shift=2, axis=1)
+    dvf, losses = bspline_registration(
+        fixed, moving, (1, 1, 1), control_spacing=[8, 8, 8],
+        iterations=80, lr=0.5)
+    warped = np.asarray(warp_volume(moving, dvf, (1, 1, 1)))
+    err_before = np.abs(moving - fixed).mean()
+    err_after = np.abs(warped - fixed).mean()
+    assert err_after < 0.4 * err_before
+    assert losses[-1] < losses[0]
+
+
+@pytest.fixture
+def two_images(tmp_path):
+    base = make_blob().astype(np.int16)
+    moved = np.roll(base, shift=2, axis=2)
+    write_ct_series(tmp_path / "a", base, spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", moved, spacing=(1, 1), thickness=2.0,
+                    modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    names = sorted(Data.image_list)
+    ct = [n for n in names if Data.image[n].modality == "CT"][0]
+    mr = [n for n in names if Data.image[n].modality == "MR"][0]
+    return ct, mr
+
+
+def test_deformable_object_demons(two_images):
+    ct, mr = two_images
+    deform = mia.Deformable(reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    assert deform.deformable_name == f"DVF_{ct}_{mr}"
+    deform.compute_demons(method="demons", modality_gradient=False,
+                          iterations=40, crop=0)
+    assert deform.dvf.shape[-1] == 3
+    out = deform.create_image()
+    fixed = Data.image[ct].array.astype(np.float32)
+    moving = Data.image[mr].array.astype(np.float32)
+    interior = np.s_[2:-2, 4:-4, 4:-4]
+    err_before = np.abs(moving - fixed)[interior].mean()
+    err_after = np.abs(out["array"] - fixed)[interior].mean()
+    assert err_after < 0.6 * err_before
+
+
+def test_deformable_display_grid(two_images):
+    ct, mr = two_images
+    deform = mia.Deformable(reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    deform.compute_demons(modality_gradient=False, iterations=10, crop=0)
+    deform.display.compute_deformation(division=2)
+    assert len(deform.display.array) == 2
+    grid = deform.retrieve_grid(slice_plane="Axial", vector="x")
+    assert grid.shape == deform.dvf.shape[1:3]
+
+
+def write_reg_file(path, ref_info, mov_info, matrix):
+    ds = Dataset()
+    ds.SOPClassUID = uids.SpatialRegistrationStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "REG"
+    ds.PatientID = "MRN001"
+
+    def series_item(info):
+        item = Dataset()
+        item.SeriesInstanceUID = info["series_uid"]
+        refs = Sequence()
+        for sop in info["sops"]:
+            r = Dataset()
+            r.ReferencedSOPClassUID = uids.CTImageStorage
+            r.ReferencedSOPInstanceUID = sop
+            refs.append(r)
+        item.ReferencedInstanceSequence = refs
+        return item
+
+    ds.ReferencedSeriesSequence = Sequence(
+        [series_item(ref_info), series_item(mov_info)])
+
+    def reg_item(m):
+        mat_item = Dataset()
+        mat_item.FrameOfReferenceTransformationMatrix = [
+            float(v) for v in np.asarray(m).reshape(-1)]
+        mat_item.FrameOfReferenceTransformationMatrixType = "RIGID"
+        mreg = Dataset()
+        mreg.MatrixSequence = Sequence([mat_item])
+        item = Dataset()
+        item.MatrixRegistrationSequence = Sequence([mreg])
+        return item
+
+    ds.RegistrationSequence = Sequence(
+        [reg_item(np.eye(4)), reg_item(matrix)])
+    dcmwrite(path, ds)
+
+
+def test_read_reg_rigid(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    info_a = write_ct_series(tmp_path / "a", arr)
+    info_b = write_ct_series(tmp_path / "b", arr, modality="MR")
+    m = np.eye(4)
+    m[:3, 3] = [5.0, -3.0, 2.0]
+    write_reg_file(tmp_path / "reg.dcm", info_a, info_b, m)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.rigid_list) == 1
+    rigid = Data.rigid[Data.rigid_list[0]]
+    # stored moving matrix is the inverse of the file matrix
+    np.testing.assert_allclose(rigid.matrix, np.linalg.inv(m), atol=1e-5)
+
+
+def write_rtdose_file(path, dose_array, ref_info, scaling=0.001):
+    ds = Dataset()
+    ds.SOPClassUID = uids.RTDoseStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "RTDOSE"
+    ds.PatientID = "MRN001"
+    ds.FrameOfReferenceUID = ref_info["frame"]
+    ds.ImagePositionPatient = [float(v) for v in ref_info["origin"]]
+    ds.ImageOrientationPatient = [1, 0, 0, 0, 1, 0]
+    ds.PixelSpacing = [float(ref_info["spacing"][1]),
+                       float(ref_info["spacing"][0])]
+    ds.SliceThickness = ref_info["thickness"]
+    ds.GridFrameOffsetVector = [
+        float(i * ref_info["thickness"])
+        for i in range(dose_array.shape[0])]
+    ds.DoseGridScaling = scaling
+    ds.DoseUnits = "GY"
+    ds.DoseType = "PHYSICAL"
+    ds.DoseSummationType = "PLAN"
+    ds.NumberOfFrames = dose_array.shape[0]
+    ds.Rows = dose_array.shape[1]
+    ds.Columns = dose_array.shape[2]
+    ds.BitsAllocated = 32
+    ds.BitsStored = 32
+    ds.HighBit = 31
+    ds.PixelRepresentation = 0
+    ds.SamplesPerPixel = 1
+    ds.PhotometricInterpretation = "MONOCHROME2"
+    ds.PixelData = dose_array.astype("<u4").tobytes()
+    dcmwrite(path, ds)
+
+
+def test_read_rtdose_and_dvh(tmp_path, rng):
+    from helpers import square_contour_mm, write_rtstruct
+    arr = rng.integers(-500, 500, size=(8, 24, 24)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    rois = {"Target": [(square_contour_mm(info, z, 6, 14), z)
+                       for z in range(2, 6)]}
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois)
+
+    dose_raw = np.full((8, 24, 24), 20000, np.uint32)  # 20 Gy at 0.001
+    dose_raw[2:6, 6:15, 6:15] = 60000                  # 60 Gy in target
+    write_rtdose_file(tmp_path / "ct" / "rd.dcm", dose_raw, info)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert Data.dose_list == ["RTDOSE 01"]
+    dose = Data.dose["RTDOSE 01"]
+    assert dose.array.shape == (8, 24, 24)
+    np.testing.assert_allclose(dose.array[0, 0, 0], 20.0, atol=1e-3)
+
+    stats = dose.compute_roi_dose_statistics("CT 01", "Target")
+    assert stats["ROI"] == "Target"
+    # target voxels all at 60 Gy
+    assert stats["Dmax"] == pytest.approx(60.0, abs=0.1)
+    assert stats["Dmean"] == pytest.approx(60.0, abs=1.0)
+    assert stats["D95"] <= stats["D5"]
+    assert stats["VS50Gy_percent"] < 10.0
+    assert stats["Volume (cc)"] == pytest.approx(
+        9 * 9 * 4 * (1 * 1 * 2) / 1000.0, rel=0.1)
+
+
+def test_dvh_matches_numpy(rng):
+    from medicalimageanalysis_tpu.ops.dvh import dvh_statistics
+    dose = rng.uniform(0, 70, size=5000).astype(np.float32)
+    stats = dvh_statistics(dose, 0.001, roi_name="X")
+    assert stats["Dmin"] == pytest.approx(float(dose.min()), abs=1e-3)
+    assert stats["Dmax"] == pytest.approx(float(dose.max()), abs=1e-3)
+    assert stats["Dmean"] == pytest.approx(float(dose.mean()), abs=1e-2)
+    for d in (5, 50, 95):
+        assert stats[f"D{d}"] == pytest.approx(
+            float(np.percentile(dose, 100 - d)), abs=0.1)
+    mask = dose < 30
+    assert stats["VS30Gy_percent"] == pytest.approx(
+        mask.mean() * 100, abs=0.1)
