@@ -1,0 +1,143 @@
+"""Batched, shardable volume pipelines.
+
+The flagship compute paths, expressed over a (B, Z, Y, X) batch so a
+whole patient cohort runs in one pjit'd program (BASELINE.md: 50+ CT
+series/sec end-to-end on a v5e-8):
+
+- :func:`preprocess_batch` — fused rescale -> FFS -> isotropic separable
+  resample -> Gaussian -> external-threshold mask.
+- :func:`registration_train_step` — one optimizer step of batched 6-DoF
+  intensity registration (the multichip "training step": volumes sharded
+  over ('data', 'space'), poses over 'data').
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.filters import _gauss_kernel_matrix
+from ..ops.resample import _interp_matrix
+
+__all__ = ["make_preprocess_fn", "make_registration_step",
+           "preprocess_batch"]
+
+
+def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
+                       threshold=-250.0, sigma_vox=1.0):
+    """Build the jittable fused preprocess step for fixed shapes.
+
+    raw (B, Z, Y, X) stored values + per-series slope/intercept ->
+    (volumes (B, oz, oy, ox) float32, masks uint8).
+    """
+    Z, Y, X = in_shape
+    if ffs_op in ("ax_rot1", "ax_rot3"):
+        ry, rx = X, Y
+    else:
+        ry, rx = Y, X
+    oz, oy, ox = out_shape
+    mz = jnp.asarray(_interp_matrix(oz, Z, Z / oz))
+    my = jnp.asarray(_interp_matrix(oy, ry, ry / oy))
+    mx = jnp.asarray(_interp_matrix(ox, rx, rx / ox))
+    gz = jnp.asarray(_gauss_kernel_matrix(oz, sigma_vox))
+    gy = jnp.asarray(_gauss_kernel_matrix(oy, sigma_vox))
+    gx = jnp.asarray(_gauss_kernel_matrix(ox, sigma_vox))
+
+    def step(raw, slope, intercept):
+        vol = raw.astype(jnp.float32) * slope[:, None, None, None] \
+            + intercept[:, None, None, None]
+        if ffs_op == "ax_rot1":
+            vol = jnp.rot90(vol, 1, (2, 3))
+        elif ffs_op == "ax_rot2":
+            vol = jnp.rot90(vol, 2, (2, 3))
+        elif ffs_op == "ax_rot3":
+            vol = jnp.rot90(vol, 3, (2, 3))
+        # separable resample (MXU) fused with the rescale above
+        out = jnp.einsum("ij,bjyx->biyx", mz, vol,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("kj,bzjx->bzkx", my, out,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("lj,bzyj->bzyl", mx, out,
+                         preferred_element_type=jnp.float32)
+        blurred = jnp.einsum("ij,bjyx->biyx", gz, out,
+                             preferred_element_type=jnp.float32)
+        blurred = jnp.einsum("kj,bzjx->bzkx", gy, blurred,
+                             preferred_element_type=jnp.float32)
+        blurred = jnp.einsum("lj,bzyj->bzyl", gx, blurred,
+                             preferred_element_type=jnp.float32)
+        mask = (blurred > threshold).astype(jnp.uint8)
+        return out, mask
+
+    return step
+
+
+def preprocess_batch(raw, slopes, intercepts, out_shape=(64, 256, 256),
+                     ffs_op="none", mesh=None):
+    """Host wrapper: run the fused preprocess over a batch, optionally
+    sharded over a Mesh."""
+    fn = make_preprocess_fn(raw.shape[1:], out_shape, ffs_op=ffs_op)
+    jfn = jax.jit(fn)
+    if mesh is not None:
+        from .mesh import batch_sharding, volume_sharding
+        jfn = jax.jit(fn, in_shardings=(volume_sharding(mesh),
+                                        batch_sharding(mesh),
+                                        batch_sharding(mesh)),
+                      out_shardings=(volume_sharding(mesh),
+                                     volume_sharding(mesh)))
+    vols, masks = jfn(jnp.asarray(raw), jnp.asarray(slopes),
+                      jnp.asarray(intercepts))
+    return vols, masks
+
+
+def make_registration_step(vol_shape, lr=0.05, stride=2):
+    """Batched 6-DoF intensity-registration train step.
+
+    State: poses (B, 6) [scaled units], adam moments. Volumes
+    (B, Z, Y, X): `ref`, `mov` share the grid (unit spacing, zero
+    origin) — the full physical-geometry path lives in
+    models/rigid_intensity; this step is the scaling/multichip
+    workhorse shape.
+    """
+    import optax
+
+    from ..models.rigid_intensity import _POSE_SCALE, pose_to_matrix
+    from ..ops.resample import _trilinear
+
+    Z, Y, X = vol_shape
+    zz = jnp.arange(0, Z, stride, dtype=jnp.float32)
+    yy = jnp.arange(0, Y, stride, dtype=jnp.float32)
+    xx = jnp.arange(0, X, stride, dtype=jnp.float32)
+    Zg, Yg, Xg = jnp.meshgrid(zz, yy, xx, indexing="ij")
+    coords = jnp.stack([Xg.ravel(), Yg.ravel(), Zg.ravel()], axis=-1)
+    ones = jnp.ones((coords.shape[0], 1), jnp.float32)
+    coords_h = jnp.concatenate([coords, ones], axis=1)
+    center = jnp.asarray([X / 2, Y / 2, Z / 2], jnp.float32)
+    scale = jnp.asarray(_POSE_SCALE)
+    opt = optax.adam(lr)
+
+    def single_loss(params, ref, mov):
+        m = pose_to_matrix(params * scale, center)
+        mov_pix = coords_h @ m.T
+        ref_vals = _trilinear(ref, coords, jnp.float32(0.0))
+        vals = _trilinear(mov, mov_pix[:, :3], jnp.float32(0.0))
+        return jnp.mean((vals - ref_vals) ** 2)
+
+    def loss_fn(params, refs, movs):
+        losses = jax.vmap(single_loss)(params, refs, movs)
+        return jnp.mean(losses)
+
+    def train_step(params, opt_state, refs, movs):
+        loss, g = jax.value_and_grad(loss_fn)(params, refs, movs)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def init(batch):
+        params = jnp.zeros((batch, 6), jnp.float32)
+        return params, opt.init(params)
+
+    return train_step, init

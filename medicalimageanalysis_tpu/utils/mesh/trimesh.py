@@ -19,6 +19,14 @@ class TriMesh:
     def __init__(self, points, faces):
         self.points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
         self.faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+        self.point_data = {}
+
+    # pyvista-style point-data access: mesh["colors"] = ...
+    def __setitem__(self, key, value):
+        self.point_data[key] = np.asarray(value)
+
+    def __getitem__(self, key):
+        return self.point_data[key]
 
     # -- basic properties ------------------------------------------------
     @property
