@@ -34,6 +34,12 @@ def main():
     from medicalimageanalysis_tpu.parallel.batch import make_preprocess_fn
     from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
 
+    from medicalimageanalysis_tpu.config import config
+    # host assembles the raw stacks; ALL device work happens in one
+    # batched program below (cohort design — avoids per-series
+    # host<->device round trips)
+    config.jit_ingest = False
+
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="mia_bench_")
     for s in range(N_SERIES):

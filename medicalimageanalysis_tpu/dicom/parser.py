@@ -207,12 +207,119 @@ class _Reader:
         return frags
 
 
+class LazyElement(DataElement):
+    """DataElement whose value converts from the file buffer on first
+    access (zero-copy until touched) — fed by the native scanner."""
+
+    __slots__ = ("_buf", "_off", "_len", "_little", "_value")
+
+    def __init__(self, tag, vr, buf, off, length, little):
+        self.tag = tag
+        self.VR = vr
+        self._buf = buf
+        self._off = off
+        self._len = length
+        self._little = little
+        self._value = _UNSET
+
+    @property
+    def value(self):
+        if self._value is _UNSET:
+            raw = self._buf[self._off:self._off + self._len]
+            if self.tag == _PIXEL_DATA or self.VR in (
+                    "OB", "OW", "OF", "OD", "OL", "OV", "UN"):
+                self._value = bytes(raw)
+            else:
+                self._value = _convert_value(self.VR, raw, self._little)
+        return self._value
+
+    @value.setter
+    def value(self, v):
+        self._value = v
+
+
+_UNSET = object()
+
+_VR_ITEM = 0xFFFEE000
+_VR_ITEM_END = 0xFFFEE00D
+_VR_SEQ_END = 0xFFFEE0DD
+
+
+def _build_from_entries(buf, entries, little, stop_before_pixels,
+                        specific):
+    """Reconstruct a Dataset tree from the native scanner's flat
+    (tag, vr, depth, off, len) table."""
+    root = Dataset()
+    stack = [root]        # dataset stack
+    seq_stack = []        # open Sequence objects
+    frag_stack = []       # open fragment lists
+    n = len(entries)
+    i = 0
+    while i < n:
+        e = entries[i]
+        tag = int(e["tag"])
+        vr_code = int(e["vr"])
+        vr = (chr(vr_code & 0xFF) + chr(vr_code >> 8)) if vr_code else None
+        off = int(e["off"])
+        length = int(e["len"])
+        i += 1
+
+        if tag == _VR_ITEM:
+            if vr == "FR":  # pixel-data fragment
+                frag_stack[-1].append(bytes(buf[off:off + length]))
+                continue
+            item = Dataset()
+            seq_stack[-1].append(item)
+            stack.append(item)
+            continue
+        if tag == _VR_ITEM_END:
+            if len(stack) > 1:
+                stack.pop()
+            continue
+        if tag == _VR_SEQ_END:
+            if frag_stack:
+                frag_stack.pop()
+            elif seq_stack:
+                seq_stack.pop()
+            continue
+
+        if vr == "SQ" or (vr is None and length == 0xFFFFFFFFFFFFFFFF):
+            seq = Sequence()
+            stack[-1][tag] = DataElement(tag, "SQ", seq)
+            seq_stack.append(seq)
+            continue
+
+        if length == 0xFFFFFFFFFFFFFFFF:
+            frags = []
+            stack[-1][tag] = DataElement(tag, vr or "OB", frags)
+            frag_stack.append(frags)
+            continue
+
+        if vr is None:
+            vr = tag_to_vr(tag)
+            if vr == "SQ":
+                # defined-length implicit sequence: the scanner can't
+                # know the VR without the dictionary — sub-parse here
+                r = _Reader(buf, explicit=False, little=little)
+                r.pos = off
+                stack[-1][tag] = DataElement(tag, "SQ",
+                                             r.parse_sequence(length))
+                continue
+        if specific is not None and len(stack) == 1 \
+                and tag not in specific and tag != _PIXEL_DATA:
+            continue
+        stack[-1][tag] = LazyElement(tag, vr, buf, off, length, little)
+    return root
+
+
 def dcmread(path_or_bytes, stop_before_pixels=False, specific_tags=None,
-            force=False):
+            force=False, use_native=True):
     """Read a DICOM file into a :class:`Dataset`.
 
     Parameters mirror the pydicom call the reference makes at
     read/dicom.py:90-111 (``stop_before_pixels`` backs ``only_tags``).
+    The native C++ scanner (native/dicomscan.cpp) handles the element
+    walk when available; values convert lazily on first access.
     """
     filename = None
     if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
@@ -221,6 +328,12 @@ def dcmread(path_or_bytes, stop_before_pixels=False, specific_tags=None,
         filename = str(path_or_bytes)
         with open(filename, "rb") as f:
             buf = f.read()
+
+    if use_native:
+        ds = _dcmread_native(buf, stop_before_pixels, specific_tags)
+        if ds is not None:
+            ds.filename = filename
+            return ds
 
     specific = None
     if specific_tags is not None:
@@ -275,6 +388,44 @@ def dcmread(path_or_bytes, stop_before_pixels=False, specific_tags=None,
         raise InvalidDicomError("not a DICOM file")
 
     ds.filename = filename
+    return ds
+
+
+def _dcmread_native(buf, stop_before_pixels, specific_tags):
+    """Fast path through the C++ scanner; returns None to fall back."""
+    try:
+        from ..native import scan
+    except Exception:
+        return None
+    result = scan(buf, stop_before_pixels=stop_before_pixels)
+    if result is None:
+        return None
+    entries, (ts_code, body_start, ts_off, ts_len) = result
+    if ts_code == 3:
+        return None  # deflated: Python path inflates
+
+    specific = None
+    if specific_tags is not None:
+        specific = set()
+        for t in specific_tags:
+            specific.add((t[0] << 16) | t[1] if isinstance(t, tuple)
+                         else t)
+
+    little = ts_code != 2
+    # split meta entries (group 0002, always at the front) from body
+    meta_mask = entries["tag"] >> 16 == 2
+    meta_entries = entries[meta_mask]
+    body_entries = entries[~meta_mask]
+
+    ds = _build_from_entries(buf, body_entries, little,
+                             stop_before_pixels, specific)
+    if len(meta_entries):
+        meta = _build_from_entries(buf, meta_entries, True, False, None)
+        fm = FileMetaDataset()
+        fm._dict.update(meta._dict)
+        ds.file_meta = fm
+    else:
+        ds.file_meta = None
     return ds
 
 

@@ -100,6 +100,30 @@ def decode_rle(ds):
     frags = ds.PixelData
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
+
+    # native fast path (interleaved little-endian output)
+    try:
+        from ..native import rle_decode_frame
+    except Exception:
+        rle_decode_frame = None
+    if rle_decode_frame is not None:
+        dtype = _native_dtype(ds)
+        native_frames = []
+        for f in range(frames):
+            raw = rle_decode_frame(frags[f], rows, cols, samples,
+                                   bytes_per_sample)
+            if raw is None:
+                native_frames = None
+                break
+            arr = np.frombuffer(raw.tobytes(), dtype=dtype)
+            if samples > 1:
+                native_frames.append(arr.reshape(rows, cols, samples))
+            else:
+                native_frames.append(arr.reshape(rows, cols))
+        if native_frames is not None:
+            arr = np.stack(native_frames)
+            return arr[0] if frames == 1 else arr
+
     out_frames = []
     for f in range(frames):
         frag = frags[f]
@@ -126,6 +150,31 @@ def decode_rle(ds):
     arr = np.stack(out_frames)
     if samples > 1:
         arr = np.moveaxis(arr, 1, -1)
+    if frames == 1:
+        arr = arr[0]
+    return arr
+
+
+def decode_jpeg_lossless(ds):
+    """JPEG-Lossless (process 14 / SV1) via the native decoder —
+    the path GDCM/pylibjpeg covers for the reference."""
+    from ..native import jpeg_lossless_decode
+
+    frames, rows, cols, samples = _target_shape(ds)
+    frags = ds.PixelData
+    if isinstance(frags, (bytes, bytearray)):
+        frags = [bytes(frags)]
+    if len(frags) > frames:
+        frags = [b"".join(frags)]
+    out = []
+    for frag in frags[:max(frames, 1)]:
+        arr = jpeg_lossless_decode(frag)
+        if arr is None:
+            raise ValueError("JPEG-Lossless decode failed (native "
+                             "decoder unavailable or bad stream)")
+        out.append(arr)
+    dtype = _native_dtype(ds).newbyteorder("=")
+    arr = np.stack(out).astype(dtype)
     if frames == 1:
         arr = arr[0]
     return arr
@@ -171,6 +220,8 @@ def decode_pixel_data(ds):
         return decode_native(ds, little=(ts != uids.ExplicitVRBigEndian))
     if ts == uids.RLELossless:
         return decode_rle(ds)
+    if ts in (uids.JPEGLossless, uids.JPEGLosslessSV1):
+        return decode_jpeg_lossless(ds)
     if ts in uids.ENCAPSULATED_SYNTAXES:
         return decode_jpeg_cv2(ds)
     # unknown syntax: try native

@@ -1,0 +1,145 @@
+"""ctypes loader for libmiadicom (native host DICOM core).
+
+Builds the shared library on first use if g++ is available; every entry
+point has a pure-Python fallback, so the framework works without a
+compiler (graceful degradation, never a hard dependency).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libmiadicom.so")
+_SRC = os.path.join(_DIR, "dicomscan.cpp")
+
+_lib = None
+_tried = False
+
+
+class Entry(ctypes.Structure):
+    _fields_ = [("tag", ctypes.c_uint32),
+                ("vr", ctypes.c_uint16),
+                ("depth", ctypes.c_uint16),
+                ("off", ctypes.c_uint64),
+                ("len", ctypes.c_uint64)]
+
+
+ENTRY_DTYPE = np.dtype([("tag", np.uint32), ("vr", np.uint16),
+                        ("depth", np.uint16), ("off", np.uint64),
+                        ("len", np.uint64)])
+
+
+def _build():
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or (os.path.exists(_SRC) and
+                                   os.path.getmtime(_SRC)
+                                   > os.path.getmtime(_SO)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.mia_scan.restype = ctypes.c_int64
+    lib.mia_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+        ctypes.POINTER(Entry), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64)]
+
+    lib.mia_rle_decode.restype = ctypes.c_int
+    lib.mia_rle_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+
+    lib.mia_jpegls14_decode.restype = ctypes.c_int
+    lib.mia_jpegls14_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    _lib = lib
+    return _lib
+
+
+def scan(buf, stop_before_pixels=False, max_entries=8192):
+    """Native element scan -> (entries structured array, meta tuple)
+    or None if the native path is unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    entries = (Entry * max_entries)()
+    meta = (ctypes.c_uint64 * 4)()
+    n = lib.mia_scan(buf, len(buf), int(stop_before_pixels), entries,
+                     max_entries, meta)
+    if n == -3 and max_entries < 262144:
+        return scan(buf, stop_before_pixels, max_entries * 4)
+    if n < 0:
+        return None
+    arr = np.frombuffer(entries, dtype=ENTRY_DTYPE, count=n).copy()
+    return arr, (int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]))
+
+
+def rle_decode_frame(frag, rows, cols, samples, bytes_per_sample):
+    """Native RLE frame decode -> bytes, or None on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(rows * cols * samples * bytes_per_sample, np.uint8)
+    rc = lib.mia_rle_decode(frag, len(frag),
+                            out.ctypes.data_as(ctypes.c_void_p),
+                            rows, cols, samples, bytes_per_sample)
+    if rc != 0:
+        return None
+    return out
+
+
+def jpeg_lossless_decode(frag):
+    """Native JPEG-Lossless (SOF3) decode -> (array (H, W[, C]) int32)
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # generous capacity guess; retry bigger on -6
+    cap = 1 << 22
+    for _ in range(4):
+        out = np.zeros(cap, np.int32)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        nc = ctypes.c_int()
+        prec = ctypes.c_int()
+        rc = lib.mia_jpegls14_decode(
+            frag, len(frag), out.ctypes.data_as(ctypes.c_void_p), cap,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc),
+            ctypes.byref(prec))
+        if rc == -6:
+            cap *= 4
+            continue
+        if rc != 0:
+            return None
+        n = w.value * h.value * nc.value
+        arr = out[:n]
+        if nc.value > 1:
+            return arr.reshape(h.value, w.value, nc.value)
+        return arr.reshape(h.value, w.value)
+    return None

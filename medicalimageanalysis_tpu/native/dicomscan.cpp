@@ -1,0 +1,553 @@
+// libmiadicom — native host-side DICOM core.
+//
+// The reference gets its native DICOM performance from wrapped C++
+// (pydicom + GDCM/pylibjpeg, reference requirements.txt); this is our
+// own equivalent: a single-pass element scanner that emits a flat
+// (tag, vr, offset, length, depth) table for zero-copy lazy parsing in
+// Python, plus pixel decoders (RLE PackBits, JPEG-Lossless process 14)
+// that GDCM normally provides.
+//
+// Build: g++ -O3 -shared -fPIC -o libmiadicom.so dicomscan.cpp
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+struct Entry {
+    uint32_t tag;      // (group << 16) | element
+    uint16_t vr;       // two ascii chars, little endian ('DA' -> 'D'|'A'<<8)
+    uint16_t depth;    // sequence nesting depth; items bump depth
+    uint64_t off;      // value offset into the file buffer
+    uint64_t len;      // value length in bytes
+};
+
+// control pseudo-tags emitted into the table
+static const uint32_t TAG_ITEM      = 0xFFFEE000u;
+static const uint32_t TAG_ITEM_END  = 0xFFFEE00Du;
+static const uint32_t TAG_SEQ_END   = 0xFFFEE0DDu;
+
+struct Cursor {
+    const uint8_t* buf;
+    uint64_t len;
+    uint64_t pos;
+    bool ok;
+};
+
+static inline uint16_t rd16(Cursor& c, bool little) {
+    if (c.pos + 2 > c.len) { c.ok = false; return 0; }
+    uint16_t v;
+    memcpy(&v, c.buf + c.pos, 2);
+    c.pos += 2;
+    if (!little) v = (uint16_t)((v >> 8) | (v << 8));
+    return v;
+}
+
+static inline uint32_t rd32(Cursor& c, bool little) {
+    if (c.pos + 4 > c.len) { c.ok = false; return 0; }
+    uint32_t v;
+    memcpy(&v, c.buf + c.pos, 4);
+    c.pos += 4;
+    if (!little) v = __builtin_bswap32(v);
+    return v;
+}
+
+static inline bool is_long_vr(uint16_t vr) {
+    switch (vr) {
+    case ('O' | ('B' << 8)): case ('O' | ('W' << 8)):
+    case ('O' | ('F' << 8)): case ('O' | ('D' << 8)):
+    case ('O' | ('L' << 8)): case ('O' | ('V' << 8)):
+    case ('S' | ('Q' << 8)): case ('U' | ('C' << 8)):
+    case ('U' | ('R' << 8)): case ('U' | ('T' << 8)):
+    case ('U' | ('N' << 8)):
+        return true;
+    default:
+        return false;
+    }
+}
+
+struct Emitter {
+    Entry* out;
+    int64_t max;
+    int64_t n;
+    bool overflow;
+    void emit(uint32_t tag, uint16_t vr, uint16_t depth, uint64_t off,
+              uint64_t len) {
+        if (n >= max) { overflow = true; return; }
+        out[n].tag = tag; out[n].vr = vr; out[n].depth = depth;
+        out[n].off = off; out[n].len = len;
+        n++;
+    }
+};
+
+static void scan_dataset(Cursor& c, Emitter& em, bool explicit_vr,
+                         bool little, uint16_t depth, uint64_t end,
+                         int stop_before_pixels);
+
+// parse items of a sequence with undefined or defined length
+static void scan_sequence(Cursor& c, Emitter& em, bool explicit_vr,
+                          bool little, uint16_t depth, uint64_t seq_end) {
+    while (c.ok && c.pos + 8 <= (seq_end ? seq_end : c.len)) {
+        uint16_t group = rd16(c, little);
+        uint16_t elem = rd16(c, little);
+        uint32_t tag = ((uint32_t)group << 16) | elem;
+        uint32_t ilen = rd32(c, little);
+        if (!c.ok) return;
+        if (tag == TAG_SEQ_END) {
+            em.emit(TAG_SEQ_END, 0, depth, c.pos, 0);
+            return;
+        }
+        if (tag != TAG_ITEM) { c.ok = false; return; }
+        em.emit(TAG_ITEM, 0, depth, c.pos, ilen);
+        if (ilen == 0xFFFFFFFFu) {
+            scan_dataset(c, em, explicit_vr, little,
+                         (uint16_t)(depth + 1), 0, 0);
+            // item delimiter consumed inside scan_dataset loop break
+        } else {
+            uint64_t item_end = c.pos + ilen;
+            scan_dataset(c, em, explicit_vr, little,
+                         (uint16_t)(depth + 1), item_end, 0);
+            c.pos = item_end;
+            em.emit(TAG_ITEM_END, 0, depth, c.pos, 0);
+        }
+        if (seq_end && c.pos >= seq_end) return;
+    }
+}
+
+static void scan_fragments(Cursor& c, Emitter& em, bool little,
+                           uint16_t depth) {
+    while (c.ok && c.pos + 8 <= c.len) {
+        uint16_t group = rd16(c, little);
+        uint16_t elem = rd16(c, little);
+        uint32_t tag = ((uint32_t)group << 16) | elem;
+        uint32_t ilen = rd32(c, little);
+        if (!c.ok) return;
+        if (tag == TAG_SEQ_END) {
+            em.emit(TAG_SEQ_END, 0, depth, c.pos, 0);
+            return;
+        }
+        if (tag != TAG_ITEM) { c.ok = false; return; }
+        em.emit(TAG_ITEM, ('F' | ('R' << 8)), depth, c.pos, ilen);
+        c.pos += ilen;
+    }
+}
+
+static void scan_dataset(Cursor& c, Emitter& em, bool explicit_vr,
+                         bool little, uint16_t depth, uint64_t end,
+                         int stop_before_pixels) {
+    uint64_t limit = end ? end : c.len;
+    while (c.ok && c.pos + 8 <= limit && !em.overflow) {
+        uint64_t start = c.pos;
+        uint16_t group = rd16(c, little);
+        uint16_t elem = rd16(c, little);
+        uint32_t tag = ((uint32_t)group << 16) | elem;
+
+        if (tag == TAG_ITEM_END) {
+            rd32(c, little);  // length
+            em.emit(TAG_ITEM_END, 0, (uint16_t)(depth - 1), c.pos, 0);
+            return;  // end of undefined-length item
+        }
+        if (tag == TAG_SEQ_END) {
+            c.pos = start;
+            return;
+        }
+
+        uint16_t vr = 0;
+        uint64_t vlen;
+        if (group == 0xFFFE) {
+            vlen = rd32(c, little);
+        } else if (explicit_vr) {
+            if (c.pos + 2 > c.len) { c.ok = false; return; }
+            vr = (uint16_t)(c.buf[c.pos] | (c.buf[c.pos + 1] << 8));
+            c.pos += 2;
+            if (is_long_vr(vr)) {
+                c.pos += 2;
+                vlen = rd32(c, little);
+            } else {
+                vlen = rd16(c, little);
+            }
+        } else {
+            vlen = rd32(c, little);
+        }
+        if (!c.ok) return;
+
+        if (stop_before_pixels && depth == 0 && tag >= 0x7FE00008u)
+            return;
+
+        bool is_sq = (vr == ('S' | ('Q' << 8)));
+        bool undef = (vlen == 0xFFFFFFFFu);
+        // implicit VR: look for sequences by undefined length or let
+        // Python decide from the dictionary — we mark undefined-length
+        // values as SQ scans, defined-length unknown-VR values as raw.
+        if (!explicit_vr && undef && tag < 0x7FE00000u) is_sq = true;
+        if (vr == ('U' | ('N' << 8)) && undef) is_sq = true;
+
+        if (is_sq) {
+            em.emit(tag, ('S' | ('Q' << 8)), depth, c.pos,
+                    undef ? 0xFFFFFFFFFFFFFFFFull : vlen);
+            if (undef) {
+                scan_sequence(c, em, explicit_vr, little,
+                              (uint16_t)(depth + 1), 0);
+            } else {
+                uint64_t seq_end = c.pos + vlen;
+                scan_sequence(c, em, explicit_vr, little,
+                              (uint16_t)(depth + 1), seq_end);
+                c.pos = seq_end;
+                em.emit(TAG_SEQ_END, 0, (uint16_t)(depth + 1), c.pos, 0);
+            }
+            continue;
+        }
+
+        if (undef) {
+            // encapsulated pixel data (or undefined-length OB)
+            em.emit(tag, vr, depth, c.pos, 0xFFFFFFFFFFFFFFFFull);
+            scan_fragments(c, em, little, (uint16_t)(depth + 1));
+            continue;
+        }
+
+        if (c.pos + vlen > c.len) { c.ok = false; return; }
+        em.emit(tag, vr, depth, c.pos, vlen);
+        c.pos += vlen;
+    }
+}
+
+// Scan a DICOM file buffer into an Entry table.
+// Returns: number of entries (>=0); -1 not dicom; -2 parse error;
+// -3 table overflow. meta_out[0..2]: transfer syntax code
+// (0 implicit LE, 1 explicit LE, 2 explicit BE, 3 deflated,
+//  4 encapsulated/other), body start offset, ts string offset (0 if
+// none) — ts length in meta_out[3].
+int64_t mia_scan(const uint8_t* buf, uint64_t len, int stop_before_pixels,
+                 Entry* out, int64_t max_entries, uint64_t* meta_out) {
+    Cursor c{buf, len, 0, true};
+    Emitter em{out, max_entries, 0, false};
+
+    if (len > 132 && memcmp(buf + 128, "DICM", 4) == 0) {
+        c.pos = 132;
+        // file meta: explicit LE. First element must be group length.
+        uint16_t group = rd16(c, true);
+        uint16_t elem = rd16(c, true);
+        if (group != 0x0002 || elem != 0x0000) return -2;
+        c.pos += 2;  // 'UL'
+        uint16_t l = rd16(c, true);
+        if (l != 4) return -2;
+        uint32_t group_len = rd32(c, true);
+        uint64_t meta_end = c.pos + group_len;
+        // scan file meta elements at depth 0 (group 0002)
+        uint64_t ts_off = 0, ts_len = 0;
+        while (c.ok && c.pos + 8 <= meta_end) {
+            uint16_t g = rd16(c, true);
+            uint16_t e = rd16(c, true);
+            uint16_t vr = (uint16_t)(c.buf[c.pos] | (c.buf[c.pos+1] << 8));
+            c.pos += 2;
+            uint64_t vlen;
+            if (is_long_vr(vr)) { c.pos += 2; vlen = rd32(c, true); }
+            else vlen = rd16(c, true);
+            uint32_t tag = ((uint32_t)g << 16) | e;
+            em.emit(tag, vr, 0, c.pos, vlen);
+            if (tag == 0x00020010u) { ts_off = c.pos; ts_len = vlen; }
+            c.pos += vlen;
+        }
+        c.pos = meta_end;
+
+        int ts_code = 1;  // default explicit LE
+        if (ts_len) {
+            const char* ts = (const char*)(buf + ts_off);
+            // trim trailing nul/space
+            uint64_t tl = ts_len;
+            while (tl && (ts[tl-1] == '\0' || ts[tl-1] == ' ')) tl--;
+            if (tl == 17 && memcmp(ts, "1.2.840.10008.1.2", 17) == 0)
+                ts_code = 0;
+            else if (tl == 19 && memcmp(ts, "1.2.840.10008.1.2.1", 19) == 0)
+                ts_code = 1;
+            else if (tl == 19 && memcmp(ts, "1.2.840.10008.1.2.2", 19) == 0)
+                ts_code = 2;
+            else if (tl == 22 &&
+                     memcmp(ts, "1.2.840.10008.1.2.1.99", 22) == 0)
+                ts_code = 3;
+            else
+                ts_code = 4;  // encapsulated family; still explicit LE
+        }
+        meta_out[0] = (uint64_t)ts_code;
+        meta_out[1] = meta_end;
+        meta_out[2] = ts_off;
+        meta_out[3] = ts_len;
+        if (ts_code == 3) return em.n;  // deflated: Python inflates body
+
+        bool explicit_vr = (ts_code != 0);
+        bool little = (ts_code != 2);
+        scan_dataset(c, em, explicit_vr, little, 0, 0, stop_before_pixels);
+        if (em.overflow) return -3;
+        return c.ok ? em.n : -2;
+    }
+
+    // raw dataset (no preamble): sniff explicit by VR chars
+    if (len < 8) return -1;
+    uint16_t g0;
+    memcpy(&g0, buf, 2);
+    if (!(g0 == 0x0002 || g0 == 0x0008 || g0 == 0x0010 || g0 == 0x0018 ||
+          g0 == 0x0020 || g0 == 0x0028))
+        return -1;
+    char a = (char)buf[4], b = (char)buf[5];
+    bool explicit_vr = (a >= 'A' && a <= 'Z' && b >= 'A' && b <= 'Z');
+    meta_out[0] = explicit_vr ? 1 : 0;
+    meta_out[1] = 0;
+    meta_out[2] = 0;
+    meta_out[3] = 0;
+    scan_dataset(c, em, explicit_vr, true, 0, 0, stop_before_pixels);
+    if (em.overflow) return -3;
+    return c.ok ? em.n : -2;
+}
+
+// ---------------------------------------------------------------------
+// RLE Lossless (PS3.5 annex G): decode one frame into interleaved
+// native-endian samples.
+int mia_rle_decode(const uint8_t* frag, uint64_t len, uint8_t* out,
+                   int64_t rows, int64_t cols, int samples,
+                   int bytes_per_sample) {
+    if (len < 64) return -1;
+    uint32_t nseg;
+    memcpy(&nseg, frag, 4);
+    if (nseg > 15) return -2;
+    uint32_t offsets[16];
+    for (uint32_t i = 0; i < nseg; i++)
+        memcpy(&offsets[i], frag + 4 + 4 * i, 4);
+
+    int64_t frame_px = rows * cols;
+    int total_segs = samples * bytes_per_sample;
+    if ((int)nseg != total_segs) return -3;
+
+    for (int s = 0; s < total_segs; s++) {
+        uint64_t start = offsets[s];
+        uint64_t end = (s + 1 < (int)nseg) ? offsets[s + 1] : len;
+        if (end > len || start > end) return -4;
+        int samp = s / bytes_per_sample;
+        int byte_idx = s % bytes_per_sample;
+        // DICOM segments are MSB-first; native little-endian position:
+        int lepos = bytes_per_sample - 1 - byte_idx;
+        uint8_t* dst_base = out + (uint64_t)samp * bytes_per_sample
+                            + lepos;  // interleaved samples
+        int64_t stride = (int64_t)samples * bytes_per_sample;
+
+        const uint8_t* src = frag + start;
+        uint64_t n = end - start;
+        uint64_t i = 0;
+        int64_t o = 0;
+        while (i < n && o < frame_px) {
+            int8_t header = (int8_t)src[i++];
+            if (header >= 0) {
+                int count = header + 1;
+                if (i + count > n) count = (int)(n - i);
+                for (int k = 0; k < count && o < frame_px; k++)
+                    dst_base[(o++) * stride] = src[i + k];
+                i += count;
+            } else if (header != -128) {
+                int count = 1 - header;
+                if (i >= n) break;
+                uint8_t v = src[i++];
+                for (int k = 0; k < count && o < frame_px; k++)
+                    dst_base[(o++) * stride] = v;
+            }
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// JPEG Lossless (process 14, ITU T.81 SOF3), all predictors, single or
+// multi component, Huffman entropy coding. This is the decode GDCM
+// provides that cv2 cannot.
+
+struct BitReader {
+    const uint8_t* buf;
+    uint64_t len;
+    uint64_t pos;
+    uint32_t bits;
+    int nbits;
+    bool ok;
+
+    int next_bit() {
+        if (nbits == 0) {
+            if (pos >= len) { ok = false; return 0; }
+            uint8_t b = buf[pos++];
+            if (b == 0xFF) {
+                // stuffed zero byte after FF
+                if (pos < len && buf[pos] == 0x00) pos++;
+                else { ok = false; return 0; }
+            }
+            bits = b;
+            nbits = 8;
+        }
+        nbits--;
+        return (bits >> nbits) & 1;
+    }
+
+    int receive(int n) {
+        int v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | next_bit();
+        return v;
+    }
+};
+
+static inline int extend(int v, int t) {
+    return (t && v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+}
+
+struct Huff {
+    // code lengths 1..16
+    int mincode[17], maxcode[18], valptr[17];
+    uint8_t vals[256];
+    bool valid;
+
+    void build(const uint8_t* bits, const uint8_t* values, int nvals) {
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            valptr[l] = k;
+            mincode[l] = code;
+            code += bits[l - 1];
+            k += bits[l - 1];
+            maxcode[l] = code - 1;
+            code <<= 1;
+            if (bits[l - 1] == 0) maxcode[l] = -1;
+        }
+        maxcode[17] = 0x7FFFFFFF;
+        for (int i = 0; i < nvals && i < 256; i++) vals[i] = values[i];
+        valid = true;
+    }
+
+    int decode(BitReader& br) const {
+        int code = br.next_bit();
+        int l = 1;
+        while (l <= 16 && (maxcode[l] < 0 || code > maxcode[l])) {
+            code = (code << 1) | br.next_bit();
+            l++;
+        }
+        if (l > 16 || !br.ok) return -1;
+        return vals[valptr[l] + code - mincode[l]];
+    }
+};
+
+// Decode SOF3 lossless JPEG. out: int32 buffer (w*h*ncomp, interleaved).
+// Returns 0 on success; fills w/h/ncomp/precision.
+int mia_jpegls14_decode(const uint8_t* buf, uint64_t len, int32_t* out,
+                        int64_t out_capacity, int* w_out, int* h_out,
+                        int* ncomp_out, int* prec_out) {
+    uint64_t p = 0;
+    if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return -1;  // SOI
+    p = 2;
+
+    int precision = 0, H = 0, W = 0, ncomp = 0;
+    int comp_id[4] = {0}, comp_tbl[4] = {0};
+    Huff tables[4];
+    for (int i = 0; i < 4; i++) tables[i].valid = false;
+    int predictor = 1, pt = 0;
+    int scan_comp[4] = {0};
+    int ns = 0;
+    uint64_t scan_start = 0;
+
+    while (p + 4 <= len) {
+        if (buf[p] != 0xFF) { p++; continue; }
+        uint8_t marker = buf[p + 1];
+        p += 2;
+        if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7))
+            continue;
+        if (p + 2 > len) return -2;
+        int seg_len = (buf[p] << 8) | buf[p + 1];
+        uint64_t seg_end = p + seg_len;
+
+        if (marker == 0xC3) {  // SOF3 lossless
+            precision = buf[p + 2];
+            H = (buf[p + 3] << 8) | buf[p + 4];
+            W = (buf[p + 5] << 8) | buf[p + 6];
+            ncomp = buf[p + 7];
+            if (ncomp > 4) return -3;
+            for (int i = 0; i < ncomp; i++)
+                comp_id[i] = buf[p + 8 + 3 * i];
+        } else if (marker == 0xC4) {  // DHT
+            uint64_t q = p + 2;
+            while (q < seg_end) {
+                int tc_th = buf[q++];
+                int th = tc_th & 0x0F;
+                uint8_t bits[16];
+                int nvals = 0;
+                for (int i = 0; i < 16; i++) {
+                    bits[i] = buf[q + i];
+                    nvals += bits[i];
+                }
+                q += 16;
+                if (th < 4) tables[th].build(bits, buf + q, nvals);
+                q += nvals;
+            }
+        } else if (marker == 0xDA) {  // SOS
+            ns = buf[p + 2];
+            for (int i = 0; i < ns; i++) {
+                int cid = buf[p + 3 + 2 * i];
+                int tbl = (buf[p + 4 + 2 * i] >> 4) & 0x0F;
+                for (int k = 0; k < ncomp; k++)
+                    if (comp_id[k] == cid) { scan_comp[i] = k;
+                                             comp_tbl[k] = tbl; }
+            }
+            predictor = buf[p + 3 + 2 * ns];       // Ss
+            pt = buf[p + 5 + 2 * ns] & 0x0F;       // Al = point transform
+            scan_start = seg_end;
+            break;
+        } else if (marker == 0xD9) {
+            return -4;  // EOI before SOS
+        }
+        p = seg_end;
+    }
+
+    if (!W || !H || !ncomp || !scan_start) return -5;
+    if ((int64_t)W * H * ncomp > out_capacity) return -6;
+
+    *w_out = W; *h_out = H; *ncomp_out = ncomp; *prec_out = precision;
+
+    BitReader br{buf + scan_start, len - scan_start, 0, 0, 0, true};
+    int defaultval = 1 << (precision - pt - 1);
+
+    // interleaved decode, row-major, component-minor (ns components)
+    for (int64_t y = 0; y < H && br.ok; y++) {
+        for (int64_t x = 0; x < W && br.ok; x++) {
+            for (int s = 0; s < ns; s++) {
+                int comp = scan_comp[s];
+                const Huff& hf = tables[comp_tbl[comp]];
+                if (!hf.valid) return -7;
+                int t = hf.decode(br);
+                if (t < 0) return -8;
+                int diff = 0;
+                if (t > 0 && t < 16)
+                    diff = extend(br.receive(t), t);
+                else if (t == 16)
+                    diff = 32768;
+
+                int32_t* row = out + (y * W + x) * ncomp + comp;
+                int64_t ra = (x > 0) ? row[-ncomp] : 0;
+                int64_t rb = (y > 0) ? *(row - (int64_t)W * ncomp) : 0;
+                int64_t rc = (x > 0 && y > 0)
+                    ? *(row - (int64_t)W * ncomp - ncomp) : 0;
+                int64_t pred;
+                if (y == 0 && x == 0) pred = defaultval;
+                else if (y == 0) pred = ra;
+                else if (x == 0) pred = rb;
+                else {
+                    switch (predictor) {
+                    case 1: pred = ra; break;
+                    case 2: pred = rb; break;
+                    case 3: pred = rc; break;
+                    case 4: pred = ra + rb - rc; break;
+                    case 5: pred = ra + ((rb - rc) >> 1); break;
+                    case 6: pred = rb + ((ra - rc) >> 1); break;
+                    case 7: pred = (ra + rb) >> 1; break;
+                    default: pred = ra; break;
+                    }
+                }
+                *row = (int32_t)(((pred + diff)
+                                  & ((1 << precision) - 1)) << pt);
+            }
+        }
+    }
+    return br.ok ? 0 : -9;
+}
+
+}  // extern "C"
