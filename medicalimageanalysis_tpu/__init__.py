@@ -23,6 +23,9 @@ def __getattr__(name):
                 "check_memory"):
         from . import reader
         return getattr(reader, name)
+    if name == "read_nifti":
+        from .read.nifti import read_nifti
+        return read_nifti
     if name == "DicomReader":
         from .read.dicom import DicomReader
         return DicomReader
@@ -32,6 +35,15 @@ def __getattr__(name):
     if name == "ThreeMfReader":
         from .read.mf3 import ThreeMfReader
         return ThreeMfReader
+    if name in ("StlReader", "VtkReader"):
+        from . import read
+        return getattr(read, name)
+    if name == "Image":
+        from .structure.image import Image
+        return Image
+    if name == "Dose":
+        from .structure.dose import Dose
+        return Dose
     if name == "Rigid":
         from .structure.rigid import Rigid
         return Rigid

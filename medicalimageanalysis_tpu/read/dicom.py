@@ -18,6 +18,7 @@ import numpy as np
 
 from ..data import Data
 from ..dicom import dcmread
+from ..telemetry import IngestReport, trace
 
 __all__ = ["DicomReader", "thread_process_dicom", "sort_images_by_datetime",
            "create_image_name", "create_dose_name"]
@@ -87,18 +88,45 @@ class DicomReader(object):
 
         self.ds = []
         self.ds_modality = {key: [] for key in self.only_modality}
+        self.report = IngestReport()
 
     def load(self, display_time=False):
         t1 = time.time()
 
-        self.read()
-        self.separate_modalities_and_images()
-        self.image_creation()
+        images_before = set(Data.image_list)
+        doses_before = set(Data.dose_list)
+        rigid_before = set(Data.rigid_list)
+        deformable_before = set(Data.deformable_list)
+
+        with trace("mia.ingest.read"):
+            self.read()
+        with trace("mia.ingest.group"):
+            self.separate_modalities_and_images()
+        with trace("mia.ingest.build"):
+            self.image_creation()
         sort_images_by_datetime()
 
         t2 = time.time()
+        r = self.report
+        r.elapsed_s = t2 - t1
+        r.images_created = [n for n in Data.image_list
+                            if n not in images_before]
+        r.doses_created = [n for n in Data.dose_list
+                           if n not in doses_before]
+        r.rigid_created = [n for n in Data.rigid_list
+                           if n not in rigid_before]
+        r.deformable_created = [n for n in Data.deformable_list
+                                if n not in deformable_before]
+        for n in r.images_created:
+            img = Data.image[n]
+            if img.unverified:
+                r.unverified[n] = img.unverified
+            if img.skipped_slice:
+                r.skipped_slices[n] = list(img.skipped_slice)
+
         if display_time:
             print("Dicom Read Time:", t2 - t1)
+        return r
 
     def read(self):
         """Parse all files in a bounded thread pool (deterministic order)."""
@@ -111,6 +139,10 @@ class DicomReader(object):
                 lambda p: thread_process_dicom(
                     p, stop_before_pixels=self.only_tags),
                 paths))
+        self.report.files_total = len(paths)
+        self.report.parsed_ok = sum(1 for d in self.ds if d)
+        self.report.failed_files = [p for p, d in zip(paths, self.ds)
+                                    if not d]
 
     def add_datasets(self, datasets):
         """Inject pre-parsed datasets (in-memory ingest path; used by
@@ -264,6 +296,8 @@ class DicomReader(object):
                     Data.image[read_rtstruct.match_image_name].input_rtstruct(
                         read_rtstruct)
                 else:
+                    self.report.unmatched_rtstructs.append(
+                        read_rtstruct.filepaths)
                     print("dicom: rtstruct has no matching image")
 
         if self.ds_modality.get("REG"):

@@ -1,0 +1,193 @@
+"""NIfTI reader, ingest report, persistence, exports, planar modality
+tests."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+
+from helpers import write_ct_series
+
+
+def write_nifti(path, arr, spacing=(1.0, 1.0, 2.0), origin_ras=(0, 0, 0),
+                gz=False):
+    """Minimal NIfTI-1 writer for tests (sform identity * spacing)."""
+    header = bytearray(352)
+    struct.pack_into("<i", header, 0, 348)
+    nz, ny, nx = arr.shape
+    struct.pack_into("<8h", header, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    dt = {np.dtype(np.int16): 4, np.dtype(np.float32): 16,
+          np.dtype(np.uint8): 2}[arr.dtype]
+    struct.pack_into("<h", header, 70, dt)
+    struct.pack_into("<h", header, 72, arr.dtype.itemsize * 8)
+    struct.pack_into("<8f", header, 76, 1.0, spacing[0], spacing[1],
+                     spacing[2], 1, 1, 1, 1)
+    struct.pack_into("<f", header, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", header, 112, 1.0)    # scl_slope
+    struct.pack_into("<h", header, 254, 1)      # sform_code
+    struct.pack_into("<4f", header, 280, spacing[0], 0, 0, origin_ras[0])
+    struct.pack_into("<4f", header, 296, 0, spacing[1], 0, origin_ras[1])
+    struct.pack_into("<4f", header, 312, 0, 0, spacing[2], origin_ras[2])
+    header[344:348] = b"n+1\x00"
+    payload = bytes(header) + arr.astype(arr.dtype.newbyteorder("<")) \
+        .tobytes()
+    if gz:
+        with gzip.open(str(path), "wb") as f:
+            f.write(payload)
+    else:
+        with open(str(path), "wb") as f:
+            f.write(payload)
+
+
+def test_read_nifti(tmp_path, rng):
+    arr = rng.integers(-500, 500, size=(5, 12, 16)).astype(np.int16)
+    write_nifti(tmp_path / "scan.nii", arr, spacing=(0.8, 0.8, 3.0),
+                origin_ras=(100.0, 120.0, -50.0))
+    mia.read_nifti(str(tmp_path / "scan.nii"))
+    assert "scan" in Data.image_list
+    img = Data.image["scan"]
+    np.testing.assert_array_equal(img.array, arr)
+    np.testing.assert_allclose(img.spacing, [0.8, 0.8, 3.0])
+    # RAS origin (100, 120, z) -> LPS (-100, -120, z)
+    np.testing.assert_allclose(img.origin, [-100.0, -120.0, -50.0],
+                               atol=1e-4)
+
+
+def test_read_nifti_gz(tmp_path, rng):
+    arr = rng.normal(size=(4, 8, 8)).astype(np.float32)
+    write_nifti(tmp_path / "scan.nii.gz", arr, gz=True)
+    mia.read_nifti(str(tmp_path / "scan.nii.gz"), image_name="vol")
+    np.testing.assert_allclose(Data.image["vol"].array, arr, atol=1e-6)
+
+
+def test_ingest_report(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr)
+    (tmp_path / "ct" / "junk.dcm").write_bytes(b"not a dicom file")
+    reader = mia.read_dicoms(folder_path=str(tmp_path))
+    r = reader.report
+    assert r.files_total == 5
+    assert r.parsed_ok == 4
+    assert len(r.failed_files) == 1
+    assert r.images_created == ["CT 01"]
+    assert r.elapsed_s > 0
+    s = r.summary()
+    assert s["failed"] == 1 and s["images"] == ["CT 01"]
+
+
+def test_image_save_load_roundtrip(tmp_path, rng):
+    from helpers import square_contour_mm, write_rtstruct
+    arr = rng.integers(-200, 800, size=(6, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr)
+    rois = {"Liver": [(square_contour_mm(info, z, 4, 10), z)
+                      for z in range(1, 4)]}
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    img.save_image(str(tmp_path / "saved"))
+
+    Data.clear()
+    from medicalimageanalysis_tpu.structure.image import Image
+    restored = Image.load_image(str(tmp_path / "saved" / "CT 01"))
+    np.testing.assert_array_equal(restored.array, arr)
+    np.testing.assert_allclose(restored.spacing, img.spacing)
+    assert "Liver" in restored.rois
+    assert len(restored.rois["Liver"].contour_position) == 3
+
+
+def test_rigid_save_load(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr)
+    write_ct_series(tmp_path / "b", arr, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    names = sorted(Data.image_list)
+    rigid = mia.Rigid(names[0], names[1])
+    rigid.update_translation(t_x=3)
+    rigid.save_rigid(str(tmp_path / "rigid_out"))
+
+    from medicalimageanalysis_tpu.structure.rigid import Rigid
+    loaded = Rigid.load_rigid(str(tmp_path / "rigid_out"))
+    np.testing.assert_allclose(loaded.matrix, rigid.matrix)
+
+
+def test_xray_reader(tmp_path, rng):
+    from medicalimageanalysis_tpu.dicom import (Dataset, dcmwrite,
+                                                generate_uid, uids)
+    arr = rng.integers(0, 4000, size=(32, 24)).astype(np.uint16)
+    ds = Dataset()
+    ds.SOPClassUID = uids.DXImageStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "DX"
+    ds.PatientID = "X"
+    ds.PatientOrientation = ["L", "F"]
+    ds.Rows, ds.Columns = 32, 24
+    ds.BitsAllocated = 16
+    ds.BitsStored = 16
+    ds.HighBit = 15
+    ds.PixelRepresentation = 0
+    ds.SamplesPerPixel = 1
+    ds.PhotometricInterpretation = "MONOCHROME2"
+    ds.ImagerPixelSpacing = [0.14, 0.14]
+    ds.PresentationLUTShape = "Inverse"
+    ds.PixelData = arr.astype("<u2").tobytes()
+    (tmp_path / "dx").mkdir()
+    dcmwrite(tmp_path / "dx" / "img.dcm", ds)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["DX 01"]
+    assert img.plane == "Coronal"  # 'L' in PatientOrientation
+    assert img.array.shape == (32, 1, 24)
+    # LUT inversion applied
+    expected = 16383 - arr.astype(np.int16)
+    np.testing.assert_array_equal(
+        img.array, np.flip(np.flip(expected.reshape(32, 1, 24), 0), 1))
+
+
+def test_us_reader(tmp_path, rng):
+    from medicalimageanalysis_tpu.dicom import (Dataset, dcmwrite,
+                                                generate_uid, uids)
+    frames = rng.integers(0, 255, size=(3, 16, 16)).astype(np.uint8)
+    rgb = np.stack([frames, frames, frames], axis=-1)  # uniform channels
+    rgb[0, 2, 3] = [255, 0, 0]  # one colored overlay pixel
+    ds = Dataset()
+    ds.SOPClassUID = uids.USImageStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "US"
+    ds.PatientID = "U"
+    ds.NumberOfFrames = 3
+    ds.Rows, ds.Columns = 16, 16
+    ds.BitsAllocated = 8
+    ds.BitsStored = 8
+    ds.HighBit = 7
+    ds.PixelRepresentation = 0
+    ds.SamplesPerPixel = 3
+    ds.PlanarConfiguration = 0
+    ds.PhotometricInterpretation = "RGB"
+    ds.PixelData = rgb.tobytes()
+    (tmp_path / "us").mkdir()
+    dcmwrite(tmp_path / "us" / "us.dcm", ds)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["US 01"]
+    assert img.array.shape == (3, 16, 16)
+    assert img.array[0, 2, 3] == 0  # colored overlay dropped
+    assert img.array[1, 2, 3] == frames[1, 2, 3]
+
+
+def test_parallel_preprocess_on_mesh(rng):
+    import jax
+    from medicalimageanalysis_tpu.parallel.batch import preprocess_batch
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, space=2)
+    raw = rng.integers(0, 1000, size=(4, 8, 32, 32)).astype(np.int16)
+    vols, masks = preprocess_batch(raw, np.ones(4, np.float32),
+                                   np.zeros(4, np.float32),
+                                   out_shape=(8, 16, 16), mesh=mesh)
+    assert vols.shape == (4, 8, 16, 16)
+    assert masks.shape == (4, 8, 16, 16)
