@@ -250,6 +250,40 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         structure/image.py:488-503 is an empty stub)."""
         pass
 
+    # -- grid bundle (replaces create_sitk_image, image.py:906-930) -----
+    def create_volume(self, empty=False):
+        """Array + geometry bundle (the SimpleITK-image equivalent)."""
+        arr = np.zeros([int(d) for d in self.dimensions][::-1],
+                       dtype=np.uint8) if empty else np.asarray(self.array)
+        return {"array": arr,
+                "origin": np.asarray(self.origin, dtype=float),
+                "spacing": np.asarray(self.spacing, dtype=float),
+                "direction": np.asarray(self.matrix, dtype=float)}
+
+    create_sitk_image = create_volume
+
+    def create_rotated_volume(self, angles=(0, 0, 10), roi_name="Liver",
+                              center=None):
+        """Euler-rotate the volume about an ROI center and resample onto
+    the same grid (generalizes the reference's demo-grade
+    create_rotated_sitk_image, structure/image.py:932-959, which
+    hardcoded a 10-degree z rotation about rois['Liver'])."""
+        from ..ops.resample import affine_resample, compose_pixel_matrix
+        from ..utils.image.transform import euler_transform
+
+        if center is None:
+            center = self.rois[roi_name].mesh.center
+        t = euler_transform(angles=angles, rotation_center=center,
+                            zyx=True)
+        A = compose_pixel_matrix(self.matrix, self.spacing, self.origin,
+                                 self.matrix, self.spacing, self.origin,
+                                 phys_transform=t.as_matrix4())
+        out = affine_resample(np.asarray(self.array, np.float32), A,
+                              self.array.shape, background=0.0)
+        return np.asarray(out)
+
+    create_rotated_sitk_image = create_rotated_volume
+
     # -- persistence (documented schema: npz + json instead of pickle) --
     def save_image(self, path, rois=True, pois=True):
         """Serialize metadata (json) + array (npy) + ROI/POI folders
