@@ -1,0 +1,155 @@
+"""Series grouping + FFS normalization edge cases."""
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+
+def write_series(folder, arr, orientation, origin=(0, 0, 0),
+                 thickness=2.0, series=None, acq="1", z_step=None,
+                 start_index=0):
+    """Slice writer with arbitrary IOP and per-slice IPP along the
+    slice normal."""
+    from medicalimageanalysis_tpu.dicom import (Dataset, FileMetaDataset,
+                                                dcmwrite, generate_uid,
+                                                uids)
+    folder.mkdir(parents=True, exist_ok=True)
+    series = series or generate_uid()
+    frame = generate_uid()
+    orientation = np.asarray(orientation, dtype=float)
+    normal = np.cross(orientation[:3], orientation[3:])
+    step = thickness if z_step is None else z_step
+    for ii in range(arr.shape[0]):
+        ds = Dataset()
+        fm = FileMetaDataset()
+        fm.add(0x00020002, "UI", uids.CTImageStorage)
+        fm.add(0x00020003, "UI", f"{series}.{start_index + ii}")
+        fm.add(0x00020010, "UI", uids.ExplicitVRLittleEndian)
+        fm.add(0x00020012, "UI", "1.2.3.4")
+        ds.file_meta = fm
+        ds.SOPClassUID = uids.CTImageStorage
+        ds.SOPInstanceUID = f"{series}.{start_index + ii}"
+        ds.Modality = "CT"
+        ds.PatientID = "G"
+        ds.StudyInstanceUID = "9.9.9"
+        ds.SeriesInstanceUID = series
+        ds.FrameOfReferenceUID = frame
+        ds.AcquisitionNumber = acq
+        ds.InstanceNumber = str(start_index + ii + 1)
+        ds.ImageOrientationPatient = [float(v) for v in orientation]
+        pos = np.asarray(origin, dtype=float) + normal * step * ii
+        ds.ImagePositionPatient = [float(v) for v in pos]
+        ds.PixelSpacing = [1.0, 1.0]
+        ds.SliceThickness = thickness
+        ds.Rows, ds.Columns = arr.shape[1], arr.shape[2]
+        ds.BitsAllocated = 16
+        ds.BitsStored = 16
+        ds.HighBit = 15
+        ds.PixelRepresentation = 1
+        ds.SamplesPerPixel = 1
+        ds.PhotometricInterpretation = "MONOCHROME2"
+        ds.RescaleIntercept = 0
+        ds.RescaleSlope = 1
+        ds.PixelData = arr[ii].astype("<i2").tobytes()
+        dcmwrite(folder / f"{start_index + ii}.dcm", ds)
+    return series
+
+
+def test_two_orientations_split(tmp_path, rng):
+    """Same SeriesInstanceUID, two orientations -> two images."""
+    arr = rng.integers(0, 100, size=(3, 8, 8)).astype(np.int16)
+    series = write_series(tmp_path / "a", arr, [1, 0, 0, 0, 1, 0])
+    write_series(tmp_path / "b", arr, [0, 1, 0, 0, 0, -1],
+                 series=series, start_index=10)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.image_list) == 2
+
+
+def test_acquisition_merge(tmp_path, rng):
+    """Two non-overlapping acquisitions with uniform gap merge into one
+    volume (reference read/dicom.py:356-375)."""
+    arr = rng.integers(0, 100, size=(4, 8, 8)).astype(np.int16)
+    series = write_series(tmp_path / "a", arr, [1, 0, 0, 0, 1, 0],
+                          origin=(0, 0, 0), thickness=2.0, acq="1")
+    write_series(tmp_path / "b", arr, [1, 0, 0, 0, 1, 0],
+                 origin=(0, 0, 8.0), thickness=2.0, acq="2",
+                 series=series, start_index=10)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.image_list) == 1
+    assert Data.image["CT 01"].array.shape == (8, 8, 8)
+
+
+def test_acquisition_overlap_split(tmp_path, rng):
+    """Overlapping acquisitions stay separate volumes."""
+    arr = rng.integers(0, 100, size=(4, 8, 8)).astype(np.int16)
+    series = write_series(tmp_path / "a", arr, [1, 0, 0, 0, 1, 0],
+                          origin=(0, 0, 0), acq="1")
+    write_series(tmp_path / "b", arr, [1, 0, 0, 0, 1, 0],
+                 origin=(0, 0, 2.0), acq="2", series=series,
+                 start_index=10)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.image_list) == 2
+
+
+def test_coronal_series_ffs(tmp_path, rng):
+    """Coronal acquisition (IOP [1,0,0,0,0,-1]) normalizes with the
+    cor_rot1 move and coronal spacing permutation."""
+    arr = rng.integers(0, 100, size=(6, 10, 12)).astype(np.int16)
+    write_series(tmp_path / "c", arr, [1, 0, 0, 0, 0, -1],
+                 origin=(0, 0, 0), thickness=3.0)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    assert img.plane == "Coronal"
+    # spacing: [inplane1, thickness(slice pitch), inplane0]
+    np.testing.assert_allclose(img.spacing, [1.0, 3.0, 1.0])
+    # FFS decision applied an array move (volume no longer (6, 10, 12))
+    assert img.array is not None
+
+
+def test_sagittal_series_plane(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(5, 10, 12)).astype(np.int16)
+    write_series(tmp_path / "s", arr, [0, 1, 0, 0, 0, -1],
+                 origin=(0, 0, 0), thickness=2.0)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    assert img.plane == "Sagittal"
+    np.testing.assert_allclose(img.spacing, [2.0, 1.0, 1.0])
+
+
+def test_descending_slice_order_normalized(tmp_path, rng):
+    """Slices written top-down (negative z step) still assemble in
+    ascending z with correct origin."""
+    arr = np.zeros((6, 8, 8), np.int16)
+    for z in range(6):
+        arr[z] = z
+    write_series(tmp_path / "d", arr, [1, 0, 0, 0, 1, 0],
+                 origin=(0, 0, 10.0), thickness=2.0, z_step=-2.0)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    # slice at lowest z (0) is original index 5
+    np.testing.assert_array_equal(img.array[0], 5 * np.ones((8, 8)))
+    np.testing.assert_allclose(img.origin, [0, 0, 0])
+
+
+def test_rasterize_coronal_sagittal_parity(rng):
+    """Coronal/sagittal rasterization matches the cv2 backend."""
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        _rasterize_plane)
+    dims = (10, 12, 14)
+    for plane, axis in (("Coronal", 1), ("Sagittal", 2)):
+        contours = []
+        for s in (2, 5):
+            # pixel contour (x, y, z) square in the plane
+            if plane == "Coronal":
+                poly = np.array([[2, s, 2], [9, s, 2], [9, s, 7],
+                                 [2, s, 7]], float)
+            else:
+                poly = np.array([[s, 2, 2], [s, 9, 2], [s, 9, 7],
+                                 [s, 2, 7]], float)
+            contours.append(poly)
+        dev = _rasterize_plane(contours, dims, plane, backend="device")
+        gold = _rasterize_plane(contours, dims, plane, backend="cv2")
+        np.testing.assert_array_equal(dev, gold)
