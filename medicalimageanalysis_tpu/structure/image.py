@@ -245,10 +245,121 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                               filepaths=filepath)
         Data.match_rois()
 
-    def create_rtstruct(self, roi_names=None, poi_names=None):
-        """Stub kept for API-shape parity (reference
-        structure/image.py:488-503 is an empty stub)."""
-        pass
+    def create_rtstruct(self, roi_names=None, poi_names=None, path=None,
+                        label="medicalimageanalysis_tpu"):
+        """Build an RTSTRUCT dataset from this image's ROIs/POIs
+        (implemented — the reference keeps an empty stub at
+        structure/image.py:488-503). Returns the Dataset; writes a
+        Part-10 file when `path` is given."""
+        from ..dicom import Dataset, Sequence, dcmwrite, generate_uid
+        from ..dicom import uids
+
+        if roi_names is None:
+            roi_names = [n for n, r in self.rois.items()
+                         if r.contour_position is not None]
+        if poi_names is None:
+            poi_names = [n for n, p in self.pois.items()
+                         if p.point_position is not None]
+
+        ds = Dataset()
+        ds.SOPClassUID = uids.RTStructureSetStorage
+        ds.SOPInstanceUID = generate_uid()
+        ds.Modality = "RTSTRUCT"
+        ds.StructureSetLabel = label
+        ds.PatientID = self.mrn if self.mrn != "missing" else ""
+        if isinstance(self.patient_name, list):
+            ds.PatientName = "^".join(self.patient_name)
+        ds.SeriesInstanceUID = generate_uid()
+        ds.StudyInstanceUID = self.get_study_uid()
+        ds.FrameOfReferenceUID = self.frame_ref
+
+        # referenced frame-of-reference chain
+        series_item = Dataset()
+        series_item.SeriesInstanceUID = self.series_uid
+        imgs = Sequence()
+        for sop in (self.sops or []):
+            r = Dataset()
+            r.ReferencedSOPClassUID = uids.MODALITY_SOP_CLASS.get(
+                self.modality, uids.CTImageStorage)
+            r.ReferencedSOPInstanceUID = sop
+            imgs.append(r)
+        series_item.ContourImageSequence = imgs
+        study_item = Dataset()
+        study_item.RTReferencedSeriesSequence = Sequence([series_item])
+        for_item = Dataset()
+        for_item.ReferencedFrameOfReferenceUID = self.frame_ref
+        for_item.RTReferencedStudySequence = Sequence([study_item])
+        ds.ReferencedFrameOfReferenceSequence = Sequence([for_item])
+
+        m = self.display.compute_matrix_position_to_pixel()
+        sop_class = uids.MODALITY_SOP_CLASS.get(self.modality,
+                                                uids.CTImageStorage)
+
+        roi_seq = Sequence()
+        contour_seq = Sequence()
+        obs_seq = Sequence()
+        number = 0
+        for name in list(roi_names) + list(poi_names):
+            number += 1
+            s = Dataset()
+            s.ROINumber = number
+            s.ROIName = name
+            s.ReferencedFrameOfReferenceUID = self.frame_ref
+            s.ROIGenerationAlgorithm = "MANUAL"
+            roi_seq.append(s)
+
+            obs = Dataset()
+            obs.ObservationNumber = number
+            obs.ReferencedROINumber = number
+            obs.RTROIInterpretedType = "ORGAN" if name in roi_names \
+                else "MARKER"
+            obs_seq.append(obs)
+
+            item = Dataset()
+            item.ReferencedROINumber = number
+            cs = Sequence()
+            if name in self.rois and name in roi_names:
+                roi = self.rois[name]
+                item.ROIDisplayColor = [int(v) for v in
+                                        (roi.color or [128, 128, 128])]
+                for contour in (roi.contour_position or []):
+                    contour = np.asarray(contour, dtype=float)
+                    c = Dataset()
+                    c.ContourGeometricType = "CLOSED_PLANAR"
+                    c.NumberOfContourPoints = contour.shape[0]
+                    c.ContourData = [float(v)
+                                     for v in contour.reshape(-1)]
+                    # reference the nearest slice SOP by z pixel index
+                    pix = geo.apply_homogeneous(contour[0], m)
+                    z = int(np.clip(np.round(pix[2]), 0,
+                                    len(self.sops or [1]) - 1))
+                    if self.sops:
+                        ci = Dataset()
+                        ci.ReferencedSOPClassUID = sop_class
+                        ci.ReferencedSOPInstanceUID = self.sops[z]
+                        c.ContourImageSequence = Sequence([ci])
+                    cs.append(c)
+            else:
+                poi = self.pois[name]
+                item.ROIDisplayColor = [int(v) for v in
+                                        (poi.color or [128, 128, 128])]
+                c = Dataset()
+                c.ContourGeometricType = "POINT"
+                point = np.asarray(poi.point_position,
+                                   dtype=float).reshape(-1)
+                c.ContourData = [float(v) for v in point[:3]]
+                c.NumberOfContourPoints = 1
+                cs.append(c)
+            item.ContourSequence = cs
+            contour_seq.append(item)
+
+        ds.StructureSetROISequence = roi_seq
+        ds.ROIContourSequence = contour_seq
+        ds.RTROIObservationsSequence = obs_seq
+
+        if path is not None:
+            dcmwrite(path, ds)
+        return ds
 
     # -- grid bundle (replaces create_sitk_image, image.py:906-930) -----
     def create_volume(self, empty=False):
