@@ -22,7 +22,10 @@ import numpy as np
 N_SERIES = int(os.environ.get("BENCH_SERIES", 8))
 N_SLICES = int(os.environ.get("BENCH_SLICES", 40))
 SIZE = int(os.environ.get("BENCH_SIZE", 256))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 2))
+# chunk = N_SERIES -> one batched device program (best through the
+# tunneled chip, where every dispatch is a synchronous RPC); smaller
+# chunks pipeline host parse with device work on local hardware
+CHUNK = int(os.environ.get("BENCH_CHUNK", N_SERIES))
 OUT_SHAPE = (N_SLICES, SIZE // 2, SIZE // 2)
 TARGET = 50.0  # series/sec on v5e-8 (BASELINE.json north_star)
 

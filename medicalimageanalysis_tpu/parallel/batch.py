@@ -24,7 +24,7 @@ from ..ops.filters import _gauss_kernel_matrix
 from ..ops.resample import _interp_matrix
 
 __all__ = ["make_preprocess_fn", "make_registration_step",
-           "preprocess_batch"]
+           "preprocess_batch", "demons_batch"]
 
 
 def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
@@ -91,6 +91,36 @@ def preprocess_batch(raw, slopes, intercepts, out_shape=(64, 256, 256),
     vols, masks = jfn(jnp.asarray(raw), jnp.asarray(slopes),
                       jnp.asarray(intercepts))
     return vols, masks
+
+
+def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
+                 method="fast", iterations=30, std=1.0, step=2.0,
+                 intensity_threshold=0.001, smooth=True, mesh=None):
+    """Deformable registration over a whole cohort: vmapped demons
+    (one compiled program for B pairs), optionally sharded over the
+    'data' axis of a Mesh. Returns (B, Z, Y, X, 3) DVFs in mm."""
+    from ..ops.registration.demons import _demons_core
+
+    fixed = jnp.asarray(fixed_batch, jnp.float32)
+    moving = jnp.asarray(moving_batch, jnp.float32)
+    sp = jnp.asarray(spacing_xyz, jnp.float32)
+
+    def single(f, m):
+        return _demons_core(f, m, sp, float(std), jnp.float32(step),
+                            jnp.float32(intensity_threshold),
+                            int(iterations), method, bool(smooth))
+
+    fn = jax.vmap(single)
+    if mesh is None:
+        jfn = jax.jit(fn)
+    else:
+        from .mesh import volume_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        vol_sh = volume_sharding(mesh)
+        dvf_sh = NamedSharding(mesh, P("data", "space", None, None, None))
+        jfn = jax.jit(fn, in_shardings=(vol_sh, vol_sh),
+                      out_shardings=dvf_sh)
+    return jfn(fixed, moving)
 
 
 def make_registration_step(vol_shape, lr=0.05, stride=2):

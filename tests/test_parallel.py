@@ -1,0 +1,89 @@
+"""Multi-device scaling tests on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _require_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def test_demons_batch_sharded(rng):
+    _require_8()
+    from medicalimageanalysis_tpu.parallel.batch import demons_batch
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(8, space=2)
+
+    zz, yy, xx = np.mgrid[0:8, 0:16, 0:16]
+    blob = np.exp(-(((zz - 4) / 2.0) ** 2 + ((yy - 8) / 4.0) ** 2
+                    + ((xx - 8) / 4.0) ** 2)).astype(np.float32)
+    B = 4
+    fixed = np.broadcast_to(blob, (B, 8, 16, 16)).copy()
+    moving = np.roll(fixed, 1, axis=3).copy()
+
+    dvfs = np.asarray(demons_batch(fixed, moving, iterations=20,
+                                   mesh=mesh))
+    assert dvfs.shape == (B, 8, 16, 16, 3)
+    # all pairs identical -> identical fields
+    np.testing.assert_allclose(dvfs[0], dvfs[1], atol=1e-5)
+    # the field reduces the mismatch
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+    warped = np.asarray(warp_volume(moving[0], dvfs[0], (1, 1, 1)))
+    assert np.abs(warped - fixed[0]).mean() \
+        < 0.5 * np.abs(moving[0] - fixed[0]).mean()
+
+
+def test_registration_step_converges():
+    from medicalimageanalysis_tpu.parallel.batch import (
+        make_registration_step)
+    zz, yy, xx = np.mgrid[0:8, 0:16, 0:16]
+    blob = np.exp(-(((zz - 4) / 2.0) ** 2 + ((yy - 8) / 4.0) ** 2
+                    + ((xx - 8) / 4.0) ** 2)).astype(np.float32)
+    B = 2
+    refs = np.broadcast_to(blob, (B, 8, 16, 16)).copy()
+    movs = np.roll(refs, 1, axis=3).copy()
+
+    train_step, init = make_registration_step((8, 16, 16), lr=0.1,
+                                              stride=1)
+    params, opt_state = init(B)
+    step = jax.jit(train_step)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, refs, movs)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
+
+
+def test_mesh_shapes():
+    _require_8()
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(8, space=4)
+    assert dict(mesh.shape) == {"data": 2, "space": 4}
+    with pytest.raises(ValueError):
+        make_mesh(8, space=3)
+
+
+def test_input_mhd_roi(tmp_path, rng):
+    """Image.input_mhd: label volume -> ROI masks."""
+    import medicalimageanalysis_tpu as mia
+    from medicalimageanalysis_tpu.data import Data
+    from medicalimageanalysis_tpu.read.mhd import write_mhd_volume
+    from helpers import write_ct_series
+
+    arr = rng.integers(0, 100, size=(6, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr, spacing=(1, 1), thickness=2.0)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+
+    labels = np.zeros((6, 16, 16), np.uint8)
+    labels[1:4, 2:8, 2:8] = 1
+    labels[2:5, 9:14, 9:14] = 2
+    write_mhd_volume(tmp_path / "labels.mhd", labels)
+    img.input_mhd(str(tmp_path / "labels.mhd"), ["A", "B"], [1, 2])
+    assert "A" in img.rois and "B" in img.rois
+    mask_a = img.rois["A"].compute_mask()
+    assert mask_a[2, 4, 4] == 1
+    assert mask_a[3, 11, 11] == 0

@@ -1,0 +1,63 @@
+"""reader.py API edge cases."""
+
+import numpy as np
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+
+from helpers import write_ct_series
+
+
+def test_file_parser_buckets(tmp_path):
+    for name in ("a.dcm", "b.mhd", "c.raw", "d.nii.gz", "e.stl",
+                 "f.vtk", "g.3mf", "noext"):
+        (tmp_path / name).write_bytes(b"x")
+    files = mia.file_parser(folder_path=str(tmp_path))
+    assert [len(files[k]) for k in
+            ("Dicom", "MHD", "Raw", "Nifti", "Stl", "Vtk", "3mf",
+             "NoExtension")] == [1] * 8
+
+
+def test_file_parser_exclude(tmp_path):
+    (tmp_path / "a.dcm").write_bytes(b"x")
+    (tmp_path / "b.dcm").write_bytes(b"x")
+    files = mia.file_parser(folder_path=str(tmp_path),
+                            exclude_files=[str(tmp_path / "a.dcm")])
+    assert files["Dicom"] == [str(tmp_path / "b.dcm")]
+
+
+def test_check_memory(tmp_path):
+    (tmp_path / "a.dcm").write_bytes(b"x" * 1024)
+    files = mia.file_parser(folder_path=str(tmp_path))
+    remaining = mia.check_memory(files)
+    assert remaining > 0  # machine has more than 1KB free
+
+
+def test_clear_flag(tmp_path, rng):
+    arr = rng.integers(0, 10, size=(2, 8, 8)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr)
+    mia.read_dicoms(folder_path=str(tmp_path / "a"))
+    assert len(Data.image_list) == 1
+    # clear=False keeps the first image
+    write_ct_series(tmp_path / "b", arr, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path / "b"), clear=False)
+    assert len(Data.image_list) == 2
+    # clear=True wipes
+    mia.read_dicoms(folder_path=str(tmp_path / "a"), clear=True)
+    assert len(Data.image_list) == 1
+
+
+def test_models_exports():
+    from medicalimageanalysis_tpu import models
+    assert callable(models.register_rigid_intensity)
+    assert callable(models.bspline_registration)
+    assert callable(models.demons_registration)
+
+
+def test_delete_image(tmp_path, rng):
+    arr = rng.integers(0, 10, size=(2, 8, 8)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    Data.delete_image("CT 01")
+    assert Data.image_list == []
+    assert Data.image == {}
