@@ -34,6 +34,15 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
+    # persistent compile cache: the tunneled remote-compile round trip
+    # dominates bench wall time otherwise
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_mia_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     import medicalimageanalysis_tpu as mia
     from medicalimageanalysis_tpu.config import config
     from medicalimageanalysis_tpu.data import Data

@@ -87,3 +87,25 @@ def test_input_mhd_roi(tmp_path, rng):
     mask_a = img.rois["A"].compute_mask()
     assert mask_a[2, 4, 4] == 1
     assert mask_a[3, 11, 11] == 0
+
+
+def test_ingest_cohort(tmp_path, rng):
+    _require_8()
+    import medicalimageanalysis_tpu as mia
+    from medicalimageanalysis_tpu.data import Data
+    from medicalimageanalysis_tpu.parallel.cohort import ingest_cohort
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+    from helpers import write_ct_series
+
+    for s in range(4):
+        arr = rng.integers(-500, 1500, size=(8, 32, 32)).astype(np.int16)
+        write_ct_series(tmp_path / f"s{s}", arr, spacing=(1, 1),
+                        thickness=2.0)
+    mesh = make_mesh(8, space=2)
+    results = ingest_cohort(folder_path=str(tmp_path),
+                            out_shape=(8, 16, 16), mesh=mesh)
+    assert len(results) == 4
+    for name, r in results.items():
+        assert r["volume"].shape == (8, 16, 16)
+        assert r["mask"].shape == (8, 16, 16)
+        assert Data.image[name].array is not None
