@@ -15,7 +15,7 @@ defaults so behavior parity is auditable:
 - B-spline control spacing 50 mm: reference utils/deformable/simpleitk.py:106-107
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

@@ -13,8 +13,6 @@ the access idioms the reference code relies on (reference read/dicom.py):
 
 from __future__ import annotations
 
-import numpy as np
-
 from .dictionary import keyword_to_tag, tag_to_keyword, tag_to_vr
 
 _BINARY_VRS = {"OB", "OW", "OF", "OD", "OL", "UN"}

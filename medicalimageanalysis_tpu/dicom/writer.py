@@ -12,8 +12,7 @@ import struct
 import numpy as np
 
 from . import uids
-from .dataset import Dataset, FileMetaDataset, Sequence
-from .dictionary import tag_to_vr
+from .dataset import FileMetaDataset
 
 _LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN"}
 

@@ -9,10 +9,6 @@ cohort DVH batches on TPU; interpret mode keeps it testable on CPU.
 
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -13,10 +13,6 @@ series/sec end-to-end on a v5e-8):
 
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

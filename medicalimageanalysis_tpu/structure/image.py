@@ -12,7 +12,6 @@ import os
 import json
 
 import numpy as np
-from scipy.spatial.transform import Rotation
 
 from ..config import config
 from ..data import Data

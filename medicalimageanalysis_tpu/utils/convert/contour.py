@@ -19,8 +19,6 @@ from __future__ import annotations
 import numpy as np
 
 from ...ops import geometry as geo
-from ...ops.rasterize import polygon_bitmaps
-from ..mesh.trimesh import TriMesh
 
 __all__ = ["ContourToDiscreteMesh", "ContourToMask", "MaskToContour",
            "ModelToMask"]
