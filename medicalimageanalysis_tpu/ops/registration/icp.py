@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["icp_rigid", "kabsch", "nearest_neighbors"]
+__all__ = ["icp_rigid", "icp_point_to_plane", "kabsch",
+           "nearest_neighbors"]
 
 _CHUNK = 2048
 
@@ -167,6 +168,133 @@ def _icp_loop(src, src_valid, tgt, tgt_valid, init_matrix, tol,
     state = (init_matrix, md0 + 2 * tol + 1.0, md0, jnp.int32(0))
     m, _, md, it = lax.while_loop(cond, step, state)
     return m, md, it
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def _icp_p2l_loop(src, src_valid, tgt, tgt_valid, tgt_normals,
+                  init_matrix, tol, max_iterations):
+    """Point-to-plane ICP: per iteration, linearized least squares
+    min sum(((R s + t - d) . n)^2) solved as a 6x6 normal system
+    (small-angle rotation [a, b, c] + translation)."""
+
+    def _nn(pts):
+        L = pts.shape[0]
+        T = tgt.shape[0]
+        n_chunks = T // _CHUNK
+        s2 = jnp.sum(pts * pts, axis=1)
+
+        def body(carry, chunk_idx):
+            best_d2, best_idx = carry
+            start = chunk_idx * _CHUNK
+            tc = lax.dynamic_slice(tgt, (start, 0), (_CHUNK, 3))
+            vc = lax.dynamic_slice(tgt_valid, (start,), (_CHUNK,))
+            t2 = jnp.sum(tc * tc, axis=1)
+            d2 = s2[:, None] - 2.0 * jnp.dot(
+                pts, tc.T, preferred_element_type=jnp.float32) \
+                + t2[None, :]
+            d2 = jnp.where(vc[None, :], d2, jnp.inf)
+            cmin = jnp.min(d2, axis=1)
+            cidx = jnp.argmin(d2, axis=1) + start
+            better = cmin < best_d2
+            return ((jnp.where(better, cmin, best_d2),
+                     jnp.where(better, cidx, best_idx)), None)
+
+        init = (jnp.full((L,), jnp.inf, jnp.float32),
+                jnp.zeros((L,), jnp.int32))
+        (best_d2, best_idx), _ = lax.scan(body, init,
+                                          jnp.arange(n_chunks))
+        return best_idx, best_d2
+
+    def apply(m, pts):
+        return pts @ m[:3, :3].T + m[:3, 3]
+
+    def small_angle_matrix(x):
+        a, b, c, tx, ty, tz = x[0], x[1], x[2], x[3], x[4], x[5]
+        R = jnp.array([[1.0, -c, b], [c, 1.0, -a], [-b, a, 1.0]])
+        # re-orthonormalize via SVD to keep a proper rotation
+        U, _, Vt = jnp.linalg.svd(R)
+        Rn = U @ Vt
+        m = jnp.eye(4)
+        m = m.at[:3, :3].set(Rn)
+        m = m.at[:3, 3].set(jnp.array([tx, ty, tz]))
+        return m
+
+    def step(state):
+        m, _, cur_md, it = state
+        pts = apply(m, src)
+        idx, _ = _nn(pts)
+        d = tgt[idx]
+        n = tgt_normals[idx]
+        w = src_valid.astype(jnp.float32)
+        # rows: [cross(p, n), n], residual: (d - p) . n
+        cpn = jnp.cross(pts, n)
+        A = jnp.concatenate([cpn, n], axis=1) * w[:, None]   # (L, 6)
+        b = jnp.einsum("ij,ij->i", d - pts, n) * w
+        AtA = A.T @ A + 1e-6 * jnp.eye(6)
+        Atb = A.T @ b
+        x = jnp.linalg.solve(AtA, Atb)
+        new_m = small_angle_matrix(x) @ m
+        new_pts = apply(new_m, src)
+        _, d2 = _nn(new_pts)
+        new_md = jnp.sqrt(jnp.sum(jnp.where(src_valid, d2, 0.0))
+                          / jnp.sum(src_valid))
+        return (new_m, cur_md, new_md, it + 1)
+
+    def cond(state):
+        _, prev_md, cur_md, it = state
+        return (it < max_iterations) & (jnp.abs(prev_md - cur_md) > tol)
+
+    pts0 = apply(init_matrix, src)
+    _, d2 = _nn(pts0)
+    md0 = jnp.sqrt(jnp.sum(jnp.where(src_valid, d2, 0.0))
+                   / jnp.sum(src_valid))
+    state = (init_matrix, md0 + 2 * tol + 1.0, md0, jnp.int32(0))
+    m, _, md, it = lax.while_loop(cond, step, state)
+    return m, md, it
+
+
+def icp_point_to_plane(source, target, target_normals, distance=1e-7,
+                       iterations=100, landmarks=None, com_matching=True,
+                       init_matrix=None, seed=0):
+    """Point-to-plane ICP (Open3D TransformationEstimationPointToPlane
+    equivalent, reference utils/rigid/icp.py:102-149 'plane' method)."""
+    src = np.asarray(source, dtype=np.float32).reshape(-1, 3)
+    tgt = np.asarray(target, dtype=np.float32).reshape(-1, 3)
+    nrm = np.asarray(target_normals, dtype=np.float32).reshape(-1, 3)
+
+    if landmarks is not None and src.shape[0] > landmarks:
+        rng = np.random.default_rng(seed)
+        sel = np.sort(rng.choice(src.shape[0], size=landmarks,
+                                 replace=False))
+        src = src[sel]
+
+    L = _bucket(src.shape[0])
+    src_pad = np.zeros((L, 3), np.float32)
+    src_pad[:src.shape[0]] = src
+    src_valid = np.zeros(L, bool)
+    src_valid[:src.shape[0]] = True
+
+    T = ((tgt.shape[0] + _CHUNK - 1) // _CHUNK) * _CHUNK
+    tgt_pad = np.zeros((T, 3), np.float32)
+    tgt_pad[:tgt.shape[0]] = tgt
+    nrm_pad = np.zeros((T, 3), np.float32)
+    nrm_pad[:tgt.shape[0]] = nrm
+    tgt_valid = np.zeros(T, bool)
+    tgt_valid[:tgt.shape[0]] = True
+
+    m0 = np.eye(4, dtype=np.float32)
+    if init_matrix is not None:
+        m0 = np.asarray(init_matrix, dtype=np.float32)
+    elif com_matching:
+        m0[:3, 3] = tgt.mean(axis=0) - src.mean(axis=0)
+
+    m, md, it = _icp_p2l_loop(
+        jnp.asarray(src_pad), jnp.asarray(src_valid),
+        jnp.asarray(tgt_pad), jnp.asarray(tgt_valid),
+        jnp.asarray(nrm_pad), jnp.asarray(m0), jnp.float32(distance),
+        int(iterations))
+    return np.asarray(m, dtype=np.float64), {
+        "mean_distance": float(md), "iterations": int(it)}
 
 
 def icp_rigid(source, target, distance=1e-5, iterations=1000,

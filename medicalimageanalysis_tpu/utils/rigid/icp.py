@@ -21,6 +21,19 @@ def _points_of(obj):
     return np.asarray(obj, dtype=np.float64).reshape(-1, 3)
 
 
+def _estimate_normals(points, k=12):
+    """PCA normals for a raw point cloud (no faces available)."""
+    from scipy.spatial import cKDTree
+    tree = cKDTree(points)
+    _, idx = tree.query(points, k=min(k, len(points)))
+    normals = np.zeros_like(points)
+    for i, nb in enumerate(idx):
+        p = points[nb] - points[nb].mean(axis=0)
+        _, _, vt = np.linalg.svd(p, full_matrices=False)
+        normals[i] = vt[-1]
+    return normals
+
+
 class ICP(object):
     """Rigid ICP between a source and target mesh / point cloud."""
 
@@ -55,16 +68,28 @@ class ICP(object):
     def compute_o3d(self, distance=10, iterations=1000, rmse=1e-7,
                     fitness=1e-7, method="point", com_matching=True,
                     inverse=False):
-        """Open3D-variant semantics: correspondence-distance capped ICP
-        (points beyond `distance` are down-weighted out), relative-rmse
-        convergence. `method='plane'` currently falls back to
-        point-to-point (same minimizer family)."""
+        """Open3D-variant semantics: point-to-point or point-to-plane
+        estimation, relative-rmse convergence, fitness/inlier metrics."""
         src = _points_of(self.source)
         tgt = _points_of(self.target)
-        m, info = icp_rigid(src, tgt, distance=rmse,
-                            iterations=iterations, landmarks=src.shape[0],
-                            com_matching=com_matching,
-                            init_matrix=self.matrix)
+        if method == "plane":
+            from ...ops.registration.icp import icp_point_to_plane
+            from ...utils.mesh.surface import vertex_normals
+            normals = vertex_normals(self.target) \
+                if hasattr(self.target, "faces") \
+                and getattr(self.target, "faces", np.zeros(0)).size \
+                else _estimate_normals(tgt)
+            m, info = icp_point_to_plane(src, tgt, normals,
+                                         distance=rmse,
+                                         iterations=iterations,
+                                         com_matching=com_matching,
+                                         init_matrix=self.matrix)
+        else:
+            m, info = icp_rigid(src, tgt, distance=rmse,
+                                iterations=iterations,
+                                landmarks=src.shape[0],
+                                com_matching=com_matching,
+                                init_matrix=self.matrix)
         self.info = info
         # fitness / inlier_rmse like open3d's result
         pts = src @ m[:3, :3].T + m[:3, 3]

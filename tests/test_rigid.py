@@ -133,3 +133,26 @@ def test_pre_alignment_origin(two_images):
     np.testing.assert_allclose(
         rigid.matrix[:3, 3],
         np.asarray(Data.image[mr].origin) - np.asarray(Data.image[ct].origin))
+
+
+def test_icp_point_to_plane():
+    """Point-to-plane ICP on a meshed surface recovers a small rigid
+    transform."""
+    from medicalimageanalysis_tpu.ops.marching_cubes import (
+        marching_cubes_mask)
+    from medicalimageanalysis_tpu.utils.rigid.icp import ICP
+    mask = np.zeros((16, 20, 24), np.uint8)
+    mask[4:12, 5:15, 6:18] = 1
+    mask[6:10, 8:12, 10:14] = 0  # notch for orientation info
+    mesh = marching_cubes_mask(mask)
+    R = Rotation.from_euler("xyz", [2, -3, 4], degrees=True).as_matrix()
+    t = np.array([1.5, -2.0, 1.0])
+    moved = mesh.copy()
+    moved.points = mesh.points @ R.T + t
+
+    icp = ICP(mesh, moved)
+    icp.compute_o3d(method="plane", iterations=60)
+    m = icp.get_matrix()
+    out = mesh.points @ m[:3, :3].T + m[:3, 3]
+    rms = np.sqrt(np.mean(np.sum((out - moved.points) ** 2, axis=1)))
+    assert rms < 0.3
