@@ -232,3 +232,34 @@ def test_dvh_matches_numpy(rng):
     mask = dose < 30
     assert stats["VS30Gy_percent"] == pytest.approx(
         mask.mean() * 100, abs=0.1)
+
+
+def test_deformable_object_bspline(two_images):
+    ct, mr = two_images
+    deform = mia.Deformable(reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    deform.compute_bspline(modality_gradient=False,
+                           control_spacing=[8, 8, 8], iterations=50,
+                           crop=0)
+    assert deform.dvf.shape[-1] == 3
+    out = deform.create_image()
+    fixed = Data.image[ct].array.astype(np.float32)
+    moving = Data.image[mr].array.astype(np.float32)
+    interior = np.s_[2:-2, 4:-4, 4:-4]
+    err_before = np.abs(moving - fixed)[interior].mean()
+    err_after = np.abs(out["array"] - fixed)[interior].mean()
+    assert err_after < 0.8 * err_before
+
+
+def test_deformable_rigid_pre_transform(two_images):
+    """compute_demons with a rigid pre-matrix still stores a usable DVF
+    and update_rois applies the inverse rigid first."""
+    ct, mr = two_images
+    pre = np.eye(4)
+    pre[:3, 3] = [1.0, 0.0, 0.0]
+    deform = mia.Deformable(reference_name=ct, moving_name=mr,
+                            roi_names=[], rigid_matrix=pre)
+    deform.compute_demons(modality_gradient=False, iterations=10, crop=0)
+    assert np.asarray(deform.rigid_matrix)[0, 3] == 1.0
+    out = deform.create_image()
+    assert out["array"].shape == Data.image[ct].array.shape
