@@ -78,9 +78,15 @@ def file_parser(folder_path=None, file_list=None, exclude_files=None):
 
 def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
                 only_tags=False, only_modality=None,
-                only_load_roi_names=None, clear=True):
+                only_load_roi_names=None, clear=True,
+                include_no_extension=False):
     """Load DICOM files into the global Data registry
-    (reference reader.py:230-329)."""
+    (reference reader.py:230-329).
+
+    ``include_no_extension=True`` additionally sniffs extension-less
+    files for the DICM magic and ingests the matches (the reference
+    buckets them but silently ignores them; common in clinical
+    archives)."""
     from .read.dicom import DicomReader
 
     if only_modality is None:
@@ -91,6 +97,15 @@ def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
     if folder_path is not None or file_list is not None:
         files = file_parser(folder_path=folder_path, file_list=file_list,
                             exclude_files=exclude_files)
+        if include_no_extension:
+            for path in files["NoExtension"]:
+                try:
+                    with open(path, "rb") as f:
+                        f.seek(128)
+                        if f.read(4) == b"DICM":
+                            files["Dicom"].append(path)
+                except OSError:
+                    pass
 
     dicom_reader = DicomReader(files, only_tags, only_modality,
                                only_load_roi_names, clear)

@@ -191,3 +191,87 @@ def test_parallel_preprocess_on_mesh(rng):
                                    out_shape=(8, 16, 16), mesh=mesh)
     assert vols.shape == (4, 8, 16, 16)
     assert masks.shape == (4, 8, 16, 16)
+
+
+def test_rf_reader(tmp_path, rng):
+    from medicalimageanalysis_tpu.dicom import (Dataset, dcmwrite,
+                                                generate_uid, uids)
+    frames = rng.integers(0, 4000, size=(5, 16, 20)).astype(np.uint16)
+    ds = Dataset()
+    ds.SOPClassUID = uids.XRayRFImageStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "RF"
+    ds.PatientID = "R"
+    ds.NumberOfFrames = 5
+    ds.Rows, ds.Columns = 16, 20
+    ds.BitsAllocated = 16
+    ds.BitsStored = 16
+    ds.HighBit = 15
+    ds.PixelRepresentation = 0
+    ds.SamplesPerPixel = 1
+    ds.PhotometricInterpretation = "MONOCHROME2"
+    ds.ImagerPixelSpacing = [0.2, 0.2]
+    ds.PixelData = frames.astype("<u2").tobytes()
+    (tmp_path / "rf").mkdir()
+    dcmwrite(tmp_path / "rf" / "rf.dcm", ds)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["RF 01"]
+    assert img.array.shape == (5, 16, 20)
+    np.testing.assert_allclose(img.spacing, [0.2, 0.2, 1.0])
+
+
+def test_jpeg_baseline_decode(tmp_path, rng):
+    """8-bit JPEG-baseline encapsulated DICOM decodes via cv2."""
+    import cv2
+    from medicalimageanalysis_tpu.dicom import dcmread, dcmwrite, uids
+    from test_dicom_core import make_ct_slice
+    img = np.full((32, 32), 128, np.uint8)
+    img[8:24, 8:24] = 200
+    ok, enc = cv2.imencode(".jpg", img,
+                           [cv2.IMWRITE_JPEG_QUALITY, 95])
+    assert ok
+    ds = make_ct_slice(np.zeros((32, 32), np.uint16))
+    ds.BitsAllocated = 8
+    ds.BitsStored = 8
+    ds.HighBit = 7
+    ds.PixelData = [enc.tobytes()]
+    dcmwrite(tmp_path / "jb.dcm", ds,
+             transfer_syntax=uids.JPEGBaseline8Bit)
+    out = dcmread(tmp_path / "jb.dcm")
+    decoded = out.pixel_array
+    assert decoded.shape == (32, 32)
+    # lossy: interior/exterior levels approximately preserved
+    assert abs(int(decoded[16, 16]) - 200) < 10
+    assert abs(int(decoded[2, 2]) - 128) < 10
+
+
+def test_no_extension_dicoms(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(3, 8, 8)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr)
+    # strip extensions
+    noext = tmp_path / "noext"
+    noext.mkdir()
+    for p in (tmp_path / "ct").glob("*.dcm"):
+        (noext / p.stem).write_bytes(p.read_bytes())
+        p.unlink()
+    mia.read_dicoms(folder_path=str(noext))
+    assert Data.image_list == []  # reference behavior: ignored
+    mia.read_dicoms(folder_path=str(noext), include_no_extension=True)
+    assert Data.image_list == ["CT 01"]
+    np.testing.assert_array_equal(Data.image["CT 01"].array, arr)
+
+
+def test_poi_point_pixel(tmp_path, rng):
+    from helpers import write_rtstruct
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    pois = {"Mark": [float(info["origin"][0] + 3),
+                     float(info["origin"][1] + 5),
+                     float(info["origin"][2] + 2)]}
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, {}, pois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    poi = Data.image["CT 01"].pois["Mark"]
+    assert poi.point_pixel is not None
+    np.testing.assert_allclose(poi.point_pixel.reshape(-1),
+                               [3.0, 5.0, 1.0], atol=1e-3)
