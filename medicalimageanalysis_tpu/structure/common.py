@@ -217,6 +217,15 @@ class ViewOpsMixin:
 
     retrieve_vtk_slice = retrieve_slice
 
+    def retrieve_vtk_volume(self, slice_plane):
+        """Kept for name-surface parity; the reference version calls a
+        Display method that does not exist (structure/image.py:1363-1377
+        -> Display.compute_vtk_volume is never defined)."""
+        raise NotImplementedError(
+            "retrieve_vtk_volume has no working implementation in the "
+            "reference either (missing Display.compute_vtk_volume); use "
+            "create_volume() for the full grid bundle")
+
     def update_rotation(self, r_x=0, r_y=0, r_z=0, base=True):
         if r_x != 0 or r_y != 0 or r_z != 0:
             r = Rotation.from_euler("xyz", [r_x, r_y, r_z], degrees=True)

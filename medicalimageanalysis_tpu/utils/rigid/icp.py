@@ -98,7 +98,8 @@ class ICP(object):
         inliers = d <= distance
         self.info["fitness"] = float(inliers.mean())
         self.info["inlier_rmse"] = float(
-            np.sqrt(np.mean(d2[inliers])) if inliers.any() else 0.0)
+            np.sqrt(np.mean(np.maximum(d2[inliers], 0.0)))
+            if inliers.any() else 0.0)
         self.matrix = np.linalg.inv(m) if inverse else m
 
     def get_matrix(self):
