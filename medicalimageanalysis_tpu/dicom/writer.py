@@ -147,6 +147,11 @@ def dcmwrite(path, ds, transfer_syntax=None):
         if encap_pixels is not None:
             ds._dict[0x7FE00010] = el
 
+    if transfer_syntax == uids.DeflatedExplicitVRLittleEndian:
+        import zlib
+        compressor = zlib.compressobj(wbits=-15)  # raw deflate per PS3.5
+        body = compressor.compress(body) + compressor.flush()
+
     with open(str(path), "wb") as f:
         f.write(b"\x00" * 128)
         f.write(b"DICM")

@@ -34,9 +34,10 @@ __all__ = ["Read3D"]
 class Read3D(object):
     """Assemble a CT/MR/PT slice stack into a canonical (FFS) volume."""
 
-    def __init__(self, image_set, only_tags):
+    def __init__(self, image_set, only_tags, register=True):
         self.image_set = image_set if isinstance(image_set, list) else [image_set]
         self.only_tags = only_tags
+        self.register = register
 
         self.unverified = None
         self.base_position = None
@@ -60,6 +61,8 @@ class Read3D(object):
         self._assemble_and_verify()
 
         self.image_matrix = geo.orientation_to_matrix(self.orientation)
+        if not self.register:
+            return
         self.image_name = create_image_name(self.modality)
 
         image = Image(self)

@@ -360,6 +360,26 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             dcmwrite(path, ds)
         return ds
 
+    def load_array(self):
+        """Deferred pixel load for images ingested with only_tags=True
+        (NEW: completes the only_tags workflow — re-reads the stored
+        filepaths, re-assembles on device, fills self.array)."""
+        if self.array is not None:
+            return self.array
+        if not self.filepaths or any(f is None for f in self.filepaths):
+            raise ValueError("no filepaths recorded; cannot load array")
+        from ..dicom import dcmread
+        from ..read.volume3d import Read3D
+
+        datasets = [dcmread(f) for f in self.filepaths]
+        by_sop = {ds.SOPInstanceUID: ds for ds in datasets}
+        ordered = [by_sop[sop] for sop in self.sops if sop in by_sop]
+        rebuilt = Read3D(ordered, only_tags=False, register=False)
+        self.array = rebuilt.array
+        self.window = self.get_window()
+        self.display = Display(self)
+        return self.array
+
     # -- grid bundle (replaces create_sitk_image, image.py:906-930) -----
     def create_volume(self, empty=False):
         """Array + geometry bundle (the SimpleITK-image equivalent)."""

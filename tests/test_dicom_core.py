@@ -147,3 +147,13 @@ def test_generate_uid_unique():
     seen = {generate_uid() for _ in range(100)}
     assert len(seen) == 100
     assert all(u.startswith("2.25.") and len(u) <= 64 for u in seen)
+
+
+def test_deflated_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 3000, size=(24, 24)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    path = tmp_path / "ct_deflated.dcm"
+    dcmwrite(path, ds, transfer_syntax=uids.DeflatedExplicitVRLittleEndian)
+    out = dcmread(path)
+    assert out.Modality == "CT"
+    np.testing.assert_array_equal(out.pixel_array, arr)

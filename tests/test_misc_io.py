@@ -275,3 +275,20 @@ def test_poi_point_pixel(tmp_path, rng):
     assert poi.point_pixel is not None
     np.testing.assert_allclose(poi.point_pixel.reshape(-1),
                                [3.0, 5.0, 1.0], atol=1e-3)
+
+
+def test_only_tags_then_load_array(tmp_path, rng):
+    """only_tags ingest + deferred Image.load_array equals a full read."""
+    arr = rng.integers(-800, 1200, size=(6, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    full = Data.image["CT 01"].array.copy()
+
+    mia.read_dicoms(folder_path=str(tmp_path), only_tags=True)
+    img = Data.image["CT 01"]
+    assert img.array is None
+    loaded = img.load_array()
+    np.testing.assert_array_equal(loaded, full)
+    np.testing.assert_array_equal(img.array, full)
+    # display refreshed with real window
+    assert img.display.scroll_max[0] == 5
