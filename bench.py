@@ -93,6 +93,33 @@ def main():
     jax.block_until_ready(pending)
     total = time.perf_counter() - t0
 
+    # secondary BASELINE target: rigid registration < 100 ms per CT<->CT
+    # pair. One dispatch runs the whole multi-resolution descent on
+    # device (models/rigid_intensity._register_level is a lax.scan).
+    import jax.numpy as jnp
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        _register_level)
+    names = Data.image_list[:2]
+    ref = Data.image[names[0]]
+    mov = Data.image[names[1]]
+    from medicalimageanalysis_tpu.ops import geometry as geo_ops
+    ref_vol = jnp.asarray(ref.array, jnp.float32)
+    mov_vol = jnp.asarray(mov.array, jnp.float32)
+    r_p2p = jnp.asarray(geo_ops.pixel_to_position_matrix(
+        ref.matrix, ref.spacing, ref.origin))
+    m_pos2pix = jnp.asarray(geo_ops.position_to_pixel_matrix(
+        mov.matrix, mov.spacing, mov.origin))
+    center = jnp.asarray(np.asarray(ref.compute_center(), np.float32))
+    pose0 = jnp.zeros(6, jnp.float32)
+    args = (ref_vol, mov_vol, r_p2p, m_pos2pix, center, pose0,
+            jnp.float32(0.1))
+    out = _register_level(*args, steps=40, stride=(2, 2, 2))  # warm
+    jax.block_until_ready(out)
+    t2 = time.perf_counter()
+    out = _register_level(*args, steps=40, stride=(2, 2, 2))
+    jax.block_until_ready(out)
+    reg_ms = (time.perf_counter() - t2) * 1000.0
+
     value = N_SERIES / total
     print(json.dumps({
         "metric": "ct_ingest_ffs_resample_mask_throughput",
@@ -103,6 +130,7 @@ def main():
             "n_series": N_SERIES, "slices": N_SLICES, "size": SIZE,
             "chunk": CHUNK, "total_s": round(total, 3),
             "host_s": round(t_host, 3),
+            "rigid_reg_40step_ms": round(reg_ms, 1),
             "backend": jax.default_backend(),
         },
     }))

@@ -107,6 +107,23 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                               roi_name=roi_name, max_dose=max_dose,
                               increment=increment)
 
+    def compute_dvh_curve(self, image_name, roi_name, n_bins=300,
+                          max_dose=None):
+        """Cumulative DVH curve: (dose_gy (n_bins,), volume_percent
+        (n_bins,)) — plot-ready complement to the scalar statistics
+        (NEW; the reference only returns the scalar dict)."""
+        dose_in_roi = self.compute_roi_dose_array(image_name, roi_name)
+        if dose_in_roi.size == 0:
+            return np.zeros(0), np.zeros(0)
+        if max_dose is None:
+            max_dose = float(dose_in_roi.max()) * 1.05 + 1e-6
+        bins = np.linspace(0.0, max_dose, n_bins)
+        from ..ops.pallas_kernels import dose_below_histogram
+        below = np.asarray(dose_below_histogram(
+            dose_in_roi, np.ones_like(dose_in_roi), bins))
+        volume_percent = 100.0 * (1.0 - below / dose_in_roi.size)
+        return bins, volume_percent
+
     # -- persistence -------------------------------------------------------
     def save_image(self, path):
         """json + npy schema (replaces the reference's pickle,

@@ -360,6 +360,31 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             dcmwrite(path, ds)
         return ds
 
+    def export_dicom(self, output_dir, description=""):
+        """Write this volume back out as a .dcm slice series with its
+        real geometry and identity metadata (NEW: the reference can only
+        write synthetic series via CreateDicomImage)."""
+        from ..utils.creation import CreateDicomImage
+
+        if self.array is None:
+            raise ValueError("no array to export (only_tags image?)")
+        gen = CreateDicomImage(
+            output_dir, np.asarray(self.array),
+            series=self.series_uid if self.series_uid != "00000.00000"
+            else None,
+            frame=self.frame_ref if self.frame_ref != "00000.00000"
+            else None,
+            origin=[float(v) for v in self.origin],
+            spacing=[float(self.spacing[0]), float(self.spacing[1])],
+            thickness=float(self.spacing[2]))
+        gen.orientation = [float(v) for v in self.orientation]
+        name = self.patient_name
+        gen.run(patient_name="^".join(name) if isinstance(name, list)
+                else str(name),
+                patient_id=self.mrn, modality=self.modality,
+                description=description)
+        return gen
+
     def load_array(self):
         """Deferred pixel load for images ingested with only_tags=True
         (NEW: completes the only_tags workflow — re-reads the stored

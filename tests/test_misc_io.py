@@ -292,3 +292,52 @@ def test_only_tags_then_load_array(tmp_path, rng):
     np.testing.assert_array_equal(img.array, full)
     # display refreshed with real window
     assert img.display.scroll_max[0] == 5
+
+
+def test_export_dicom_roundtrip(tmp_path, rng):
+    arr = rng.integers(-800, 1200, size=(5, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr)
+    mia.read_dicoms(folder_path=str(tmp_path / "ct"))
+    img = Data.image["CT 01"]
+    img.export_dicom(tmp_path / "exported")
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path / "exported"))
+    img2 = Data.image["CT 01"]
+    np.testing.assert_array_equal(img2.array, arr)
+    np.testing.assert_allclose(img2.spacing, img.spacing)
+    np.testing.assert_allclose(img2.origin, img.origin)
+
+
+def test_ingest_determinism(tmp_path, rng):
+    """Two ingests of the same archive produce identical registries
+    (the bounded thread pool is order-deterministic; SURVEY.md §5)."""
+    for s in range(3):
+        arr = rng.integers(0, 500, size=(4, 12, 12)).astype(np.int16)
+        write_ct_series(tmp_path / f"s{s}", arr)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    first = {n: Data.image[n].array.copy() for n in Data.image_list}
+    first_order = list(Data.image_list)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert list(Data.image_list) == first_order
+    for n in first:
+        np.testing.assert_array_equal(Data.image[n].array, first[n])
+
+
+def test_dvh_curve(tmp_path, rng):
+    from helpers import square_contour_mm, write_rtstruct
+    from test_deformable_dose import write_rtdose_file
+    arr = rng.integers(-500, 500, size=(6, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    rois = {"T": [(square_contour_mm(info, z, 4, 10), z)
+                  for z in range(2, 4)]}
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois)
+    dose_raw = np.full((6, 16, 16), 40000, np.uint32)  # uniform 40 Gy
+    write_rtdose_file(tmp_path / "ct" / "rd.dcm", dose_raw, info)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    bins, vol = Data.dose["RTDOSE 01"].compute_dvh_curve("CT 01", "T")
+    assert vol[0] == pytest.approx(100.0)
+    assert vol[-1] == pytest.approx(0.0, abs=1.0)
+    # step at 40 Gy
+    assert vol[np.searchsorted(bins, 39.0)] > 95.0
