@@ -67,7 +67,41 @@ _POSE_SCALE = np.array([0.05, 0.05, 0.05, 5.0, 5.0, 5.0], np.float32)
 @partial(jax.jit, static_argnames=("steps", "stride"))
 def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
                     pose0, lr, steps, stride):
-    """One pyramid level of Adam descent on masked MSE."""
+    """One pyramid level of Adam descent on masked MSE.
+
+    The level's volumes are first DOWNSAMPLED by `stride` (separable
+    MXU contractions) and the loss evaluates on the full contiguous
+    low-res grid — strided sampling of the full-res volume destroys
+    gather locality on TPU (measured 10x slower)."""
+    from ..ops.resample import _interp_matrix
+
+    s = stride[0]
+    if s > 1:
+        Z, Y, X = ref_vol.shape
+        oz, oy, ox = max(Z // s, 2), max(Y // s, 2), max(X // s, 2)
+        mz = jnp.asarray(_interp_matrix(oz, Z, Z / oz))
+        my = jnp.asarray(_interp_matrix(oy, Y, Y / oy))
+        mx = jnp.asarray(_interp_matrix(ox, X, X / ox))
+
+        def down(v):
+            out = jnp.einsum("ij,jyx->iyx", mz, v,
+                             preferred_element_type=jnp.float32)
+            out = jnp.einsum("kj,zjx->zkx", my, out,
+                             preferred_element_type=jnp.float32)
+            return jnp.einsum("lj,zyj->zyl", mx, out,
+                              preferred_element_type=jnp.float32)
+
+        ref_vol = down(ref_vol)
+        mov_vol = down(mov_vol)
+        # low-res pixel i maps to full-res pixel i * (full/low)
+        scale_ref = jnp.diag(jnp.asarray(
+            [X / ox, Y / oy, Z / oz, 1.0], jnp.float32))
+        ref_pix2pos = ref_pix2pos @ scale_ref
+        inv_scale = jnp.diag(jnp.asarray(
+            [ox / X, oy / Y, oz / Z, 1.0], jnp.float32))
+        mov_pos2pix = inv_scale @ mov_pos2pix
+        stride = (1, 1, 1)
+
     shape = ref_vol.shape
     coords_pix = _sample_grid(shape, stride)                    # (N, 3) xyz
     ones = jnp.ones((coords_pix.shape[0], 1), jnp.float32)
