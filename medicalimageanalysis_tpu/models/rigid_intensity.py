@@ -102,6 +102,8 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
         mov_pos2pix = inv_scale @ mov_pos2pix
         stride = (1, 1, 1)
 
+    from ..ops.resample import make_trilinear_sampler
+
     shape = ref_vol.shape
     coords_pix = _sample_grid(shape, stride)                    # (N, 3) xyz
     ones = jnp.ones((coords_pix.shape[0], 1), jnp.float32)
@@ -109,12 +111,13 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
     ref_pos = coords_h @ ref_pix2pos.T                          # (N, 4)
     ref_vals = _trilinear_flat(ref_vol, coords_pix)
     scale = jnp.asarray(_POSE_SCALE)
+    sample_mov = make_trilinear_sampler(mov_vol, 0.0)
 
     def loss_fn(params):
         m = pose_to_matrix(params * scale, center)              # ref->mov
         mov_pos = ref_pos @ m.T                                 # (N, 4)
         mov_pix = mov_pos @ mov_pos2pix.T
-        vals = _trilinear_flat(mov_vol, mov_pix[:, :3])
+        vals = sample_mov(mov_pix[:, :3])
         inside = _inside_mask(mov_vol.shape, mov_pix[:, :3])
         diff = (vals - ref_vals) * inside
         return jnp.sum(diff * diff) / jnp.maximum(jnp.sum(inside), 1.0)

@@ -82,6 +82,77 @@ def _trilinear(vol, coords_xyz, background):
     return jnp.where(inside, out, background)
 
 
+def _trilinear_parts(vol, coords_xyz, background):
+    """Forward trilinear + the residuals the analytic coord-grad needs."""
+    Z, Y, X = vol.shape
+    x = coords_xyz[..., 0]
+    y = coords_xyz[..., 1]
+    z = coords_xyz[..., 2]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx = x - x0
+    fy = y - y0
+    fz = z - z0
+    inside = ((x >= 0) & (x <= X - 1) & (y >= 0) & (y <= Y - 1)
+              & (z >= 0) & (z <= Z - 1))
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, X - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, Y - 1)
+    z0i = jnp.clip(z0.astype(jnp.int32), 0, Z - 1)
+    x1i = jnp.clip(x0i + 1, 0, X - 1)
+    y1i = jnp.clip(y0i + 1, 0, Y - 1)
+    z1i = jnp.clip(z0i + 1, 0, Z - 1)
+    flat = vol.reshape(-1)
+
+    def take(zi, yi, xi):
+        return jnp.take(flat, (zi * Y + yi) * X + xi)
+
+    c = (take(z0i, y0i, x0i), take(z0i, y0i, x1i),
+         take(z0i, y1i, x0i), take(z0i, y1i, x1i),
+         take(z1i, y0i, x0i), take(z1i, y0i, x1i),
+         take(z1i, y1i, x0i), take(z1i, y1i, x1i))
+    c00 = c[0] * (1 - fx) + c[1] * fx
+    c01 = c[2] * (1 - fx) + c[3] * fx
+    c10 = c[4] * (1 - fx) + c[5] * fx
+    c11 = c[6] * (1 - fx) + c[7] * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    out = jnp.where(inside, c0 * (1 - fz) + c1 * fz, background)
+    return out, (c, fx, fy, fz, c00, c01, c10, c11, c0, c1, inside)
+
+
+def make_trilinear_sampler(vol, background=0.0):
+    """Differentiable sampler with an analytic coordinate VJP.
+
+    Autodiff through the gather re-reads the 8 corners in the backward
+    pass (and scan rematerialization repeats the gathers); this closes
+    over the volume and computes d(out)/d(coords) from saved corner
+    values only — the hot path for intensity registration."""
+    vol = jnp.asarray(vol, dtype=jnp.float32)
+    background = jnp.float32(background)
+
+    @jax.custom_vjp
+    def sample(coords):
+        return _trilinear_parts(vol, coords, background)[0]
+
+    def fwd(coords):
+        out, res = _trilinear_parts(vol, coords, background)
+        return out, res
+
+    def bwd(res, g):
+        c, fx, fy, fz, c00, c01, c10, c11, c0, c1, inside = res
+        gm = jnp.where(inside, g, 0.0)
+        dx = ((c[1] - c[0]) * (1 - fy) + (c[3] - c[2]) * fy) * (1 - fz) \
+            + ((c[5] - c[4]) * (1 - fy) + (c[7] - c[6]) * fy) * fz
+        dy = (c01 - c00) * (1 - fz) + (c11 - c10) * fz
+        dz = c1 - c0
+        grad = jnp.stack([gm * dx, gm * dy, gm * dz], axis=-1)
+        return (grad,)
+
+    sample.defvjp(fwd, bwd)
+    return sample
+
+
 def trilinear_gather(volume, coords_xyz, background=None):
     """Trilinear sample of `volume` at fractional pixel coords (x, y, z).
 
