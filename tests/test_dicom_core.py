@@ -157,3 +157,30 @@ def test_deflated_roundtrip(tmp_path, rng):
     out = dcmread(path)
     assert out.Modality == "CT"
     np.testing.assert_array_equal(out.pixel_array, arr)
+
+
+def test_parser_robustness_fuzz(tmp_path, rng):
+    """Truncated/corrupted files never raise through the tolerant
+    ingest path (reference swallow-and-continue semantics)."""
+    from medicalimageanalysis_tpu.read.dicom import thread_process_dicom
+    arr = rng.integers(0, 1000, size=(16, 16)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    path = tmp_path / "ok.dcm"
+    dcmwrite(path, ds)
+    blob = path.read_bytes()
+
+    for i, n in enumerate([0, 10, 131, 140, 200, len(blob) // 2,
+                           len(blob) - 3]):
+        p = tmp_path / f"trunc{i}.dcm"
+        p.write_bytes(blob[:n])
+        result = thread_process_dicom(str(p))
+        assert result == [] or result  # no exception is the contract
+
+    # random corruption
+    for i in range(10):
+        corrupt = bytearray(blob)
+        for _ in range(20):
+            corrupt[rng.integers(0, len(blob))] = rng.integers(0, 256)
+        p = tmp_path / f"corrupt{i}.dcm"
+        p.write_bytes(bytes(corrupt))
+        thread_process_dicom(str(p))  # must not raise
