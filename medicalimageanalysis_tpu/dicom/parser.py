@@ -245,10 +245,86 @@ _VR_ITEM_END = 0xFFFEE00D
 _VR_SEQ_END = 0xFFFEE0DD
 
 
+class _TableDict(dict):
+    """tag -> DataElement mapping materialized lazily from the native
+    scanner's entry table. Rows become LazyElements only when touched,
+    so a flat CT slice costs one vectorized index build instead of ~85
+    Python element objects."""
+
+    __slots__ = ("_buf", "_rows", "_little")
+
+    def __init__(self, buf, tags, rows, little):
+        # rows: dict tag -> (vr_code, off, len) as python ints
+        super().__init__()
+        self._buf = buf
+        self._rows = rows
+        self._little = little
+        # mark existing keys with a sentinel so dict semantics
+        # (contains/len/iter) work without materializing values
+        for t in tags:
+            super().__setitem__(t, _UNSET)
+
+    def _materialize(self, tag):
+        vr_code, off, length = self._rows[tag]
+        vr = (chr(vr_code & 0xFF) + chr(vr_code >> 8)) if vr_code \
+            else tag_to_vr(tag)
+        el = LazyElement(tag, vr, self._buf, off, length, self._little)
+        super().__setitem__(tag, el)
+        return el
+
+    def __getitem__(self, tag):
+        el = super().__getitem__(tag)
+        if el is _UNSET:
+            el = self._materialize(tag)
+        return el
+
+    def get(self, tag, default=None):
+        el = super().get(tag, _UNSET)
+        if el is _UNSET:
+            if tag in self._rows and super().__contains__(tag):
+                return self._materialize(tag)
+            return default
+        return el
+
+    def values(self):
+        return [self[t] for t in self]
+
+    def items(self):
+        return [(t, self[t]) for t in self]
+
+    def __deepcopy__(self, memo):
+        import copy as _copy
+        out = dict()
+        for t in self:
+            out[t] = _copy.deepcopy(self[t], memo)
+        plain = dict.__new__(dict)
+        plain.update(out)
+        return out
+
+
 def _build_from_entries(buf, entries, little, stop_before_pixels,
                         specific):
     """Reconstruct a Dataset tree from the native scanner's flat
     (tag, vr, depth, off, len) table."""
+    # fast path: flat dataset (no sequences/fragments) -> one vectorized
+    # index, elements materialize on first access (the CT-slice case)
+    if specific is None and len(entries) \
+            and int(entries["depth"].max(initial=0)) == 0 \
+            and not np.isin(entries["tag"],
+                            (_VR_ITEM, _VR_ITEM_END, _VR_SEQ_END)).any() \
+            and not (entries["len"] == 0xFFFFFFFFFFFFFFFF).any():
+        tags = entries["tag"].tolist()
+        rows = dict(zip(tags, zip(entries["vr"].tolist(),
+                                  entries["off"].tolist(),
+                                  entries["len"].tolist())))
+        # implicit-VR sequences need the dictionary; fall back if any
+        if not any(vr == 0 and tag_to_vr(t) == "SQ"
+                   for t, (vr, _, _) in rows.items()):
+            root = Dataset()
+            object.__setattr__(root, "_dict",
+                               _TableDict(buf, tags, rows, little))
+            return root
+
     root = Dataset()
     stack = [root]        # dataset stack
     seq_stack = []        # open Sequence objects
@@ -422,7 +498,9 @@ def _dcmread_native(buf, stop_before_pixels, specific_tags):
     if len(meta_entries):
         meta = _build_from_entries(buf, meta_entries, True, False, None)
         fm = FileMetaDataset()
-        fm._dict.update(meta._dict)
+        # materialize through __getitem__ (meta may be a lazy TableDict
+        # whose raw C-level items are unmaterialized sentinels)
+        fm._dict.update({t: meta._dict[t] for t in meta._dict})
         ds.file_meta = fm
     else:
         ds.file_meta = None
