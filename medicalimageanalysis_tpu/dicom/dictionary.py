@@ -110,6 +110,7 @@ TAG_DICT = {
     0x52009229: ("SQ", "SharedFunctionalGroupsSequence"),
     0x52009230: ("SQ", "PerFrameFunctionalGroupsSequence"),
     0x00289110: ("SQ", "PixelMeasuresSequence"),
+    0x00289145: ("SQ", "PixelValueTransformationSequence"),
     0x00189329: ("SQ", "ContributingSourcesSequence"),
     # RTSTRUCT
     0x30060002: ("SH", "StructureSetLabel"),

@@ -153,7 +153,23 @@ class DicomReader(object):
     # grouping
     # ------------------------------------------------------------------
     def separate_modalities_and_images(self):
-        """Series-grouping algorithm (reference read/dicom.py:218-382)."""
+        """Series-grouping algorithm (reference read/dicom.py:218-382).
+
+        Enhanced multi-frame CT/MR/PT files are first expanded into
+        per-frame views (NEW capability; the reference assumes one slice
+        per file) so they flow through the same grouping."""
+        from .multiframe import expand_multiframe, is_enhanced_multiframe
+
+        expanded = []
+        for d in self.ds:
+            if d and (0x0008, 0x0060) in d \
+                    and d["Modality"].value in ("CT", "MR", "PT") \
+                    and is_enhanced_multiframe(d):
+                expanded.extend(expand_multiframe(d))
+            else:
+                expanded.append(d)
+        self.ds = expanded
+
         for modality in list(self.ds_modality.keys()):
             images = [d for d in self.ds
                       if d and (0x0008, 0x0060) in d

@@ -341,3 +341,65 @@ def test_dvh_curve(tmp_path, rng):
     assert vol[-1] == pytest.approx(0.0, abs=1.0)
     # step at 40 Gy
     assert vol[np.searchsorted(bins, 39.0)] > 95.0
+
+
+def test_enhanced_multiframe_ct(tmp_path, rng):
+    """Single enhanced CT file with per-frame positions assembles into
+    the same volume a classic slice series would (NEW capability)."""
+    from medicalimageanalysis_tpu.dicom import (Dataset, Sequence,
+                                                dcmwrite, generate_uid,
+                                                uids)
+    arr = rng.integers(0, 2000, size=(6, 16, 16)).astype(np.uint16)
+    ds = Dataset()
+    ds.SOPClassUID = uids.CTImageStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "CT"
+    ds.PatientID = "E"
+    ds.SeriesInstanceUID = generate_uid()
+    ds.FrameOfReferenceUID = generate_uid()
+    ds.NumberOfFrames = 6
+    ds.Rows, ds.Columns = 16, 16
+    ds.BitsAllocated = 16
+    ds.BitsStored = 16
+    ds.HighBit = 15
+    ds.PixelRepresentation = 0
+    ds.SamplesPerPixel = 1
+    ds.PhotometricInterpretation = "MONOCHROME2"
+    ds.SliceThickness = 2.0
+
+    plane_orient = Dataset()
+    plane_orient.ImageOrientationPatient = [1, 0, 0, 0, 1, 0]
+    measures = Dataset()
+    measures.PixelSpacing = [0.5, 0.5]
+    measures.SliceThickness = 2.0
+    transform = Dataset()
+    transform.RescaleSlope = 1.0
+    transform.RescaleIntercept = -1024.0
+    shared = Dataset()
+    shared.PlaneOrientationSequence = Sequence([plane_orient])
+    shared.PixelMeasuresSequence = Sequence([measures])
+    shared.PixelValueTransformationSequence = Sequence([transform])
+    ds.SharedFunctionalGroupsSequence = Sequence([shared])
+
+    per_frame = Sequence()
+    for i in range(6):
+        pos = Dataset()
+        pos.ImagePositionPatient = [-50.0, -60.0, -10.0 + 2.0 * i]
+        fg = Dataset()
+        fg.PlanePositionSequence = Sequence([pos])
+        per_frame.append(fg)
+    ds.PerFrameFunctionalGroupsSequence = per_frame
+    ds.PixelData = arr.astype("<u2").tobytes()
+
+    (tmp_path / "e").mkdir()
+    dcmwrite(tmp_path / "e" / "enhanced.dcm", ds)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert Data.image_list == ["CT 01"]
+    img = Data.image["CT 01"]
+    assert img.array.shape == (6, 16, 16)
+    np.testing.assert_array_equal(
+        img.array, arr.astype(np.int16) - 1024)
+    np.testing.assert_allclose(img.spacing, [0.5, 0.5, 2.0])
+    np.testing.assert_allclose(img.origin, [-50.0, -60.0, -10.0])
+    assert len(img.sops) == 6
