@@ -100,6 +100,8 @@ def main():
     from medicalimageanalysis_tpu.models.rigid_intensity import (
         _register_level)
     names = Data.image_list[:2]
+    if len(names) < 2:
+        names = [names[0], names[0]]  # self-registration fallback
     ref = Data.image[names[0]]
     mov = Data.image[names[1]]
     from medicalimageanalysis_tpu.ops import geometry as geo_ops

@@ -15,7 +15,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "volume_sharding", "batch_sharding",
-           "replicated_sharding"]
+           "replicated_sharding", "initialize_distributed"]
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host hook: initialize jax.distributed so make_mesh spans
+    hosts (cohort ingest over DCN, collectives over ICI). No-op when
+    the env provides no coordinator (single-host)."""
+    import os
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("MIA_COORDINATOR")
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
 
 
 def make_mesh(n_devices=None, space=1, devices=None):

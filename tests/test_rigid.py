@@ -156,3 +156,17 @@ def test_icp_point_to_plane():
     out = mesh.points @ m[:3, :3].T + m[:3, 3]
     rms = np.sqrt(np.mean(np.sum((out - moved.points) ** 2, axis=1)))
     assert rms < 0.3
+
+
+def test_rigid_combo_matrix_naming(two_images):
+    ct, mr = two_images
+    combo = np.eye(4)
+    combo[0, 3] = 2.0
+    rigid = mia.Rigid(ct, mr, combo_matrix=combo, combo_name="stage2")
+    assert rigid.rigid_name == f"{ct}_{mr}_combo"
+    # create_image composes matrix @ combo
+    out = rigid.create_image()
+    mov = Data.image[mr]
+    # pure x-translation: array content preserved, origin shifted
+    np.testing.assert_allclose(out["origin"][0], mov.origin[0] - 2.0,
+                               atol=1e-3)
