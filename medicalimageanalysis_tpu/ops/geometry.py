@@ -45,7 +45,9 @@ def pixel_to_position_matrix(matrix, spacing, origin):
     m[:3, 1] = matrix[1, :] * spacing[1]
     m[:3, 2] = matrix[2, :] * spacing[2]
     m[:3, 3] = np.asarray(origin, dtype=np.float64)
-    return m.astype(np.float32)
+    # float64 (the reference uses float32, structure/image.py:66): pixel-
+    # aligned physical contours must survive the mm->pixel->truncate trip
+    return m
 
 
 def position_to_pixel_matrix(matrix, spacing, origin):
@@ -63,7 +65,7 @@ def position_to_pixel_matrix(matrix, spacing, origin):
     m = np.identity(4, dtype=np.float64)
     m[:3, :3] = hold
     m[:3, 3] = np.asarray(origin, dtype=np.float64).dot(-hold.T)
-    return m.astype(np.float32)
+    return m
 
 
 def apply_homogeneous(points, matrix4):
@@ -99,7 +101,7 @@ def orientation_to_matrix(orientation):
     row = o[:3]
     col = o[3:]
     slc = np.cross(row, col)
-    mat = np.eye(3, dtype=np.float32)
+    mat = np.eye(3, dtype=np.float64)
     mat[0] = row
     mat[1] = col
     mat[2] = slc

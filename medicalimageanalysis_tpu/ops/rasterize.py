@@ -154,7 +154,9 @@ def polygon_bitmaps(polygons, H, W):
     verts = np.zeros((Kb, E + 1, 2), dtype=np.int32)
     edge_valid = np.zeros((Kb, E), dtype=bool)
     for k, poly in enumerate(polygons):
-        p = np.asarray(poly)[:, :2].astype(np.int32)  # truncation like cv2
+        # truncation like cv2's astype(int32), epsilon-stabilized so
+        # pixel-aligned physical contours don't flip on 1e-10 roundoff
+        p = np.trunc(np.asarray(poly)[:, :2] + 1e-6).astype(np.int32)
         n = p.shape[0]
         verts[k, :n] = p
         verts[k, n:] = p[0]  # close + pad on first vertex

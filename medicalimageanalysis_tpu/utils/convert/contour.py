@@ -63,7 +63,8 @@ def _rasterize_plane(contour_pixel, dimensions, plane, backend="device"):
         img = np.zeros((H, W), dtype=np.uint8)
         for poly, s in zip(polys, slices):
             img.fill(0)
-            cv2.fillPoly(img, np.array([poly], dtype=np.int32), 1)
+            stable = np.trunc(np.asarray(poly) + 1e-6)
+            cv2.fillPoly(img, np.array([stable], dtype=np.int32), 1)
             if 0 <= s < S:
                 hold[s] = np.logical_xor(hold[s], img)
         out = hold

@@ -184,3 +184,60 @@ def test_parser_robustness_fuzz(tmp_path, rng):
         p = tmp_path / f"corrupt{i}.dcm"
         p.write_bytes(bytes(corrupt))
         thread_process_dicom(str(p))  # must not raise
+
+
+def test_explicit_big_endian_parse():
+    """Hand-built Explicit VR Big Endian dataset parses correctly."""
+    import struct
+    from medicalimageanalysis_tpu.dicom import uids
+
+    def be_elem(group, elem, vr, raw):
+        if len(raw) % 2:
+            raw += b" "
+        return struct.pack(">HH", group, elem) + vr \
+            + struct.pack(">H", len(raw)) + raw
+
+    # file meta is always explicit LITTLE endian
+    def le_elem(group, elem, vr, raw):
+        if len(raw) % 2:
+            raw += b"\x00" if vr == b"UI" else b" "
+        return struct.pack("<HH", group, elem) + vr \
+            + struct.pack("<H", len(raw)) + raw
+
+    ts = uids.ExplicitVRBigEndian.encode()
+    meta_body = le_elem(2, 2, b"UI", uids.CTImageStorage.encode()) \
+        + le_elem(2, 3, b"UI", b"1.2.3") \
+        + le_elem(2, 0x10, b"UI", ts)
+    meta = le_elem(2, 0, b"UL", struct.pack("<I", len(meta_body))) \
+        + meta_body
+
+    body = be_elem(0x0008, 0x0060, b"CS", b"CT") \
+        + be_elem(0x0028, 0x0010, b"US", struct.pack(">H", 4)) \
+        + be_elem(0x0028, 0x0011, b"US", struct.pack(">H", 4)) \
+        + be_elem(0x0028, 0x0100, b"US", struct.pack(">H", 16)) \
+        + be_elem(0x0028, 0x0103, b"US", struct.pack(">H", 0)) \
+        + be_elem(0x0028, 0x0030, b"DS", b"1.5\\2.5")
+    pixels = np.arange(16, dtype=">u2").tobytes()
+    body += struct.pack(">HH", 0x7FE0, 0x0010) + b"OW\x00\x00" \
+        + struct.pack(">I", len(pixels)) + pixels
+
+    blob = b"\x00" * 128 + b"DICM" + meta + body
+    ds = dcmread(blob)
+    assert ds.Modality == "CT"
+    assert ds.Rows == 4 and ds.Columns == 4
+    assert ds.PixelSpacing == [1.5, 2.5]
+    np.testing.assert_array_equal(
+        ds.pixel_array, np.arange(16, dtype=np.uint16).reshape(4, 4))
+
+
+def test_jpeg_lossless_8bit():
+    from medicalimageanalysis_tpu.dicom.jpegls import encode_jpeg_lossless
+    from medicalimageanalysis_tpu.native import (get_lib,
+                                                 jpeg_lossless_decode)
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    img = np.random.default_rng(1).integers(0, 255, size=(20, 24)) \
+        .astype(np.uint8)
+    stream = encode_jpeg_lossless(img.astype(np.uint16), precision=8)
+    out = jpeg_lossless_decode(stream)
+    np.testing.assert_array_equal(out, img.astype(np.int32))

@@ -153,3 +153,38 @@ def test_rasterize_coronal_sagittal_parity(rng):
         dev = _rasterize_plane(contours, dims, plane, backend="device")
         gold = _rasterize_plane(contours, dims, plane, backend="cv2")
         np.testing.assert_array_equal(dev, gold)
+
+
+def test_oblique_series_end_to_end(tmp_path, rng):
+    """A 10-degree-oblique acquisition: geometry round trips, RTSTRUCT
+    contours defined in oblique physical space rasterize onto the
+    expected pixels."""
+    import medicalimageanalysis_tpu as mia
+    from medicalimageanalysis_tpu.ops import geometry as geo
+    th = np.deg2rad(10.0)
+    row = [np.cos(th), np.sin(th), 0.0]
+    col = [-np.sin(th), np.cos(th), 0.0]
+    orientation = row + col
+    arr = rng.integers(0, 500, size=(6, 20, 20)).astype(np.int16)
+    write_series(tmp_path / "ob", arr, orientation,
+                 origin=(-10.0, -10.0, 0.0), thickness=2.0)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    assert img.plane == "Axial"
+    np.testing.assert_allclose(img.matrix[0], row, atol=1e-6)
+
+    # pixel <-> position round trip through the oblique matrix
+    p = img.compute_position([5, 7, 2])
+    back = img.compute_pixel(p)
+    np.testing.assert_array_equal(back, [5, 7, 2])
+
+    # square contour at pixel coords 4..12 on slice 3, mapped to mm
+    m = img.display.compute_matrix_pixel_to_position()
+    corners_pix = np.array([[4, 4, 3], [12, 4, 3], [12, 12, 3],
+                            [4, 12, 3]], float)
+    contour_mm = geo.apply_homogeneous(corners_pix, m)
+    img.add_roi(roi_name="Sq", contour=[contour_mm], color=[1, 2, 3])
+    mask = img.rois["Sq"].compute_mask()
+    expected = np.zeros_like(mask)
+    expected[3, 4:13, 4:13] = 1
+    np.testing.assert_array_equal(mask, expected)
