@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["icp_rigid", "icp_point_to_plane", "kabsch",
-           "nearest_neighbors"]
+__all__ = ["icp_rigid", "icp_rigid_batch", "icp_point_to_plane",
+           "kabsch", "nearest_neighbors"]
 
 _CHUNK = 2048
 
@@ -295,6 +295,46 @@ def icp_point_to_plane(source, target, target_normals, distance=1e-7,
         int(iterations))
     return np.asarray(m, dtype=np.float64), {
         "mean_distance": float(md), "iterations": int(it)}
+
+
+def icp_rigid_batch(sources, targets, distance=1e-5, iterations=200,
+                    com_matching=True):
+    """Batched rigid ICP: one compiled program aligning B point-set
+    pairs (vmapped while_loop; runs until every pair converges).
+
+    sources: (B, L, 3); targets: (B, T, 3) — pre-padded to shared sizes
+    (pad by repeating a real point so NN stays valid).
+    Returns (B, 4, 4) matrices and per-pair RMS distances.
+    """
+    src = np.asarray(sources, dtype=np.float32)
+    tgt = np.asarray(targets, dtype=np.float32)
+    B, L0, _ = src.shape
+    T0 = tgt.shape[1]
+    L = _bucket(L0)
+    T = ((T0 + _CHUNK - 1) // _CHUNK) * _CHUNK
+
+    src_pad = np.zeros((B, L, 3), np.float32)
+    src_pad[:, :L0] = src
+    src_valid = np.zeros((B, L), bool)
+    src_valid[:, :L0] = True
+    tgt_pad = np.zeros((B, T, 3), np.float32)
+    tgt_pad[:, :T0] = tgt
+    tgt_valid = np.zeros((B, T), bool)
+    tgt_valid[:, :T0] = True
+
+    m0 = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    if com_matching:
+        m0[:, :3, 3] = tgt.mean(axis=1) - src.mean(axis=1)
+
+    loop = jax.vmap(
+        lambda s, sv, t, tv, m: _icp_loop(s, sv, t, tv, m,
+                                          jnp.float32(distance),
+                                          int(iterations)))
+    m, md, it = jax.jit(loop)(jnp.asarray(src_pad),
+                              jnp.asarray(src_valid),
+                              jnp.asarray(tgt_pad),
+                              jnp.asarray(tgt_valid), jnp.asarray(m0))
+    return np.asarray(m, dtype=np.float64), np.asarray(md)
 
 
 def icp_rigid(source, target, distance=1e-5, iterations=1000,

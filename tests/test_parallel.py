@@ -109,3 +109,28 @@ def test_ingest_cohort(tmp_path, rng):
         assert r["volume"].shape == (8, 16, 16)
         assert r["mask"].shape == (8, 16, 16)
         assert Data.image[name].array is not None
+
+
+def test_icp_rigid_batch():
+    from scipy.spatial.transform import Rotation
+    from medicalimageanalysis_tpu.ops.registration.icp import (
+        icp_rigid_batch)
+    rng = np.random.default_rng(5)
+    B = 3
+    base = rng.normal(size=(600, 3)) * [30, 20, 40]
+    sources = np.stack([base] * B)
+    targets = []
+    trues = []
+    for b in range(B):
+        R = Rotation.from_euler("xyz", rng.uniform(-5, 5, 3),
+                                degrees=True).as_matrix()
+        t = rng.uniform(-8, 8, 3)
+        targets.append(base @ R.T + t)
+        trues.append((R, t))
+    targets = np.stack(targets)
+    ms, rms = icp_rigid_batch(sources, targets, distance=1e-7,
+                              iterations=100)
+    for b in range(B):
+        moved = sources[b] @ ms[b][:3, :3].T + ms[b][:3, 3]
+        err = np.sqrt(np.mean(np.sum((moved - targets[b]) ** 2, axis=1)))
+        assert err < 0.5, (b, err)
