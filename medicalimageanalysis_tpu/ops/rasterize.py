@@ -9,15 +9,12 @@ loop (reference utils/convert/contour.py:76-116). Semantics preserved:
 - polygons on the same slice combine by XOR (hole handling)
 
 Design (one fused XLA program, no per-slice host loop):
-- interior: even-odd crossing parity per row, expressed as a difference
-  array (each edge crossing at x* adds +1 to all px < x*) followed by a
-  cumulative sum along x — O(K*E*H) scatter + O(K*H*W) scan instead of
-  O(K*E*H*W) tests.
-- boundary: each edge contributes a contiguous covered run [lo, hi] per
-  row (shallow edges) or a single pixel per row (steep edges), also as a
-  difference array.
-- per-slice XOR = parity of the per-polygon bitmap sum (scatter-add then
-  mod 2).
+- per-row quantities per edge: the even-odd crossing position (interior)
+  and the covered pixel run (8-connected boundary);
+- accumulation over edges is a chunked broadcast-compare + reduce
+  against the pixel axis (TPU scatters serialize; compare+reduce is
+  fused VPU work: ~E/8 streaming passes over the (K, H, W) counters);
+- per-slice XOR = parity of the per-polygon bitmap sum.
 
 All shapes are static; polygons are padded to (K, E) buckets so jit
 caches a small number of compilations.
@@ -31,6 +28,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["rasterize_polygons", "polygon_bitmaps", "fill_polygons_2d"]
 
@@ -67,17 +65,8 @@ def _polygon_bitmaps(verts, edge_valid, H, W):
     x_int = x1b + (py - y1b) * (x2b - x1b) / denom
     # px < x_int  <=>  px <= ceil(x_int) - 1; crossing bin = ceil(x_int)
     cross_bin = jnp.clip(jnp.ceil(x_int), 0, W).astype(jnp.int32)
-    cross_bin = jnp.where(crosses, cross_bin, W + 1)            # W+1: no-op
-
-    # difference array (K, H, W+2): +1 at 0, -1 at bin
-    diff = jnp.zeros((K, H, W + 2), dtype=jnp.int32)
-    k_idx = jnp.broadcast_to(jnp.arange(K)[:, None, None], cross_bin.shape)
-    h_idx = jnp.broadcast_to(jnp.arange(H)[None, None, :], cross_bin.shape)
-    diff = diff.at[k_idx, h_idx, jnp.zeros_like(cross_bin)].add(
-        jnp.where(crosses, 1, 0))
-    diff = diff.at[k_idx, h_idx, cross_bin].add(jnp.where(crosses, -1, 0))
-    counts = jnp.cumsum(diff[:, :, :W], axis=2)
-    interior = (counts % 2) == 1                                # (K,H,W)
+    # bin 0 contributes nothing under the px < bin test -> no-op value
+    cross_bin = jnp.where(crosses, cross_bin, 0)                # (K,E,H)
 
     # ---- boundary: 8-connected line coverage ------------------------
     # cv2's fixed-point scan rounds half DOWN (x_screen =
@@ -123,14 +112,29 @@ def _polygon_bitmaps(verts, edge_valid, H, W):
     hi = jnp.where(shallow, hi_sh, hi_st)
     run = vb & (hi >= lo)
     lo_c = jnp.clip(lo, 0, W).astype(jnp.int32)
-    hi_c = jnp.clip(hi + 1, 0, W + 1).astype(jnp.int32)
-    lo_c = jnp.where(run & (hi >= 0) & (lo <= W - 1), lo_c, W + 1)
-    hi_c = jnp.where(run & (hi >= 0) & (lo <= W - 1), hi_c, W + 1)
+    hi_c = jnp.clip(hi + 1, 0, W + 1).astype(jnp.int32)  # exclusive end
+    ok = run & (hi >= 0) & (lo <= W - 1)
+    lo_c = jnp.where(ok, lo_c, W + 2)                    # empty run
+    hi_c = jnp.where(ok, hi_c, 0)
 
-    bdiff = jnp.zeros((K, H, W + 2), dtype=jnp.int32)
-    bdiff = bdiff.at[k_idx, h_idx, lo_c].add(1)
-    bdiff = bdiff.at[k_idx, h_idx, hi_c].add(-1)
-    boundary = jnp.cumsum(bdiff[:, :, :W], axis=2) > 0
+    # ---- accumulate over edges: streaming XOR/OR (no scatter) --------
+    # TPU scatters serialize; instead each edge broadcasts against the
+    # pixel axis and folds into boolean accumulators — pure VPU work,
+    # E streaming passes over the (K, H, W) maps. Interior parity is a
+    # per-edge XOR; boundary coverage a per-edge OR.
+    px = jnp.arange(W, dtype=jnp.int32)[None, None, :]   # (1,1,W)
+
+    def body(carry, xs):
+        par, cov = carry
+        cb, lo_e, hi_e = xs                              # each (K, H)
+        crossed = px < cb[:, :, None]                    # (K, H, W)
+        inrun = (px >= lo_e[:, :, None]) & (px < hi_e[:, :, None])
+        return (par ^ crossed, cov | inrun), None
+
+    init = (jnp.zeros((K, H, W), bool), jnp.zeros((K, H, W), bool))
+    xs = (jnp.moveaxis(cross_bin, 1, 0),                 # (E, K, H)
+          jnp.moveaxis(lo_c, 1, 0), jnp.moveaxis(hi_c, 1, 0))
+    (interior, boundary), _ = lax.scan(body, init, xs)
 
     return (interior | boundary).astype(jnp.uint8)
 
