@@ -138,3 +138,38 @@ def test_compute_contour_slices(ct_with_rtstruct):
     assert len(loops) == 1
     assert loops[0].shape[1] == 2
     assert len(roi.compute_contour(slice_location=11)) == 0
+
+
+def test_mask_contour_mask_invariance(tmp_path, rng):
+    """Property test: mask -> traced contours -> re-rasterized mask stays
+    within one morphological step of the original (both directions),
+    for random blob masks."""
+    from scipy import ndimage
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        MaskToContour, _rasterize_plane)
+
+    for trial in range(5):
+        r2 = np.random.default_rng(trial)
+        mask = np.zeros((6, 40, 40), np.uint8)
+        # random union of ellipses per slice
+        for z in range(1, 5):
+            yy, xx = np.mgrid[0:40, 0:40]
+            for _ in range(r2.integers(1, 3)):
+                cy, cx = r2.uniform(10, 30, 2)
+                ry, rx = r2.uniform(4, 10, 2)
+                mask[z] |= ((((yy - cy) / ry) ** 2
+                             + ((xx - cx) / rx) ** 2) <= 1).astype(
+                                 np.uint8)
+
+        m2c = MaskToContour(mask, spacing=[1, 1, 1], origin=[0, 0, 0],
+                            matrix=np.eye(3), plane="Axial")
+        pixel_contours, _ = m2c.create_contours()
+        if not pixel_contours:
+            continue
+        refilled = _rasterize_plane(pixel_contours, mask.shape, "Axial")
+
+        grown = ndimage.binary_dilation(mask, np.ones((1, 3, 3)))
+        shrunk = ndimage.binary_erosion(mask, np.ones((1, 3, 3)))
+        # refilled within [eroded, dilated] envelope of the original
+        assert (refilled.astype(bool) <= grown).all(), trial
+        assert (shrunk <= refilled.astype(bool)).all(), trial
