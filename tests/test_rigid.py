@@ -170,3 +170,69 @@ def test_rigid_combo_matrix_naming(two_images):
     # pure x-translation: array content preserved, origin shifted
     np.testing.assert_allclose(out["origin"][0], mov.origin[0] - 2.0,
                                atol=1e-3)
+
+
+def test_rigid_intensity_rotation_recovery(tmp_path, rng):
+    """Recover a 5-degree in-plane rotation + small shift."""
+    from medicalimageanalysis_tpu.ops.resample import (affine_resample,
+                                                       compose_pixel_matrix)
+    zz, yy, xx = np.mgrid[0:12, 0:48, 0:48]
+    base = (900 * np.exp(-(((zz - 6) / 3.0) ** 2 + ((yy - 20) / 8.0) ** 2
+                           + ((xx - 30) / 6.0) ** 2))
+            + 500 * np.exp(-(((zz - 6) / 3.0) ** 2 + ((yy - 32) / 5.0) ** 2
+                             + ((xx - 14) / 7.0) ** 2)))
+    base = base.astype(np.float32)
+
+    # moving = base resampled through a known rigid transform
+    theta = np.deg2rad(5.0)
+    T = np.eye(4)
+    T[:2, :2] = [[np.cos(theta), -np.sin(theta)],
+                 [np.sin(theta), np.cos(theta)]]
+    T[:3, 3] = [2.0, -1.0, 0.0]
+    A = compose_pixel_matrix(np.eye(3), [1, 1, 2], [0, 0, 0],
+                             np.eye(3), [1, 1, 2], [0, 0, 0],
+                             phys_transform=np.linalg.inv(T))
+    moving = np.asarray(affine_resample(base, A, base.shape,
+                                        background=0.0))
+
+    write_ct_series(tmp_path / "a", base.astype(np.int16),
+                    spacing=(1, 1), thickness=2.0, origin=(0, 0, 0))
+    write_ct_series(tmp_path / "b", moving.astype(np.int16),
+                    spacing=(1, 1), thickness=2.0, origin=(0, 0, 0),
+                    modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    names = sorted(Data.image_list)
+    ct = [n for n in names if Data.image[n].modality == "CT"][0]
+    mr = [n for n in names if Data.image[n].modality == "MR"][0]
+
+    rigid = mia.Rigid(ct, mr)
+    rigid.compute_intensity(levels=((2, 120, 0.2), (1, 80, 0.05)))
+    ang = rigid.retrieve_angles(order="ZXY")
+    # moving(x) = base(T^-1 x) -> features move by T; sampling ref->mov
+    # matrix approximates T^-1: z-angle ~ -5 deg
+    assert abs(abs(ang[0]) - 5.0) < 1.5, ang
+    # quality: converged masked-MSE far below the unregistered MSE
+    base_n = (base - base.min()) / (base.max() - base.min())
+    mov_n = (moving - moving.min()) / (moving.max() - moving.min())
+    unregistered_mse = float(np.mean((base_n - mov_n) ** 2))
+    assert rigid.misc["intensity_info"]["loss"] < 0.3 * unregistered_mse
+
+
+def test_rigid_copy_roi(two_images):
+    ct, mr = two_images
+    img_ct = Data.image[ct]
+    mask = np.zeros(img_ct.array.shape, np.uint8)
+    mask[4:8, 10:20, 10:20] = 1
+    img_ct.add_roi(roi_name="Organ", color=[0, 255, 0], visible=True)
+    img_ct.rois["Organ"].convert_mask(mask)
+    Data.image[mr].rois["Organ"].visible = True
+
+    rigid = mia.Rigid(ct, mr)
+    rigid.update_translation(t_x=4.0)
+    rigid.copy_roi("Organ")
+    moved = Data.image[mr].rois["Organ"].mesh
+    assert moved is not None
+    # projected mesh displaced by the registration translation
+    np.testing.assert_allclose(
+        np.asarray(moved.center)[0],
+        np.asarray(img_ct.rois["Organ"].mesh.center)[0] + 4.0, atol=0.2)

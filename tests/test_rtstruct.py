@@ -173,3 +173,18 @@ def test_mask_contour_mask_invariance(tmp_path, rng):
         # refilled within [eroded, dilated] envelope of the original
         assert (refilled.astype(bool) <= grown).all(), trial
         assert (shrunk <= refilled.astype(bool)).all(), trial
+
+
+def test_match_rois_color_propagation(tmp_path, rng):
+    arr = rng.integers(0, 100, size=(3, 12, 12)).astype(np.int16)
+    info_a = write_ct_series(tmp_path / "a", arr)
+    write_ct_series(tmp_path / "b", arr, modality="MR")
+    rois = {"Heart": [(square_contour_mm(info_a, 1, 2, 8), 1)]}
+    write_rtstruct(tmp_path / "a" / "rs.dcm", info_a, rois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+    stub = Data.image[mr].rois["Heart"]
+    # authoritative color [255, 0, 0] propagated to the stub
+    assert list(stub.color) == [255, 0, 0]
+    assert stub.contour_position is None
