@@ -134,3 +134,17 @@ def test_icp_rigid_batch():
         moved = sources[b] @ ms[b][:3, :3].T + ms[b][:3, 3]
         err = np.sqrt(np.mean(np.sum((moved - targets[b]) ** 2, axis=1)))
         assert err < 0.5, (b, err)
+
+
+def test_gaussian_z_sharded_matches_unsharded(rng):
+    _require_8()
+    from medicalimageanalysis_tpu.parallel.halo import gaussian_z_sharded
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+    from scipy import ndimage
+
+    mesh = make_mesh(8, space=4)
+    vol = rng.normal(size=(32, 16, 16)).astype(np.float32)
+    out = np.asarray(gaussian_z_sharded(vol, 1.5, mesh))
+    golden = ndimage.gaussian_filter1d(vol, sigma=1.5, axis=0,
+                                       mode="nearest", truncate=4.0)
+    np.testing.assert_allclose(out, golden, atol=2e-3)
