@@ -66,17 +66,20 @@ def gaussian_filter(volume, sigma_mm, spacing_xyz=(1.0, 1.0, 1.0)):
 
 @partial(jax.jit, static_argnames=("size",))
 def _minpool(vol, size):
-    return lax.reduce_window(vol, jnp.inf, lax.min,
-                             (size, size, size), (1, 1, 1), "SAME")
+    window = (1,) * (vol.ndim - 3) + (size, size, size)
+    return lax.reduce_window(vol, jnp.inf, lax.min, window,
+                             (1,) * vol.ndim, "SAME")
 
 
 @partial(jax.jit, static_argnames=("size",))
 def _maxpool(vol, size):
-    return lax.reduce_window(vol, -jnp.inf, lax.max,
-                             (size, size, size), (1, 1, 1), "SAME")
+    window = (1,) * (vol.ndim - 3) + (size, size, size)
+    return lax.reduce_window(vol, -jnp.inf, lax.max, window,
+                             (1,) * vol.ndim, "SAME")
 
 
 def binary_erode(mask, size=3, iterations=1):
+    """Erosion as min-pool; accepts (Z, Y, X) or batched (B, Z, Y, X)."""
     out = jnp.asarray(mask, dtype=jnp.float32)
     for _ in range(iterations):
         out = _minpool(out, size)
@@ -84,6 +87,7 @@ def binary_erode(mask, size=3, iterations=1):
 
 
 def binary_dilate(mask, size=3, iterations=1):
+    """Dilation as max-pool; accepts (Z, Y, X) or batched (B, Z, Y, X)."""
     out = jnp.asarray(mask, dtype=jnp.float32)
     for _ in range(iterations):
         out = _maxpool(out, size)

@@ -126,3 +126,22 @@ def test_offaxis_reslice_display(tmp_path, rng):
     assert sl is not None and sl.ndim == 2
     img.reset_array()
     assert img.display.secondary_array is None
+
+
+def test_batched_morphology(rng):
+    from medicalimageanalysis_tpu.ops.filters import (binary_dilate,
+                                                      binary_erode)
+    masks = np.zeros((3, 8, 10, 10), np.uint8)
+    masks[:, 2:6, 3:8, 3:8] = 1
+    er = binary_erode(masks, size=3)
+    di = binary_dilate(masks, size=3)
+    assert er.shape == masks.shape and di.shape == masks.shape
+    from scipy import ndimage
+    for b in range(3):
+        np.testing.assert_array_equal(
+            er[b].astype(bool),
+            ndimage.binary_erosion(masks[b], np.ones((3, 3, 3)),
+                                   border_value=0))
+        np.testing.assert_array_equal(
+            di[b].astype(bool),
+            ndimage.binary_dilation(masks[b], np.ones((3, 3, 3))))
