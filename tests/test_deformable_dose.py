@@ -263,3 +263,60 @@ def test_deformable_rigid_pre_transform(two_images):
     assert np.asarray(deform.rigid_matrix)[0, 3] == 1.0
     out = deform.create_image()
     assert out["array"].shape == Data.image[ct].array.shape
+
+
+def test_read_reg_deformable(tmp_path, rng):
+    """Deformable DICOM REG: PreDeformationMatrix + VectorGridData
+    unpack into a registered Deformable."""
+    import struct as pystruct
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    info_a = write_ct_series(tmp_path / "a", arr)
+    info_b = write_ct_series(tmp_path / "b", arr, modality="MR")
+
+    dvf = rng.normal(0, 1.0, size=(4, 8, 8, 3)).astype("<f4")
+
+    ds = Dataset()
+    ds.SOPClassUID = uids.DeformableSpatialRegistrationStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "REG"
+    ds.PatientID = "MRN001"
+
+    def series_item(info):
+        item = Dataset()
+        item.SeriesInstanceUID = info["series_uid"]
+        refs = Sequence()
+        for sop in info["sops"]:
+            r = Dataset()
+            r.ReferencedSOPInstanceUID = sop
+            refs.append(r)
+        item.ReferencedInstanceSequence = refs
+        return item
+
+    ds.ReferencedSeriesSequence = Sequence(
+        [series_item(info_a), series_item(info_b)])
+
+    pre = Dataset()
+    m = np.eye(4)
+    m[:3, 3] = [1.0, 2.0, 3.0]
+    pre.FrameOfReferenceTransformationMatrix = [
+        float(v) for v in m.reshape(-1)]
+    grid = Dataset()
+    grid.ImageOrientationPatient = [1, 0, 0, 0, 1, 0]
+    grid.ImagePositionPatient = [-10.0, -20.0, -30.0]
+    grid.GridDimensions = [8, 8, 4]          # (x, y, z)
+    grid.GridResolution = [2.0, 2.0, 5.0]
+    grid.VectorGridData = dvf.tobytes()
+    dreg = Dataset()
+    dreg.PreDeformationMatrixRegistrationSequence = Sequence([pre])
+    dreg.DeformableRegistrationGridSequence = Sequence([grid])
+    ds.DeformableRegistrationSequence = Sequence([dreg])
+    dcmwrite(tmp_path / "dreg.dcm", ds)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.deformable_list) == 1
+    deform = Data.deformable[Data.deformable_list[0]]
+    assert deform.dvf.shape == (4, 8, 8, 3)
+    np.testing.assert_allclose(deform.dvf, dvf, atol=1e-6)
+    np.testing.assert_allclose(deform.rigid_matrix, np.linalg.inv(m),
+                               atol=1e-6)
+    np.testing.assert_allclose(deform.spacing, [2.0, 2.0, 5.0])
