@@ -19,8 +19,8 @@ __all__ = ["Data", "__version__"]
 def __getattr__(name):
     # Lazy exports keep `import medicalimageanalysis_tpu` light (no jax
     # import until a compute path is touched).
-    if name in ("read_dicoms", "read_3mf", "read_mhd", "file_parser",
-                "check_memory"):
+    if name in ("read_dicoms", "read_3mf", "read_mhd", "read_stl",
+                "read_vtk", "file_parser", "check_memory"):
         from . import reader
         return getattr(reader, name)
     if name == "read_nifti":

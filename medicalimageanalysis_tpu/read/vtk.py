@@ -83,6 +83,8 @@ class VtkReader(object):
         self.reader = reader
         if not hasattr(self.reader, "meshes"):
             self.reader.meshes = []
+        if getattr(self.reader, "files", None) is None:
+            self.reader.files = {"Dicom": [], "Stl": [], "Vtk": []}
 
     def input_files(self, files):
         self.reader.files["Vtk"] = files

@@ -13,7 +13,7 @@ from pathlib import Path
 import psutil
 
 __all__ = ["check_memory", "file_parser", "read_dicoms", "read_3mf",
-           "read_mhd"]
+           "read_mhd", "read_stl", "read_vtk", "read_nifti"]
 
 
 def check_memory(files):
@@ -120,6 +120,32 @@ def read_3mf(file, roi_name=None):
     reader = ThreeMfReader(file, roi_name)
     reader.load()
     return reader
+
+
+def read_stl(file_list):
+    """Load STL meshes -> list of TriMesh (functional here; the
+    reference's wrapper is commented out at reader.py:462-473)."""
+    from .read.stl import read_stl as _read
+
+    if isinstance(file_list, (str, bytes)):
+        file_list = [file_list]
+    return [_read(f) for f in file_list]
+
+
+def read_vtk(file_list):
+    """Load legacy .vtk polydata -> list of TriMesh (functional here;
+    dormant in the reference)."""
+    from .read.vtk import read_vtk_polydata
+
+    if isinstance(file_list, (str, bytes)):
+        file_list = [file_list]
+    return [read_vtk_polydata(f) for f in file_list]
+
+
+def read_nifti(file, modality=None, image_name=None):
+    """Load a NIfTI volume (NEW capability; see read/nifti.py)."""
+    from .read.nifti import read_nifti as _read
+    return _read(file, modality=modality, image_name=image_name)
 
 
 def read_mhd(file=None, image_name=None, roi_names=None, dose_name=None,

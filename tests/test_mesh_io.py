@@ -155,3 +155,46 @@ def test_mesh_slice_plane():
     assert len(loops) >= 1
     pts = np.concatenate(loops)
     np.testing.assert_allclose(pts[:, 2], 5.0, atol=1e-9)
+
+
+def test_top_level_read_stl_vtk(tmp_path):
+    from medicalimageanalysis_tpu.read.stl import write_stl
+    from medicalimageanalysis_tpu.read.vtk import write_vtk_polydata
+    box = box_mesh([0, 0, 0], [3, 3, 3])
+    write_stl(tmp_path / "a.stl", box)
+    write_vtk_polydata(tmp_path / "b.vtk", box)
+    meshes = mia.read_stl(str(tmp_path / "a.stl"))
+    assert len(meshes) == 1
+    assert meshes[0].volume == pytest.approx(27.0, rel=1e-6)
+    meshes2 = mia.read_vtk([str(tmp_path / "b.vtk")])
+    assert meshes2[0].volume == pytest.approx(27.0, rel=1e-5)
+
+
+def test_stl_reader_class_populates_reader(tmp_path):
+    from medicalimageanalysis_tpu.read.stl import StlReader, write_stl
+    box = box_mesh([0, 0, 0], [2, 2, 2])
+    write_stl(tmp_path / "m.stl", box)
+    reader = mia.DicomReader(None, False, None, None, True)
+    stl = StlReader(reader)
+    stl.input_files([str(tmp_path / "m.stl")])
+    stl.load()
+    assert len(reader.meshes) == 1
+
+
+def test_jpeg2000_dicom(tmp_path, rng):
+    """JPEG2000-Lossless encapsulated DICOM decodes via cv2."""
+    import cv2
+    from medicalimageanalysis_tpu.dicom import dcmread, dcmwrite, uids
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dicom_core import make_ct_slice
+    img = rng.integers(0, 4000, size=(32, 32)).astype(np.uint16)
+    ok, enc = cv2.imencode(
+        ".jp2", img, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+    assert ok
+    ds = make_ct_slice(np.zeros((32, 32), np.uint16))
+    ds.PixelData = [enc.tobytes()]
+    dcmwrite(tmp_path / "j2k.dcm", ds,
+             transfer_syntax=uids.JPEG2000Lossless)
+    out = dcmread(tmp_path / "j2k.dcm")
+    np.testing.assert_array_equal(out.pixel_array, img)
