@@ -237,6 +237,13 @@ class LazyElement(DataElement):
     def value(self, v):
         self._value = v
 
+    def __deepcopy__(self, memo):
+        # materialize: the _UNSET sentinel loses identity under deepcopy
+        # and the buffer reference need not be carried into copies
+        import copy as _copy
+        return DataElement(self.tag, self.VR, _copy.deepcopy(self.value,
+                                                             memo))
+
 
 _UNSET = object()
 

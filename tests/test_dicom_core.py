@@ -241,3 +241,20 @@ def test_jpeg_lossless_8bit():
     stream = encode_jpeg_lossless(img.astype(np.uint16), precision=8)
     out = jpeg_lossless_decode(stream)
     np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_lazy_element_deepcopy(tmp_path, rng):
+    """Deep copies of lazily-parsed datasets materialize cleanly (the
+    skipped-slice interpolation path deep-copies slice datasets)."""
+    import copy
+    arr = rng.integers(0, 100, size=(8, 8)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    dcmwrite(tmp_path / "c.dcm", ds)
+    out = dcmread(tmp_path / "c.dcm")
+    dup = copy.deepcopy(out)
+    assert dup.Modality == "CT"
+    assert dup.PixelSpacing == out.PixelSpacing
+    np.testing.assert_array_equal(dup.pixel_array, arr)
+    # mutating the copy leaves the original intact
+    dup.RescaleIntercept = -500.0
+    assert out.RescaleIntercept == -1024.0
