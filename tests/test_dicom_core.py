@@ -258,3 +258,35 @@ def test_lazy_element_deepcopy(tmp_path, rng):
     # mutating the copy leaves the original intact
     dup.RescaleIntercept = -500.0
     assert out.RescaleIntercept == -1024.0
+
+
+def test_un_defined_length_kept_raw(tmp_path, rng):
+    """Private/unknown elements (VR UN, defined length) survive both
+    explicit and implicit round trips as raw bytes."""
+    from medicalimageanalysis_tpu.dicom.dataset import DataElement
+    arr = rng.integers(0, 100, size=(8, 8)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    priv = 0x00091001
+    ds[priv] = DataElement(priv, "UN", b"\x01\x02\x03\x04\xff\x00")
+    dcmwrite(tmp_path / "e.dcm", ds)
+    out = dcmread(tmp_path / "e.dcm")
+    assert out[priv].value == b"\x01\x02\x03\x04\xff\x00"
+    # implicit LE: unknown tag resolves to UN via the dictionary fallback
+    dcmwrite(tmp_path / "i.dcm", ds,
+             transfer_syntax=uids.ImplicitVRLittleEndian)
+    out2 = dcmread(tmp_path / "i.dcm")
+    assert out2[priv].value == b"\x01\x02\x03\x04\xff\x00"
+    np.testing.assert_array_equal(out2.pixel_array, arr)
+
+
+def test_empty_and_multivalue_ds(tmp_path, rng):
+    """Zero-length DS reads back as None (clinical files routinely ship
+    empty numeric elements); multi-valued DS reads back as a list."""
+    arr = rng.integers(0, 100, size=(8, 8)).astype(np.uint16)
+    ds = make_ct_slice(arr)
+    ds.RescaleIntercept = None      # -> zero-length element
+    ds.WindowCenter = [40.0, 400.0]
+    dcmwrite(tmp_path / "d.dcm", ds)
+    out = dcmread(tmp_path / "d.dcm")
+    assert out.RescaleIntercept is None
+    assert out.WindowCenter == [40.0, 400.0]

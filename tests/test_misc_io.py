@@ -403,3 +403,22 @@ def test_enhanced_multiframe_ct(tmp_path, rng):
     np.testing.assert_allclose(img.spacing, [0.5, 0.5, 2.0])
     np.testing.assert_allclose(img.origin, [-50.0, -60.0, -10.0])
     assert len(img.sops) == 6
+
+
+def test_save_rois_create_main_folder(tmp_path, rng):
+    """save_rois(create_main_folder=True) nests under the image name
+    (reference structure/image.py:747-767 semantics)."""
+    from helpers import square_contour_mm, write_rtstruct
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr)
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info,
+                   {"PTV": [(square_contour_mm(info, 1, 4, 10), 1)]})
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    img.save_rois(str(tmp_path / "out"), create_main_folder=True)
+    base = tmp_path / "out" / "CT 01" / "rois" / "PTV"
+    assert (base / "roi.json").exists()
+    assert (base / "contour_0000.npy").exists()
+    # flat layout without the flag
+    img.save_rois(str(tmp_path / "flat"))
+    assert (tmp_path / "flat" / "rois" / "PTV" / "roi.json").exists()
