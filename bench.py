@@ -81,8 +81,10 @@ def main():
         th = time.perf_counter()
         chunk_dirs = series_dirs[c:c + CHUNK]
         before = set(Data.image_list)
-        for d in chunk_dirs:
-            mia.read_dicoms(folder_path=d, clear=False)
+        # one call per chunk: the parser's thread pool spans all series
+        chunk_files = [os.path.join(d, f)
+                       for d in chunk_dirs for f in sorted(os.listdir(d))]
+        mia.read_dicoms(file_list=chunk_files, clear=False)
         new_names = [n for n in Data.image_list if n not in before]
         batch = np.stack([Data.image[n].array for n in new_names])
         t_host += time.perf_counter() - th

@@ -53,4 +53,9 @@ def __getattr__(name):
     if name == "utils":
         from . import utils
         return utils
+    # the reference re-exports utils at top level
+    # (reference medicalimageanalysis/__init__.py:6 `from .utils import *`)
+    from . import utils
+    if name in utils.__all__:
+        return getattr(utils, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

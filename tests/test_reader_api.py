@@ -61,3 +61,34 @@ def test_delete_image(tmp_path, rng):
     Data.delete_image("CT 01")
     assert Data.image_list == []
     assert Data.image == {}
+
+
+def test_top_level_utils_reexport():
+    """The reference does `from .utils import *` at top level
+    (reference __init__.py:6) — those names resolve on the package."""
+    import medicalimageanalysis_tpu as mia
+    for name in ("ContourToDiscreteMesh", "ContourToMask", "MaskToContour",
+                 "ModelToMask", "Volume", "Refinement", "DeformableITK"):
+        assert getattr(mia, name) is not None
+    import pytest
+    with pytest.raises(AttributeError):
+        mia.NotAThing
+
+
+def test_match_pois_union_sync(tmp_path, rng):
+    """match_pois injects stub POIs on images lacking them, propagating
+    color/visibility (reference data.py:147-178)."""
+    import numpy as np
+    from helpers import write_ct_series
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr)
+    write_ct_series(tmp_path / "b", arr, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    names = sorted(Data.image_list)
+    Data.image[names[0]].add_poi(poi_name="Isocenter", color=[255, 0, 0],
+                                 visible=True, point=[1.0, 2.0, 3.0])
+    assert "Isocenter" in Data.poi_list
+    other = Data.image[names[1]]
+    assert "Isocenter" in other.pois          # stub injected
+    assert other.pois["Isocenter"].color == [255, 0, 0]
+    assert other.pois["Isocenter"].point_position is None
