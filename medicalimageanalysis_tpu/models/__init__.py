@@ -7,7 +7,8 @@
 - demons: dense field iterations (ops/registration/demons.py)
 """
 
-
+from ..runtime import setup_jax_cache as _setup_jax_cache
+_setup_jax_cache()
 def __getattr__(name):
     if name in ("register_rigid_intensity", "pose_to_matrix"):
         from . import rigid_intensity

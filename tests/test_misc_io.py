@@ -422,3 +422,17 @@ def test_save_rois_create_main_folder(tmp_path, rng):
     # flat layout without the flag
     img.save_rois(str(tmp_path / "flat"))
     assert (tmp_path / "flat" / "rois" / "PTV" / "roi.json").exists()
+
+
+def test_runtime_cache_respects_existing():
+    """setup_jax_cache never overrides a user-configured cache dir
+    (bench.py relies on this ordering)."""
+    import jax
+    from medicalimageanalysis_tpu import runtime
+    # conftest/ops import already ran setup once; the configured dir
+    # must be stable across repeat calls
+    before = jax.config.jax_compilation_cache_dir
+    runtime._done = False
+    runtime.setup_jax_cache()
+    assert jax.config.jax_compilation_cache_dir == before
+    assert before is not None

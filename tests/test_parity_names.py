@@ -1,0 +1,54 @@
+"""Mechanical API-parity audit against the mounted reference.
+
+Every public def/class name in the reference package must exist in ours
+(as a def, class, or assignment alias). Guards against silently dropping
+surface during refactors. Skips when /root/reference is not mounted.
+"""
+
+import ast
+import os
+
+import pytest
+
+REF_ROOT = "/root/reference/medicalimageanalysis"
+OUR_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "medicalimageanalysis_tpu")
+
+# reference-internal helpers we intentionally replaced with different
+# machinery (reference read/dicom.py:90-111 per-file threads -> our
+# bounded ThreadPoolExecutor in read/dicom.py)
+ALLOW_MISSING = {"read_file_thread", "thread_process_dicom"}
+
+
+def _names(root, include_assigns):
+    out = set()
+    for base, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if d not in ("__pycache__", ".idea",
+                                                "docs")]
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            try:
+                tree = ast.parse(open(os.path.join(base, f),
+                                      errors="replace").read())
+            except SyntaxError:
+                continue
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                     ast.ClassDef)):
+                    out.add(node.name)
+                elif include_assigns and isinstance(node, ast.Assign):
+                    for t in node.targets:
+                        if isinstance(t, ast.Name):
+                            out.add(t.id)
+    return out
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROOT),
+                    reason="reference not mounted")
+def test_all_reference_public_names_exist():
+    ref = {n for n in _names(REF_ROOT, include_assigns=False)
+           if not n.startswith("_")}
+    ours = _names(OUR_ROOT, include_assigns=True)
+    missing = sorted(ref - ours - ALLOW_MISSING)
+    assert not missing, f"reference public names missing: {missing}"
