@@ -99,6 +99,10 @@ def main():
                               np.ones(batch.shape[0], np.float32),
                               np.zeros(batch.shape[0], np.float32)))
         jax.block_until_ready(pending)
+        # through the axon relay block_until_ready can return before
+        # completion (docs/PERF.md); a 1-element host pull of the LAST
+        # dispatch forces it (single in-order device stream)
+        float(jax.tree_util.tree_leaves(pending[-1])[0].ravel()[0])
         t_pass = time.perf_counter() - t0
         if t_pass < total:
             total, t_host = t_pass, th_sum
@@ -126,10 +130,10 @@ def main():
     args = (ref_vol, mov_vol, r_p2p, m_pos2pix, center, pose0,
             jnp.float32(0.1))
     out = _register_level(*args, steps=40, stride=(2, 2, 2))  # warm
-    jax.block_until_ready(out)
+    np.asarray(out[1])
     t2 = time.perf_counter()
     out = _register_level(*args, steps=40, stride=(2, 2, 2))
-    jax.block_until_ready(out)
+    np.asarray(out[1])  # forced host pull: see docs/PERF.md relay caveats
     reg_ms = (time.perf_counter() - t2) * 1000.0
 
     value = N_SERIES / total
