@@ -119,8 +119,9 @@ def main():
     ref = Data.image[names[0]]
     mov = Data.image[names[1]]
     from medicalimageanalysis_tpu.ops import geometry as geo_ops
-    ref_vol = jnp.asarray(ref.array, jnp.float32)
-    mov_vol = jnp.asarray(mov.array, jnp.float32)
+    # int16 as stored: halves the staged bytes (cast to f32 in-jit)
+    ref_vol = jnp.asarray(ref.array)
+    mov_vol = jnp.asarray(mov.array)
     r_p2p = jnp.asarray(geo_ops.pixel_to_position_matrix(
         ref.matrix, ref.spacing, ref.origin))
     m_pos2pix = jnp.asarray(geo_ops.position_to_pixel_matrix(
