@@ -20,9 +20,10 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-__all__ = ["dose_below_histogram"]
+__all__ = ["dose_below_histogram", "lane_interp", "shear_x"]
 
 _TILE = 2048
+_ROW_TILE = 256
 
 
 def _hist_kernel(dose_ref, valid_ref, thr_ref, out_ref):
@@ -68,6 +69,103 @@ def _pallas_hist(dose, valid, thresholds, interpret):
         interpret=interpret,
         **kwargs,
     )(dose, valid, thresholds)
+
+
+def _gather_lanes(data, idx):
+    """Lane-axis gather, segmented: Mosaic's tpu.dynamic_gather only
+    supports a source spanning ONE 128-lane vreg along the gather dim
+    ("Multiple source vregs along gather dimension"), so gather each
+    128-wide segment and select by segment membership."""
+    X = data.shape[1]
+    outs = []
+    for o in range(0, X, 128):                    # output lane chunk
+        io = idx[:, o:o + 128]
+        acc = jnp.zeros(io.shape, data.dtype)
+        for s in range(0, X, 128):                # source vreg segment
+            seg = data[:, s:s + 128]
+            local = jnp.clip(io - s, 0, 127)
+            g = jnp.take_along_axis(seg, local, axis=1)
+            acc = jnp.where((io >= s) & (io < s + 128), g, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _lane_interp_kernel(pos_ref, data_ref, out_ref):
+    data = data_ref[...]                      # (TR, X) rows in VMEM
+    pos = pos_ref[...]                        # (TR, X) sample x-positions
+    nx = data.shape[1]
+    x0f = jnp.clip(jnp.floor(pos), 0.0, nx - 2.0)
+    x0 = x0f.astype(jnp.int32)
+    f = pos - x0f
+    a = _gather_lanes(data, x0)
+    b = _gather_lanes(data, x0 + 1)
+    out = a * (1.0 - f) + b * f
+    # edge policy: clamp-to-edge inside, zero outside [−0.5, nx−0.5)
+    valid = (pos > -0.5) & (pos < nx - 0.5)
+    out_ref[...] = jnp.where(valid, out, 0.0)
+
+
+def lane_interp(data, pos, interpret=None):
+    """Per-row 1-D linear interpolation along the last (lane) axis.
+
+    data : (R, X) f32 rows; pos : (R, X) f32 sample positions into each
+    row. Returns (R, X) f32, zero outside [-0.5, X-0.5), clamp-to-edge
+    interior taps. The Pallas building block of the shear-decomposed
+    warp (docs/PERF.md: XLA computed-index gathers run at 14-34 M
+    pts/s on v5e; in-kernel lane gathers run at VPU rate)."""
+    data = jnp.asarray(data, jnp.float32)
+    pos = jnp.asarray(pos, jnp.float32)
+    R, X = data.shape
+
+    backend = jax.default_backend()
+    if interpret is None:
+        interpret = backend != "tpu"
+    # compiled path requires X % 128 == 0 (the segmented gather slices
+    # whole 128-lane vregs); interpret mode has no such constraint
+    if backend not in ("tpu", "cpu") or (not interpret and X % 128):
+        return _lane_interp_xla(data, pos)
+
+    pad = (-R) % _ROW_TILE
+    if pad:
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad), (0, 0)))
+    try:
+        out = pl.pallas_call(
+            _lane_interp_kernel,
+            grid=(data.shape[0] // _ROW_TILE,),
+            in_specs=[
+                pl.BlockSpec((_ROW_TILE, X), lambda i: (i, 0)),
+                pl.BlockSpec((_ROW_TILE, X), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((_ROW_TILE, X), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
+            interpret=interpret,
+        )(pos, data)
+    except Exception:
+        out = _lane_interp_xla(data, pos)
+    return out[:R]
+
+
+def _lane_interp_xla(data, pos):
+    nx = data.shape[1]
+    x0f = jnp.clip(jnp.floor(pos), 0.0, nx - 2.0)
+    x0 = x0f.astype(jnp.int32)
+    f = pos - x0f
+    a = jnp.take_along_axis(data, x0, axis=1)
+    b = jnp.take_along_axis(data, x0 + 1, axis=1)
+    out = a * (1.0 - f) + b * f
+    return jnp.where((pos > -0.5) & (pos < nx - 0.5), out, 0.0)
+
+
+def shear_x(vol, pos_x, interpret=None):
+    """Resample a (Z, Y, X) volume along x: out[z,y,x] =
+    vol[z, y, pos_x[z,y,x]] (linear interp, zero outside). One pass of
+    a shear-decomposed affine warp; flattens rows to (Z*Y, X) for the
+    lane-gather kernel."""
+    Z, Y, X = vol.shape
+    out = lane_interp(vol.reshape(Z * Y, X), pos_x.reshape(Z * Y, X),
+                      interpret=interpret)
+    return out.reshape(Z, Y, X)
 
 
 def dose_below_histogram(dose, valid, thresholds, interpret=None):
