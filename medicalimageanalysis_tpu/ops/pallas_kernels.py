@@ -108,21 +108,23 @@ def _lane_interp_kernel(pos_ref, data_ref, out_ref):
 def lane_interp(data, pos, interpret=None):
     """Per-row 1-D linear interpolation along the last (lane) axis.
 
-    data : (R, X) f32 rows; pos : (R, X) f32 sample positions into each
-    row. Returns (R, X) f32, zero outside [-0.5, X-0.5), clamp-to-edge
-    interior taps. The Pallas building block of the shear-decomposed
-    warp (docs/PERF.md: XLA computed-index gathers run at 14-34 M
-    pts/s on v5e; in-kernel lane gathers run at VPU rate)."""
+    data : (R, Xs) f32 rows; pos : (R, Xd) f32 sample positions into
+    each row. Returns (R, Xd) f32, zero outside [-0.5, Xs-0.5),
+    clamp-to-edge interior taps. The Pallas building block of the
+    shear-decomposed warp (docs/PERF.md: XLA computed-index gathers run
+    at 14-34 M pts/s on v5e; in-kernel lane gathers run at VPU rate)."""
     data = jnp.asarray(data, jnp.float32)
     pos = jnp.asarray(pos, jnp.float32)
-    R, X = data.shape
+    R, Xs = data.shape
+    Xd = pos.shape[1]
 
     backend = jax.default_backend()
     if interpret is None:
         interpret = backend != "tpu"
-    # compiled path requires X % 128 == 0 (the segmented gather slices
-    # whole 128-lane vregs); interpret mode has no such constraint
-    if backend not in ("tpu", "cpu") or (not interpret and X % 128):
+    # compiled path requires 128-lane-aligned widths (the segmented
+    # gather slices whole vregs); interpret mode has no such constraint
+    if backend not in ("tpu", "cpu") or \
+            (not interpret and (Xs % 128 or Xd % 128)):
         return _lane_interp_xla(data, pos)
 
     pad = (-R) % _ROW_TILE
@@ -134,11 +136,12 @@ def lane_interp(data, pos, interpret=None):
             _lane_interp_kernel,
             grid=(data.shape[0] // _ROW_TILE,),
             in_specs=[
-                pl.BlockSpec((_ROW_TILE, X), lambda i: (i, 0)),
-                pl.BlockSpec((_ROW_TILE, X), lambda i: (i, 0)),
+                pl.BlockSpec((_ROW_TILE, Xd), lambda i: (i, 0)),
+                pl.BlockSpec((_ROW_TILE, Xs), lambda i: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((_ROW_TILE, X), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
+            out_specs=pl.BlockSpec((_ROW_TILE, Xd), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((data.shape[0], Xd),
+                                           jnp.float32),
             interpret=interpret,
         )(pos, data)
     except Exception:
@@ -158,14 +161,15 @@ def _lane_interp_xla(data, pos):
 
 
 def shear_x(vol, pos_x, interpret=None):
-    """Resample a (Z, Y, X) volume along x: out[z,y,x] =
+    """Resample a (Z, Y, Xs) volume along x: out[z,y,x] =
     vol[z, y, pos_x[z,y,x]] (linear interp, zero outside). One pass of
     a shear-decomposed affine warp; flattens rows to (Z*Y, X) for the
-    lane-gather kernel."""
-    Z, Y, X = vol.shape
-    out = lane_interp(vol.reshape(Z * Y, X), pos_x.reshape(Z * Y, X),
+    lane-gather kernel. pos_x may have a different last dim (Xd)."""
+    Z, Y, Xs = vol.shape
+    Xd = pos_x.shape[-1]
+    out = lane_interp(vol.reshape(Z * Y, Xs), pos_x.reshape(Z * Y, Xd),
                       interpret=interpret)
-    return out.reshape(Z, Y, X)
+    return out.reshape(Z, Y, Xd)
 
 
 def dose_below_histogram(dose, valid, thresholds, interpret=None):
