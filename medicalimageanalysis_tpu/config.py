@@ -33,6 +33,10 @@ class MiaConfig:
     device_dtype: str = "float32"
     jit_ingest: bool = True
     default_mesh_axes: tuple = ("data", "space")
+    # reslice_transform via the 3-pass Pallas shear warp (32x on v5e;
+    # shear-warp factorization, ~0.6%-of-sigma interior delta vs the
+    # exact trilinear gather — docs/PERF.md). Off = bit-stable default.
+    use_shear_warp: bool = False
 
 
 config = MiaConfig()

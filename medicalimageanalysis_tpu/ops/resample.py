@@ -311,7 +311,11 @@ def reslice_transform(volume, vol_matrix, vol_spacing, vol_origin,
                              np.eye(3), out_spacing, lo,
                              phys_transform=T)
     out_shape = (int(out_dims[2]), int(out_dims[1]), int(out_dims[0]))
-    arr = np.asarray(affine_resample(volume, A, out_shape, background))
+    # opt-in fast lane: 3-pass Pallas shear warp (32x on v5e, shear-warp
+    # factorization semantics — see docs/PERF.md); exact gather default
+    warp = affine_resample_shear if config.use_shear_warp \
+        else affine_resample
+    arr = np.asarray(warp(volume, A, out_shape, background))
     return {"array": arr, "origin": lo, "spacing": out_spacing,
             "dimensions": np.asarray(out_dims)}
 

@@ -183,3 +183,34 @@ def test_affine_resample_shear_matches_gather(rng):
     ref90 = np.asarray(affine_resample(vol, A90, vol.shape,
                                        background=0.0))
     np.testing.assert_allclose(out90, ref90, atol=1e-5)
+
+
+def test_reslice_transform_shear_flag(rng):
+    """config.use_shear_warp switches reslice_transform to the Pallas
+    shear path; outputs stay close to the exact gather path."""
+    from scipy import ndimage
+    from scipy.spatial.transform import Rotation
+    from medicalimageanalysis_tpu.config import config
+    from medicalimageanalysis_tpu.ops.resample import reslice_transform
+
+    vol = ndimage.gaussian_filter(
+        rng.normal(size=(16, 24, 24)).astype(np.float32), 1.5)
+    T = np.eye(4)
+    T[:3, :3] = Rotation.from_euler("z", 10, degrees=True).as_matrix()
+    T[:3, 3] = [2.0, -1.0, 0.5]
+    kw = dict(vol_matrix=np.eye(3), vol_spacing=[1, 1, 1],
+              vol_origin=[0, 0, 0], phys_transform=T,
+              out_spacing=[1, 1, 1], background=-3001)
+
+    exact = reslice_transform(vol, **kw)
+    config.use_shear_warp = True
+    try:
+        fast = reslice_transform(vol, **kw)
+    finally:
+        config.use_shear_warp = False
+    assert fast["array"].shape == exact["array"].shape
+    np.testing.assert_allclose(fast["origin"], exact["origin"])
+    both = (exact["array"] > -3000) & (fast["array"] > -3000)
+    interior = ndimage.binary_erosion(both, iterations=2)
+    d = np.abs(exact["array"] - fast["array"])[interior]
+    assert d.mean() < 0.02
