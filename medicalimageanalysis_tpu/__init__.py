@@ -51,11 +51,25 @@ def __getattr__(name):
         from .structure.deformable import Deformable
         return Deformable
     if name == "utils":
-        from . import utils
-        return utils
+        # NOT `from . import utils`: that re-enters __getattr__('utils')
+        # through importlib's _handle_fromlist before the submodule
+        # import starts -> infinite recursion
+        import importlib
+        return importlib.import_module(".utils", __name__)
+    if name in ("native", "ops", "parallel", "structure", "read", "dicom",
+                "models", "config", "reader", "runtime", "telemetry"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    if name.startswith("_"):
+        # never route dunder probes through the utils import below: a
+        # probe raised DURING that import re-enters __getattr__ and
+        # recursed to death (found via tests/test_native_hostile.py)
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}")
     # the reference re-exports utils at top level
     # (reference medicalimageanalysis/__init__.py:6 `from .utils import *`)
-    from . import utils
+    import importlib
+    utils = importlib.import_module(".utils", __name__)
     if name in utils.__all__:
         return getattr(utils, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

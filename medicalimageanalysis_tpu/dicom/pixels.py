@@ -79,12 +79,18 @@ def _packbits_decode(data, expected):
         header = int(src[i])
         i += 1
         if header <= 127:
-            count = header + 1
+            # clamp against truncated/corrupt streams: a literal run may
+            # claim more bytes than remain in src or fit in out
+            count = min(header + 1, n - i, expected - o)
+            if count <= 0:
+                break
             out[o:o + count] = src[i:i + count]
             i += count
             o += count
         elif header >= 129:
-            count = 257 - header
+            if i >= n:  # replicate header ends the stream
+                break
+            count = min(257 - header, expected - o)
             out[o:o + count] = src[i]
             i += 1
             o += count
@@ -100,6 +106,8 @@ def decode_rle(ds):
     frags = ds.PixelData
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
+    if len(frags) < frames:
+        raise ValueError("RLE: fewer fragments than frames")
 
     # native fast path (interleaved little-endian output)
     try:
@@ -127,13 +135,26 @@ def decode_rle(ds):
     out_frames = []
     for f in range(frames):
         frag = frags[f]
+        if len(frag) < 64:
+            raise ValueError("RLE: fragment shorter than segment header")
         header = np.frombuffer(frag[:64], dtype="<u4")
         nseg = int(header[0])
+        if not 1 <= nseg <= 15:
+            raise ValueError("RLE: bad segment count")
+        if nseg != samples * bytes_per_sample:
+            raise ValueError("RLE: segment count does not match "
+                             "samples*bytes")
         offsets = [int(v) for v in header[1:1 + nseg]] + [len(frag)]
+        if any(offsets[s] > offsets[s + 1] or offsets[s] > len(frag)
+               for s in range(nseg)):
+            raise ValueError("RLE: non-monotonic segment offsets")
         segs = []
         for s in range(nseg):
-            segs.append(_packbits_decode(frag[offsets[s]:offsets[s + 1]],
-                                         frame_px))
+            seg = _packbits_decode(frag[offsets[s]:offsets[s + 1]],
+                                   frame_px)
+            if seg.shape[0] < frame_px:  # truncated stream: zero-pad
+                seg = np.pad(seg, (0, frame_px - seg.shape[0]))
+            segs.append(seg)
         # segments: for each sample, MSB..LSB byte planes
         frame = np.zeros((samples, frame_px), dtype=np.uint32)
         for samp in range(samples):

@@ -105,6 +105,7 @@ static void scan_sequence(Cursor& c, Emitter& em, bool explicit_vr,
             // item delimiter consumed inside scan_dataset loop break
         } else {
             uint64_t item_end = c.pos + ilen;
+            if (item_end > c.len) { c.ok = false; return; }
             scan_dataset(c, em, explicit_vr, little,
                          (uint16_t)(depth + 1), item_end, 0);
             c.pos = item_end;
@@ -127,6 +128,7 @@ static void scan_fragments(Cursor& c, Emitter& em, bool little,
             return;
         }
         if (tag != TAG_ITEM) { c.ok = false; return; }
+        if (c.pos + ilen > c.len) { c.ok = false; return; }
         em.emit(TAG_ITEM, ('F' | ('R' << 8)), depth, c.pos, ilen);
         c.pos += ilen;
     }
@@ -190,6 +192,7 @@ static void scan_dataset(Cursor& c, Emitter& em, bool explicit_vr,
                               (uint16_t)(depth + 1), 0);
             } else {
                 uint64_t seq_end = c.pos + vlen;
+                if (seq_end > c.len) { c.ok = false; return; }
                 scan_sequence(c, em, explicit_vr, little,
                               (uint16_t)(depth + 1), seq_end);
                 c.pos = seq_end;
@@ -233,25 +236,29 @@ int64_t mia_scan(const uint8_t* buf, uint64_t len, int stop_before_pixels,
         if (l != 4) return -2;
         uint32_t group_len = rd32(c, true);
         uint64_t meta_end = c.pos + group_len;
+        if (meta_end > len) meta_end = len;  // attacker-controlled length
         // scan file meta elements at depth 0 (group 0002)
         uint64_t ts_off = 0, ts_len = 0;
         while (c.ok && c.pos + 8 <= meta_end) {
             uint16_t g = rd16(c, true);
             uint16_t e = rd16(c, true);
+            if (c.pos + 2 > c.len) { c.ok = false; break; }
             uint16_t vr = (uint16_t)(c.buf[c.pos] | (c.buf[c.pos+1] << 8));
             c.pos += 2;
             uint64_t vlen;
             if (is_long_vr(vr)) { c.pos += 2; vlen = rd32(c, true); }
             else vlen = rd16(c, true);
+            if (!c.ok || c.pos + vlen > c.len) { c.ok = false; break; }
             uint32_t tag = ((uint32_t)g << 16) | e;
             em.emit(tag, vr, 0, c.pos, vlen);
             if (tag == 0x00020010u) { ts_off = c.pos; ts_len = vlen; }
             c.pos += vlen;
         }
+        if (!c.ok) return -2;
         c.pos = meta_end;
 
         int ts_code = 1;  // default explicit LE
-        if (ts_len) {
+        if (ts_len && ts_off + ts_len <= len) {
             const char* ts = (const char*)(buf + ts_off);
             // trim trailing nul/space
             uint64_t tl = ts_len;
@@ -423,7 +430,9 @@ struct Huff {
             l++;
         }
         if (l > 16 || !br.ok) return -1;
-        return vals[valptr[l] + code - mincode[l]];
+        int idx = valptr[l] + code - mincode[l];
+        if (idx < 0 || idx >= 256) return -1;  // hostile DHT table
+        return vals[idx];
     }
 };
 
@@ -455,18 +464,22 @@ int mia_jpegls14_decode(const uint8_t* buf, uint64_t len, int32_t* out,
         if (p + 2 > len) return -2;
         int seg_len = (buf[p] << 8) | buf[p + 1];
         uint64_t seg_end = p + seg_len;
+        if (seg_end > len || seg_len < 2) return -2;  // hostile length
 
         if (marker == 0xC3) {  // SOF3 lossless
+            if (p + 8 > seg_end) return -2;
             precision = buf[p + 2];
             H = (buf[p + 3] << 8) | buf[p + 4];
             W = (buf[p + 5] << 8) | buf[p + 6];
             ncomp = buf[p + 7];
             if (ncomp > 4) return -3;
+            if (p + 8 + 3 * (uint64_t)ncomp > seg_end) return -2;
             for (int i = 0; i < ncomp; i++)
                 comp_id[i] = buf[p + 8 + 3 * i];
         } else if (marker == 0xC4) {  // DHT
             uint64_t q = p + 2;
             while (q < seg_end) {
+                if (q + 17 > seg_end) return -2;
                 int tc_th = buf[q++];
                 int th = tc_th & 0x0F;
                 uint8_t bits[16];
@@ -476,14 +489,21 @@ int mia_jpegls14_decode(const uint8_t* buf, uint64_t len, int32_t* out,
                     nvals += bits[i];
                 }
                 q += 16;
+                if (q + (uint64_t)nvals > seg_end) return -2;
                 if (th < 4) tables[th].build(bits, buf + q, nvals);
                 q += nvals;
             }
         } else if (marker == 0xDA) {  // SOS
+            if (p + 3 > seg_end) return -2;
             ns = buf[p + 2];
+            // scan_comp is int[4]: an unvalidated ns (up to 255) was a
+            // stack write overflow on crafted input (ADVICE.md round 1)
+            if (ns < 1 || ns > 4) return -3;
+            if (p + 6 + 2 * (uint64_t)ns > seg_end) return -2;
             for (int i = 0; i < ns; i++) {
                 int cid = buf[p + 3 + 2 * i];
                 int tbl = (buf[p + 4 + 2 * i] >> 4) & 0x0F;
+                if (tbl > 3) return -3;  // tables[] is Huff[4]
                 for (int k = 0; k < ncomp; k++)
                     if (comp_id[k] == cid) { scan_comp[i] = k;
                                              comp_tbl[k] = tbl; }
@@ -498,8 +518,10 @@ int mia_jpegls14_decode(const uint8_t* buf, uint64_t len, int32_t* out,
         p = seg_end;
     }
 
-    if (!W || !H || !ncomp || !scan_start) return -5;
+    if (!W || !H || !ncomp || !scan_start || scan_start >= len) return -5;
     if ((int64_t)W * H * ncomp > out_capacity) return -6;
+    // precision-pt-1 shift below is UB outside [2,16] / pt >= precision
+    if (precision < 2 || precision > 16 || pt >= precision) return -5;
 
     *w_out = W; *h_out = H; *ncomp_out = ncomp; *prec_out = precision;
 

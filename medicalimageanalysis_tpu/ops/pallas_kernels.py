@@ -90,10 +90,11 @@ def _gather_lanes(data, idx):
     return jnp.concatenate(outs, axis=1)
 
 
-def _lane_interp_kernel(pos_ref, data_ref, out_ref):
+def _lane_interp_kernel(pos_ref, data_ref, out_ref, *, nx=None):
     data = data_ref[...]                      # (TR, X) rows in VMEM
     pos = pos_ref[...]                        # (TR, X) sample x-positions
-    nx = data.shape[1]
+    if nx is None:                            # may exceed data width when
+        nx = data.shape[1]                    # the caller padded to 128
     x0f = jnp.clip(jnp.floor(pos), 0.0, nx - 2.0)
     x0 = x0f.astype(jnp.int32)
     f = pos - x0f
@@ -121,32 +122,45 @@ def lane_interp(data, pos, interpret=None):
     backend = jax.default_backend()
     if interpret is None:
         interpret = backend != "tpu"
-    # compiled path requires 128-lane-aligned widths (the segmented
-    # gather slices whole vregs); interpret mode has no such constraint
-    if backend not in ("tpu", "cpu") or \
-            (not interpret and (Xs % 128 or Xd % 128)):
+    if backend not in ("tpu", "cpu"):
         return _lane_interp_xla(data, pos)
+
+    # the segmented gather slices whole 128-lane vregs, so pad widths up
+    # to multiples of 128 instead of falling back to the slow XLA gather
+    # (round-1 ADVICE: autocropped reslice dims almost never align). The
+    # kernel clamps/masks against the ORIGINAL Xs (static kwarg), so the
+    # zero padding is never sampled and semantics are unchanged.
+    pad_s = (-Xs) % 128
+    pad_d = (-Xd) % 128
+    data_k = data if not pad_s else jnp.pad(data, ((0, 0), (0, pad_s)))
+    pos_k = pos if not pad_d else jnp.pad(
+        pos, ((0, 0), (0, pad_d)), constant_values=-1.0)
 
     pad = (-R) % _ROW_TILE
     if pad:
-        data = jnp.pad(data, ((0, pad), (0, 0)))
-        pos = jnp.pad(pos, ((0, pad), (0, 0)))
+        data_k = jnp.pad(data_k, ((0, pad), (0, 0)))
+        pos_k = jnp.pad(pos_k, ((0, pad), (0, 0)))
+    XsK, XdK = data_k.shape[1], pos_k.shape[1]
     try:
+        # NOTE: when called eagerly a Mosaic failure lands here and the
+        # XLA twin takes over; under an outer jit, lowering errors
+        # surface at the outer compile and are not catchable from here.
+        from functools import partial
         out = pl.pallas_call(
-            _lane_interp_kernel,
-            grid=(data.shape[0] // _ROW_TILE,),
+            partial(_lane_interp_kernel, nx=Xs),
+            grid=(data_k.shape[0] // _ROW_TILE,),
             in_specs=[
-                pl.BlockSpec((_ROW_TILE, Xd), lambda i: (i, 0)),
-                pl.BlockSpec((_ROW_TILE, Xs), lambda i: (i, 0)),
+                pl.BlockSpec((_ROW_TILE, XdK), lambda i: (i, 0)),
+                pl.BlockSpec((_ROW_TILE, XsK), lambda i: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((_ROW_TILE, Xd), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((data.shape[0], Xd),
+            out_specs=pl.BlockSpec((_ROW_TILE, XdK), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((data_k.shape[0], XdK),
                                            jnp.float32),
             interpret=interpret,
-        )(pos, data)
+        )(pos_k, data_k)
     except Exception:
-        out = _lane_interp_xla(data, pos)
-    return out[:R]
+        return _lane_interp_xla(data, pos)
+    return out[:R, :Xd]
 
 
 def _lane_interp_xla(data, pos):

@@ -456,6 +456,11 @@ def affine_resample_shear(volume, pixel_matrix, out_shape,
     """
     if background is None:
         background = config.background_fill
+    if isinstance(pixel_matrix, jax.core.Tracer):
+        # the decomposition (pivot checks) needs concrete values; under
+        # jit, take the exact gather path instead of crashing in
+        # np.asarray (round-1 ADVICE)
+        return affine_resample(volume, pixel_matrix, out_shape, background)
     dec = _shear_decompose(np.asarray(pixel_matrix, np.float64))
     if dec is None:
         return affine_resample(volume, pixel_matrix, out_shape,

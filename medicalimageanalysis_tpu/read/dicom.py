@@ -285,6 +285,26 @@ class DicomReader(object):
     # ------------------------------------------------------------------
     # construction
     # ------------------------------------------------------------------
+    def _build_series(self, builder, image_set, *args, **kwargs):
+        """Tolerant-ingest wrapper: a series whose pixel data fails to
+        decode (hostile/corrupt stream) is recorded and skipped rather
+        than aborting the whole read (reference swallow-and-continue
+        policy, SURVEY §5; builders register into Data only after a
+        successful assemble, so no partial state leaks)."""
+        try:
+            return builder(image_set, *args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 - untrusted input boundary
+            paths = [getattr(d, "filename", "<memory>")
+                     for d in (image_set if isinstance(image_set, list)
+                               else [image_set])]
+            self.report.failed_series.append(
+                {"builder": builder.__name__, "files": paths,
+                 "error": f"{type(exc).__name__}: {exc}"})
+            self.report.warn(
+                f"dicom: {builder.__name__} failed for {len(paths)} "
+                f"file(s): {type(exc).__name__}: {exc}")
+            return None
+
     def image_creation(self):
         """Dispatch grouped datasets to per-modality builders
         (reference read/dicom.py:384-425)."""
@@ -294,21 +314,23 @@ class DicomReader(object):
         for modality in ["CT", "MR", "PT", "DX", "RF", "CR", "US"]:
             for image_set in self.ds_modality.get(modality, []):
                 if modality in ["CT", "MR", "PT"]:
-                    Read3D(image_set, self.only_tags)
+                    self._build_series(Read3D, image_set, self.only_tags)
                 elif modality in ["DX", "CR"]:
-                    ReadXRay(image_set, self.only_tags)
+                    self._build_series(ReadXRay, image_set, self.only_tags)
                 elif modality == "RF":
-                    ReadRF(image_set, self.only_tags)
+                    self._build_series(ReadRF, image_set, self.only_tags)
                 elif modality == "US":
-                    ReadUS(image_set, self.only_tags)
+                    self._build_series(ReadUS, image_set, self.only_tags)
 
         if self.ds_modality.get("RTSTRUCT"):
             from .rtstruct import ReadRTStruct
             for image_set in self.ds_modality["RTSTRUCT"]:
-                read_rtstruct = ReadRTStruct(
-                    image_set, self.only_tags,
+                read_rtstruct = self._build_series(
+                    ReadRTStruct, image_set, self.only_tags,
                     only_load_roi_names=self.only_load_roi_names)
-                if read_rtstruct.match_image_name is not None:
+                if read_rtstruct is None:
+                    pass
+                elif read_rtstruct.match_image_name is not None:
                     Data.image[read_rtstruct.match_image_name].input_rtstruct(
                         read_rtstruct)
                 else:
@@ -319,9 +341,9 @@ class DicomReader(object):
         if self.ds_modality.get("REG"):
             from .reg import ReadREG
             for image_set in self.ds_modality["REG"]:
-                ReadREG(image_set, self.only_tags)
+                self._build_series(ReadREG, image_set, self.only_tags)
 
         if self.ds_modality.get("RTDOSE"):
             from .rtdose import ReadRTDose
             for image_set in self.ds_modality["RTDOSE"]:
-                ReadRTDose(image_set, self.only_tags)
+                self._build_series(ReadRTDose, image_set, self.only_tags)

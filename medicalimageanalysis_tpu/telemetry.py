@@ -50,6 +50,7 @@ class IngestReport:
     files_total: int = 0
     parsed_ok: int = 0
     failed_files: list = field(default_factory=list)
+    failed_series: list = field(default_factory=list)
     images_created: list = field(default_factory=list)
     doses_created: list = field(default_factory=list)
     rigid_created: list = field(default_factory=list)
@@ -69,6 +70,7 @@ class IngestReport:
             "files_total": self.files_total,
             "parsed_ok": self.parsed_ok,
             "failed": len(self.failed_files),
+            "failed_series": len(self.failed_series),
             "images": list(self.images_created),
             "doses": list(self.doses_created),
             "rigid": list(self.rigid_created),
