@@ -107,25 +107,49 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
         mov_pos2pix = inv_scale @ mov_pos2pix
         stride = (1, 1, 1)
 
-    from ..ops.resample import make_trilinear_sampler
-
     shape = ref_vol.shape
-    coords_pix = _sample_grid(shape, stride)                    # (N, 3) xyz
-    ones = jnp.ones((coords_pix.shape[0], 1), jnp.float32)
-    coords_h = jnp.concatenate([coords_pix, ones], axis=1)
-    ref_pos = coords_h @ ref_pix2pos.T                          # (N, 4)
-    ref_vals = _trilinear_flat(ref_vol, coords_pix)
     scale = jnp.asarray(_POSE_SCALE)
-    sample_mov = make_trilinear_sampler(mov_vol, 0.0)
 
-    def loss_fn(params):
-        m = pose_to_matrix(params * scale, center)              # ref->mov
-        mov_pos = ref_pos @ m.T                                 # (N, 4)
-        mov_pix = mov_pos @ mov_pos2pix.T
-        vals = sample_mov(mov_pix[:, :3])
-        inside = _inside_mask(mov_vol.shape, mov_pix[:, :3])
-        diff = (vals - ref_vals) * inside
-        return jnp.sum(diff * diff) / jnp.maximum(jnp.sum(inside), 1.0)
+    if jax.default_backend() == "tpu":
+        # Pallas tile-slab warp sampler: exact trilinear with an
+        # analytic coordinate VJP computed in the forward kernel pass
+        # (no re-gather in the backward; the XLA computed-index gather
+        # runs at only ~14 M pts/s on v5e — docs/PERF.md)
+        from ..ops.pallas_warp import affine_coords, make_warp_sampler
+        sample_mov = make_warp_sampler(mov_vol, 0.0)
+        MZ, MY, MX = mov_vol.shape
+        ref_valsv = ref_vol  # the loss grid IS the low-res ref volume
+
+        def loss_fn(params):
+            m = pose_to_matrix(params * scale, center)          # ref->mov
+            P = mov_pos2pix @ m @ ref_pix2pos   # ref pixel -> mov pixel
+            cz, cy, cx = affine_coords(P, shape)
+            vals = sample_mov(cz, cy, cx)
+            inside = ((cx >= 0) & (cx <= MX - 1) & (cy >= 0)
+                      & (cy <= MY - 1) & (cz >= 0)
+                      & (cz <= MZ - 1)).astype(jnp.float32)
+            diff = (vals - ref_valsv) * inside
+            return jnp.sum(diff * diff) / jnp.maximum(jnp.sum(inside),
+                                                      1.0)
+    else:
+        from ..ops.resample import make_trilinear_sampler
+
+        coords_pix = _sample_grid(shape, stride)                # (N, 3) xyz
+        ones = jnp.ones((coords_pix.shape[0], 1), jnp.float32)
+        coords_h = jnp.concatenate([coords_pix, ones], axis=1)
+        ref_pos = coords_h @ ref_pix2pos.T                      # (N, 4)
+        ref_vals = _trilinear_flat(ref_vol, coords_pix)
+        sample_mov = make_trilinear_sampler(mov_vol, 0.0)
+
+        def loss_fn(params):
+            m = pose_to_matrix(params * scale, center)          # ref->mov
+            mov_pos = ref_pos @ m.T                             # (N, 4)
+            mov_pix = mov_pos @ mov_pos2pix.T
+            vals = sample_mov(mov_pix[:, :3])
+            inside = _inside_mask(mov_vol.shape, mov_pix[:, :3])
+            diff = (vals - ref_vals) * inside
+            return jnp.sum(diff * diff) / jnp.maximum(jnp.sum(inside),
+                                                      1.0)
 
     opt = optax.adam(lr)
 

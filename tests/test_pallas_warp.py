@@ -1,0 +1,160 @@
+"""Golden tests for the Pallas tile-slab trilinear warp (CPU interpret
+mode; the same code path compiles on TPU — validated in docs/PERF.md)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from medicalimageanalysis_tpu.ops.pallas_warp import (
+    _field_warp_call, affine_coords, affine_warp, field_warp,
+    field_warp_xla, make_warp_sampler)
+from medicalimageanalysis_tpu.ops.resample import affine_resample
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _numpy_trilinear(vol, cz, cy, cx, bg):
+    """Independent numpy golden (mirrors reference vtk/sitk linear
+    interpolation semantics with clamped edge taps)."""
+    Z, Y, X = vol.shape
+    inside = ((cz >= 0) & (cz <= Z - 1) & (cy >= 0) & (cy <= Y - 1)
+              & (cx >= 0) & (cx <= X - 1))
+    z0 = np.clip(np.floor(cz).astype(int), 0, Z - 1)
+    y0 = np.clip(np.floor(cy).astype(int), 0, Y - 1)
+    x0 = np.clip(np.floor(cx).astype(int), 0, X - 1)
+    z1 = np.minimum(z0 + 1, Z - 1)
+    y1 = np.minimum(y0 + 1, Y - 1)
+    x1 = np.minimum(x0 + 1, X - 1)
+    fz, fy, fx = cz - np.floor(cz), cy - np.floor(cy), cx - np.floor(cx)
+    out = 0.0
+    for (zi, wz) in ((z0, 1 - fz), (z1, fz)):
+        for (yi, wy) in ((y0, 1 - fy), (y1, fy)):
+            for (xi, wx) in ((x0, 1 - fx), (x1, fx)):
+                out = out + wz * wy * wx * vol[zi, yi, xi]
+    return np.where(inside, out, bg).astype(np.float32)
+
+
+def test_field_warp_smooth_dvf_matches_numpy(rng):
+    vol = rng.normal(size=(20, 30, 70)).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:20, 0:30, 0:70].astype(np.float32)
+    cz = zz + 3.0 * np.sin(xx / 15) * np.cos(yy / 9)
+    cy = yy - 2.5 * np.cos(zz / 5)
+    cx = xx + 4.0 * np.sin(yy / 7)
+    out, _, ovf = _field_warp_call(
+        jnp.asarray(vol)[None], jnp.asarray(cz), jnp.asarray(cy),
+        jnp.asarray(cx), jnp.float32(-3001.0), False, None, True)
+    assert float(ovf) == 0.0  # kernel itself covered every tap
+    golden = _numpy_trilinear(vol, cz, cy, cx, -3001.0)
+    np.testing.assert_allclose(np.asarray(out)[0], golden, atol=2e-4)
+
+
+def test_field_warp_large_displacement_small_variation(rng):
+    """Absolute displacement far beyond the slab caps is fine as long
+    as the within-tile variation fits (slab base absorbs it)."""
+    vol = rng.normal(size=(64, 24, 130)).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:64, 0:24, 0:130].astype(np.float32)
+    cz = zz - 37.25          # constant 37-voxel shift
+    cy = yy + 11.5
+    cx = xx - 55.75
+    out, _, ovf = _field_warp_call(
+        jnp.asarray(vol)[None], jnp.asarray(cz), jnp.asarray(cy),
+        jnp.asarray(cx), jnp.float32(0.0), False, None, True)
+    assert float(ovf) == 0.0
+    golden = _numpy_trilinear(vol, cz, cy, cx, 0.0)
+    np.testing.assert_allclose(np.asarray(out)[0], golden, atol=2e-4)
+
+
+def test_field_warp_overflow_fallback_is_exact(rng):
+    """A field rougher than the caps must still return exact results at
+    the eager surface (overflow counter triggers the XLA twin)."""
+    vol = rng.normal(size=(24, 24, 70)).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:24, 0:24, 0:70].astype(np.float32)
+    cz = zz + np.where((xx.astype(int) % 9) == 0, 18.0, -3.0)
+    out = np.asarray(field_warp(vol, cz, yy, xx, interpret=True))
+    golden = _numpy_trilinear(vol, cz, yy, xx, 0.0)
+    np.testing.assert_allclose(out, golden, atol=2e-4)
+
+
+def test_affine_warp_matches_affine_resample(rng):
+    from scipy.spatial.transform import Rotation
+    vol = rng.normal(size=(20, 30, 70)).astype(np.float32)
+    A = np.eye(4)
+    A[:3, :3] = Rotation.from_euler("zyx", [8, -5, 3],
+                                    degrees=True).as_matrix()
+    A[:3, 3] = [3.5, -2.0, 1.25]
+    out = np.asarray(affine_warp(vol, A, (24, 32, 80),
+                                 background=-3001.0, interpret=True))
+    ref = np.asarray(affine_resample(vol, A, (24, 32, 80),
+                                     background=-3001.0))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_batched_volumes_share_coords(rng):
+    vol = rng.normal(size=(3, 16, 20, 40)).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:16, 0:20, 0:40].astype(np.float32)
+    cz, cy, cx = zz + 0.5, yy - 0.25, xx + 1.5
+    out = np.asarray(field_warp(vol, cz, cy, cx, interpret=True))
+    for b in range(3):
+        golden = _numpy_trilinear(vol[b], cz, cy, cx, 0.0)
+        np.testing.assert_allclose(out[b], golden, atol=2e-4)
+
+
+def test_sampler_vjp_matches_xla_autodiff(rng):
+    vol = rng.normal(size=(16, 18, 40)).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:16, 0:18, 0:40].astype(np.float32)
+    cz = jnp.asarray(zz + 1.5 * np.sin(xx / 9))
+    cy = jnp.asarray(yy - 1.0 * np.cos(zz / 4))
+    cx = jnp.asarray(xx + 2.0 * np.sin(yy / 6))
+    sampler = make_warp_sampler(vol, background=0.0, interpret=True)
+
+    g1 = jax.grad(lambda a, b, c: jnp.sum(sampler(a, b, c) ** 2),
+                  argnums=(0, 1, 2))(cz, cy, cx)
+    g2 = jax.grad(lambda a, b, c: jnp.sum(
+        field_warp_xla(jnp.asarray(vol), a, b, c, 0.0) ** 2),
+        argnums=(0, 1, 2))(cz, cy, cx)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3)
+
+
+def test_affine_coords_convention(rng):
+    """affine_coords must agree with affine_resample's coordinate map
+    (output pixel (x,y,z,1) -> input pixel, x-major matrix rows)."""
+    A = np.array([[1.1, 0.02, -0.01, 3.0],
+                  [0.03, 0.9, 0.04, -2.0],
+                  [-0.02, 0.01, 1.05, 1.0],
+                  [0, 0, 0, 1.0]], np.float32)
+    cz, cy, cx = affine_coords(A, (4, 5, 6))
+    z, y, x = 2, 3, 4
+    v = A @ np.array([x, y, z, 1.0], np.float32)
+    assert np.allclose([float(cx[z, y, x]), float(cy[z, y, x]),
+                        float(cz[z, y, x])], v[:3], atol=1e-5)
+
+
+def test_register_level_pallas_parity_smoke(rng):
+    """The TPU branch of _register_level can't run here, but its loss
+    construction (grid warp vs point sampling) must agree: check the
+    Pallas-sampler loss equals the XLA-sampler loss at a test pose."""
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        pose_to_matrix)
+    from medicalimageanalysis_tpu.ops import geometry as geo
+
+    ref = rng.normal(size=(16, 20, 24)).astype(np.float32)
+    mov = np.roll(ref, 2, axis=2)
+    r_p2p = np.eye(4, dtype=np.float32)
+    m_pos2pix = np.eye(4, dtype=np.float32)
+    pose = jnp.asarray([0.01, -0.02, 0.015, 1.0, -0.5, 0.25],
+                       jnp.float32)
+    center = jnp.asarray([12.0, 10.0, 8.0])
+    m = pose_to_matrix(pose, center)
+    P = jnp.asarray(m_pos2pix) @ m @ jnp.asarray(r_p2p)
+    cz, cy, cx = affine_coords(P, ref.shape)
+    vals_pallas = field_warp(mov, cz, cy, cx, interpret=True)
+    vals_xla = field_warp_xla(jnp.asarray(mov), cz, cy, cx, 0.0)
+    np.testing.assert_allclose(np.asarray(vals_pallas),
+                               np.asarray(vals_xla), atol=2e-4)
