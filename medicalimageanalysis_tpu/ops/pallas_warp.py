@@ -60,7 +60,7 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 __all__ = ["field_warp", "field_warp_xla", "make_warp_sampler",
-           "affine_coords", "affine_warp"]
+           "affine_coords", "affine_warp", "warp_jit"]
 
 
 def _round_up(v, m):
@@ -477,6 +477,26 @@ def _default_interpret(interpret):
     if interpret is None:
         return jax.default_backend() != "tpu"
     return bool(interpret)
+
+
+def warp_jit(vols, cz, cy, cx, background=0.0, window=None):
+    """Jit-safe warp dispatch: the Pallas kernel on TPU, the XLA twin
+    elsewhere. No overflow sync is possible under jit — elements whose
+    taps exceed the slab caps return ``background`` (callers in
+    iterative loops, e.g. demons, keep fields smooth so the caps hold;
+    eager surfaces should use :func:`field_warp` which verifies).
+
+    vols (B, Z, Y, X) or (Z, Y, X); coords (Zo, Yo, Xo) voxel units."""
+    squeeze = vols.ndim == 3
+    volb = vols[None] if squeeze else vols
+    if jax.default_backend() == "tpu":
+        out, _, _ = _field_warp_call(
+            jnp.asarray(volb, jnp.float32), cz, cy, cx,
+            jnp.asarray(background, jnp.float32), False, window, False)
+    else:
+        out = field_warp_xla(jnp.asarray(volb, jnp.float32), cz, cy, cx,
+                             background)
+    return out[0] if squeeze else out
 
 
 def affine_coords(pixel_matrix, out_shape):

@@ -50,7 +50,7 @@ def _smooth_field(u, mz, my, mx):
          static_argnames=("iterations", "method", "smooth", "std_vox"))
 def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
                  iterations, method, smooth):
-    from ..resample import _trilinear
+    from ..pallas_warp import warp_jit
 
     Xg, Yg, Zg = _base_coords(fixed.shape)
     grad_f = _spatial_gradient(fixed, sp)
@@ -63,18 +63,26 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
     mx = jnp.asarray(_gauss_kernel_matrix(fixed.shape[2],
                                           max(float(std_vox), 1e-3)))
 
-    def warp(vol, u_vox):
-        coords = jnp.stack([Xg + u_vox[..., 0], Yg + u_vox[..., 1],
-                            Zg + u_vox[..., 2]], axis=-1)
-        return _trilinear(vol, coords, jnp.float32(0.0))
+    # the symmetric-forces variants warp the moving image AND its three
+    # gradient components every iteration: batch all four through ONE
+    # Pallas tile-slab warp sharing coordinates (docs/PERF.md)
+    if method in ("fast", "diffeomorphic"):
+        grad_m = _spatial_gradient(moving, sp)
+        warp_stack = jnp.stack([moving, grad_m[..., 0], grad_m[..., 1],
+                                grad_m[..., 2]])
+    else:
+        warp_stack = moving[None]
+
+    def warp_all(u_vox):
+        return warp_jit(warp_stack, Zg + u_vox[..., 2],
+                        Yg + u_vox[..., 1], Xg + u_vox[..., 0], 0.0)
 
     def body(_, u_vox):
-        warped = warp(moving, u_vox)
+        w = warp_all(u_vox)
+        warped = w[0]
         diff = fixed - warped
         if method == "fast" or method == "diffeomorphic":
-            grad_m = _spatial_gradient(moving, sp)
-            grad_w = jnp.stack([warp(grad_m[..., c], u_vox)
-                                for c in range(3)], axis=-1)
+            grad_w = jnp.moveaxis(w[1:4], 0, -1)
             g = 0.5 * (grad_f + grad_w)
         else:
             g = grad_f

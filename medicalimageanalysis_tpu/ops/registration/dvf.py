@@ -40,38 +40,45 @@ def _base_coords(shape):
 
 @partial(jax.jit, static_argnames=())
 def _warp(vol, dvf_vox, background):
-    """vol (Z,Y,X); dvf_vox (Z,Y,X,3) displacement in voxels (x,y,z)."""
-    from ..resample import _trilinear
+    """vol (Z,Y,X); dvf_vox (Z,Y,X,3) displacement in voxels (x,y,z).
+
+    Runs the Pallas tile-slab warp on TPU (the XLA computed-index
+    gather is ~14 M pts/s on v5e — docs/PERF.md); XLA twin elsewhere."""
+    from ..pallas_warp import warp_jit
     Xg, Yg, Zg = _base_coords(vol.shape)
-    coords = jnp.stack([Xg + dvf_vox[..., 0], Yg + dvf_vox[..., 1],
-                        Zg + dvf_vox[..., 2]], axis=-1)
-    return _trilinear(vol, coords, background)
+    return warp_jit(vol, Zg + dvf_vox[..., 2], Yg + dvf_vox[..., 1],
+                    Xg + dvf_vox[..., 0], background)
 
 
 def warp_volume(volume, dvf_mm, spacing_xyz, background=0.0):
-    """Warp: out(x) = volume(x + d(x)); d in mm on the same grid."""
+    """Warp: out(x) = volume(x + d(x)); d in mm on the same grid.
+
+    Eager surface: uses the overflow-checked field warp, so results
+    are exact for arbitrarily rough fields (Pallas fast path when the
+    field's within-tile variation fits the slab caps; XLA otherwise).
+    Under jit it stays on the jit-safe dispatch."""
     vol = jnp.asarray(volume, dtype=jnp.float32)
     dvf = jnp.asarray(dvf_mm, dtype=jnp.float32)
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
-    return _warp(vol, dvf / sp, jnp.float32(background))
+    if isinstance(vol, jax.core.Tracer) or isinstance(dvf, jax.core.Tracer):
+        return _warp(vol, dvf / sp, jnp.float32(background))
+    from ..pallas_warp import field_warp
+    dvf_vox = dvf / sp
+    Xg, Yg, Zg = _base_coords(vol.shape)
+    return field_warp(vol, Zg + dvf_vox[..., 2], Yg + dvf_vox[..., 1],
+                      Xg + dvf_vox[..., 0], background=background)
 
 
 @partial(jax.jit, static_argnames=("iterations",))
 def _invert(dvf_vox, iterations):
-    from ..resample import _trilinear
+    from ..pallas_warp import warp_jit
     Xg, Yg, Zg = _base_coords(dvf_vox.shape[:3])
-
-    def sample_field(field, coords):
-        outs = []
-        for c in range(3):
-            outs.append(_trilinear(field[..., c], coords,
-                                   jnp.float32(0.0)))
-        return jnp.stack(outs, axis=-1)
+    field_b = jnp.moveaxis(dvf_vox, -1, 0)      # (3, Z, Y, X)
 
     def body(_, v):
-        coords = jnp.stack([Xg + v[..., 0], Yg + v[..., 1],
-                            Zg + v[..., 2]], axis=-1)
-        return -sample_field(dvf_vox, coords)
+        out = warp_jit(field_b, Zg + v[..., 2], Yg + v[..., 1],
+                       Xg + v[..., 0], 0.0)     # (3, Z, Y, X)
+        return -jnp.moveaxis(out, 0, -1)
 
     v0 = -dvf_vox
     return jax.lax.fori_loop(0, iterations, body, v0)
@@ -88,13 +95,11 @@ def invert_dvf(dvf_mm, spacing_xyz, iterations=20):
 @jax.jit
 def _compose(u_vox, v_vox):
     """(u after v)(x) = u(x + v(x)) + v(x)."""
-    from ..resample import _trilinear
+    from ..pallas_warp import warp_jit
     Xg, Yg, Zg = _base_coords(u_vox.shape[:3])
-    coords = jnp.stack([Xg + v_vox[..., 0], Yg + v_vox[..., 1],
-                        Zg + v_vox[..., 2]], axis=-1)
-    outs = [_trilinear(u_vox[..., c], coords, jnp.float32(0.0))
-            for c in range(3)]
-    return jnp.stack(outs, axis=-1) + v_vox
+    out = warp_jit(jnp.moveaxis(u_vox, -1, 0), Zg + v_vox[..., 2],
+                   Yg + v_vox[..., 1], Xg + v_vox[..., 0], 0.0)
+    return jnp.moveaxis(out, 0, -1) + v_vox
 
 
 def compose_dvf(u_mm, v_mm, spacing_xyz):

@@ -197,10 +197,25 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
     `pixel_matrix` maps output pixel (x, y, z, 1) -> input pixel
     (x, y, z). Compose it from grid geometries with
     :func:`compose_pixel_matrix`.
+
+    On TPU with a concrete matrix this dispatches to the Pallas
+    tile-slab warp kernel (20x+ over the XLA gather — docs/PERF.md);
+    its overflow counter falls back to the gather for transforms whose
+    per-tile footprint exceeds the slab caps (large rotations), so the
+    result is always the exact trilinear sample.
     """
     if background is None:
         background = config.background_fill
     vol = jnp.asarray(volume, dtype=jnp.float32)
+    traced = isinstance(vol, jax.core.Tracer) or \
+        isinstance(pixel_matrix, jax.core.Tracer)
+    if (not traced and jax.default_backend() == "tpu"
+            and vol.size >= (1 << 16)):
+        from .pallas_warp import affine_warp
+        return affine_warp(vol, np.asarray(pixel_matrix, np.float32),
+                           tuple(int(s) for s in out_shape),
+                           background=float(background),
+                           check_overflow=True)
     A = jnp.asarray(pixel_matrix, dtype=jnp.float32)
     return _affine_resample_jit(vol, A, tuple(int(s) for s in out_shape),
                                 jnp.float32(background))

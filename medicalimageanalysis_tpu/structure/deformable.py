@@ -404,24 +404,40 @@ class Deformable(object):
         dvf = np.asarray(self.dvf) * float(ratio)
         inv = invert_dvf(dvf, self.spacing)
 
-        # sample the (possibly different-grid) inverse field at ref voxels
+        # sample the (possibly different-grid) inverse field at ref
+        # voxels, then warp — both as Pallas tile-slab grid warps
+        # (the point-wise gather path ran at 14 M pts/s; docs/PERF.md)
+        import jax.numpy as jnp
+
+        from ..ops.pallas_warp import affine_coords, field_warp
+
         ref_p2p = geo.pixel_to_position_matrix(ref.matrix, ref.spacing,
                                                ref.origin)
         Z, Y, X = resampled.shape
-        zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y),
-                                 np.arange(X), indexing="ij")
-        pix = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=1)
-        pos = geo.apply_homogeneous(pix, ref_p2p)
-        disp = sample_dvf_at_points(inv, pos, self.origin, self.spacing,
-                                    mode_nearest=False)
-        # displaced sample positions -> ref pixel coords
-        sample_pos = pos + disp
-        ref_pos2pix = geo.position_to_pixel_matrix(
-            ref.matrix, ref.spacing, ref.origin)
-        sample_pix = geo.apply_homogeneous(sample_pos, ref_pos2pix) \
-            .reshape(Z, Y, X, 3).astype(np.float32)
-        warped = np.asarray(trilinear_gather(
-            resampled, sample_pix, background=config.background_fill))
+        # ref voxel -> DVF-grid pixel coords (DVF grid is axis-aligned
+        # with self.origin/self.spacing, reference read/dicom.py:1766)
+        dvf_pos2pix = geo.position_to_pixel_matrix(
+            np.eye(3), self.spacing, self.origin)
+        cz, cy, cx = affine_coords(
+            (dvf_pos2pix @ ref_p2p).astype(np.float32), (Z, Y, X))
+        disp = field_warp(jnp.moveaxis(jnp.asarray(inv, jnp.float32),
+                                       -1, 0), cz, cy, cx,
+                          background=0.0)           # (3,Z,Y,X) mm xyz
+        # displaced ref-pixel sample coords: pix + L @ disp (L = linear
+        # part of position->pixel; pos2pix(pos)=pix grid identity here)
+        L = np.asarray(geo.position_to_pixel_matrix(
+            ref.matrix, ref.spacing, ref.origin))[:3, :3] \
+            .astype(np.float32)
+        base = affine_coords(np.eye(4, dtype=np.float32), (Z, Y, X))
+        cx2 = base[2] + (L[0, 0] * disp[0] + L[0, 1] * disp[1]
+                         + L[0, 2] * disp[2])
+        cy2 = base[1] + (L[1, 0] * disp[0] + L[1, 1] * disp[1]
+                         + L[1, 2] * disp[2])
+        cz2 = base[0] + (L[2, 0] * disp[0] + L[2, 1] * disp[1]
+                         + L[2, 2] * disp[2])
+        warped = np.asarray(field_warp(
+            jnp.asarray(resampled, jnp.float32), cz2, cy2, cx2,
+            background=config.background_fill))
         return {"array": warped, "origin": np.asarray(ref.origin),
                 "spacing": np.asarray(ref.spacing),
                 "direction": np.asarray(ref.matrix)}
