@@ -2,11 +2,14 @@
 
 Behavior-parity rebuild of reference utils/convert/contour.py:24-461:
 
-- ContourToDiscreteMesh / ContourToMask: polygon rasterization now runs
-  as one fused device program (ops/rasterize) instead of a per-slice
-  cv2.fillPoly loop; XOR hole semantics and int32 truncation preserved.
-  ``backend='cv2'`` switches to a host path that is bit-identical to the
-  reference for validation.
+- ContourToDiscreteMesh / ContourToMask: polygon rasterization.
+  ``backend='cv2'`` (the DEFAULT) is the host path, bit-identical to
+  the reference's per-slice cv2.fillPoly loop and fastest for the
+  single-ROI workloads these classes serve (measured 48 ms vs the
+  device program's 2.6 s through the tunnel, BENCH r2; the device
+  path's per-edge fold is dispatch-bound off-chip).
+  ``backend='device'`` runs the fused XOR rasterizer (ops/rasterize)
+  for batched/jit pipelines where the mask stays on device.
 - MaskToContour: per-slice boundary tracing (host; inherently
   sequential) via cv2.findContours like the reference.
 - ModelToMask: mesh -> fake-image voxelization used by the 3MF path.
@@ -45,7 +48,7 @@ def _plane_split(contour_pixel, plane):
     return polys, slices
 
 
-def _rasterize_plane(contour_pixel, dimensions, plane, backend="device"):
+def _rasterize_plane(contour_pixel, dimensions, plane, backend="cv2"):
     """Rasterize contours into a (d0, d1, d2) mask with XOR semantics."""
     d0, d1, d2 = (int(d) for d in dimensions[:3])
     polys, slices = _plane_split(contour_pixel, plane)
@@ -85,7 +88,7 @@ class ContourToDiscreteMesh(object):
 
     def __init__(self, contour_position=None, contour_pixel=None,
                  spacing=None, origin=None, dimensions=None, matrix=None,
-                 plane="Axial", mask=None, backend="device"):
+                 plane="Axial", mask=None, backend="cv2"):
         self.contour_position = contour_position
         self.contour_pixel = contour_pixel
         self.spacing = spacing
@@ -139,7 +142,7 @@ class ContourToMask(object):
 
     def __init__(self, contour_position=None, contour_pixel=None,
                  spacing=None, origin=None, dimensions=None, matrix=None,
-                 plane="Axial", backend="device"):
+                 plane="Axial", backend="cv2"):
         self.contour_position = contour_position
         self.contour_pixel = contour_pixel
         self.spacing = spacing
