@@ -22,6 +22,8 @@ _FLOAT_VRS = {"FL", "FD"}
 
 def _normalize_tag(key):
     """Accept (group, elem) tuples, ints, or keyword strings -> int tag."""
+    if type(key) is int:  # hot path: exact type check beats isinstance
+        return key
     if isinstance(key, tuple):
         return (key[0] << 16) | key[1]
     if isinstance(key, int):

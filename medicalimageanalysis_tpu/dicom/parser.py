@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from bisect import bisect_left
 
 import numpy as np
 
@@ -309,27 +310,167 @@ class _TableDict(dict):
         return out
 
 
+class _ArrayTable:
+    """tag -> DataElement mapping backed directly by the native
+    scanner's structured entry arrays: ZERO per-tag Python objects are
+    built at parse time (the tolist/dict build was the ingest hot spot
+    at cohort scale). Lookups binary-search the tag column; touched or
+    assigned elements live in a small overlay dict."""
+
+    __slots__ = ("_buf", "_tags", "_vr", "_off", "_len", "_little",
+                 "_overlay", "_deleted", "_extra", "_keys")
+
+    def __init__(self, buf, entries, little):
+        tags = entries["tag"].astype(np.int64)
+        if tags.size and not np.all(tags[1:] >= tags[:-1]):
+            order = np.argsort(tags, kind="stable")
+            entries = entries[order]
+            tags = tags[order]
+        self._buf = buf
+        self._tags = tags
+        self._vr = entries["vr"]
+        self._off = entries["off"]
+        self._len = entries["len"]
+        self._little = little
+        self._overlay = {}      # tag -> element (cache + assignments)
+        self._deleted = None    # base tags removed
+        self._extra = None      # assigned tags not present in base
+        self._keys = None       # cached python-int base keys
+
+    # -- lookup ---------------------------------------------------------
+    def _find(self, tag):
+        # bisect on the cached python-int list beats np.searchsorted's
+        # scalar boxing round trip at per-tag-access granularity
+        keys = self._keys
+        if keys is None:
+            keys = self._keys = self._tags.tolist()
+        i = bisect_left(keys, tag)
+        if i < len(keys) and keys[i] == tag:
+            return i
+        return -1
+
+    def row(self, tag):
+        """(vr_code, off, len) without materializing, or None."""
+        if self._deleted and tag in self._deleted:
+            return None
+        i = self._find(tag)
+        if i < 0:
+            return None
+        return (int(self._vr[i]), int(self._off[i]), int(self._len[i]))
+
+    def _materialize(self, tag, i):
+        vr_code = int(self._vr[i])
+        vr = (chr(vr_code & 0xFF) + chr(vr_code >> 8)) if vr_code \
+            else tag_to_vr(tag)
+        el = LazyElement(tag, vr, self._buf, int(self._off[i]),
+                         int(self._len[i]), self._little)
+        self._overlay[tag] = el
+        return el
+
+    def __contains__(self, tag):
+        if tag in self._overlay:
+            return True
+        if self._deleted and tag in self._deleted:
+            return False
+        return self._find(tag) >= 0
+
+    def __getitem__(self, tag):
+        el = self._overlay.get(tag)
+        if el is not None:
+            return el
+        if self._deleted and tag in self._deleted:
+            raise KeyError(tag)
+        i = self._find(tag)
+        if i < 0:
+            raise KeyError(tag)
+        return self._materialize(tag, i)
+
+    def get(self, tag, default=None):
+        try:
+            return self[tag]
+        except KeyError:
+            return default
+
+    def __setitem__(self, tag, el):
+        if self._deleted:
+            self._deleted.discard(tag)
+        if self._find(tag) < 0:
+            if self._extra is None:
+                self._extra = {}
+            self._extra[tag] = True
+        self._overlay[tag] = el
+
+    def __delitem__(self, tag):
+        self._overlay.pop(tag, None)
+        if self._extra and tag in self._extra:
+            del self._extra[tag]
+            return
+        if self._find(tag) >= 0:
+            if self._deleted is None:
+                self._deleted = set()
+            self._deleted.add(tag)
+
+    def _base_keys(self):
+        if self._keys is None:
+            self._keys = self._tags.tolist()
+        return self._keys
+
+    def __iter__(self):
+        dele = self._deleted
+        if dele:
+            for t in self._base_keys():
+                if t not in dele:
+                    yield t
+        else:
+            yield from self._base_keys()
+        if self._extra:
+            yield from self._extra
+
+    def __len__(self):
+        return (self._tags.shape[0]
+                - (len(self._deleted) if self._deleted else 0)
+                + (len(self._extra) if self._extra else 0))
+
+    def keys(self):
+        return list(self)
+
+    def values(self):
+        return [self[t] for t in self]
+
+    def items(self):
+        return [(t, self[t]) for t in self]
+
+    def __deepcopy__(self, memo):
+        import copy as _copy
+        out = {}
+        for t in self:
+            out[t] = _copy.deepcopy(self[t], memo)
+        return out
+
+
 def _build_from_entries(buf, entries, little, stop_before_pixels,
                         specific):
     """Reconstruct a Dataset tree from the native scanner's flat
     (tag, vr, depth, off, len) table."""
     # fast path: flat dataset (no sequences/fragments) -> one vectorized
-    # index, elements materialize on first access (the CT-slice case)
+    # index, elements materialize on first access (the CT-slice case).
+    # All control pseudo-tags live in group FFFE, so one shift+compare
+    # replaces the np.isin membership test (hot: 2 calls per file)
     if specific is None and len(entries) \
-            and int(entries["depth"].max(initial=0)) == 0 \
-            and not np.isin(entries["tag"],
-                            (_VR_ITEM, _VR_ITEM_END, _VR_SEQ_END)).any() \
+            and not entries["depth"].any() \
+            and not (entries["tag"] >> 16 == 0xFFFE).any() \
             and not (entries["len"] == 0xFFFFFFFFFFFFFFFF).any():
-        tags = entries["tag"].tolist()
-        rows = dict(zip(tags, zip(entries["vr"].tolist(),
-                                  entries["off"].tolist(),
-                                  entries["len"].tolist())))
         # implicit-VR sequences need the dictionary; fall back if any
-        if not any(vr == 0 and tag_to_vr(t) == "SQ"
-                   for t, (vr, _, _) in rows.items()):
+        vrs = entries["vr"]
+        if vrs.all():  # explicit VR everywhere: no SQ ambiguity
+            implicit_sq = False
+        else:
+            implicit_sq = any(int(v) == 0 and tag_to_vr(int(t)) == "SQ"
+                              for t, v in zip(entries["tag"], vrs))
+        if not implicit_sq:
             root = Dataset()
             object.__setattr__(root, "_dict",
-                               _TableDict(buf, tags, rows, little))
+                               _ArrayTable(buf, entries, little))
             return root
 
     root = Dataset()
@@ -483,7 +624,17 @@ def _dcmread_native(buf, stop_before_pixels, specific_tags):
     result = scan(buf, stop_before_pixels=stop_before_pixels)
     if result is None:
         return None
-    entries, (ts_code, body_start, ts_off, ts_len) = result
+    entries, meta4 = result
+    return dataset_from_scan(buf, entries, meta4, stop_before_pixels,
+                             specific_tags)
+
+
+def dataset_from_scan(buf, entries, meta4, stop_before_pixels=False,
+                      specific_tags=None, filename=None):
+    """Build a Dataset from a native scanner entry table (the tail of
+    the fast path, shared with the batch ingest pool). Returns None for
+    transfer syntaxes the scanner defers to Python (deflated)."""
+    ts_code = int(meta4[0])
     if ts_code == 3:
         return None  # deflated: Python path inflates
 
@@ -511,6 +662,8 @@ def _dcmread_native(buf, stop_before_pixels, specific_tags):
         ds.file_meta = fm
     else:
         ds.file_meta = None
+    if filename is not None:
+        ds.filename = filename
     return ds
 
 

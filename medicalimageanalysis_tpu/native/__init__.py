@@ -37,7 +37,7 @@ ENTRY_DTYPE = np.dtype([("tag", np.uint32), ("vr", np.uint16),
 def _build():
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
              "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
@@ -66,6 +66,19 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
         ctypes.POINTER(Entry), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint64)]
+
+    lib.mia_scan_batch.restype = ctypes.c_int64
+    lib.mia_scan_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64, ctypes.c_int, ctypes.POINTER(Entry),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int]
+
+    lib.mia_gather_blocks.restype = ctypes.c_int64
+    lib.mia_gather_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
 
     lib.mia_rle_decode.restype = ctypes.c_int
     lib.mia_rle_decode.argtypes = [
@@ -98,6 +111,47 @@ def scan(buf, stop_before_pixels=False, max_entries=8192):
         return None
     arr = np.frombuffer(entries, dtype=ENTRY_DTYPE, count=n).copy()
     return arr, (int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]))
+
+
+def scan_batch(buffers, stop_before_pixels=False, max_entries=2048,
+               n_threads=0):
+    """Scan many in-memory DICOM buffers from a C++ thread pool (one
+    GIL release for the whole batch). Returns (entries (n, max_entries)
+    structured array, counts (n,) int64, metas (n, 4) uint64) or None.
+    counts[i] < 0 mirrors mia_scan error codes; -3 (table overflow)
+    callers should retry per-file with a bigger table."""
+    lib = get_lib()
+    if lib is None or not buffers:
+        return None
+    n = len(buffers)
+    bufs = (ctypes.c_char_p * n)(*buffers)
+    lens = (ctypes.c_uint64 * n)(*[len(b) for b in buffers])
+    entries = np.zeros((n, max_entries), dtype=ENTRY_DTYPE)
+    counts = np.zeros(n, np.int64)
+    metas = np.zeros((n, 4), np.uint64)
+    lib.mia_scan_batch(
+        bufs, lens, n, int(stop_before_pixels),
+        entries.ctypes.data_as(ctypes.POINTER(Entry)), max_entries,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        metas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        int(n_threads))
+    return entries, counts, metas
+
+
+def gather_blocks(buffers, offsets, sizes, out, stride, n_threads=0):
+    """Parallel memcpy of per-buffer byte blocks into a strided arena:
+    out[i*stride : i*stride+sizes[i]] = buffers[i][offsets[i]:...].
+    Returns the number of blocks skipped for exceeding the stride."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(buffers)
+    bufs = (ctypes.c_char_p * n)(*buffers)
+    offs = (ctypes.c_uint64 * n)(*[int(o) for o in offsets])
+    szs = (ctypes.c_uint64 * n)(*[int(s) for s in sizes])
+    return int(lib.mia_gather_blocks(
+        bufs, offs, szs, n, out.ctypes.data_as(ctypes.c_void_p),
+        int(stride), int(n_threads)))
 
 
 def rle_decode_frame(frag, rows, cols, samples, bytes_per_sample):

@@ -9,8 +9,11 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libmiadicom.so dicomscan.cpp
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -304,6 +307,68 @@ int64_t mia_scan(const uint8_t* buf, uint64_t len, int stop_before_pixels,
     scan_dataset(c, em, explicit_vr, true, 0, 0, stop_before_pixels);
     if (em.overflow) return -3;
     return c.ok ? em.n : -2;
+}
+
+// ---------------------------------------------------------------------
+// Batch entry points: scan / stage many files from a thread pool so the
+// Python ingest path pays one GIL release for a whole cohort instead of
+// per-file call overhead (replaces the reference's thread-per-file
+// fan-out, reference read/dicom.py:202-216).
+
+int64_t mia_scan_batch(const uint8_t** bufs, const uint64_t* lens,
+                       int64_t n_files, int stop_before_pixels,
+                       Entry* out, int64_t max_per_file,
+                       int64_t* counts, uint64_t* metas, int n_threads) {
+    std::atomic<int64_t> next(0);
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 4;
+    }
+    if ((int64_t)n_threads > n_files) n_threads = (int)n_files;
+
+    auto work = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_files) return;
+            counts[i] = mia_scan(bufs[i], lens[i], stop_before_pixels,
+                                 out + i * max_per_file, max_per_file,
+                                 metas + 4 * i);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; t++) pool.emplace_back(work);
+    work();
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
+// Parallel staging: copy n pixel blocks (bufs[i] + offs[i], sizes[i])
+// into dst + i * stride — the volume-assembly memcpy fan-out.
+int64_t mia_gather_blocks(const uint8_t** bufs, const uint64_t* offs,
+                          const uint64_t* sizes, int64_t n,
+                          uint8_t* dst, uint64_t stride, int n_threads) {
+    std::atomic<int64_t> next(0);
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 4;
+    }
+    if ((int64_t)n_threads > n) n_threads = (int)n;
+    std::atomic<int64_t> bad(0);
+
+    auto work = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) return;
+            uint64_t sz = sizes[i];
+            if (sz > stride) { bad.fetch_add(1); continue; }
+            memcpy(dst + i * stride, bufs[i] + offs[i], sz);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; t++) pool.emplace_back(work);
+    work();
+    for (auto& th : pool) th.join();
+    return bad.load();
 }
 
 // ---------------------------------------------------------------------

@@ -70,8 +70,20 @@ def assemble_volume_numpy(raw_slices, slopes, intercepts, ffs_op="none",
     """Pure-numpy twin of assemble_volume (golden path for parity tests)."""
     from .geometry import apply_ffs_numpy
 
-    slopes = np.asarray(slopes, dtype=np.float32)[:, None, None]
-    intercepts = np.asarray(intercepts, dtype=np.float32)[:, None, None]
-    vol = (np.asarray(raw_slices).astype(np.float32) * slopes
-           + intercepts).astype(out_dtype)
+    slopes = np.asarray(slopes, dtype=np.float32)
+    intercepts = np.asarray(intercepts, dtype=np.float32)
+    raw = np.asarray(raw_slices)
+    # integer fast path: the common CT case (slope 1, one integral
+    # intercept) is exact in int16 and skips the 2x f32 round trip —
+    # identical output (f32 is exact for all int16-range values)
+    if (raw.dtype in (np.int16, np.uint16)
+            and np.all(slopes == 1.0)
+            and np.all(intercepts == intercepts[0])
+            and float(intercepts[0]).is_integer()):
+        vol = raw.astype(out_dtype, copy=True)
+        if intercepts[0]:
+            vol += out_dtype(int(intercepts[0]))
+        return np.ascontiguousarray(apply_ffs_numpy(vol, ffs_op))
+    vol = (raw.astype(np.float32) * slopes[:, None, None]
+           + intercepts[:, None, None]).astype(out_dtype)
     return np.ascontiguousarray(apply_ffs_numpy(vol, ffs_op))

@@ -129,20 +129,68 @@ class DicomReader(object):
         return r
 
     def read(self):
-        """Parse all files in a bounded thread pool (deterministic order)."""
+        """Parse all files: one C++ batch scan (thread pool inside the
+        native call — a single GIL release covers the whole cohort)
+        with per-file Python fallback; deterministic result order."""
         paths = self.files["Dicom"] if self.files else []
         if not paths:
             return
-        workers = min(32, max(1, len(paths)))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            self.ds = list(pool.map(
-                lambda p: thread_process_dicom(
-                    p, stop_before_pixels=self.only_tags),
-                paths))
+        self.ds = self._read_batch(paths)
+        if self.ds is None:
+            # native library unavailable: bounded Python thread pool
+            # (the reference's thread-per-file shape, read/dicom.py:202)
+            workers = min(32, max(1, len(paths)))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                self.ds = list(pool.map(
+                    lambda p: thread_process_dicom(
+                        p, stop_before_pixels=self.only_tags),
+                    paths))
         self.report.files_total = len(paths)
         self.report.parsed_ok = sum(1 for d in self.ds if d)
         self.report.failed_files = [p for p, d in zip(paths, self.ds)
                                     if not d]
+
+    def _read_batch(self, paths):
+        """File IO in a small thread pool, then ONE native batch scan;
+        odd files (deflated, scan errors, table overflow) fall back to
+        the tolerant per-file parser."""
+        from .. import native
+        from ..dicom.parser import dataset_from_scan
+
+        if native.get_lib() is None:
+            return None
+
+        def _read_bytes(p):
+            try:
+                with open(str(p), "rb") as f:
+                    return f.read()
+            except OSError:
+                return b""
+
+        workers = min(16, max(1, len(paths)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            bufs = list(pool.map(_read_bytes, paths))
+
+        res = native.scan_batch(bufs, stop_before_pixels=self.only_tags)
+        if res is None:
+            return None
+        entries, counts, metas = res
+        out = []
+        for i, p in enumerate(paths):
+            ds = None
+            c = int(counts[i])
+            if c >= 0 and int(metas[i][0]) != 3:
+                try:
+                    ds = dataset_from_scan(bufs[i], entries[i, :c],
+                                           metas[i], self.only_tags,
+                                           filename=str(p))
+                except Exception:
+                    ds = None
+            if ds is None and c != -1:  # -1 = not DICOM at all
+                ds = thread_process_dicom(
+                    p, stop_before_pixels=self.only_tags)
+            out.append(ds if ds else [])
+        return out
 
     def add_datasets(self, datasets):
         """Inject pre-parsed datasets (in-memory ingest path; used by

@@ -175,23 +175,68 @@ class Read3D(object):
 
         slopes = np.empty(n, dtype=np.float32)
         intercepts = np.empty(n, dtype=np.float32)
-        raw = None
         for i, _slice in enumerate(self.image_set):
             intercepts[i] = _slice.RescaleIntercept \
                 if (0x0028, 0x1052) in _slice else 0
             slopes[i] = _slice.RescaleSlope \
                 if (0x0028, 0x1053) in _slice else 1
-            px = _slice.pixel_array
-            if raw is None:
-                raw = np.empty((n,) + px.shape, dtype=px.dtype)
-            raw[i] = px
-            if "PixelData" in _slice:
-                del _slice.PixelData
+
+        raw = self._stage_pixels_native(n, rows, cols)
+        if raw is None:
+            for i, _slice in enumerate(self.image_set):
+                px = _slice.pixel_array
+                if raw is None:
+                    raw = np.empty((n,) + px.shape, dtype=px.dtype)
+                raw[i] = px
+                if "PixelData" in _slice:
+                    del _slice.PixelData
 
         assemble = assemble_volume if config.jit_ingest \
             else assemble_volume_numpy
         self.array = assemble(raw, slopes, intercepts,
                               ffs_op=decision["op"])
+
+    def _stage_pixels_native(self, n, rows, cols):
+        """Pinned-staging fast path: copy every slice's uncompressed
+        16-bit LE PixelData into the (n, rows, cols) arena from a C++
+        thread pool (native.gather_blocks), skipping the per-slice
+        pixel_array objects. Returns None to fall back (compressed,
+        synthetic/interpolated slices, odd layouts)."""
+        try:
+            from .. import native
+            from ..dicom.parser import _ArrayTable, _TableDict
+        except Exception:
+            return None
+        if native.get_lib() is None or n == 0 or rows * cols == 0:
+            return None
+        ds0 = self.image_set[0]
+        if int(ds0.get("BitsAllocated", 16)) != 16 \
+                or int(ds0.get("SamplesPerPixel", 1)) != 1:
+            return None
+        dtype = np.dtype(np.int16
+                         if int(ds0.get("PixelRepresentation", 0))
+                         else np.uint16)
+        nbytes = rows * cols * 2
+        bufs, offs, szs = [], [], []
+        for s in self.image_set:
+            d = getattr(s, "_dict", None)
+            if isinstance(d, _ArrayTable):
+                row = d.row(0x7FE00010)
+            elif isinstance(d, _TableDict):
+                row = d._rows.get(0x7FE00010)
+            else:
+                return None
+            if not d._little or row is None or row[2] != nbytes \
+                    or not isinstance(d._buf, bytes):
+                return None
+            bufs.append(d._buf)
+            offs.append(row[1])
+            szs.append(row[2])
+        raw = np.empty((n, rows, cols), dtype)
+        bad = native.gather_blocks(bufs, offs, szs, raw, nbytes)
+        if bad:
+            return None
+        return raw
 
     def _find_skipped_slices(self):
         """Median-gap detection + linear interpolation of synthetic slices
