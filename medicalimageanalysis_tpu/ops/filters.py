@@ -19,7 +19,7 @@ from jax import lax
 
 __all__ = ["gaussian_filter", "binary_erode", "binary_dilate",
            "binary_open", "binary_close", "window_level",
-           "largest_component", "fill_holes_2d"]
+           "largest_component", "largest_component_batch", "fill_holes_2d"]
 
 
 def _gauss_kernel_matrix(n, sigma_vox, dtype=np.float32):
@@ -134,3 +134,56 @@ def largest_component(binary, connectivity_full=True):
 def fill_holes_2d(mask2d):
     from scipy import ndimage
     return ndimage.binary_fill_holes(mask2d)
+
+
+@jax.jit
+def _label_prop_largest(mask):
+    """Largest 26-connected component by iterative label propagation:
+    every masked voxel starts at its own flat index and repeatedly takes
+    the minimum over its 3x3x3 neighborhood (a min reduce_window) until
+    a fixed point — a pure stencil loop, one XLA program (SURVEY §7's
+    device CC sketch). Returns (largest-component bool mask, n_voxels)."""
+    from jax import lax
+
+    Z, Y, X = mask.shape
+    n = Z * Y * X
+    big = jnp.int32(n)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(Z, Y, X)
+    lab0 = jnp.where(mask, idx, big)
+
+    def sweep(lab):
+        m = lax.reduce_window(lab, big, lax.min, (3, 3, 3), (1, 1, 1),
+                              "SAME")
+        return jnp.where(mask, jnp.minimum(lab, m), big)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        new = sweep(lab)
+        return new, jnp.any(new != lab)
+
+    lab, _ = lax.while_loop(cond, body, (sweep(lab0), jnp.bool_(True)))
+
+    flat = jnp.where(mask.ravel(), lab.ravel(), 0)
+    counts = jnp.zeros(n, jnp.int32).at[flat].add(
+        mask.ravel().astype(jnp.int32))
+    best = jnp.argmax(counts)
+    out = (lab == best) & mask
+    return out, counts[best]
+
+
+def largest_component_batch(masks):
+    """Device largest-connected-component over a batch of binary masks
+    (B, Z, Y, X) — the cohort-scale counterpart of
+    :func:`largest_component`, which stays on host scipy for single
+    volumes (fast for one mask, serial for a cohort). 26-connectivity,
+    matching the reference's skimage.measure.label default."""
+    m = jnp.asarray(masks) > 0
+    if m.ndim == 3:
+        out, _ = _label_prop_largest(m)
+        return np.asarray(out)
+    outs = jax.jit(jax.vmap(lambda x: _label_prop_largest(x)[0]))(m)
+    return np.asarray(outs)

@@ -195,14 +195,19 @@ def ffs_decision(shape_zyx, plane, spacing_xyz, orientation, origin, dimensions)
     c1 = np.asarray(square[sorted_args[1]]) - corners[corner_idx]
     c2 = np.asarray(square[sorted_args[2]]) - corners[corner_idx]
 
-    spacing_xyz = np.asarray(spacing_xyz, dtype=np.float64)
-    dimensions = np.asarray(dimensions)
+    # REFERENCE BUG FIXED (read/dicom.py:732-737, listed in PARITY.md):
+    # the reference divides the corner deltas by spacing*dimensions,
+    # but a delta spans (dim-1)*spacing — and pairs the wrong axes —
+    # leaving NON-UNIT direction cosines (e.g. 23/24-scaled) on every
+    # FFS-rewritten series, which silently scales all downstream
+    # pixel<->position geometry. Direction vectors are unit by
+    # definition: normalize the deltas instead.
     if np.abs(c1[0]) > np.abs(c2[0]):
-        orientation[:3] = c1 / (spacing_xyz[0] * dimensions[2])
-        orientation[3:] = c2 / (spacing_xyz[1] * dimensions[1])
+        orientation[:3] = c1 / max(np.linalg.norm(c1), 1e-12)
+        orientation[3:] = c2 / max(np.linalg.norm(c2), 1e-12)
     else:
-        orientation[:3] = c2 / (spacing_xyz[0] * dimensions[2])
-        orientation[3:] = c1 / (spacing_xyz[1] * dimensions[1])
+        orientation[:3] = c2 / max(np.linalg.norm(c2), 1e-12)
+        orientation[3:] = c1 / max(np.linalg.norm(c1), 1e-12)
 
     return {"op": op, "origin": new_origin, "orientation": orientation,
             "corner_idx": corner_idx}

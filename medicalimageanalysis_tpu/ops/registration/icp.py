@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["icp_rigid", "icp_rigid_batch", "icp_point_to_plane",
+           "icp_point_to_plane_batch",
            "kabsch", "nearest_neighbors"]
 
 _CHUNK = 2048
@@ -37,13 +38,14 @@ def _bucket(n, minimum=256):
     return b
 
 
-@partial(jax.jit, static_argnames=())
-def _nn_chunked(src, tgt, tgt_valid):
-    """src (L,3), tgt (T,3) padded, tgt_valid (T,). Returns (idx, d2)."""
-    L = src.shape[0]
+def _nn_scan(pts, tgt, tgt_valid):
+    """Shared chunked MXU nearest-neighbor scan: for each pts row, the
+    index/distance of its nearest valid tgt row. ONE implementation for
+    every ICP loop (round-1 review flagged the triplication)."""
+    L = pts.shape[0]
     T = tgt.shape[0]
     n_chunks = T // _CHUNK
-    s2 = jnp.sum(src * src, axis=1)                      # (L,)
+    s2 = jnp.sum(pts * pts, axis=1)
 
     def body(carry, chunk_idx):
         best_d2, best_idx = carry
@@ -52,7 +54,7 @@ def _nn_chunked(src, tgt, tgt_valid):
         vc = lax.dynamic_slice(tgt_valid, (start,), (_CHUNK,))
         t2 = jnp.sum(tc * tc, axis=1)
         d2 = s2[:, None] - 2.0 * jnp.dot(
-            src, tc.T, preferred_element_type=jnp.float32) + t2[None, :]
+            pts, tc.T, preferred_element_type=jnp.float32) + t2[None, :]
         d2 = jnp.where(vc[None, :], d2, jnp.inf)
         cmin = jnp.min(d2, axis=1)
         cidx = jnp.argmin(d2, axis=1) + start
@@ -64,6 +66,12 @@ def _nn_chunked(src, tgt, tgt_valid):
             jnp.zeros((L,), jnp.int32))
     (best_d2, best_idx), _ = lax.scan(body, init, jnp.arange(n_chunks))
     return best_idx, best_d2
+
+
+@partial(jax.jit, static_argnames=())
+def _nn_chunked(src, tgt, tgt_valid):
+    """src (L,3), tgt (T,3) padded, tgt_valid (T,). Returns (idx, d2)."""
+    return _nn_scan(src, tgt, tgt_valid)
 
 
 def nearest_neighbors(source, target):
@@ -113,32 +121,7 @@ def _icp_loop(src, src_valid, tgt, tgt_valid, init_matrix, tol,
     stop when the RMS mean distance changes by less than `tol`."""
 
     def _icp_nn(pts):
-        L = pts.shape[0]
-        T = tgt.shape[0]
-        n_chunks = T // _CHUNK
-        s2 = jnp.sum(pts * pts, axis=1)
-
-        def body(carry, chunk_idx):
-            best_d2, best_idx = carry
-            start = chunk_idx * _CHUNK
-            tc = lax.dynamic_slice(tgt, (start, 0), (_CHUNK, 3))
-            vc = lax.dynamic_slice(tgt_valid, (start,), (_CHUNK,))
-            t2 = jnp.sum(tc * tc, axis=1)
-            d2 = s2[:, None] - 2.0 * jnp.dot(
-                pts, tc.T, preferred_element_type=jnp.float32) \
-                + t2[None, :]
-            d2 = jnp.where(vc[None, :], d2, jnp.inf)
-            cmin = jnp.min(d2, axis=1)
-            cidx = jnp.argmin(d2, axis=1) + start
-            better = cmin < best_d2
-            return ((jnp.where(better, cmin, best_d2),
-                     jnp.where(better, cidx, best_idx)), None)
-
-        init = (jnp.full((L,), jnp.inf, jnp.float32),
-                jnp.zeros((L,), jnp.int32))
-        (best_d2, best_idx), _ = lax.scan(body, init,
-                                          jnp.arange(n_chunks))
-        return best_idx, best_d2
+        return _nn_scan(pts, tgt, tgt_valid)
 
     def apply(m, pts):
         return pts @ m[:3, :3].T + m[:3, 3]
@@ -178,32 +161,7 @@ def _icp_p2l_loop(src, src_valid, tgt, tgt_valid, tgt_normals,
     (small-angle rotation [a, b, c] + translation)."""
 
     def _nn(pts):
-        L = pts.shape[0]
-        T = tgt.shape[0]
-        n_chunks = T // _CHUNK
-        s2 = jnp.sum(pts * pts, axis=1)
-
-        def body(carry, chunk_idx):
-            best_d2, best_idx = carry
-            start = chunk_idx * _CHUNK
-            tc = lax.dynamic_slice(tgt, (start, 0), (_CHUNK, 3))
-            vc = lax.dynamic_slice(tgt_valid, (start,), (_CHUNK,))
-            t2 = jnp.sum(tc * tc, axis=1)
-            d2 = s2[:, None] - 2.0 * jnp.dot(
-                pts, tc.T, preferred_element_type=jnp.float32) \
-                + t2[None, :]
-            d2 = jnp.where(vc[None, :], d2, jnp.inf)
-            cmin = jnp.min(d2, axis=1)
-            cidx = jnp.argmin(d2, axis=1) + start
-            better = cmin < best_d2
-            return ((jnp.where(better, cmin, best_d2),
-                     jnp.where(better, cidx, best_idx)), None)
-
-        init = (jnp.full((L,), jnp.inf, jnp.float32),
-                jnp.zeros((L,), jnp.int32))
-        (best_d2, best_idx), _ = lax.scan(body, init,
-                                          jnp.arange(n_chunks))
-        return best_idx, best_d2
+        return _nn_scan(pts, tgt, tgt_valid)
 
     def apply(m, pts):
         return pts @ m[:3, :3].T + m[:3, 3]
@@ -334,6 +292,49 @@ def icp_rigid_batch(sources, targets, distance=1e-5, iterations=200,
                               jnp.asarray(src_valid),
                               jnp.asarray(tgt_pad),
                               jnp.asarray(tgt_valid), jnp.asarray(m0))
+    return np.asarray(m, dtype=np.float64), np.asarray(md)
+
+
+def icp_point_to_plane_batch(sources, targets, target_normals,
+                             distance=1e-7, iterations=100,
+                             com_matching=True):
+    """Batched point-to-plane ICP: one compiled program aligning B
+    pairs (vmapped while_loop), the symmetric counterpart of
+    :func:`icp_rigid_batch`.
+
+    sources (B, L, 3); targets / target_normals (B, T, 3), pre-padded
+    to shared sizes (pad by repeating a real point + its normal).
+    Returns (B, 4, 4) matrices and per-pair RMS distances."""
+    src = np.asarray(sources, dtype=np.float32)
+    tgt = np.asarray(targets, dtype=np.float32)
+    nrm = np.asarray(target_normals, dtype=np.float32)
+    B, L0, _ = src.shape
+    T0 = tgt.shape[1]
+    L = _bucket(L0)
+    T = ((T0 + _CHUNK - 1) // _CHUNK) * _CHUNK
+
+    src_pad = np.zeros((B, L, 3), np.float32)
+    src_pad[:, :L0] = src
+    src_valid = np.zeros((B, L), bool)
+    src_valid[:, :L0] = True
+    tgt_pad = np.zeros((B, T, 3), np.float32)
+    tgt_pad[:, :T0] = tgt
+    nrm_pad = np.zeros((B, T, 3), np.float32)
+    nrm_pad[:, :T0] = nrm
+    tgt_valid = np.zeros((B, T), bool)
+    tgt_valid[:, :T0] = True
+
+    m0 = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    if com_matching:
+        m0[:, :3, 3] = tgt.mean(axis=1) - src.mean(axis=1)
+
+    loop = jax.vmap(
+        lambda s, sv, t, tv, n, m: _icp_p2l_loop(
+            s, sv, t, tv, n, m, jnp.float32(distance), int(iterations)))
+    m, md, it = jax.jit(loop)(
+        jnp.asarray(src_pad), jnp.asarray(src_valid),
+        jnp.asarray(tgt_pad), jnp.asarray(tgt_valid),
+        jnp.asarray(nrm_pad), jnp.asarray(m0))
     return np.asarray(m, dtype=np.float64), np.asarray(md)
 
 

@@ -188,3 +188,64 @@ def test_oblique_series_end_to_end(tmp_path, rng):
     expected = np.zeros_like(mask)
     expected[3, 4:13, 4:13] = 1
     np.testing.assert_array_equal(mask, expected)
+
+
+def test_metadata_goldens_pinned(tmp_path, rng):
+    """Golden metadata fixtures: exact spacing/origin/matrix values for
+    canned oblique / sagittal / multi-acquisition series, pinning the
+    FFS decisions against regression (round-2 audit item). Values
+    captured after fixing the reference's non-unit direction-cosine
+    rewrite (reference read/dicom.py:732-737; see PARITY.md)."""
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 1500, size=(6, 20, 24)).astype(np.int16)
+
+    # oblique axial: 10 deg about x
+    c, s = np.cos(np.deg2rad(10)), np.sin(np.deg2rad(10))
+    write_series(tmp_path / "ob", arr, [1.0, 0.0, 0.0, 0.0, c, s],
+                 origin=(12.5, -30.0, 44.0), thickness=3.0)
+    mia.read_dicoms(folder_path=str(tmp_path / "ob"))
+    img = Data.image[Data.image_list[-1]]
+    assert img.plane == "Axial"
+    np.testing.assert_allclose(img.spacing, [1.0, 1.0, 3.0], atol=1e-6)
+    np.testing.assert_allclose(img.origin, [12.5, -30.0, 44.0], atol=1e-9)
+    np.testing.assert_allclose(
+        img.matrix,
+        [[1.0, 0.0, 0.0],
+         [0.0, 0.984808, 0.173648],
+         [0.0, -0.173648, 0.984808]], atol=1e-6)
+    assert list(img.dimensions) == [6, 20, 24]
+
+    # sagittal: IOP [0,1,0,0,0,-1], slices stepping -x
+    write_series(tmp_path / "sag", arr, [0, 1, 0, 0, 0, -1],
+                 origin=(-50.0, 10.0, 25.0), thickness=2.0)
+    mia.read_dicoms(folder_path=str(tmp_path / "sag"), clear=False)
+    img = Data.image[Data.image_list[-1]]
+    assert img.plane == "Sagittal"
+    np.testing.assert_allclose(img.spacing, [2.0, 1.0, 1.0], atol=1e-9)
+    np.testing.assert_allclose(img.origin, [-60.0, 10.0, 6.0], atol=1e-9)
+    np.testing.assert_allclose(img.matrix, np.eye(3), atol=1e-9)
+    assert list(img.dimensions) == [20, 24, 6]
+
+    # every FFS-rewritten direction matrix must be orthonormal (the
+    # fixed reference bug produced 23/24-scaled rows here)
+    for name in Data.image_list:
+        m = np.asarray(Data.image[name].matrix)
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-6)
+
+    # multi-acquisition uniform-gap merge keeps one canonical volume
+    arr2 = rng.integers(0, 100, size=(4, 8, 8)).astype(np.int16)
+    series = write_series(tmp_path / "m1", arr2, [1, 0, 0, 0, 1, 0],
+                          origin=(1.0, 2.0, 3.0), thickness=2.0, acq="1")
+    write_series(tmp_path / "m2", arr2, [1, 0, 0, 0, 1, 0],
+                 origin=(1.0, 2.0, 11.0), thickness=2.0, acq="2",
+                 series=series, start_index=10)
+    before = set(Data.image_list)
+    mia.read_dicoms(file_list=[str(p) for d in ("m1", "m2")
+                               for p in sorted((tmp_path / d).iterdir())],
+                    clear=False)
+    name = [n for n in Data.image_list if n not in before][0]
+    img = Data.image[name]
+    assert img.array.shape == (8, 8, 8)
+    np.testing.assert_allclose(img.origin, [1.0, 2.0, 3.0], atol=1e-9)
+    np.testing.assert_allclose(img.spacing, [1.0, 1.0, 2.0], atol=1e-9)
+    np.testing.assert_allclose(img.matrix, np.eye(3), atol=1e-9)

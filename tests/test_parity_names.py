@@ -20,7 +20,31 @@ OUR_ROOT = os.path.join(os.path.dirname(os.path.dirname(
 ALLOW_MISSING = {"read_file_thread", "thread_process_dicom"}
 
 
-def _names(root, include_assigns):
+def _collect_scoped(body, out, include_assigns):
+    """Module/class-level defs, classes, and alias assignments only —
+    NOT local variables inside function bodies (round-1 review: a local
+    sharing a reference public name must not count as 'present')."""
+    for node in body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            out.add(node.name)
+        elif isinstance(node, ast.ClassDef):
+            out.add(node.name)
+            _collect_scoped(node.body, out, include_assigns)
+        elif include_assigns and isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    out.add(t.id)
+        elif isinstance(node, (ast.If, ast.Try)):
+            # guarded module-level defs (try/except import shims etc.)
+            _collect_scoped(getattr(node, "body", []), out,
+                            include_assigns)
+            _collect_scoped(getattr(node, "orelse", []), out,
+                            include_assigns)
+            for h in getattr(node, "handlers", []):
+                _collect_scoped(h.body, out, include_assigns)
+
+
+def _names(root, include_assigns, scoped=False):
     out = set()
     for base, dirs, files in os.walk(root):
         dirs[:] = [d for d in dirs if d not in ("__pycache__", ".idea",
@@ -32,6 +56,9 @@ def _names(root, include_assigns):
                 tree = ast.parse(open(os.path.join(base, f),
                                       errors="replace").read())
             except SyntaxError:
+                continue
+            if scoped:
+                _collect_scoped(tree.body, out, include_assigns)
                 continue
             for node in ast.walk(tree):
                 if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
@@ -47,8 +74,11 @@ def _names(root, include_assigns):
 @pytest.mark.skipif(not os.path.isdir(REF_ROOT),
                     reason="reference not mounted")
 def test_all_reference_public_names_exist():
-    ref = {n for n in _names(REF_ROOT, include_assigns=False)
+    # both sides SCOPED to module/class level: nested closures are not
+    # API surface on either side, and a local variable in our code must
+    # not satisfy a reference public name
+    ref = {n for n in _names(REF_ROOT, include_assigns=False, scoped=True)
            if not n.startswith("_")}
-    ours = _names(OUR_ROOT, include_assigns=True)
+    ours = _names(OUR_ROOT, include_assigns=True, scoped=True)
     missing = sorted(ref - ours - ALLOW_MISSING)
     assert not missing, f"reference public names missing: {missing}"

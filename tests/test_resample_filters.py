@@ -214,3 +214,21 @@ def test_reslice_transform_shear_flag(rng):
     interior = ndimage.binary_erosion(both, iterations=2)
     d = np.abs(exact["array"] - fast["array"])[interior]
     assert d.mean() < 0.02
+
+
+def test_largest_component_batch_matches_scipy(rng):
+    """Device label-propagation CC vs host scipy (26-connectivity)."""
+    from medicalimageanalysis_tpu.ops.filters import (
+        largest_component, largest_component_batch)
+
+    masks = []
+    for b in range(3):
+        m = rng.random((12, 24, 24)) > 0.72
+        m[:, :2, :] = False  # carve structure so components separate
+        m[:, :, 11:13] = False
+        masks.append(m)
+    batch = np.stack(masks)
+    out = largest_component_batch(batch)
+    for b in range(3):
+        golden, _ = largest_component(masks[b])
+        assert (out[b] == golden).all()
