@@ -16,7 +16,28 @@ from ..config import config
 from ..data import Data
 from ..telemetry import trace
 
-__all__ = ["ingest_cohort"]
+__all__ = ["ingest_cohort", "distributed_cohort_batch"]
+
+
+def distributed_cohort_batch(local_volumes, mesh):
+    """Form a GLOBAL (B_total, Z, Y, X) device array over the mesh's
+    'data' axis from this process's local stack — the multi-host cohort
+    ingest pattern (SURVEY §2.11): every host parses and assembles its
+    own files; only device shards exist globally, and DCN moves nothing
+    until a collective asks for it.
+
+    local_volumes : list/stack of this process's (Z, Y, X) arrays; all
+        processes must contribute the same count and shape.
+    Returns a jax global array sharded (data, space) like
+    :func:`mesh.volume_sharding`.
+    """
+    from .mesh import volume_sharding
+
+    local = np.stack([np.asarray(v) for v in local_volumes])
+    b_total = local.shape[0] * jax.process_count()
+    sharding = volume_sharding(mesh)
+    return jax.make_array_from_process_local_data(
+        sharding, local, (b_total,) + local.shape[1:])
 
 
 def ingest_cohort(folder_path=None, file_list=None, out_shape=None,
