@@ -70,7 +70,12 @@ def _round_up(v, m):
 def _pick_config(vol_shape, window=None):
     """Static tile/slab sizes for a given (padded) volume shape.
 
-    window: optional (DZ, DY) within-tile coordinate-spread caps."""
+    window: optional (DZ, DY) within-tile coordinate-spread caps.
+
+    TY is FIXED at 8: the kernel's aligned-load + pltpu.roll residual
+    trick produces wrong row mappings for TY>8 (probed on hardware;
+    multi-vreg sublane rotates). Tile-size probes showed (8,8,256) etc.
+    within run noise of (8,8,128), so there is no perf reason to vary."""
     Z, Y, X = vol_shape
     TZ, TY, TX = 8, 8, 128
     DZ, DY = (16, 16) if window is None else window
@@ -87,15 +92,21 @@ def _pick_config(vol_shape, window=None):
 
 
 def _gather_rows(rows, idx, SX):
-    """Per-row lane gather, segmented per 128-lane vreg (Mosaic's
-    dynamic_gather supports one source vreg along the gather axis)."""
-    acc = jnp.zeros(idx.shape, rows.dtype)
-    for s in range(0, SX, 128):
-        seg = rows[:, s:s + 128]
-        local = jnp.clip(idx - s, 0, 127)
-        g = jnp.take_along_axis(seg, local, axis=1)
-        acc = jnp.where((idx >= s) & (idx < s + 128), g, acc)
-    return acc
+    """Per-row lane gather, segmented per 128-lane vreg on BOTH sides:
+    Mosaic's dynamic_gather wants indices shaped like the source, and
+    supports one source vreg along the gather axis."""
+    TXw = idx.shape[1]
+    outs = []
+    for o in range(0, TXw, 128):
+        io = idx[:, o:o + 128]
+        acc = jnp.zeros(io.shape, rows.dtype)
+        for s in range(0, SX, 128):
+            seg = rows[:, s:s + 128]
+            local = jnp.clip(io - s, 0, 127)
+            g = jnp.take_along_axis(seg, local, axis=1)
+            acc = jnp.where((io >= s) & (io < s + 128), g, acc)
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _warp_kernel(dims_ref, bg_ref, cz_ref, cy_ref, cx_ref, vol_ref,
