@@ -215,12 +215,43 @@ class TriMesh:
         if not crossing.any():
             return []
 
+        # vectorized generic case: a crossing triangle has exactly two
+        # crossed edges (the per-face Python loop was the voxelization
+        # hot spot at ~100 planes x thousands of faces)
+        cf = f[crossing]                        # (C, 3)
+        dc = d[cf]                              # (C, 3)
+        pairs = ((0, 1), (1, 2), (2, 0))
+        cross_e = np.stack([(dc[:, a] > 0) != (dc[:, b] > 0)
+                            for a, b in pairs], axis=1)      # (C, 3)
+        n_cross = cross_e.sum(axis=1)
+        generic = n_cross == 2
+
         segments = []
-        for fi in np.nonzero(crossing)[0]:
+        if generic.any():
+            cfg = cf[generic]
+            dg = dc[generic]
+            pts_e = np.empty((cfg.shape[0], 3, 3))
+            for e, (a, b) in enumerate(pairs):
+                da, db = dg[:, a], dg[:, b]
+                denom = np.where(da - db != 0, da - db, 1.0)
+                t = (da / denom)[:, None]
+                pa = self.points[cfg[:, a]]
+                pb = self.points[cfg[:, b]]
+                pts_e[:, e] = pa + t * (pb - pa)
+            first2 = np.argsort(~cross_e[generic], axis=1,
+                                kind="stable")[:, :2]        # (G, 2)
+            rows = np.arange(cfg.shape[0])[:, None]
+            seg_pts = pts_e[rows, first2]                    # (G, 2, 3)
+            segments.extend((seg_pts[i, 0], seg_pts[i, 1])
+                            for i in range(seg_pts.shape[0]))
+
+        # degenerate faces (vertex or edge exactly in-plane): old path
+        for fi in np.nonzero(crossing)[0][~generic] \
+                if (~generic).any() else []:
             vs = f[fi]
             ds = d[vs]
             pts = []
-            for a, b in ((0, 1), (1, 2), (2, 0)):
+            for a, b in pairs:
                 da, db = ds[a], ds[b]
                 if (da > 0) != (db > 0):
                     t = da / (da - db)
