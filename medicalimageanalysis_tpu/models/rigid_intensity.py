@@ -24,7 +24,8 @@ import optax
 
 from ..ops import geometry as geo
 
-__all__ = ["register_rigid_intensity", "pose_to_matrix"]
+__all__ = ["register_rigid_intensity", "register_rigid_intensity_batch",
+           "pose_to_matrix"]
 
 
 def _rot_mats(angles):
@@ -176,6 +177,63 @@ def _inside_mask(shape, coords_xyz):
     return ((x >= 0) & (x <= shape[2] - 1) & (y >= 0)
             & (y <= shape[1] - 1) & (z >= 0)
             & (z <= shape[0] - 1)).astype(jnp.float32)
+
+
+def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
+                                   centers, poses0=None,
+                                   levels=((4, 60, 0.3), (2, 40, 0.1),
+                                           (1, 25, 0.03)),
+                                   intensity_scale=1.0, mesh=None):
+    """Cohort registration: P volume pairs through ONE compiled program
+    per pyramid level.
+
+    A single chip runs pairs back-to-back inside ``lax.map`` (no
+    per-pair dispatch); with ``mesh`` (a ('data', 'space') Mesh from
+    parallel.mesh.make_mesh) the pair axis is sharded over 'data' via
+    shard_map, so a v5e-8 runs 8 independent descents concurrently —
+    the batch-of-volumes scaling design from SURVEY §2.11. P must be
+    divisible by the 'data' axis size; all pairs share one volume shape.
+
+    refs, movs : (P, Z, Y, X) arrays (any real dtype; pre-normalized —
+        see register_rigid_intensity's quantization for the recipe)
+    ref_pix2pos, mov_pos2pix : (P, 4, 4) f32 geometry matrices
+    centers : (P, 3) rotation centers (mm)
+    Returns (poses (P, 6), final_losses (P,)).
+    """
+    import jax.numpy as jnp
+
+    refs = jnp.asarray(refs)
+    movs = jnp.asarray(movs)
+    P_n = refs.shape[0]
+    ref_pix2pos = jnp.asarray(ref_pix2pos, jnp.float32)
+    mov_pos2pix = jnp.asarray(mov_pos2pix, jnp.float32)
+    centers = jnp.asarray(centers, jnp.float32)
+    poses = jnp.zeros((P_n, 6), jnp.float32) if poses0 is None \
+        else jnp.asarray(poses0, jnp.float32)
+    scale = jnp.float32(intensity_scale)
+    losses = jnp.zeros((P_n,), jnp.float32)
+
+    for stride, steps, lr in levels:
+        def level(r, m, rp, mp, c, p0):
+            def one(args):
+                ri, mi, rpi, mpi, ci, pi = args
+                pose, ls = _register_level(
+                    ri, mi, rpi, mpi, ci, pi, jnp.float32(lr),
+                    int(steps), (int(stride),) * 3, scale)
+                return pose, ls[-1]
+            return jax.lax.map(one, (r, m, rp, mp, c, p0))
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            spec = P("data")
+            level = shard_map(
+                level, mesh=mesh,
+                in_specs=(spec, spec, spec, spec, spec, spec),
+                out_specs=(spec, spec), check_rep=False)
+        poses, losses = jax.jit(level)(refs, movs, ref_pix2pos,
+                                       mov_pos2pix, centers, poses)
+    return np.asarray(poses), np.asarray(losses)
 
 
 def register_rigid_intensity(reference_image, moving_image, pose0=None,

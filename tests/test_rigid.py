@@ -236,3 +236,44 @@ def test_rigid_copy_roi(two_images):
     np.testing.assert_allclose(
         np.asarray(moved.center)[0],
         np.asarray(img_ct.rois["Organ"].mesh.center)[0] + 4.0, atol=0.2)
+
+
+def test_register_rigid_intensity_batch(rng):
+    """Cohort registration: lax.map over pairs in one program, and the
+    same sharded over the ('data','space') mesh — identical recoveries
+    of per-pair known shifts (sub-0.35 voxel)."""
+    import jax.numpy as jnp
+
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        pose_to_matrix, register_rigid_intensity_batch)
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    P, Z, Y, X = 4, 16, 32, 32
+    zz, yy, xx = np.mgrid[0:Z, 0:Y, 0:X].astype(np.float32)
+    shifts = [(0, 2, -1), (1, -2, 2), (0, 3, 1), (1, 1, -2)]
+    refs, movs = [], []
+    for p in range(P):
+        blob = np.exp(-(((zz - 8) / 3) ** 2 + ((yy - 16) / 6) ** 2
+                        + ((xx - 16) / 6) ** 2))
+        blob += 0.4 * np.exp(-(((zz - 5) / 2) ** 2 + ((yy - 10) / 3) ** 2
+                               + ((xx - 22) / 3) ** 2))
+        refs.append(blob + rng.normal(0, 0.01, blob.shape))
+        movs.append(np.roll(refs[-1], shifts[p], axis=(0, 1, 2)))
+    refs = np.stack(refs).astype(np.float32)
+    movs = np.stack(movs).astype(np.float32)
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (P, 4, 4))
+    ctrs = np.broadcast_to(np.array([16., 16., 8.], np.float32), (P, 3))
+
+    results = []
+    for mesh in (None, make_mesh(8, space=2)):
+        poses, _ = register_rigid_intensity_batch(
+            refs, movs, eye, eye, ctrs,
+            levels=((2, 60, 0.2), (1, 40, 0.05)), mesh=mesh)
+        for p in range(P):
+            m = np.asarray(pose_to_matrix(jnp.asarray(poses[p]),
+                                          jnp.asarray(ctrs[p])))
+            want = np.array([shifts[p][2], shifts[p][1], shifts[p][0]],
+                            float)
+            assert np.abs(m[:3, 3] - want).max() < 0.35
+        results.append(poses)
+    np.testing.assert_allclose(results[0], results[1], atol=1e-5)
