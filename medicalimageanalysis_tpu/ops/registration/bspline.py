@@ -54,10 +54,17 @@ def bspline_basis_matrix(n_vox, n_ctrl, ctrl_spacing_vox):
 @partial(jax.jit, static_argnames=("steps",))
 def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
                  sp, lr, steps):
-    from ..resample import _trilinear
     from .dvf import _base_coords
 
     Xg, Yg, Zg = _base_coords(fixed.shape)
+
+    # Pallas tile-slab sampler on TPU: exact trilinear with the analytic
+    # coordinate VJP fused into the forward kernel (the XLA gather this
+    # replaces runs at ~14 M pts/s AND re-gathers in the backward pass;
+    # docs/PERF.md). Gradients flow coords -> dense field -> control
+    # points through the separable basis einsums (MXU).
+    from ..pallas_warp import make_warp_sampler
+    sample_moving = make_warp_sampler(moving, 0.0)
 
     def densify(ctrl):
         # ctrl (Gz, Gy, Gx, 3) -> (Z, Y, X, 3) via separable contractions
@@ -72,9 +79,8 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
     def loss_fn(ctrl):
         d = densify(ctrl)                      # mm
         dv = d / sp
-        coords = jnp.stack([Xg + dv[..., 0], Yg + dv[..., 1],
-                            Zg + dv[..., 2]], axis=-1)
-        warped = _trilinear(moving, coords, jnp.float32(0.0))
+        warped = sample_moving(Zg + dv[..., 2], Yg + dv[..., 1],
+                               Xg + dv[..., 0])
         w = fixed_mask
         diff = (fixed - warped) * w
         mse = jnp.sum(diff * diff) / jnp.maximum(jnp.sum(w), 1.0)
