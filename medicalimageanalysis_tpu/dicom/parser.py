@@ -253,63 +253,6 @@ _VR_ITEM_END = 0xFFFEE00D
 _VR_SEQ_END = 0xFFFEE0DD
 
 
-class _TableDict(dict):
-    """tag -> DataElement mapping materialized lazily from the native
-    scanner's entry table. Rows become LazyElements only when touched,
-    so a flat CT slice costs one vectorized index build instead of ~85
-    Python element objects."""
-
-    __slots__ = ("_buf", "_rows", "_little")
-
-    def __init__(self, buf, tags, rows, little):
-        # rows: dict tag -> (vr_code, off, len) as python ints
-        super().__init__()
-        self._buf = buf
-        self._rows = rows
-        self._little = little
-        # mark existing keys with a sentinel so dict semantics
-        # (contains/len/iter) work without materializing values
-        for t in tags:
-            super().__setitem__(t, _UNSET)
-
-    def _materialize(self, tag):
-        vr_code, off, length = self._rows[tag]
-        vr = (chr(vr_code & 0xFF) + chr(vr_code >> 8)) if vr_code \
-            else tag_to_vr(tag)
-        el = LazyElement(tag, vr, self._buf, off, length, self._little)
-        super().__setitem__(tag, el)
-        return el
-
-    def __getitem__(self, tag):
-        el = super().__getitem__(tag)
-        if el is _UNSET:
-            el = self._materialize(tag)
-        return el
-
-    def get(self, tag, default=None):
-        el = super().get(tag, _UNSET)
-        if el is _UNSET:
-            if tag in self._rows and super().__contains__(tag):
-                return self._materialize(tag)
-            return default
-        return el
-
-    def values(self):
-        return [self[t] for t in self]
-
-    def items(self):
-        return [(t, self[t]) for t in self]
-
-    def __deepcopy__(self, memo):
-        import copy as _copy
-        out = dict()
-        for t in self:
-            out[t] = _copy.deepcopy(self[t], memo)
-        plain = dict.__new__(dict)
-        plain.update(out)
-        return out
-
-
 class _ArrayTable:
     """tag -> DataElement mapping backed directly by the native
     scanner's structured entry arrays: ZERO per-tag Python objects are
@@ -350,8 +293,15 @@ class _ArrayTable:
         return -1
 
     def row(self, tag):
-        """(vr_code, off, len) without materializing, or None."""
+        """(vr_code, off, len) of the ORIGINAL file bytes, or None.
+
+        Returns None when the element was deleted OR reassigned
+        (overlay): stale buffer offsets must never be staged after
+        `ds.PixelData = ...` (self-review finding)."""
         if self._deleted and tag in self._deleted:
+            return None
+        el = self._overlay.get(tag)
+        if el is not None and not isinstance(el, LazyElement):
             return None
         i = self._find(tag)
         if i < 0:

@@ -65,9 +65,10 @@ def _sample_grid(shape_zyx, step):
 _POSE_SCALE = np.array([0.05, 0.05, 0.05, 5.0, 5.0, 5.0], np.float32)
 
 
-@partial(jax.jit, static_argnames=("steps", "stride"))
+@partial(jax.jit, static_argnames=("steps", "stride", "use_pallas"))
 def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
-                    pose0, lr, steps, stride, intensity_scale=1.0):
+                    pose0, lr, steps, stride, intensity_scale=1.0,
+                    use_pallas=True):
     """One pyramid level of Adam descent on masked MSE.
 
     The level's volumes are first DOWNSAMPLED by `stride` (separable
@@ -111,11 +112,15 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
     shape = ref_vol.shape
     scale = jnp.asarray(_POSE_SCALE)
 
-    if jax.default_backend() == "tpu":
+    if use_pallas and jax.default_backend() == "tpu":
         # Pallas tile-slab warp sampler: exact trilinear with an
         # analytic coordinate VJP computed in the forward kernel pass
         # (no re-gather in the backward; the XLA computed-index gather
-        # runs at only ~14 M pts/s on v5e — docs/PERF.md)
+        # runs at only ~14 M pts/s on v5e — docs/PERF.md). Callers set
+        # use_pallas=False when the level's starting pose exceeds the
+        # kernel's slab windows (large initial rotations) — the kernel
+        # would background-overflow with zero gradients there
+        # (self-review finding); the XLA branch is slow but unbounded.
         from ..ops.pallas_warp import affine_coords, make_warp_sampler
         sample_mov = make_warp_sampler(mov_vol, 0.0)
         MZ, MY, MX = mov_vol.shape
@@ -213,13 +218,25 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
     scale = jnp.float32(intensity_scale)
     losses = jnp.zeros((P_n,), jnp.float32)
 
+    from ..ops.pallas_warp import fits_warp_caps
     for stride, steps, lr in levels:
+        # capture-range guard over ALL pairs (see register_rigid_
+        # intensity): one pair beyond the slab windows demotes the
+        # level to the unbounded XLA sampler
+        use_pallas = True
+        for p in range(P_n):
+            m_now = np.asarray(pose_to_matrix(poses[p], centers[p]))
+            P_now = (np.asarray(mov_pos2pix[p]) @ m_now
+                     @ np.asarray(ref_pix2pos[p]))
+            use_pallas = use_pallas and bool(fits_warp_caps(P_now))
+
         def level(r, m, rp, mp, c, p0):
             def one(args):
                 ri, mi, rpi, mpi, ci, pi = args
                 pose, ls = _register_level(
                     ri, mi, rpi, mpi, ci, pi, jnp.float32(lr),
-                    int(steps), (int(stride),) * 3, scale)
+                    int(steps), (int(stride),) * 3, scale,
+                    use_pallas=use_pallas)
                 return pose, ls[-1]
             return jax.lax.map(one, (r, m, rp, mp, c, p0))
 
@@ -283,12 +300,19 @@ def register_rigid_intensity(reference_image, moving_image, pose0=None,
     losses_all = []
     refj = jnp.asarray(ref)
     movj = jnp.asarray(mov)
+    from ..ops.pallas_warp import fits_warp_caps
     for stride, steps, lr in levels:
+        # capture-range guard: if the level's STARTING pose maps a tile
+        # beyond the Pallas slab windows (initial rotations beyond
+        # ~10 deg), run that level on the unbounded XLA sampler
+        m_now = np.asarray(pose_to_matrix(pose, jnp.asarray(center)))
+        P_now = np.asarray(mov_pos2pix) @ m_now @ np.asarray(ref_pix2pos)
+        use_pallas = bool(fits_warp_caps(P_now))
         pose, losses = _register_level(
             refj, movj, jnp.asarray(ref_pix2pos),
             jnp.asarray(mov_pos2pix), jnp.asarray(center), pose,
             jnp.float32(lr), int(steps), (stride, stride, stride),
-            jnp.float32(intensity_scale))
+            jnp.float32(intensity_scale), use_pallas=use_pallas)
         losses_all.append(np.asarray(losses))
 
     matrix = np.asarray(pose_to_matrix(pose, jnp.asarray(center)),

@@ -215,7 +215,10 @@ def marching_cubes_mask(mask, iso=0.5, pad=True):
     cap = _bucket(nv)
     idx = jnp.nonzero(valid_flat, size=cap, fill_value=0)[0]
     compact = jnp.take(tris[:K].reshape(-1, 9), idx, axis=0)   # (cap, 9)
-    binary = vmax <= 1.0 and vmin >= 0.0 \
+    # the uint16 half-unit pack is only exact for INTEGER 0/1 masks —
+    # float volumes in [0,1] have genuinely fractional crossings that
+    # truncation would snap to the half-voxel grid (self-review finding)
+    binary = small_int and vmax <= 1.0 and vmin >= 0.0 \
         and iso == 0.5 and max(shape) < 16000
     if binary:
         # binary masks: vertices are exact half-units -> weld on ONE

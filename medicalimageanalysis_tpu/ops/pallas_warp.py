@@ -60,7 +60,8 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 __all__ = ["field_warp", "field_warp_xla", "make_warp_sampler",
-           "affine_coords", "affine_warp", "warp_jit"]
+           "affine_coords", "affine_warp", "warp_jit",
+           "fits_warp_caps", "predicted_spread"]
 
 
 def _round_up(v, m):
@@ -79,16 +80,48 @@ def _pick_config(vol_shape, window=None):
     Z, Y, X = vol_shape
     TZ, TY, TX = 8, 8, 128
     DZ, DY = (16, 16) if window is None else window
-    ZS = min(_round_up(TZ + DZ + 2, 8), _round_up(Z, 8))
+    # NOTE: never shrink the slab below the window caps for small
+    # volumes — the wrapper pads the volume to fit the slab, and
+    # capping ZS at round_up(Z, 8) gave thin volumes (Z <= 8) a ZERO
+    # z-window, silently backgrounding every fractional-z sample on
+    # jit surfaces (round-2 self-review finding)
+    ZS = _round_up(TZ + DZ + 2, 8)
     # +16 y rows: the slab base aligns down to 8 (HBM DMA tiling) and
     # the kernel reads 8-aligned blocks TY+8 tall, rotating out the
     # residual (Mosaic sublane alignment)
-    YS = min(_round_up(TY + DY + 2, 8), _round_up(Y, 8)) + 16
+    YS = _round_up(TY + DY + 2, 8) + 16
     # x slab: whole row when it fits VMEM, else a 128-aligned window
     # (the base aligns down to 128, so allow a full extra segment)
     XP = _round_up(X, 128)
     SX = XP if XP <= 512 else 384
     return dict(TZ=TZ, TY=TY, TX=TX, ZS=ZS, YS=YS, SX=SX)
+
+
+def predicted_spread(pixel_matrix):
+    """Per-tile coordinate spreads implied by an (x,y,z)-convention
+    affine pixel matrix, in the same units the kernel's window caps
+    bound. Host-side companion of :func:`fits_warp_caps`."""
+    A = np.asarray(pixel_matrix, np.float64)
+    cfg = _pick_config((1, 1, 1))
+    TZ, TY, TX = cfg["TZ"], cfg["TY"], cfg["TX"]
+    sz = (abs(A[2, 2] - 1) * TZ + abs(A[2, 1]) * TY
+          + abs(A[2, 0]) * TX + 1)
+    sy = (abs(A[1, 1] - 1) * TY + abs(A[1, 2]) * TZ
+          + abs(A[1, 0]) * TX + 1)
+    return sz, sy
+
+
+def fits_warp_caps(pixel_matrix, window=None):
+    """True when an affine's per-tile footprint fits the kernel's slab
+    windows (derived from _pick_config, NOT hardcoded): beyond this the
+    kernel would background-overflow and callers should take the exact
+    gather or a bigger window."""
+    cfg = _pick_config((1 << 14, 1 << 14, 1 << 14), window)
+    ZW = cfg["ZS"] - cfg["TZ"]
+    YW = cfg["YS"] - cfg["TY"] - 8
+    sz, sy = predicted_spread(pixel_matrix)
+    # -1 loop slack; -7 on y for the 8-aligned slab-base residual
+    return sz <= ZW - 1 and sy <= YW - 8
 
 
 def _gather_rows(rows, idx, SX):
@@ -395,8 +428,8 @@ def field_warp(vol, cz, cy, cx, background=0.0, want_grad=False,
     backend = jax.default_backend()
     if interpret is None:
         interpret = backend != "tpu"
-    tracing = isinstance(cz, jax.core.Tracer) or \
-        isinstance(vol, jax.core.Tracer)
+    tracing = any(isinstance(a, jax.core.Tracer)
+                  for a in (vol, cz, cy, cx))
     if check_overflow is None:
         check_overflow = not tracing
 
@@ -416,6 +449,8 @@ def field_warp(vol, cz, cy, cx, background=0.0, want_grad=False,
             grads = _xla_coord_grads(vol, cz, cy, cx, False)
     if squeeze:
         out = out[0]
+        if want_grad:
+            grads = tuple(g[0] for g in grads)
     if want_grad:
         return out, grads
     return out

@@ -58,13 +58,22 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
 
     Xg, Yg, Zg = _base_coords(fixed.shape)
 
-    # Pallas tile-slab sampler on TPU: exact trilinear with the analytic
-    # coordinate VJP fused into the forward kernel (the XLA gather this
-    # replaces runs at ~14 M pts/s AND re-gathers in the backward pass;
-    # docs/PERF.md). Gradients flow coords -> dense field -> control
-    # points through the separable basis einsums (MXU).
-    from ..pallas_warp import make_warp_sampler
-    sample_moving = make_warp_sampler(moving, 0.0)
+    if jax.default_backend() == "tpu":
+        # Pallas tile-slab sampler: exact trilinear with the analytic
+        # coordinate VJP fused into the forward kernel (the XLA gather
+        # this replaces runs at ~14 M pts/s AND re-gathers in the
+        # backward pass; docs/PERF.md). Gradients flow coords -> dense
+        # field -> control points through the separable basis einsums.
+        from ..pallas_warp import make_warp_sampler
+        sample_moving = make_warp_sampler(moving, 0.0)
+    else:
+        # off-TPU the XLA gather is fine (the 14 M pts/s pathology is
+        # TPU-specific) and beats interpret-mode kernel emulation
+        from ..resample import make_trilinear_sampler
+        _sample = make_trilinear_sampler(moving, 0.0)
+
+        def sample_moving(cz, cy, cx):
+            return _sample(jnp.stack([cx, cy, cz], axis=-1))
 
     def densify(ctrl):
         # ctrl (Gz, Gy, Gx, 3) -> (Z, Y, X, 3) via separable contractions

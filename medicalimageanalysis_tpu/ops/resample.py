@@ -212,15 +212,13 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
     if (not traced and jax.default_backend() == "tpu"
             and vol.size >= (1 << 16)):
         A = np.asarray(pixel_matrix, np.float64)
-        # host-side cap prediction: skip the kernel attempt (and its
-        # wasted run + sync) when the per-tile footprint cannot fit the
-        # slab windows — large rotations go straight to the gather
-        spread_z = (abs(A[2, 2] - 1) * 8 + abs(A[2, 1]) * 8
-                    + abs(A[2, 0]) * 128 + 1)
-        spread_y = (abs(A[1, 1] - 1) * 8 + abs(A[1, 2]) * 8
-                    + abs(A[1, 0]) * 128 + 1)
-        if spread_z <= 22 and spread_y <= 15:
-            from .pallas_warp import affine_warp
+        # host-side cap prediction (derived from the kernel's own
+        # config, ops/pallas_warp.fits_warp_caps): skip the kernel
+        # attempt and its wasted run + sync when the per-tile footprint
+        # cannot fit the slab windows — large rotations go straight to
+        # the gather
+        from .pallas_warp import affine_warp, fits_warp_caps
+        if fits_warp_caps(A):
             return affine_warp(vol, A.astype(np.float32),
                                tuple(int(s) for s in out_shape),
                                background=float(background),

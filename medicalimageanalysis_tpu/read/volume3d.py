@@ -204,7 +204,7 @@ class Read3D(object):
         synthetic/interpolated slices, odd layouts)."""
         try:
             from .. import native
-            from ..dicom.parser import _ArrayTable, _TableDict
+            from ..dicom.parser import _ArrayTable
         except Exception:
             return None
         if native.get_lib() is None or n == 0 or rows * cols == 0:
@@ -222,8 +222,6 @@ class Read3D(object):
             d = getattr(s, "_dict", None)
             if isinstance(d, _ArrayTable):
                 row = d.row(0x7FE00010)
-            elif isinstance(d, _TableDict):
-                row = d._rows.get(0x7FE00010)
             else:
                 return None
             if not d._little or row is None or row[2] != nbytes \

@@ -46,7 +46,7 @@ def main():
     # 1) tile-slab warp vs XLA twin (DVF + affine), overflow fallback
     from medicalimageanalysis_tpu.ops.pallas_warp import (
         _field_warp_call, affine_coords, field_warp_xla)
-    N = 128
+    N = 192
     vol = jax.device_put(jnp.asarray(
         rng.normal(size=(N, N, N)).astype(np.float32)))
     zz, yy, xx = np.mgrid[0:N, 0:N, 0:N].astype(np.float32)
@@ -69,7 +69,9 @@ def main():
     t0 = time.perf_counter()
     sync(warp(vol[None], cz, cy, cx))
     rate = N ** 3 / (time.perf_counter() - t0) / 1e6
-    check("pallas_warp throughput", rate > 50,
+    # threshold well clear of the ~24 ms relay floor at this size: the
+    # XLA gather runs ~14 M pts/s, the kernel 300-550 on-chip
+    check("pallas_warp throughput", rate > 60,
           f"{rate:.0f} M pts/s (XLA gather path runs ~14)")
 
     # 2) sampler gradient exactness (registration backward)
@@ -84,12 +86,13 @@ def main():
     # 3) registration 40-step level under target
     from medicalimageanalysis_tpu.models.rigid_intensity import (
         _register_level)
-    refv = (np.exp(-(((zz - 64) / 20) ** 2 + ((yy - 64) / 24) ** 2
-                     + ((xx - 64) / 24) ** 2)) * 60000).astype(np.uint16)
+    c = N // 2
+    refv = (np.exp(-(((zz - c) / 20) ** 2 + ((yy - c) / 24) ** 2
+                     + ((xx - c) / 24) ** 2)) * 60000).astype(np.uint16)
     movv = np.roll(refv, (2, 4, -3), axis=(0, 1, 2))
     args = (jnp.asarray(refv), jnp.asarray(movv),
             jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32),
-            jnp.asarray([64., 64., 64.], jnp.float32),
+            jnp.asarray([float(c)] * 3, jnp.float32),
             jnp.zeros(6, jnp.float32), jnp.float32(0.1))
     out = _register_level(*args, steps=40, stride=(2, 2, 2),
                           intensity_scale=1 / 65535.)
