@@ -49,7 +49,7 @@ def _smooth_field(u, mz, my, mx):
 @partial(jax.jit,
          static_argnames=("iterations", "method", "smooth", "std_vox"))
 def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
-                 iterations, method, smooth):
+                 iterations, method, smooth, elastic_lambda=0.2):
     from ..pallas_warp import warp_jit
 
     Xg, Yg, Zg = _base_coords(fixed.shape)
@@ -66,7 +66,7 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
     # the symmetric-forces variants warp the moving image AND its three
     # gradient components every iteration: batch all four through ONE
     # Pallas tile-slab warp sharing coordinates (docs/PERF.md)
-    if method in ("fast", "diffeomorphic"):
+    if method in ("fast", "diffeomorphic", "biomechanical"):
         grad_m = _spatial_gradient(moving, sp)
         warp_stack = jnp.stack([moving, grad_m[..., 0], grad_m[..., 1],
                                 grad_m[..., 2]])
@@ -81,7 +81,7 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         w = warp_all(u_vox)
         warped = w[0]
         diff = fixed - warped
-        if method == "fast" or method == "diffeomorphic":
+        if method in ("fast", "diffeomorphic", "biomechanical"):
             grad_w = jnp.moveaxis(w[1:4], 0, -1)
             g = 0.5 * (grad_f + grad_w)
         else:
@@ -92,7 +92,7 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         upd_mm = jnp.where(active[..., None],
                            (diff / jnp.maximum(denom, 1e-9))[..., None] * g,
                            0.0)
-        if method in ("fast", "diffeomorphic"):
+        if method in ("fast", "diffeomorphic", "biomechanical"):
             max_norm = jnp.max(jnp.linalg.norm(upd_mm, axis=-1))
             scale = jnp.minimum(1.0, step / jnp.maximum(max_norm, 1e-9))
             upd_mm = upd_mm * scale
@@ -107,6 +107,22 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
             u_new = u_vox + upd_vox
         if smooth:
             u_new = _smooth_field(u_new, mz, my, mx)
+        if method == "biomechanical":
+            # linear-elastic regularization (Navier-Cauchy gradient
+            # step): tissue-like near-incompressibility by relaxing the
+            # field against grad(div u) — a pure central-difference
+            # stencil, ideal XLA material. The reference's
+            # compute_biomechanical is an empty stub
+            # (structure/deformable.py:536-540); this implements the
+            # capability it reserved.
+            # dE/du of E = 1/2 (div u)^2 is -grad(div u), so descent
+            # ADDS lambda * grad(div u)
+            div = (jnp.gradient(u_new[..., 0], axis=2)
+                   + jnp.gradient(u_new[..., 1], axis=1)
+                   + jnp.gradient(u_new[..., 2], axis=0))
+            u_new = u_new + elastic_lambda * jnp.stack(
+                [jnp.gradient(div, axis=2), jnp.gradient(div, axis=1),
+                 jnp.gradient(div, axis=0)], axis=-1)
         return u_new
 
     u0 = jnp.zeros(fixed.shape + (3,), jnp.float32)
@@ -117,18 +133,22 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
 def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                         method="demons", smooth=True, std=1,
                         iterations=50, intensity_threshold=0.001,
-                        step=2.0):
+                        step=2.0, elastic_lambda=0.2):
     """Run a demons variant; returns (Z, Y, X, 3) DVF in mm such that
     moving(x + d(x)) ~ fixed(x) on the fixed grid.
 
     method: 'demons' | 'fast' | 'diffeomorphic' — mirrors the three ITK
-    filters the reference selects between
-    (reference structure/deformable.py:677-690).
+    filters the reference selects between (reference
+    structure/deformable.py:677-690) — plus 'biomechanical': symmetric
+    forces with a linear-elastic grad(div u) relaxation step
+    (weight ``elastic_lambda``) for tissue-like near-incompressibility
+    (the reference reserved this as an empty stub).
     """
     fixed = jnp.asarray(fixed, dtype=jnp.float32)
     moving = jnp.asarray(moving, dtype=jnp.float32)
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
     out = _demons_core(fixed, moving, sp, float(std), jnp.float32(step),
                        jnp.float32(intensity_threshold), int(iterations),
-                       method, bool(smooth))
+                       method, bool(smooth),
+                       jnp.float32(elastic_lambda))
     return np.asarray(out)

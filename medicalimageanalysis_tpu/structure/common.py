@@ -217,14 +217,30 @@ class ViewOpsMixin:
 
     retrieve_vtk_slice = retrieve_slice
 
-    def retrieve_vtk_volume(self, slice_plane):
-        """Kept for name-surface parity; the reference version calls a
-        Display method that does not exist (structure/image.py:1363-1377
-        -> Display.compute_vtk_volume is never defined)."""
-        raise NotImplementedError(
-            "retrieve_vtk_volume has no working implementation in the "
-            "reference either (missing Display.compute_vtk_volume); use "
-            "create_volume() for the full grid bundle")
+    def retrieve_vtk_volume(self, slice_plane=None):
+        """Volume bundle in the CURRENT display frame.
+
+        The reference version is broken (structure/image.py:1363-1377
+        calls Display.compute_vtk_volume, which is never defined); this
+        implements what it reserved: with an identity display rotation
+        the base grid bundle is returned, otherwise the volume is
+        resliced through the display matrix (device kernel) into an
+        identity-direction grid, mirroring retrieve_array_plane's
+        reslice semantics for the full volume."""
+        disp = np.asarray(self.display.matrix, dtype=np.float64)
+        base = np.asarray(self.matrix, dtype=np.float64)
+        if np.allclose(disp, base):
+            return self.create_volume()
+        from ..ops.resample import reslice_rotation
+        R = np.eye(4)
+        R[:3, :3] = disp @ np.linalg.inv(base)
+        arr, new_origin = reslice_rotation(
+            np.asarray(self.array), base, np.asarray(self.spacing),
+            np.asarray(self.origin), R)
+        return {"array": arr,
+                "origin": np.asarray(new_origin, dtype=float),
+                "spacing": np.asarray(self.spacing, dtype=float),
+                "direction": np.eye(3)}
 
     def update_rotation(self, r_x=0, r_y=0, r_z=0, base=True):
         if r_x != 0 or r_y != 0 or r_z != 0:

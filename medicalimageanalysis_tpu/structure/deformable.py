@@ -264,10 +264,24 @@ class Deformable(object):
             return np.round(self.spacing[0] / self.spacing[2], 2)
         return np.round(self.spacing[1] / self.spacing[2], 2)
 
-    def compute_biomechanical(self):
-        """Stub kept for API-shape parity (reference
-        structure/deformable.py:536-540 is an empty stub)."""
-        pass
+    def compute_biomechanical(self, modality_gradient=True, sigma=2,
+                              smooth=True, std=1, iterations=50,
+                              intensity_threshold=0.001, step=2.0,
+                              elastic_lambda=0.2, crop=5):
+        """Linear-elastic ('biomechanical') deformable registration.
+
+        The reference reserved this as an empty stub
+        (structure/deformable.py:536-540); here it is implemented as
+        symmetric-forces demons with a Navier-Cauchy grad(div u)
+        relaxation step per iteration (weight ``elastic_lambda``),
+        giving tissue-like near-incompressible fields."""
+        backend = self._backend(modality_gradient, sigma)
+        backend.resample()
+        dvf_volume = backend.biomechanical(
+            smooth=smooth, std=std, iterations=iterations,
+            intensity_threshold=intensity_threshold, step=step,
+            elastic_lambda=elastic_lambda, crop=crop)
+        self._store_dvf(dvf_volume)
 
     def _backend(self, modality_gradient, sigma):
         """Common setup: ref/mov volumes, cross-modality correction,

@@ -177,6 +177,23 @@ class DeformableJAX(object):
             intensity_threshold=intensity_threshold, step=step)
         return self._dvf_volume(dvf)
 
+    def biomechanical(self, smooth=True, std=1, iterations=50,
+                      intensity_threshold=0.001, step=2.0,
+                      elastic_lambda=0.2, crop=5):
+        """Linear-elastic demons (grad(div u) relaxation for tissue-like
+        near-incompressibility). The reference reserved this capability
+        as an empty stub (structure/deformable.py:536-540)."""
+        if crop > 0:
+            self.mask_crop(margin=crop)
+        fixed, moving = self._masked_arrays()
+        dvf = demons_registration(
+            fixed, moving, self.reference_image["spacing"],
+            method="biomechanical", smooth=smooth, std=std,
+            iterations=iterations,
+            intensity_threshold=intensity_threshold, step=step,
+            elastic_lambda=elastic_lambda)
+        return self._dvf_volume(dvf)
+
     def mask_crop(self, margin=5):
         """Crop images+masks to the joint-mask bbox + margin
         (reference simpleitk.py:258-280)."""

@@ -170,12 +170,37 @@ class Refinement(object):
              np.asarray(new_faces).reshape(-1, 3)))
         return TriMesh(total_points, total_faces)
 
-    def advanced_split(self):
-        """Edge-midpoint splitting — WIP in the reference
-        (surface.py:169-251 references undefined names); kept as an
-        explicit stub for API-shape parity."""
-        raise NotImplementedError(
-            "advanced_split is unimplemented (broken WIP in the reference)")
+    def advanced_split(self, area_factor=2.0, max_rounds=5):
+        """Adaptive refinement: repeatedly centroid-split every face
+        whose area exceeds ``area_factor`` times the mean face area,
+        until none do (or ``max_rounds``). Centroid (1->3) splits never
+        touch shared edges, so the mesh stays watertight with no
+        T-junctions. The reference left this as broken WIP
+        (surface.py:169-251, undefined names); this implements the
+        capability it sketched."""
+        mesh = TriMesh(np.asarray(self.mesh.points, float).copy(),
+                       np.asarray(self.mesh.faces, np.int64).copy())
+        for _ in range(max_rounds):
+            pts = mesh.points
+            f = mesh.faces
+            a = pts[f[:, 0]]
+            b = pts[f[:, 1]]
+            c = pts[f[:, 2]]
+            areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+            big = areas > area_factor * areas.mean()
+            if not big.any():
+                break
+            centers = (a[big] + b[big] + c[big]) / 3.0
+            base_n = pts.shape[0]
+            cidx = base_n + np.arange(centers.shape[0])
+            fb = f[big]
+            new_faces = np.concatenate([
+                np.stack([fb[:, 0], fb[:, 1], cidx], axis=1),
+                np.stack([fb[:, 1], fb[:, 2], cidx], axis=1),
+                np.stack([fb[:, 2], fb[:, 0], cidx], axis=1)])
+            mesh = TriMesh(np.concatenate([pts, centers]),
+                           np.concatenate([f[~big], new_faces]))
+        return mesh
 
     def find_face_correction(self):
         """Most-crowded faces by summed 6-NN center distance

@@ -320,3 +320,72 @@ def test_read_reg_deformable(tmp_path, rng):
     np.testing.assert_allclose(deform.rigid_matrix, np.linalg.inv(m),
                                atol=1e-6)
     np.testing.assert_allclose(deform.spacing, [2.0, 2.0, 5.0])
+
+
+def test_compute_biomechanical(tmp_path, rng):
+    """Linear-elastic demons (implemented; the reference reserved an
+    empty stub): recovers a shift like fast demons while producing a
+    LOWER-divergence (more tissue-like) field."""
+    from medicalimageanalysis_tpu.ops.registration.demons import (
+        demons_registration)
+
+    Z, Y, X = 16, 32, 32
+    zz, yy, xx = np.mgrid[0:Z, 0:Y, 0:X].astype(np.float32)
+    fixed = np.exp(-(((zz - 8) / 3) ** 2 + ((yy - 16) / 6) ** 2
+                     + ((xx - 16) / 6) ** 2)).astype(np.float32)
+    moving = np.roll(fixed, (0, 2, -2), axis=(0, 1, 2))
+
+    def div_energy(d):
+        return float(np.mean((np.gradient(d[..., 0], axis=2)
+                              + np.gradient(d[..., 1], axis=1)
+                              + np.gradient(d[..., 2], axis=0)) ** 2))
+
+    d_bio = demons_registration(fixed, moving, (1., 1., 1.),
+                                method="biomechanical", iterations=25,
+                                elastic_lambda=0.4)
+    d_none = demons_registration(fixed, moving, (1., 1., 1.),
+                                 method="biomechanical", iterations=25,
+                                 elastic_lambda=0.0)
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+    w = np.asarray(warp_volume(moving, d_bio, (1., 1., 1.)))
+    mse0 = float(np.mean((fixed - moving) ** 2))
+    mse1 = float(np.mean((fixed - w) ** 2))
+    assert mse1 < 0.6 * mse0
+    # isolating the elastic step (same method, lambda 0.4 vs 0): the
+    # regularizer must reduce the field's divergence energy
+    assert div_energy(d_bio) < div_energy(d_none)
+
+
+def test_advanced_split_watertight(rng):
+    """advanced_split refines oversized faces without changing the
+    surface (volume preserved; no T-junctions by construction)."""
+    from medicalimageanalysis_tpu.utils.mesh.surface import Refinement
+    from medicalimageanalysis_tpu.utils.mesh.trimesh import box_mesh
+
+    mesh = box_mesh([0, 0, 0], [10, 6, 4])
+    # stretch one face set by perturbing nothing — box faces are uneven
+    ref = Refinement(mesh)
+    out = ref.advanced_split(area_factor=1.0, max_rounds=3)
+    assert out.faces.shape[0] > mesh.faces.shape[0]
+    np.testing.assert_allclose(out.volume, mesh.volume, rtol=1e-6)
+    areas_before = None  # silence linters
+
+
+def test_retrieve_vtk_volume(tmp_path, rng):
+    """Identity display -> base bundle; rotated display -> resliced
+    identity-direction grid (the reference's version is broken)."""
+    from helpers import write_ct_series
+    import medicalimageanalysis_tpu as mia
+    from medicalimageanalysis_tpu.data import Data
+
+    arr = rng.integers(0, 500, size=(8, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr)
+    mia.read_dicoms(folder_path=str(tmp_path / "ct"))
+    img = Data.image[Data.image_list[-1]]
+    bundle = img.retrieve_vtk_volume()
+    assert (np.asarray(bundle["array"]) == np.asarray(img.array)).all()
+    img.update_rotation(r_z=15)
+    rot = img.retrieve_vtk_volume()
+    assert rot["array"].shape != (0,)
+    np.testing.assert_allclose(rot["direction"], np.eye(3))
+    assert rot["array"].shape[1] > arr.shape[1]  # autocrop grew the grid
