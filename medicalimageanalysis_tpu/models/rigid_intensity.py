@@ -242,12 +242,15 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map  # jax >= 0.8
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
             spec = P("data")
             level = shard_map(
                 level, mesh=mesh,
                 in_specs=(spec, spec, spec, spec, spec, spec),
-                out_specs=(spec, spec), check_rep=False)
+                out_specs=(spec, spec))
         poses, losses = jax.jit(level)(refs, movs, ref_pix2pos,
                                        mov_pos2pix, centers, poses)
     return np.asarray(poses), np.asarray(losses)

@@ -20,7 +20,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 try:
     from jax import shard_map  # jax >= 0.8
 except ImportError:  # older layouts
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
 __all__ = ["gaussian_z_sharded"]
 

@@ -78,9 +78,20 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
 
     # -- DVH analytics ----------------------------------------------------
     def compute_dose_statistics(self):
-        """Stub kept for API-shape parity (reference
-        structure/dose.py:732-736 is an empty stub)."""
-        pass
+        """Whole-grid dose statistics (the reference reserved an empty
+        stub, structure/dose.py:732-736): min/max/mean/median/std over
+        the dose grid plus the integral dose in Gy*cc."""
+        arr = np.asarray(self.array, np.float32)
+        voxel_cc = float(np.prod(np.asarray(self.spacing))) / 1000.0
+        return {
+            "min": float(arr.min()),
+            "max": float(arr.max()),
+            "mean": float(arr.mean()),
+            "median": float(np.median(arr)),
+            "std": float(arr.std()),
+            "integral_gy_cc": float(arr.sum() * voxel_cc),
+            "grid_volume_cc": float(arr.size * voxel_cc),
+        }
 
     def compute_roi_dose_array(self, image_name, roi_name):
         """Resample the dose grid onto the image grid and extract the

@@ -389,3 +389,33 @@ def test_retrieve_vtk_volume(tmp_path, rng):
     assert rot["array"].shape != (0,)
     np.testing.assert_allclose(rot["direction"], np.eye(3))
     assert rot["array"].shape[1] > arr.shape[1]  # autocrop grew the grid
+
+
+def test_compute_dose_statistics_whole_grid():
+    """Whole-grid dose stats (implemented; reference reserved a stub)."""
+    from medicalimageanalysis_tpu.structure.dose import Dose
+
+    class H:
+        pass
+    h = H()
+    from medicalimageanalysis_tpu.dicom import Dataset
+    h.array = np.full((4, 8, 8), 2.0, np.float32)
+    h.image_set = [Dataset()]
+    h.plane = "Axial"
+    h.spacing = np.array([1.0, 1.0, 2.5])
+    h.origin = np.zeros(3)
+    h.dimensions = np.array([8, 8, 4])
+    h.orientation = [1, 0, 0, 0, 1, 0]
+    h.image_matrix = np.eye(3)
+    h.dose_name = "Dose 01"
+    h.modality = "RTDOSE"
+    h.unverified = []
+    h.filepaths = []
+    h.sops = []
+    d = Dose(h)
+    stats = d.compute_dose_statistics()
+    assert stats["mean"] == 2.0 and stats["max"] == 2.0
+    np.testing.assert_allclose(stats["grid_volume_cc"],
+                               4 * 8 * 8 * 2.5 / 1000.0)
+    np.testing.assert_allclose(stats["integral_gy_cc"],
+                               2.0 * 4 * 8 * 8 * 2.5 / 1000.0)
