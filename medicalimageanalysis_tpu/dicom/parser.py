@@ -351,6 +351,8 @@ class _ArrayTable:
         self._overlay[tag] = el
 
     def __delitem__(self, tag):
+        if tag not in self:  # dict contract (review finding)
+            raise KeyError(tag)
         self._overlay.pop(tag, None)
         if self._extra and tag in self._extra:
             del self._extra[tag]
@@ -359,6 +361,29 @@ class _ArrayTable:
             if self._deleted is None:
                 self._deleted = set()
             self._deleted.add(tag)
+
+    def pop(self, tag, *default):
+        """dict-API pop (dcmwrite's encapsulated path needs it)."""
+        try:
+            el = self[tag]
+        except KeyError:
+            if default:
+                return default[0]
+            raise
+        del self[tag]
+        return el
+
+    def setdefault(self, tag, default=None):
+        try:
+            return self[tag]
+        except KeyError:
+            self[tag] = default
+            return default
+
+    def update(self, other):
+        items = other.items() if hasattr(other, "items") else other
+        for k, v in items:
+            self[k] = v
 
     def _base_keys(self):
         if self._keys is None:

@@ -219,16 +219,21 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
     losses = jnp.zeros((P_n,), jnp.float32)
 
     from ..ops.pallas_warp import fits_warp_caps
+
+    def _all_fit(ps):
+        for p in range(P_n):
+            m_now = np.asarray(pose_to_matrix(ps[p], centers[p]))
+            P_now = (np.asarray(mov_pos2pix[p]) @ m_now
+                     @ np.asarray(ref_pix2pos[p]))
+            if not fits_warp_caps(P_now):
+                return False
+        return True
+
     for stride, steps, lr in levels:
         # capture-range guard over ALL pairs (see register_rigid_
         # intensity): one pair beyond the slab windows demotes the
         # level to the unbounded XLA sampler
-        use_pallas = True
-        for p in range(P_n):
-            m_now = np.asarray(pose_to_matrix(poses[p], centers[p]))
-            P_now = (np.asarray(mov_pos2pix[p]) @ m_now
-                     @ np.asarray(ref_pix2pos[p]))
-            use_pallas = use_pallas and bool(fits_warp_caps(P_now))
+        use_pallas = _all_fit(poses)
 
         def level(r, m, rp, mp, c, p0):
             def one(args):
@@ -251,8 +256,35 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
                 level, mesh=mesh,
                 in_specs=(spec, spec, spec, spec, spec, spec),
                 out_specs=(spec, spec))
+        poses_in = poses
         poses, losses = jax.jit(level)(refs, movs, ref_pix2pos,
-                                       mov_pos2pix, centers, poses)
+                                       mov_pos2pix, centers, poses_in)
+        if use_pallas and not _all_fit(poses):
+            # a pair walked past the slab caps mid-level: redo the
+            # level on the unbounded XLA sampler (review finding)
+            def level2(r, m, rp, mp, c, p0):
+                def one(args):
+                    ri, mi, rpi, mpi, ci, pi = args
+                    pose1, ls = _register_level(
+                        ri, mi, rpi, mpi, ci, pi, jnp.float32(lr),
+                        int(steps), (int(stride),) * 3, scale,
+                        use_pallas=False)
+                    return pose1, ls[-1]
+                return jax.lax.map(one, (r, m, rp, mp, c, p0))
+
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                try:
+                    from jax import shard_map
+                except ImportError:  # pragma: no cover
+                    from jax.experimental.shard_map import shard_map
+                spec = P("data")
+                level2 = shard_map(
+                    level2, mesh=mesh,
+                    in_specs=(spec,) * 6, out_specs=(spec, spec))
+            poses, losses = jax.jit(level2)(refs, movs, ref_pix2pos,
+                                            mov_pos2pix, centers,
+                                            poses_in)
     return np.asarray(poses), np.asarray(losses)
 
 
@@ -304,18 +336,33 @@ def register_rigid_intensity(reference_image, moving_image, pose0=None,
     refj = jnp.asarray(ref)
     movj = jnp.asarray(mov)
     from ..ops.pallas_warp import fits_warp_caps
+
+    def _fits(p):
+        m_now = np.asarray(pose_to_matrix(p, jnp.asarray(center)))
+        P_now = np.asarray(mov_pos2pix) @ m_now @ np.asarray(ref_pix2pos)
+        return bool(fits_warp_caps(P_now))
+
     for stride, steps, lr in levels:
         # capture-range guard: if the level's STARTING pose maps a tile
         # beyond the Pallas slab windows (initial rotations beyond
         # ~10 deg), run that level on the unbounded XLA sampler
-        m_now = np.asarray(pose_to_matrix(pose, jnp.asarray(center)))
-        P_now = np.asarray(mov_pos2pix) @ m_now @ np.asarray(ref_pix2pos)
-        use_pallas = bool(fits_warp_caps(P_now))
+        pose_in = pose
+        use_pallas = _fits(pose_in)
         pose, losses = _register_level(
             refj, movj, jnp.asarray(ref_pix2pos),
-            jnp.asarray(mov_pos2pix), jnp.asarray(center), pose,
+            jnp.asarray(mov_pos2pix), jnp.asarray(center), pose_in,
             jnp.float32(lr), int(steps), (stride, stride, stride),
             jnp.float32(intensity_scale), use_pallas=use_pallas)
+        if use_pallas and not _fits(pose):
+            # the descent WALKED past the slab caps mid-level (no
+            # overflow sync exists under jit): redo this level on the
+            # unbounded XLA sampler from the level's starting pose
+            # (round-2 review finding)
+            pose, losses = _register_level(
+                refj, movj, jnp.asarray(ref_pix2pos),
+                jnp.asarray(mov_pos2pix), jnp.asarray(center), pose_in,
+                jnp.float32(lr), int(steps), (stride, stride, stride),
+                jnp.float32(intensity_scale), use_pallas=False)
         losses_all.append(np.asarray(losses))
 
     matrix = np.asarray(pose_to_matrix(pose, jnp.asarray(center)),

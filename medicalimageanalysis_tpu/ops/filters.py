@@ -180,7 +180,13 @@ def largest_component_batch(masks):
     (B, Z, Y, X) — the cohort-scale counterpart of
     :func:`largest_component`, which stays on host scipy for single
     volumes (fast for one mask, serial for a cohort). 26-connectivity,
-    matching the reference's skimage.measure.label default."""
+    matching the reference's skimage.measure.label default.
+
+    Scaling caveat: label propagation converges in O(component
+    diameter) full-volume sweeps and the per-volume count buffer is
+    Z*Y*X int32, so at clinical 512^2 sizes with snaking components the
+    host scipy path can win — measured 1.5x device advantage at
+    8x(40,128,128); benchmark before choosing for larger cohorts."""
     m = jnp.asarray(masks) > 0
     if m.ndim == 3:
         out, _ = _label_prop_largest(m)

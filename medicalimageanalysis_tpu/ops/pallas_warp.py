@@ -426,6 +426,7 @@ def field_warp(vol, cz, cy, cx, background=0.0, want_grad=False,
     cx = jnp.asarray(cx, jnp.float32)
 
     backend = jax.default_backend()
+    explicit_interpret = interpret is not None
     if interpret is None:
         interpret = backend != "tpu"
     tracing = any(isinstance(a, jax.core.Tracer)
@@ -433,7 +434,10 @@ def field_warp(vol, cz, cy, cx, background=0.0, want_grad=False,
     if check_overflow is None:
         check_overflow = not tracing
 
-    if backend not in ("tpu", "cpu"):
+    # off-TPU the XLA twin beats interpret-mode kernel emulation (the
+    # gather pathology is TPU-specific); interpret=True explicitly
+    # still exercises the kernel (the CPU test path)
+    if backend != "tpu" and not explicit_interpret:
         out = field_warp_xla(vol, cz, cy, cx, background)
         out = out[0] if squeeze else out
         if want_grad:

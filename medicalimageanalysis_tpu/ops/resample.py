@@ -392,16 +392,16 @@ def reslice_rotation(volume, volume_matrix, spacing, origin, display_matrix,
 
 
 def _permuted_shear_decompose(volume, A):
-    """Try the 5 non-identity input-axis permutations: transpose the
-    volume (device relayout) and reorder A's coordinate rows so the
-    permuted map factorizes with healthy pivots. Returns
-    (permuted_volume, permuted_A, decomposition) or (volume, A, None)."""
+    """Factor through the BEST input-axis permutation (identity
+    included): transpose the volume (device relayout) and reorder A's
+    coordinate rows so the permuted map factorizes with the healthiest
+    pivots — barely-passing direct pivots cost ~20x interior accuracy.
+    Returns (permuted_volume, permuted_A, decomposition) or
+    (volume, A, None)."""
     from itertools import permutations
 
     best = None
     for perm in permutations(range(3)):        # new zyx <- old zyx axes
-        if perm == (0, 1, 2):
-            continue
         # A rows are input (x, y, z) coords = old vol axes (2, 1, 0);
         # new axis j carries old axis perm[j], so new row for x' is the
         # old row of axis perm[2], etc.
@@ -417,6 +417,8 @@ def _permuted_shear_decompose(volume, A):
     if best is None:
         return volume, A, None
     _, perm, AP, dec = best
+    if perm == (0, 1, 2):
+        return volume, AP, dec
     volP = jnp.transpose(jnp.asarray(volume, jnp.float32), perm)
     return volP, AP, dec
 
@@ -520,16 +522,13 @@ def affine_resample_shear(volume, pixel_matrix, out_shape,
         # np.asarray (round-1 ADVICE)
         return affine_resample(volume, pixel_matrix, out_shape, background)
     A = np.asarray(pixel_matrix, np.float64)
-    dec = _shear_decompose(A)
-    vol = volume
-    if dec is None:
-        # axis-permutation pre-pass: rotations beyond ~60 deg about an
-        # axis have small pivots in the direct factorization, but some
-        # permutation of the INPUT axes (a transpose of the volume — an
-        # HBM-bandwidth relayout, cheap on TPU) always restores usable
-        # pivots for an invertible map (round-1 review item: kill the
-        # fallback cliff)
-        vol, A, dec = _permuted_shear_decompose(volume, A)
+    # axis-permutation pre-pass: pick the input-axis permutation
+    # (identity included) with the healthiest pivots — large rotations
+    # fail the direct factorization outright, and near-threshold direct
+    # pivots (e.g. cos 80 deg = 0.17) cost ~20x interior accuracy vs a
+    # well-permuted factorization (round-2 review finding). The
+    # transpose is an HBM-bandwidth relayout, cheap on TPU.
+    vol, A, dec = _permuted_shear_decompose(volume, A)
     if dec is None:
         return affine_resample(volume, pixel_matrix, out_shape,
                                background)

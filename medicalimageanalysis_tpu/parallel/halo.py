@@ -19,11 +19,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 try:
     from jax import shard_map  # jax >= 0.8
-except ImportError:  # older layouts
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 __all__ = ["gaussian_z_sharded"]
 

@@ -232,11 +232,13 @@ class ViewOpsMixin:
         if np.allclose(disp, base):
             return self.create_volume()
         from ..ops.resample import reslice_rotation
-        R = np.eye(4)
-        R[:3, :3] = disp @ np.linalg.inv(base)
+        # the FULL display matrix, exactly as Display.compute_offaxis_
+        # array reslices (structure/image.py:81) — a relative rotation
+        # put oblique-base volumes in a different frame than the
+        # displayed slices (round-2 review finding)
         arr, new_origin = reslice_rotation(
             np.asarray(self.array), base, np.asarray(self.spacing),
-            np.asarray(self.origin), R)
+            np.asarray(self.origin), disp)
         return {"array": arr,
                 "origin": np.asarray(new_origin, dtype=float),
                 "spacing": np.asarray(self.spacing, dtype=float),

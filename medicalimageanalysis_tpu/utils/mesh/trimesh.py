@@ -245,24 +245,11 @@ class TriMesh:
             segments.extend((seg_pts[i, 0], seg_pts[i, 1])
                             for i in range(seg_pts.shape[0]))
 
-        # degenerate faces (vertex or edge exactly in-plane): old path
-        for fi in np.nonzero(crossing)[0][~generic] \
-                if (~generic).any() else []:
-            vs = f[fi]
-            ds = d[vs]
-            pts = []
-            for a, b in pairs:
-                da, db = ds[a], ds[b]
-                if (da > 0) != (db > 0):
-                    t = da / (da - db)
-                    pts.append(self.points[vs[a]]
-                               + t * (self.points[vs[b]]
-                                      - self.points[vs[a]]))
-                elif da == 0 and db == 0:
-                    pts.append(self.points[vs[a]])
-                    pts.append(self.points[vs[b]])
-            if len(pts) >= 2:
-                segments.append((pts[0], pts[1]))
+        # NOTE: with the (d > 0) predicate, sign transitions around a
+        # 3-cycle are always even, so every crossing face has EXACTLY
+        # two crossed edges — 'generic' is always all-True and no
+        # per-face fallback is needed (faces lying fully in the plane
+        # have side all-False and are excluded by `crossing`).
         if not segments:
             return []
         return _chain_segments(segments)

@@ -268,3 +268,23 @@ def test_shear_permutation_large_rotation(rng):
     inner = (slice(2, -2),) * 3
     d = np.abs(out[inner] - ref[inner])
     assert float(d.mean()) < 0.2 * float(vol.std())
+
+    # 80 deg: the direct factorization barely passes its pivot floor
+    # (cos 80 = 0.17) but is ~13x less accurate than the permuted one;
+    # the chooser must prefer the healthiest pivots (round-2 review)
+    A80 = np.eye(4)
+    R80 = Rotation.from_euler("z", 80, degrees=True).as_matrix()
+    A80[:3, :3] = R80
+    A80[:3, 3] = ctr - R80 @ ctr + [0.3, -0.4, 0.2]
+    assert _shear_decompose(A80) is not None  # direct WOULD pass
+    _, _, dec80 = _permuted_shear_decompose(vol, A80)
+    pivots = np.abs([dec80[0][i][0] for i in range(3)])
+    assert pivots.min() > 0.9  # the permuted factorization won
+    out80 = np.asarray(affine_resample_shear(vol, A80, vol.shape,
+                                             background=0.0,
+                                             interpret=True))
+    ref80 = np.asarray(_affine_resample_jit(jnp.asarray(vol),
+                                            jnp.asarray(A80, np.float32),
+                                            vol.shape, jnp.float32(0.0)))
+    d80 = np.abs(out80[inner] - ref80[inner])
+    assert float(d80.mean()) < 0.05 * float(vol.std())
