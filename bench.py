@@ -257,6 +257,7 @@ def main():
             "host_s": round(t_host, 3),
             "rigid_reg_40step_ms": round(reg_ms, 1),
             "onchip_series_per_s": round(onchip_series_s, 2),
+            "onchip_vs_baseline": round(onchip_series_s / TARGET, 3),
             "raster_device_ms": round(raster_ms["device"], 1),
             "raster_cv2_ms": round(raster_ms["cv2"], 1),
             "resample_filter_batch_ms": round(resample_ms, 1),

@@ -226,6 +226,19 @@ def test_metadata_goldens_pinned(tmp_path, rng):
     np.testing.assert_allclose(img.matrix, np.eye(3), atol=1e-9)
     assert list(img.dimensions) == [20, 24, 6]
 
+    # coronal: IOP [1,0,0,0,0,-1], slices stepping +y; the canonical
+    # rewrite flips the in-plane -z row, shifting origin z to
+    # -(rows-1)*row_spacing + 18 = -1
+    write_series(tmp_path / "cor", arr, [1, 0, 0, 0, 0, -1],
+                 origin=(4.0, 30.0, 18.0), thickness=2.0)
+    mia.read_dicoms(folder_path=str(tmp_path / "cor"), clear=False)
+    img = Data.image[Data.image_list[-1]]
+    assert img.plane == "Coronal"
+    np.testing.assert_allclose(img.spacing, [1.0, 2.0, 1.0], atol=1e-9)
+    np.testing.assert_allclose(img.origin, [4.0, 30.0, -1.0], atol=1e-9)
+    np.testing.assert_allclose(img.matrix, np.eye(3), atol=1e-9)
+    assert list(img.dimensions) == [20, 6, 24]
+
     # every FFS-rewritten direction matrix must be orthonormal (the
     # fixed reference bug produced 23/24-scaled rows here)
     for name in Data.image_list:
