@@ -166,7 +166,10 @@ def polygon_bitmaps(polygons, H, W):
         verts[k, n:] = p[0]  # close + pad on first vertex
         edge_valid[k, :n] = True  # n edges: v0..vn-1 -> v1..vn(=v0)
     out = _polygon_bitmaps(jnp.asarray(verts), jnp.asarray(edge_valid), H, W)
-    return np.asarray(out[:K])
+    # slice on HOST: a device out[:K] is an eager op that compiles a new
+    # executable for every distinct polygon count; the padded rows are
+    # all-zero and compress to ~nothing in transfer
+    return np.asarray(out)[:K]
 
 
 def fill_polygons_2d(polygons, H, W):
