@@ -227,21 +227,31 @@ class ReadUS(object):
     def _compute_array(self):
         """Keep pixels where the color channels agree (std across channel
         == 0), i.e. true grayscale echo; drop colored overlays
-        (reference read/dicom.py:1310-1342)."""
-        us_data = np.asarray(self.image_set[0].pixel_array)
-        del self.image_set[0].PixelData
+        (reference read/dicom.py:1310-1342).
 
-        if us_data.ndim == 2:
-            us_data = us_data.reshape((1, *us_data.shape))
+        REFERENCE BUG FIXED: a 3-D pixel array is ambiguous between a
+        grayscale multi-frame cine (frames, rows, cols) and one RGB
+        frame (rows, cols, 3); the reference treats every 3-D array as
+        channels-last, so grayscale cines got their std taken across
+        COLUMNS and were wiped to near-zero. Disambiguate on
+        SamplesPerPixel (see PARITY.md)."""
+        img = self.image_set[0]
+        samples = int(img.get("SamplesPerPixel", 1) or 1)
+        us_data = np.asarray(img.pixel_array)
+        del img.PixelData
 
-        if us_data.ndim == 3:
+        if samples == 1:
+            # true grayscale echo: no channel axis anywhere
+            if us_data.ndim == 2:
+                us_data = us_data.reshape((1, *us_data.shape))
+            self.array = us_data.astype(np.uint8)
+        elif us_data.ndim == 3:
+            # one RGB frame (rows, cols, samples)
             uniform_mask = (np.std(us_data, axis=2) == 0)
-            self.array = (uniform_mask * us_data[:, :, 0]).astype(np.uint8)
-            if self.array.ndim == 2:
-                self.array = np.expand_dims(self.array, axis=0)
+            self.array = np.expand_dims(
+                (uniform_mask * us_data[:, :, 0]).astype(np.uint8), axis=0)
         else:
             uniform_mask = (np.std(us_data, axis=3) == 0)
             self.array = (uniform_mask * us_data[:, :, :, 0]).astype(np.uint8)
 
-        if self.array.ndim == 3:
-            self.dimensions[0] = self.array.shape[0]
+        self.dimensions = np.asarray(self.array.shape)

@@ -178,6 +178,48 @@ def test_us_reader(tmp_path, rng):
     assert img.array[1, 2, 3] == frames[1, 2, 3]
 
 
+def test_us_reader_grayscale(tmp_path, rng):
+    """Grayscale US decodes without the channel-uniformity filter: a
+    multi-frame cine is (frames, rows, cols) — also ndim 3 — which the
+    reference mistakes for channels-last RGB and wipes (PARITY.md)."""
+    from medicalimageanalysis_tpu.dicom import (Dataset, dcmwrite,
+                                                generate_uid, uids)
+
+    def us_ds(arr, frames):
+        ds = Dataset()
+        ds.SOPClassUID = uids.USImageStorage
+        ds.SOPInstanceUID = generate_uid()
+        ds.Modality = "US"
+        ds.PatientID = "U"
+        if frames > 1:
+            ds.NumberOfFrames = frames
+        ds.Rows, ds.Columns = arr.shape[-2], arr.shape[-1]
+        ds.BitsAllocated = 8
+        ds.BitsStored = 8
+        ds.HighBit = 7
+        ds.PixelRepresentation = 0
+        ds.SamplesPerPixel = 1
+        ds.PhotometricInterpretation = "MONOCHROME2"
+        ds.PixelData = arr.tobytes()
+        return ds
+
+    cine = rng.integers(0, 255, size=(4, 16, 16)).astype(np.uint8)
+    single = rng.integers(0, 255, size=(16, 16)).astype(np.uint8)
+    (tmp_path / "us").mkdir()
+    dcmwrite(tmp_path / "us" / "cine.dcm", us_ds(cine, 4))
+    dcmwrite(tmp_path / "us" / "single.dcm", us_ds(single, 1))
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    arrays = {Data.image[n].array.shape: Data.image[n].array
+              for n in Data.image_list}
+    np.testing.assert_array_equal(arrays[(4, 16, 16)], cine)
+    np.testing.assert_array_equal(arrays[(1, 16, 16)],
+                                  single.reshape(1, 16, 16))
+    for n in Data.image_list:
+        img = Data.image[n]
+        assert list(img.dimensions) == list(img.array.shape)
+
+
 def test_parallel_preprocess_on_mesh(rng):
     import jax
     from medicalimageanalysis_tpu.parallel.batch import preprocess_batch
