@@ -280,6 +280,25 @@ class _ArrayTable:
         self._extra = None      # assigned tags not present in base
         self._keys = None       # cached python-int base keys
 
+    @classmethod
+    def from_columns(cls, buf, tags64, vr, off, len_, little):
+        """Zero-check constructor for the batch (columnar) ingest path:
+        the caller has already verified ascending tag order and done the
+        int64 conversion for the WHOLE cohort in one vectorized pass, so
+        per-file construction is pure attribute assignment."""
+        self = cls.__new__(cls)
+        self._buf = buf
+        self._tags = tags64
+        self._vr = vr
+        self._off = off
+        self._len = len_
+        self._little = little
+        self._overlay = {}
+        self._deleted = None
+        self._extra = None
+        self._keys = None
+        return self
+
     # -- lookup ---------------------------------------------------------
     def _find(self, tag):
         # bisect on the cached python-int list beats np.searchsorted's
@@ -640,6 +659,81 @@ def dataset_from_scan(buf, entries, meta4, stop_before_pixels=False,
     if filename is not None:
         ds.filename = filename
     return ds
+
+
+def datasets_from_scan_batch(bufs, entries, counts, metas,
+                             stop_before_pixels=False, filenames=None):
+    """Columnar Dataset construction for a whole scanned cohort.
+
+    ``dataset_from_scan`` per file spends most of its time in small
+    numpy reductions (meta split, flatness checks, tag sort check) whose
+    per-call overhead dwarfs the work at ~40 tags/file. Here those run
+    ONCE as 2-D reductions over the native scanner's (n_files,
+    max_entries) table, and per-file construction collapses to slicing
+    row views into :meth:`_ArrayTable.from_columns`. The file meta group
+    becomes a *lazy* ``_ArrayTable`` too (the per-element materialization
+    loop was ~20% of parse; consumers only ever touch
+    TransferSyntaxUID/MediaStorageSOPInstanceUID).
+
+    Returns a list aligned with ``bufs``: a Dataset, or None where the
+    file needs the tolerant per-file path (scan error, deflated stream,
+    implicit-VR sequences, out-of-order tags).
+    """
+    cnt = np.maximum(np.asarray(counts, np.int64), 0)
+    # the scan table is sized for the worst file (typically 2048
+    # columns); real slice headers hold ~40 tags, so slice the table to
+    # the occupied prefix before any 2-D reduction (50x less work)
+    m = max(int(cnt.max()) if cnt.size else 0, 1)
+    n = entries.shape[0]
+    # contiguous copies of the occupied prefix: the input table is a
+    # reused arena (native.scan_batch) that the NEXT cohort overwrites,
+    # so nothing the datasets keep may alias it — and the copies make
+    # every reduction below contiguous and 50x smaller than the table
+    tags64 = entries["tag"][:, :m].astype(np.int64)
+    vrs = np.ascontiguousarray(entries["vr"][:, :m])
+    lens = np.ascontiguousarray(entries["len"][:, :m])
+    offs = np.ascontiguousarray(entries["off"][:, :m])
+    depths = np.ascontiguousarray(entries["depth"][:, :m])
+    valid = np.arange(m, dtype=np.int64)[None, :] < cnt[:, None]
+    grp = tags64 >> 16
+
+    # the flat fast path of _build_from_entries, vectorized: no nesting,
+    # no FFFE control tags (and no group <2 oddities that would break
+    # the sorted meta-prefix split), no undefined lengths, explicit VR
+    # everywhere (so no implicit-SQ dictionary walk), ascending tags
+    flat = ~(depths.astype(bool) & valid).any(axis=1)
+    flat &= ~(((grp == 0xFFFE) | (grp < 2)) & valid).any(axis=1)
+    flat &= ~((lens == np.uint64(0xFFFFFFFFFFFFFFFF)) & valid).any(axis=1)
+    flat &= ((vrs != 0) | ~valid).all(axis=1)
+    if m > 1:
+        flat &= ((tags64[:, 1:] >= tags64[:, :-1])
+                 | ~valid[:, 1:]).all(axis=1)
+    meta_counts = ((grp == 2) & valid).sum(axis=1)
+    ts_codes = np.asarray(metas)[:, 0].astype(np.int64)
+    ok = flat & (np.asarray(counts) >= 0) & (ts_codes != 3) & (cnt > 0)
+
+    out = []
+    for i in range(n):
+        if not ok[i]:
+            out.append(None)
+            continue
+        c = int(cnt[i])
+        mc = int(meta_counts[i])
+        buf = bufs[i]
+        ds = Dataset()
+        object.__setattr__(ds, "_dict", _ArrayTable.from_columns(
+            buf, tags64[i, mc:c], vrs[i, mc:c], offs[i, mc:c],
+            lens[i, mc:c], bool(ts_codes[i] != 2)))
+        if mc:
+            fm = FileMetaDataset()
+            object.__setattr__(fm, "_dict", _ArrayTable.from_columns(
+                buf, tags64[i, :mc], vrs[i, :mc], offs[i, :mc],
+                lens[i, :mc], True))
+            ds.file_meta = fm
+        if filenames is not None:
+            ds.filename = str(filenames[i])
+        out.append(ds)
+    return out
 
 
 def _looks_like_raw_dicom(buf):

@@ -11,6 +11,7 @@ per file and relies on GIL list-append ordering; read/dicom.py:202-216).
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -155,7 +156,8 @@ class DicomReader(object):
         odd files (deflated, scan errors, table overflow) fall back to
         the tolerant per-file parser."""
         from .. import native
-        from ..dicom.parser import dataset_from_scan
+        from ..dicom.parser import (dataset_from_scan,
+                                    datasets_from_scan_batch)
 
         if native.get_lib() is None:
             return None
@@ -167,21 +169,37 @@ class DicomReader(object):
             except OSError:
                 return b""
 
-        workers = min(16, max(1, len(paths)))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            bufs = list(pool.map(_read_bytes, paths))
+        # file reads release the GIL, so a pool parallelizes them on
+        # real hosts — but on a single-core box the thread churn costs
+        # more than it saves (measured 28 ms threaded vs 12 ms serial
+        # for 320 files): read inline there
+        if (os.cpu_count() or 1) <= 1:
+            bufs = [_read_bytes(p) for p in paths]
+        else:
+            workers = min(16, max(1, len(paths)))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                bufs = list(pool.map(_read_bytes, paths))
 
         res = native.scan_batch(bufs, stop_before_pixels=self.only_tags)
         if res is None:
             return None
         entries, counts, metas = res
+        try:
+            dss = datasets_from_scan_batch(bufs, entries, counts, metas,
+                                           self.only_tags, paths)
+        except Exception:
+            dss = [None] * len(paths)
         out = []
         for i, p in enumerate(paths):
-            ds = None
+            ds = dss[i]
             c = int(counts[i])
-            if c >= 0 and int(metas[i][0]) != 3:
+            if ds is None and c >= 0 and int(metas[i][0]) != 3:
+                # scanned fine but not batch-flat (sequences, implicit
+                # VR, odd ordering): build from the entry table per
+                # file. .copy(): the table is a reused arena the next
+                # scan_batch call overwrites (native.scan_batch)
                 try:
-                    ds = dataset_from_scan(bufs[i], entries[i, :c],
+                    ds = dataset_from_scan(bufs[i], entries[i, :c].copy(),
                                            metas[i], self.only_tags,
                                            filename=str(p))
                 except Exception:
@@ -218,10 +236,16 @@ class DicomReader(object):
                 expanded.append(d)
         self.ds = expanded
 
+        # one pass over the cohort instead of one per requested modality
+        # (the Modality tag access is a lazy-element materialization;
+        # 10 modality passes x N files was ~40% of grouping time)
+        buckets = {}
+        for d in self.ds:
+            if d and (0x0008, 0x0060) in d:
+                buckets.setdefault(d["Modality"].value, []).append(d)
+
         for modality in list(self.ds_modality.keys()):
-            images = [d for d in self.ds
-                      if d and (0x0008, 0x0060) in d
-                      and d["Modality"].value == modality]
+            images = buckets.get(modality, [])
             if not images or modality not in self.only_modality:
                 continue
 

@@ -14,6 +14,28 @@ import os
 _done = False
 
 
+def _host_cpu_key():
+    """Short fingerprint of the host CPU feature set.
+
+    XLA:CPU caches AOT-compiled executables whose cache key does NOT
+    fully include the target machine features; loading an entry written
+    on a wider-featured host risks SIGILL ("Machine type used for
+    XLA:CPU compilation doesn't match..." loader errors observed when
+    ~/.cache persisted across heterogeneous VMs). Keying the CPU cache
+    dir by the flags line makes entries host-profile-local."""
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(
+                        line.encode()).hexdigest()[:10]
+    except Exception:
+        pass
+    import platform
+    return platform.machine() or "unknown"
+
+
 def setup_jax_cache():
     """Idempotent: set a persistent compile cache unless one exists."""
     global _done
@@ -26,6 +48,13 @@ def setup_jax_cache():
         if current is None:
             cache = os.environ.get(
                 "MIA_JAX_CACHE", os.path.expanduser("~/.cache/jax_mia"))
+            plats = str(getattr(jax.config, "jax_platforms", None)
+                        or os.environ.get("JAX_PLATFORMS", "") or "")
+            if not any(p in plats for p in ("tpu", "axon")):
+                # CPU (or auto) target: host-feature-keyed dir, see
+                # _host_cpu_key. TPU/axon executables target the chip,
+                # where cross-host reuse is the whole point.
+                cache = f"{cache}-{_host_cpu_key()}"
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0)
