@@ -234,16 +234,23 @@ def main():
     from medicalimageanalysis_tpu.utils.convert.contour import ModelToMask
     mask_to_mesh(roi_mask, [0.97, 0.97, 2.5], [0.0, 0.0, 0.0],
                  np.eye(3))  # warm the compile
-    t6 = time.perf_counter()
-    mesh = mask_to_mesh(roi_mask, [0.97, 0.97, 2.5], [0.0, 0.0, 0.0],
-                        np.eye(3))
-    mc_ms = (time.perf_counter() - t6) * 1000.0
+    # best-of-3: host CPU steal on the shared bench VM swings identical
+    # runs 10x (docs/PERF.md); the min is the reproducible figure
+    mc_ms = float("inf")
+    for _ in range(3):
+        t6 = time.perf_counter()
+        mesh = mask_to_mesh(roi_mask, [0.97, 0.97, 2.5], [0.0, 0.0, 0.0],
+                            np.eye(3))
+        mc_ms = min(mc_ms, (time.perf_counter() - t6) * 1000.0)
     frac = min(1.0, 50000.0 / max(mesh.points.shape[0], 1))
     mesh_d = mesh.decimate_pro(1.0 - frac) if frac < 1.0 else mesh
-    t7 = time.perf_counter()
-    m2m = ModelToMask([mesh_d], empty_array=False)
-    assert m2m.mask is not None
-    voxelize_ms = (time.perf_counter() - t7) * 1000.0
+    voxelize_ms = float("inf")
+    for _ in range(2):
+        t7 = time.perf_counter()
+        m2m = ModelToMask([mesh_d], empty_array=False)
+        assert m2m.mask is not None
+        voxelize_ms = min(voxelize_ms,
+                          (time.perf_counter() - t7) * 1000.0)
 
     value = N_SERIES / total
     print(json.dumps({

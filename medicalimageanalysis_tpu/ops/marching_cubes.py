@@ -11,8 +11,16 @@ parts"):
    up to 12 triangles per active cube (6 tetrahedra x <=2 tris) into a
    static (K, 12, 3, 3) buffer with a validity mask.
 
-Vertices lie on lattice edges at linear-interpolated crossings (midpoints
-for binary masks), welded afterwards via TriMesh.clean.
+Vertices lie on lattice edges at linear-interpolated crossings, welded
+afterwards via TriMesh.clean.
+
+0/1 masks at iso=0.5 — the dominant call shape (ROI masks) — skip the
+device entirely: every crossing is an exact edge midpoint, so the
+surface is a pure table function of each cube's 8-bit corner pattern,
+and the mask is host-resident at the call site. `_binary_mc_host` runs
+the table emit + packed-key weld in vectorized numpy with zero
+transfers and zero compiles; its table is generated from the device
+kernel itself, so the two paths agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -24,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils.mesh.trimesh import TriMesh
+from ..utils.mesh.trimesh import TriMesh, unique_inverse
 
 __all__ = ["marching_cubes_mask", "mask_to_mesh"]
 
@@ -171,6 +179,100 @@ def _compact_tris(tris, valid, cap, quantize):
     return comp
 
 
+_BIN_TABLE = None
+
+
+def _binary_tables():
+    """(flat_tris, starts, ntris) lookup for all 256 corner patterns.
+
+    Generated ONCE by running :func:`_emit_triangles` itself on a
+    synthetic volume holding every pattern in its own 2x2x2 block, so
+    the host binary path below is exactly parity with the device kernel
+    by construction (same tet decomposition, same slot order, same
+    orientation rule). Coordinates are stored relative to the cube
+    origin, doubled to exact int16 half-units.
+    """
+    global _BIN_TABLE
+    if _BIN_TABLE is not None:
+        return _BIN_TABLE
+    vol = np.zeros((2, 2, 4 * 256), np.float32)
+    for p in range(256):
+        for ci, (dx, dy, dz) in enumerate(_CUBE_OFFSETS):
+            vol[dz, dy, 4 * p + dx] = (p >> ci) & 1
+    cube = np.stack([np.zeros(256, np.int32), np.zeros(256, np.int32),
+                     np.arange(256, dtype=np.int32) * 4], axis=1)
+    tris, valid = _emit_triangles(jnp.asarray(vol), jnp.asarray(cube),
+                                  jnp.ones(256, bool), jnp.float32(0.5))
+    tris = np.array(tris)                      # (256, 12, 3, 3) (x, y, z)
+    valid = np.array(valid)                    # (256, 12)
+    tris[..., 0] -= (np.arange(256) * 4)[:, None, None]
+    flat = np.round(tris[valid] * 2).astype(np.int16)   # (sum, 3, 3)
+    ntris = valid.sum(axis=1).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(ntris)])[:256]
+    _BIN_TABLE = (flat, starts, ntris)
+    return _BIN_TABLE
+
+
+def _binary_mc_host(vol8, pad):
+    """Table-driven marching tetrahedra for 0/1 masks, pure vectorized
+    numpy on host.
+
+    For a binary mask every triangle is a fixed function of its cube's
+    8-bit corner pattern (all crossings are exact edge midpoints), and
+    the mask is host-resident when this is called — so emitting on
+    device only to download the triangle soup paid upload + per-bucket
+    compiles + an entropy-limited download for work a few table gathers
+    do in place (docs/PERF.md marching-cubes breakdown). The device
+    path (:func:`_emit_triangles`) remains the float-volume/isovalue
+    path; this is bit-identical to it via :func:`_binary_tables`.
+    """
+    flat_tab, starts, ntris_tab = _binary_tables()
+    v = vol8
+    # bounding-box crop: the pattern pass is the only full-volume term
+    nz = np.nonzero(v.any(axis=(1, 2)))[0]
+    if nz.size == 0:
+        return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+    ny = np.nonzero(v.any(axis=(0, 2)))[0]
+    nx = np.nonzero(v.any(axis=(0, 1)))[0]
+    z0 = max(int(nz[0]) - 1, 0)
+    y0 = max(int(ny[0]) - 1, 0)
+    x0 = max(int(nx[0]) - 1, 0)
+    sub = v[z0:int(nz[-1]) + 2, y0:int(ny[-1]) + 2, x0:int(nx[-1]) + 2]
+    sz, sy, sx = sub.shape
+
+    pat = np.zeros((sz - 1, sy - 1, sx - 1), np.uint8)
+    for ci, (dx, dy, dz) in enumerate(_CUBE_OFFSETS):
+        corner = sub[dz:dz + sz - 1, dy:dy + sy - 1, dx:dx + sx - 1]
+        pat |= corner << np.uint8(ci)
+    act = (pat != 0) & (pat != 255)
+    coords = np.argwhere(act).astype(np.int64)          # (K, 3) z, y, x
+    if coords.shape[0] == 0:
+        return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+    p = pat[act]
+    tn = ntris_tab[p]
+    M = int(tn.sum())
+    if M == 0:
+        return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+    cube_idx = np.repeat(np.arange(coords.shape[0]), tn)
+    csum = np.concatenate([[0], np.cumsum(tn)])
+    within = np.arange(M) - np.repeat(csum[:-1], tn)
+    tri = flat_tab[starts[p][cube_idx] + within].astype(np.int64)
+    base2 = (coords[:, ::-1]
+             + np.asarray([x0, y0, z0], np.int64)) * 2   # doubled (x, y, z)
+    q = tri + base2[cube_idx][:, None, :]                # (M, 3, 3)
+    keys = q[..., 0] | (q[..., 1] << 16) | (q[..., 2] << 32)
+    uniq, inverse = unique_inverse(keys.reshape(-1))
+    points = np.stack([uniq & 0xFFFF, (uniq >> 16) & 0xFFFF,
+                       uniq >> 32], axis=1).astype(np.float32) * 0.5
+    faces = inverse.reshape(-1, 3).astype(np.int32)
+    good = ((faces[:, 0] != faces[:, 1])
+            & (faces[:, 1] != faces[:, 2])
+            & (faces[:, 0] != faces[:, 2]))
+    if pad:
+        points = points - 1.0
+    return TriMesh(points, faces[good])
+
+
 def _bucket(n, minimum=64, step=2.0):
     """Smallest bucket >= n on a geometric ladder. step=2 for compute
     buffers (few executables); a finer step for download caps bounds
@@ -194,13 +296,20 @@ def marching_cubes_mask(mask, iso=0.5, pad=True):
         or (src.size > 0 and float(src.max()) < 255
             and float(src.min()) >= 0))
     if small_int:
-        # stage as uint8 and cast on device: the host->device volume
-        # copy is the dominant off-chip cost (4x fewer bytes than f32)
         vol8 = np.pad(src.astype(np.uint8), 1) if pad \
             else src.astype(np.uint8)
-        volj = jnp.asarray(vol8).astype(jnp.float32)
         vmin, vmax = float(vol8.min()), float(vol8.max())
         shape = vol8.shape
+        if vmax <= 1.0 and vmin >= 0.0 and iso == 0.5 \
+                and max(shape) < 16000:
+            # 0/1 mask at the standard isovalue: the surface is a pure
+            # table function of each cube's corner pattern and the mask
+            # is already host-resident — no upload, no compile, no
+            # triangle-soup download (see _binary_mc_host)
+            return _binary_mc_host(vol8, pad)
+        # stage as uint8 and cast on device: the host->device volume
+        # copy is the dominant off-chip cost (4x fewer bytes than f32)
+        volj = jnp.asarray(vol8).astype(jnp.float32)
     else:
         vol = np.asarray(src, dtype=np.float32)
         if pad:
@@ -229,39 +338,17 @@ def marching_cubes_mask(mask, iso=0.5, pad=True):
                                   jnp.asarray(row_valid), jnp.float32(iso))
 
     # compact valid triangles ON DEVICE before the host download: the
-    # padded (Kb, 12, 3, 3) buffer is ~7x larger than the real surface
-    # (and binary-mask vertices are exact half-units, so they pack into
-    # uint16 at 2x coords for another 2x) — a 113 MB -> ~8 MB transfer
-    # cut at liver scale, which dominates wall time off-chip
+    # padded (Kb, 12, 3, 3) buffer is ~7x larger than the real surface,
+    # and the download dominates wall time off-chip
     nv = int(jnp.sum(valid))
     if nv == 0:
         return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int32))
-    # the uint16 half-unit pack is only exact for INTEGER 0/1 masks —
-    # float volumes in [0,1] have genuinely fractional crossings that
-    # truncation would snap to the half-voxel grid (self-review finding)
-    binary = small_int and vmax <= 1.0 and vmin >= 0.0 \
-        and iso == 0.5 and max(shape) < 16000
     # fine bucket ladder: the compact buffer is downloaded in full, so
-    # a 2x ladder would ship up to 2x the surface; 1.25 bounds it
+    # a 2x ladder would ship up to 2x the surface; 1.25 bounds it.
+    # (0/1 masks took the table path above; everything here has real
+    # fractional crossings, so no uint16 half-unit quantization.)
     cap = _bucket(nv, step=1.25)
-    compact = _compact_tris(tris, valid, cap, binary)
-    if binary:
-        # binary masks: vertices are exact half-units -> weld on ONE
-        # packed int64 key instead of np.unique over float rows (the
-        # row-unique weld was 6 s of the liver-scale wall; keys ~0.4 s)
-        q = np.asarray(compact)[:nv] \
-            .reshape(-1, 3).astype(np.int64)          # 2x coords
-        keys = q[:, 0] | (q[:, 1] << 16) | (q[:, 2] << 32)
-        uniq, inverse = np.unique(keys, return_inverse=True)
-        points = np.stack([uniq & 0xFFFF, (uniq >> 16) & 0xFFFF,
-                           uniq >> 32], axis=1).astype(np.float32) * 0.5
-        faces = inverse.reshape(-1, 3).astype(np.int32)
-        good = ((faces[:, 0] != faces[:, 1])
-                & (faces[:, 1] != faces[:, 2])
-                & (faces[:, 0] != faces[:, 2]))
-        if pad:
-            points = points - 1.0
-        return TriMesh(points, faces[good])
+    compact = _compact_tris(tris, valid, cap, False)
     flat = np.asarray(compact)[:nv].reshape(-1, 3, 3)
     if pad:
         flat = flat - 1.0                      # undo pad offset

@@ -24,19 +24,34 @@ from __future__ import annotations
 
 import numpy as np
 
-from .trimesh import TriMesh, box_mesh  # noqa: F401  (re-export)
+from .trimesh import TriMesh, box_mesh, unique_inverse  # noqa: F401
 
 __all__ = ["Refinement", "constrained_smooth", "taubin_smooth",
            "clean_mesh", "expansion", "surface_boundary",
            "only_main_component", "vertex_normals", "box_mesh"]
 
 
+def _edge_keys(edges_sorted):
+    """Pack sorted (E, 2) int edges into int64 keys (hash-free, exact:
+    vertex ids are < 2^31)."""
+    return (edges_sorted[:, 0].astype(np.int64) << 32) \
+        | edges_sorted[:, 1].astype(np.int64)
+
+
+def _unpack_edges(keys):
+    return np.stack([keys >> 32, keys & 0xFFFFFFFF],
+                    axis=1).astype(np.int64)
+
+
 def _adjacency(mesh):
-    """Unique undirected edges (E, 2) from faces."""
+    """Unique undirected edges (E, 2) from faces. Packed-key unique:
+    np.unique(axis=0)'s row sort measured seconds at organ scale
+    (3M+ edges)."""
     f = mesh.faces
     edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
     edges = np.sort(edges, axis=1)
-    return np.unique(edges, axis=0)
+    uniq, _ = unique_inverse(_edge_keys(edges))
+    return _unpack_edges(uniq)
 
 
 def _laplacian_step(points, edges, factor):
@@ -116,7 +131,8 @@ class Refinement(object):
             lines = np.vstack([self.face[:, [0, 1]], self.face[:, [0, 2]],
                                self.face[:, [1, 2]]])
             self.face_lines_sort = np.sort(lines, axis=1)
-            self.face_lines = np.unique(self.face_lines_sort, axis=0)
+            self.face_lines = _unpack_edges(
+                unique_inverse(_edge_keys(self.face_lines_sort))[0])
         else:
             self.face_lines_sort = np.zeros((0, 2), np.int64)
             self.face_lines = self.face_lines_sort
@@ -224,8 +240,9 @@ def _boundary_loops(mesh):
     f = mesh.faces
     edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
     edges_sorted = np.sort(edges, axis=1)
-    uniq, counts = np.unique(edges_sorted, axis=0, return_counts=True)
-    boundary = uniq[counts == 1]
+    ukeys, inverse = unique_inverse(_edge_keys(edges_sorted))
+    counts = np.bincount(inverse, minlength=ukeys.size)
+    boundary = _unpack_edges(ukeys[counts == 1])
     if boundary.size == 0:
         return []
     from collections import defaultdict

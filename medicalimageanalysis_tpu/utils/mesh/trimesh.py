@@ -12,7 +12,63 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["TriMesh", "box_mesh"]
+__all__ = ["TriMesh", "box_mesh", "unique_inverse", "unique_rows"]
+
+
+def unique_inverse(keys, return_index=False):
+    """np.unique(keys, return_inverse=True) for 1-D integer keys, but
+    hash-based: np.unique's full-array sort measured SECONDS at organ
+    scale (3M+ int64 keys) on the bench host, while a pandas.factorize
+    hash pass + a sort of only the uniques reproduces the exact same
+    (ascending uniques, inverse[, first-occurrence index]) contract in
+    ~100 ms. Falls back to np.unique without pandas."""
+    try:
+        import pandas as pd
+    except ImportError:
+        return np.unique(keys, return_index=return_index,
+                         return_inverse=True)
+    codes, uniques = pd.factorize(keys)
+    order = np.argsort(uniques, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    inverse = rank[codes]
+    if not return_index:
+        return uniques[order], inverse
+    first = np.full(order.size, keys.shape[0], dtype=np.int64)
+    np.minimum.at(first, inverse, np.arange(keys.shape[0]))
+    return uniques[order], first, inverse
+
+
+def unique_rows(rows):
+    """np.unique(rows, axis=0, return_index=True, return_inverse=True)
+    semantics (lexicographic row order) via staged column factorization
+    — exact (no hash collisions across the 64-bit packing stages), and
+    avoids np.unique's axis=0 void-view sort of the full array."""
+    rows = np.ascontiguousarray(rows)
+    n, d = rows.shape
+    try:
+        import pandas as pd
+    except ImportError:
+        return np.unique(rows, axis=0, return_index=True,
+                         return_inverse=True)
+    codes = None
+    for c in range(d):
+        col_codes, _ = pd.factorize(rows[:, c])
+        if codes is None:
+            codes = col_codes.astype(np.int64)
+            continue
+        combined = codes * np.int64(n + 1) + col_codes
+        codes, _ = pd.factorize(combined)
+        codes = codes.astype(np.int64)
+    # representative row per group -> lexicographic order like np.unique
+    first_any = np.full(int(codes.max()) + 1, n, dtype=np.int64)
+    np.minimum.at(first_any, codes, np.arange(n))
+    reps = rows[first_any]
+    order = np.lexsort(reps.T[::-1])        # primary key = column 0
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    inverse = rank[codes]
+    return reps[order], first_any[order], inverse
 
 
 class TriMesh:
@@ -108,8 +164,7 @@ class TriMesh:
             return self
         scale = max(1.0, np.abs(self.points).max())
         quant = np.round(self.points / (tolerance * scale)).astype(np.int64)
-        _, first_idx, inverse = np.unique(quant, axis=0, return_index=True,
-                                          return_inverse=True)
+        _, first_idx, inverse = unique_rows(quant)
         new_points = self.points[first_idx]
         new_faces = inverse[self.faces]
         valid = ((new_faces[:, 0] != new_faces[:, 1])
@@ -118,28 +173,27 @@ class TriMesh:
         return TriMesh(new_points, new_faces[valid])
 
     def split_bodies(self):
-        """Connected components (vertex-connectivity) -> list of TriMesh."""
+        """Connected components (vertex-connectivity) -> list of TriMesh.
+
+        scipy.sparse.csgraph label propagation — the Python union-find
+        loop it replaces was O(faces) interpreted bytecode, seconds at
+        organ scale."""
         n = self.number_of_points
         if n == 0:
             return []
-        parent = np.arange(n)
-
-        def find(i):
-            root = i
-            while parent[root] != root:
-                root = parent[root]
-            while parent[i] != root:
-                parent[i], i = root, parent[i]
-            return root
-
-        for f in self.faces:
-            a, b, c = find(f[0]), find(f[1]), find(f[2])
-            parent[b] = a
-            parent[c] = a
-        roots = np.array([find(i) for i in range(n)])
+        if self.faces.size:
+            from scipy.sparse import coo_matrix
+            from scipy.sparse.csgraph import connected_components
+            src = np.concatenate([self.faces[:, 0], self.faces[:, 1]])
+            dst = np.concatenate([self.faces[:, 1], self.faces[:, 2]])
+            g = coo_matrix((np.ones(src.size, np.int8), (src, dst)),
+                           shape=(n, n))
+            _, roots = connected_components(g, directed=False)
+        else:
+            roots = np.arange(n)
         bodies = []
-        for r in np.unique(roots[self.faces[:, 0]] if self.faces.size
-                           else roots):
+        for r in unique_inverse(roots[self.faces[:, 0]]
+                                if self.faces.size else roots)[0]:
             vmask = roots == r
             fmask = vmask[self.faces[:, 0]]
             if not fmask.any():
@@ -177,15 +231,14 @@ class TriMesh:
                            / cell).astype(np.int64)
             key = (idx[:, 0] * 73856093) ^ (idx[:, 1] * 19349663) \
                 ^ (idx[:, 2] * 83492791)
-            uniq = np.unique(key).size
-            if uniq <= target_points * 1.3:
+            uniq, inverse = unique_inverse(key)
+            if uniq.size <= target_points * 1.3:
                 break
             cell *= 1.3
-        _, first, inverse = np.unique(key, return_index=True,
-                                      return_inverse=True)
-        # cluster centroid
-        sums = np.zeros((first.size, 3))
-        counts = np.zeros(first.size)
+        # cluster centroid (representative order = ascending cell key,
+        # identical to the previous np.unique grouping)
+        sums = np.zeros((uniq.size, 3))
+        counts = np.zeros(uniq.size)
         np.add.at(sums, inverse, self.points)
         np.add.at(counts, inverse, 1)
         new_points = sums / counts[:, None]

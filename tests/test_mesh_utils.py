@@ -147,3 +147,71 @@ def test_roi_mesh_slice_pixels(tmp_path, rng):
     pts = np.concatenate(loops)
     # cross-section stays inside the box footprint (pixels 6..16 +- 1)
     assert pts[:, 0].min() >= 4 and pts[:, 0].max() <= 18
+
+
+def test_binary_host_mc_matches_device_pipeline():
+    """The table-driven host path for 0/1 masks must be bit-identical
+    to the device emit pipeline it was generated from (same tet
+    decomposition, slot order, orientation, weld ordering)."""
+    import jax.numpy as jnp
+    from medicalimageanalysis_tpu.ops.marching_cubes import (
+        _active_cubes, _binary_mc_host, _bucket, _compact_tris,
+        _emit_triangles)
+
+    rng = np.random.default_rng(3)
+    n = 18
+    mask = np.zeros((n, n, n), np.uint8)
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n]
+    c = n / 2 - 0.5
+    mask[(zz - c) ** 2 + (yy - c) ** 2 + 0.5 * (xx - c) ** 2 <= 36] = 1
+    # speckle: exercise odd corner patterns, not just smooth blobs
+    mask ^= (rng.random((n, n, n)) < 0.02).astype(np.uint8)
+    vol8 = np.pad(mask, 1)
+
+    # device pipeline golden (emit -> compact -> quantized key weld)
+    volj = jnp.asarray(vol8).astype(jnp.float32)
+    active = np.asarray(_active_cubes(volj, jnp.float32(0.5)))
+    coords = np.argwhere(active).astype(np.int32)
+    K = coords.shape[0]
+    Kb = _bucket(K)
+    coords_pad = np.zeros((Kb, 3), np.int32)
+    coords_pad[:K] = coords
+    row_valid = np.zeros(Kb, bool)
+    row_valid[:K] = True
+    tris, valid = _emit_triangles(volj, jnp.asarray(coords_pad),
+                                  jnp.asarray(row_valid),
+                                  jnp.float32(0.5))
+    nv = int(np.asarray(valid).sum())
+    cap = _bucket(nv, step=1.25)
+    compact = np.asarray(_compact_tris(tris, valid, cap, True))
+    q = compact[:nv].reshape(-1, 3).astype(np.int64)
+    keys = q[:, 0] | (q[:, 1] << 16) | (q[:, 2] << 32)
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    g_points = np.stack([uniq & 0xFFFF, (uniq >> 16) & 0xFFFF,
+                         uniq >> 32], axis=1).astype(np.float32) * 0.5
+    g_points = g_points - 1.0          # pad shift
+    g_faces = inverse.reshape(-1, 3).astype(np.int32)
+    good = ((g_faces[:, 0] != g_faces[:, 1])
+            & (g_faces[:, 1] != g_faces[:, 2])
+            & (g_faces[:, 0] != g_faces[:, 2]))
+    g_faces = g_faces[good]
+
+    mesh = _binary_mc_host(vol8, pad=True)
+    np.testing.assert_array_equal(mesh.points, g_points)
+    np.testing.assert_array_equal(mesh.faces, g_faces)
+
+
+def test_binary_host_mc_unpadded_border():
+    """pad=False with the structure touching the volume border: the
+    host path must match the device grid extent (open surface, no
+    out-of-range indexing)."""
+    from medicalimageanalysis_tpu.ops.marching_cubes import (
+        _binary_mc_host, marching_cubes_mask)
+
+    mask = np.zeros((6, 6, 6), np.uint8)
+    mask[0:3, 2:6, 0:4] = 1
+    mesh = _binary_mc_host(mask, pad=False)
+    assert mesh.points.shape[0] > 0
+    # interior crossings only: open box has fewer faces than the padded
+    closed = marching_cubes_mask(mask, pad=True)
+    assert closed.faces.shape[0] > mesh.faces.shape[0]
