@@ -575,3 +575,28 @@ def affine_warp(volume, pixel_matrix, out_shape, background=0.0,
     return field_warp(volume, cz, cy, cx, background=background,
                       window=window, interpret=interpret,
                       check_overflow=check_overflow)
+
+
+@partial(jax.jit,
+         static_argnames=("out_shape", "perm", "flips", "interpret"))
+def affine_warp_fused(volume, pixel_matrix, background, out_shape,
+                      perm=None, flips=None, interpret=False):
+    """One-program affine resample: optional input relayout
+    (transpose/flip pre-pass for large rotations) + coordinate
+    generation + the warp kernel, returning ``(out, overflow_count)``.
+
+    The eager :func:`affine_warp` chain costs ~20 separate dispatches
+    (coords, pad, kernel, slice) — through the tunneled chip that is
+    ~0.5 s of pure RPC floor per call (docs/PERF.md). Callers pull the
+    1-element overflow count and fall back to the exact gather when it
+    is nonzero."""
+    vol = jnp.asarray(volume, jnp.float32)
+    if perm is not None:
+        vol = jnp.transpose(vol, perm)
+    if flips:
+        vol = jnp.flip(vol, flips)
+    cz, cy, cx = affine_coords(pixel_matrix, out_shape)
+    out, _, ovf = _field_warp_call(vol[None], cz, cy, cx,
+                                   jnp.asarray(background, jnp.float32),
+                                   False, None, interpret)
+    return out[0], ovf

@@ -191,6 +191,50 @@ def _affine_resample_jit(vol, A, out_shape, background):
     return _trilinear(vol, coords, background)
 
 
+def _axis_align_input(A, vol_shape_zyx):
+    """Signed input-axis permutation factor for large rotations.
+
+    The Pallas tile-slab warp needs input z/y to track output z/y with
+    slope ~1 (ops/pallas_warp.fits_warp_caps); a rotation near a
+    multiple of 90 degrees — the common orientation-conversion reslice —
+    violates that even though it is merely a relabeling plus a small
+    residual. Factor A = F o A2 where F is an exact transpose/flip of
+    the INPUT volume (index relabeling, no resampling) and A2 = F^-1 o A
+    is near-identity, so the exact kernel keeps the fast path.
+
+    Returns (array_perm, flip_axes, A2) with
+    ``resample(vol, A) == resample(flip(transpose(vol, array_perm),
+    flip_axes), A2)`` exactly, or None when the dominant entries do not
+    form a permutation (fully oblique maps) or the factor is identity.
+    """
+    A = np.asarray(A, np.float64)
+    R = A[:3, :3]
+    rp = np.argmax(np.abs(R), axis=0)        # old input row per new axis
+    if len(set(int(r) for r in rp)) != 3:
+        return None
+    s = np.sign(R[rp, np.arange(3)])
+    s[s == 0] = 1.0
+    if np.array_equal(rp, [0, 1, 2]) and np.all(s > 0):
+        return None                           # already aligned
+    A2 = np.eye(4)
+    for ip in range(3):
+        n_axis = vol_shape_zyx[2 - int(rp[ip])]
+        A2[ip, :] = s[ip] * A[int(rp[ip]), :]
+        if s[ip] < 0:
+            A2[ip, 3] += n_axis - 1
+    array_perm = tuple(2 - int(rp[2 - a]) for a in range(3))
+    flip_axes = tuple(2 - ip for ip in range(3) if s[ip] < 0)
+    return array_perm, flip_axes, A2
+
+
+@partial(jax.jit, static_argnames=("perm", "flips"))
+def _relayout(vol, perm, flips):
+    out = jnp.transpose(vol, perm)
+    if flips:
+        out = jnp.flip(out, flips)
+    return out
+
+
 def affine_resample(volume, pixel_matrix, out_shape, background=None):
     """Resample through a single 4x4 *pixel-to-pixel* matrix.
 
@@ -217,12 +261,26 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
         # attempt and its wasted run + sync when the per-tile footprint
         # cannot fit the slab windows — large rotations go straight to
         # the gather
-        from .pallas_warp import affine_warp, fits_warp_caps
+        from .pallas_warp import affine_warp_fused, fits_warp_caps
+        osh = tuple(int(s) for s in out_shape)
+        fused_args = None
         if fits_warp_caps(A):
-            return affine_warp(vol, A.astype(np.float32),
-                               tuple(int(s) for s in out_shape),
-                               background=float(background),
-                               check_overflow=True)
+            fused_args = (A, None, ())
+        else:
+            # large rotation: exact transpose/flip pre-pass (90-ish
+            # degree orientation reslices become near-identity residuals)
+            al = _axis_align_input(A, vol.shape)
+            if al is not None and fits_warp_caps(al[2]):
+                perm, flips, A2 = al
+                fused_args = (A2, perm, flips)
+        if fused_args is not None:
+            A2, perm, flips = fused_args
+            out, ovf = affine_warp_fused(
+                vol, jnp.asarray(A2, jnp.float32),
+                jnp.float32(background), osh, perm=perm, flips=flips)
+            if float(ovf) == 0.0:
+                return out
+            # caps exceeded despite the host prediction: exact fallback
     A = jnp.asarray(pixel_matrix, dtype=jnp.float32)
     return _affine_resample_jit(vol, A, tuple(int(s) for s in out_shape),
                                 jnp.float32(background))

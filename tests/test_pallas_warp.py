@@ -158,3 +158,95 @@ def test_register_level_pallas_parity_smoke(rng):
     vals_xla = field_warp_xla(jnp.asarray(mov), cz, cy, cx, 0.0)
     np.testing.assert_allclose(np.asarray(vals_pallas),
                                np.asarray(vals_xla), atol=2e-4)
+
+
+def test_axis_align_prepass_large_rotations(rng):
+    """Near-90-degree-multiple rotations must factor into an exact
+    transpose/flip + a residual that fits the kernel caps, and the
+    factored resample must equal the direct XLA resample exactly."""
+    from scipy.spatial.transform import Rotation
+    from medicalimageanalysis_tpu.ops.pallas_warp import fits_warp_caps
+    from medicalimageanalysis_tpu.ops.resample import (
+        _affine_resample_jit, _axis_align_input, _relayout)
+
+    vol = rng.normal(size=(20, 26, 34)).astype(np.float32)
+    cases = [
+        ("zyx", [90, 0, 0]),          # pure 90 about z
+        ("zyx", [92, -3, 2]),         # oblique near 90
+        ("zyx", [-88, 1, 179]),       # combination
+        ("zyx", [3, -91, 2]),         # near 90 about y
+    ]
+    for seq, angles in cases:
+        A = np.eye(4)
+        A[:3, :3] = Rotation.from_euler(seq, angles, degrees=True) \
+            .as_matrix()
+        A[:3, 3] = [4.0, -3.5, 2.25]
+        assert not fits_warp_caps(A), angles  # direct path overflows
+        al = _axis_align_input(A, vol.shape)
+        assert al is not None, angles
+        perm, flips, A2 = al
+        assert fits_warp_caps(A2), angles
+        out_shape = (22, 28, 30)
+        ref = np.asarray(_affine_resample_jit(
+            jnp.asarray(vol), jnp.asarray(A, jnp.float32), out_shape,
+            jnp.float32(-3001.0)))
+        vol2 = _relayout(jnp.asarray(vol), perm, flips)
+        got = np.asarray(affine_warp(vol2, A2.astype(np.float32),
+                                     out_shape, background=-3001.0,
+                                     interpret=True))
+        np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+def test_axis_align_prepass_identityish_returns_none():
+    from medicalimageanalysis_tpu.ops.resample import _axis_align_input
+    A = np.eye(4)
+    A[:3, 3] = [1.0, 2.0, 3.0]
+    assert _axis_align_input(A, (10, 10, 10)) is None
+    # fully oblique: dominant entries collide -> no permutation
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_rotvec(np.deg2rad(54.7) * np.ones(3) / np.sqrt(3))
+    A2 = np.eye(4)
+    A2[:3, :3] = R.as_matrix()
+    al = _axis_align_input(A2, (10, 10, 10))
+    # either no factorization or one that simply doesn't fit the caps —
+    # never a wrong answer (exactness is enforced by the caller's
+    # fits_warp_caps + overflow check)
+    if al is not None:
+        assert al[2].shape == (4, 4)
+
+
+def test_affine_warp_fused_matches_eager(rng):
+    """affine_warp_fused (one-program relayout+coords+warp) must match
+    the eager chain and report zero overflow on in-cap transforms."""
+    from scipy.spatial.transform import Rotation
+    from medicalimageanalysis_tpu.ops.pallas_warp import affine_warp_fused
+    from medicalimageanalysis_tpu.ops.resample import (
+        _affine_resample_jit, _axis_align_input)
+
+    vol = rng.normal(size=(18, 24, 40)).astype(np.float32)
+    # small rotation: direct
+    A = np.eye(4)
+    A[:3, :3] = Rotation.from_euler("zyx", [5, -4, 3],
+                                    degrees=True).as_matrix()
+    A[:3, 3] = [2.0, -1.5, 0.75]
+    out, ovf = affine_warp_fused(vol, jnp.asarray(A, jnp.float32),
+                                 jnp.float32(-3001.0), (20, 26, 42),
+                                 interpret=True)
+    assert float(ovf) == 0.0
+    ref = _affine_resample_jit(jnp.asarray(vol), jnp.asarray(A, jnp.float32),
+                               (20, 26, 42), jnp.float32(-3001.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+    # large rotation through the relayout arguments
+    A = np.eye(4)
+    A[:3, :3] = Rotation.from_euler("zyx", [91, 2, -3],
+                                    degrees=True).as_matrix()
+    A[:3, 3] = [3.0, 30.5, 1.0]
+    perm, flips, A2 = _axis_align_input(A, vol.shape)
+    out, ovf = affine_warp_fused(vol, jnp.asarray(A2, jnp.float32),
+                                 jnp.float32(-3001.0), (20, 26, 42),
+                                 perm=perm, flips=flips, interpret=True)
+    assert float(ovf) == 0.0
+    ref = _affine_resample_jit(jnp.asarray(vol), jnp.asarray(A, jnp.float32),
+                               (20, 26, 42), jnp.float32(-3001.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
