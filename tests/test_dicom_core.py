@@ -290,3 +290,88 @@ def test_empty_and_multivalue_ds(tmp_path, rng):
     out = dcmread(tmp_path / "d.dcm")
     assert out.RescaleIntercept is None
     assert out.WindowCenter == [40.0, 400.0]
+
+
+def test_batch_read_mixed_cohort(tmp_path, rng):
+    """DicomReader._read_batch over a mixed cohort: batch-flat explicit
+    files, implicit VR, big-endian, deflated, sequences (RTSTRUCT-ish),
+    and garbage — every parsed dataset must match the per-file dcmread
+    result, and arena reuse across calls must not corrupt the first
+    cohort's datasets."""
+    from medicalimageanalysis_tpu.read.dicom import DicomReader
+
+    paths = []
+    arrs = []
+    for i in range(3):  # explicit LE (batch-flat fast path)
+        arr = rng.integers(0, 3000, size=(16, 16)).astype(np.uint16)
+        ds = make_ct_slice(arr, z=float(i) * 3.0)
+        p = tmp_path / f"e{i}.dcm"
+        dcmwrite(p, ds)
+        paths.append(p)
+        arrs.append(arr)
+    arr = rng.integers(0, 3000, size=(16, 16)).astype(np.uint16)
+    ds = make_ct_slice(arr, z=9.0)
+    p = tmp_path / "impl.dcm"
+    dcmwrite(p, ds, transfer_syntax=uids.ImplicitVRLittleEndian)
+    paths.append(p)
+    arrs.append(arr)
+    ds = make_ct_slice(arr, z=12.0)
+    p = tmp_path / "defl.dcm"
+    dcmwrite(p, ds, transfer_syntax=uids.DeflatedExplicitVRLittleEndian)
+    paths.append(p)
+    arrs.append(arr)
+    # sequences: a minimal structure-set-flavored file
+    sq = Dataset()
+    sq.ROINumber = 1
+    sq.ROIName = "Liver"
+    st = Dataset()
+    st.SOPClassUID = uids.RTStructureSetStorage
+    st.SOPInstanceUID = generate_uid()
+    st.Modality = "RTSTRUCT"
+    st.StructureSetROISequence = Sequence([sq])
+    p = tmp_path / "rs.dcm"
+    dcmwrite(p, st)
+    paths.append(p)
+    arrs.append(None)
+    # garbage
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"this is not dicom at all" * 10)
+    paths.append(p)
+    arrs.append(None)
+
+    r = DicomReader.__new__(DicomReader)
+    r.only_tags = False
+    first = r._read_batch([str(q) for q in paths])
+    assert first is not None
+
+    # second batch call overwrites the scan arena; first cohort's
+    # datasets must stay intact (they must have copied out)
+    r2 = DicomReader.__new__(DicomReader)
+    r2.only_tags = False
+    other = tmp_path / "other.dcm"
+    alt = make_ct_slice(rng.integers(0, 99, size=(8, 8)).astype(np.uint16))
+    alt.PatientName = "Other^Patient"
+    dcmwrite(other, alt)
+    r2._read_batch([str(other)] * 4)
+
+    for q, ds_b, arr in zip(paths, first, arrs):
+        ref = dcmread(str(q)) if str(q).endswith(".dcm") else []
+        if not ref:
+            assert ds_b == []
+            continue
+        assert ds_b, q
+        assert ds_b.Modality == ref.Modality
+        for kw in ("PatientName", "SOPInstanceUID", "SeriesInstanceUID"):
+            if kw in ref:
+                assert getattr(ds_b, kw) == getattr(ref, kw), (q, kw)
+        if "ImagePositionPatient" in ref:
+            assert ds_b.ImagePositionPatient == ref.ImagePositionPatient
+        if arr is not None:
+            np.testing.assert_array_equal(ds_b.pixel_array, arr)
+        if ref.file_meta is not None:
+            assert ds_b.file_meta is not None
+            assert ds_b.file_meta.TransferSyntaxUID \
+                == ref.file_meta.TransferSyntaxUID
+    # sequences survived the non-flat path
+    rs = first[5]
+    assert rs.StructureSetROISequence[0].ROIName == "Liver"
