@@ -24,37 +24,45 @@ import jax
 import jax.numpy as jnp
 
 from ..filters import _gauss_kernel_matrix
-from .dvf import _base_coords, _compose
+from .dvf import _compose_planar
 
 __all__ = ["demons_registration"]
 
 
-def _spatial_gradient(vol, sp):
+def _spatial_gradient_planar(vol, sp):
+    """(3, Z, Y, X) planar gradient, rows (d/dx, d/dy, d/dz) / spacing."""
     gz, gy, gx = jnp.gradient(vol)
-    return jnp.stack([gx / sp[0], gy / sp[1], gz / sp[2]], axis=-1)
+    return jnp.stack([gx / sp[0], gy / sp[1], gz / sp[2]])
 
 
 def _smooth_field(u, mz, my, mx):
-    def one(c):
-        out = jnp.einsum("ij,jyx->iyx", mz, u[..., c],
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("kj,zjx->zkx", my, out,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("lj,zyj->zyl", mx, out,
-                         preferred_element_type=jnp.float32)
-        return out
-    return jnp.stack([one(0), one(1), one(2)], axis=-1)
+    """Separable Gaussian over a planar (3, Z, Y, X) field: one batched
+    einsum per axis (MXU contractions)."""
+    out = jnp.einsum("ij,cjyx->ciyx", mz, u,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("kj,czjx->czkx", my, out,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("lj,czyj->czyl", mx, out,
+                      preferred_element_type=jnp.float32)
 
 
 @partial(jax.jit,
          static_argnames=("iterations", "method", "smooth", "std_vox"))
 def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
                  iterations, method, smooth, elastic_lambda=0.2):
-    from ..pallas_warp import warp_jit
+    """Returns (dvf_mm (Z,Y,X,3), total_overflow).
 
-    Xg, Yg, Zg = _base_coords(fixed.shape)
-    grad_f = _spatial_gradient(fixed, sp)
+    The whole iteration loop holds the field PLANAR (3, Z, Y, X) and
+    warps through the fused-coordinate Pallas mode — no coordinate
+    volumes, no per-iteration channel transposes (round-3 profile:
+    coordinate materialization alone cost more than the warp kernel).
+    sp (and the update math) stays in (x, y, z) component order along
+    the leading axis."""
+    from ..pallas_warp import warp_disp_jit
+
+    grad_f = _spatial_gradient_planar(fixed, sp)
     K = jnp.mean(sp) ** 2
+    spc = sp[:, None, None, None]              # (3,1,1,1) planar scale
 
     mz = jnp.asarray(_gauss_kernel_matrix(fixed.shape[0],
                                           max(float(std_vox), 1e-3)))
@@ -67,42 +75,41 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
     # gradient components every iteration: batch all four through ONE
     # Pallas tile-slab warp sharing coordinates (docs/PERF.md)
     if method in ("fast", "diffeomorphic", "biomechanical"):
-        grad_m = _spatial_gradient(moving, sp)
-        warp_stack = jnp.stack([moving, grad_m[..., 0], grad_m[..., 1],
-                                grad_m[..., 2]])
+        grad_m = _spatial_gradient_planar(moving, sp)
+        warp_stack = jnp.concatenate([moving[None], grad_m])
     else:
         warp_stack = moving[None]
 
-    def warp_all(u_vox):
-        return warp_jit(warp_stack, Zg + u_vox[..., 2],
-                        Yg + u_vox[..., 1], Xg + u_vox[..., 0], 0.0)
-
-    def body(_, u_vox):
-        w = warp_all(u_vox)
+    def body(_, carry):
+        u_vox, ovf = carry                     # u_vox (3, Z, Y, X)
+        w, dovf = warp_disp_jit(warp_stack, u_vox, 0.0,
+                                with_overflow=True)
+        ovf = ovf + dovf
         warped = w[0]
         diff = fixed - warped
         if method in ("fast", "diffeomorphic", "biomechanical"):
-            grad_w = jnp.moveaxis(w[1:4], 0, -1)
-            g = 0.5 * (grad_f + grad_w)
+            g = 0.5 * (grad_f + w[1:4])
         else:
             g = grad_f
-        g2 = jnp.sum(g * g, axis=-1)
+        g2 = jnp.sum(g * g, axis=0)
         denom = g2 + (diff * diff) / K
         active = (jnp.abs(diff) > intensity_threshold) & (denom > 1e-9)
-        upd_mm = jnp.where(active[..., None],
-                           (diff / jnp.maximum(denom, 1e-9))[..., None] * g,
+        upd_mm = jnp.where(active[None],
+                           (diff / jnp.maximum(denom, 1e-9))[None] * g,
                            0.0)
         if method in ("fast", "diffeomorphic", "biomechanical"):
-            max_norm = jnp.max(jnp.linalg.norm(upd_mm, axis=-1))
+            max_norm = jnp.sqrt(jnp.max(jnp.sum(upd_mm * upd_mm, axis=0)))
             scale = jnp.minimum(1.0, step / jnp.maximum(max_norm, 1e-9))
             upd_mm = upd_mm * scale
-        upd_vox = upd_mm / sp
+        upd_vox = upd_mm / spc
         if method == "diffeomorphic":
             # exp(upd) via scaling and squaring (3 squarings)
             v = upd_vox / 8.0
             for _s in range(3):
-                v = _compose(v, v)
-            u_new = _compose(u_vox, v)
+                v, dovf = _compose_planar(v, v)
+                ovf = ovf + dovf
+            u_new, dovf = _compose_planar(u_vox, v)
+            ovf = ovf + dovf
         else:
             u_new = u_vox + upd_vox
         if smooth:
@@ -117,17 +124,18 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
             # capability it reserved.
             # dE/du of E = 1/2 (div u)^2 is -grad(div u), so descent
             # ADDS lambda * grad(div u)
-            div = (jnp.gradient(u_new[..., 0], axis=2)
-                   + jnp.gradient(u_new[..., 1], axis=1)
-                   + jnp.gradient(u_new[..., 2], axis=0))
+            div = (jnp.gradient(u_new[0], axis=2)
+                   + jnp.gradient(u_new[1], axis=1)
+                   + jnp.gradient(u_new[2], axis=0))
             u_new = u_new + elastic_lambda * jnp.stack(
                 [jnp.gradient(div, axis=2), jnp.gradient(div, axis=1),
-                 jnp.gradient(div, axis=0)], axis=-1)
-        return u_new
+                 jnp.gradient(div, axis=0)])
+        return u_new, ovf
 
-    u0 = jnp.zeros(fixed.shape + (3,), jnp.float32)
-    u = jax.lax.fori_loop(0, iterations, body, u0)
-    return u * sp  # voxels -> mm
+    u0 = jnp.zeros((3,) + fixed.shape, jnp.float32)
+    u, ovf = jax.lax.fori_loop(0, iterations, body,
+                               (u0, jnp.float32(0.0)))
+    return jnp.moveaxis(u, 0, -1) * sp, ovf    # voxels -> mm
 
 
 def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
@@ -147,8 +155,20 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     fixed = jnp.asarray(fixed, dtype=jnp.float32)
     moving = jnp.asarray(moving, dtype=jnp.float32)
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
-    out = _demons_core(fixed, moving, sp, float(std), jnp.float32(step),
-                       jnp.float32(intensity_threshold), int(iterations),
-                       method, bool(smooth),
-                       jnp.float32(elastic_lambda))
+    out, ovf = _demons_core(fixed, moving, sp, float(std),
+                            jnp.float32(step),
+                            jnp.float32(intensity_threshold),
+                            int(iterations), method, bool(smooth),
+                            jnp.float32(elastic_lambda))
+    if float(ovf) > 0:
+        # the evolving field exceeded the warp kernel's slab windows in
+        # some tiles (possible for very rough/large deformations with
+        # smoothing off) — those samples took the background value.
+        # Surface it rather than silently degrading.
+        import warnings
+        warnings.warn(
+            f"demons: {float(ovf):.0f} warp taps exceeded the kernel "
+            "slab caps (treated as background). Increase smoothing or "
+            "reduce step; the result is a valid but locally damped "
+            "demons field.", RuntimeWarning)
     return np.asarray(out)

@@ -102,9 +102,10 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
     sp = jnp.asarray(spacing_xyz, jnp.float32)
 
     def single(f, m):
-        return _demons_core(f, m, sp, float(std), jnp.float32(step),
-                            jnp.float32(intensity_threshold),
-                            int(iterations), method, bool(smooth))
+        dvf, _ovf = _demons_core(f, m, sp, float(std), jnp.float32(step),
+                                 jnp.float32(intensity_threshold),
+                                 int(iterations), method, bool(smooth))
+        return dvf
 
     fn = jax.vmap(single)
     if mesh is None:

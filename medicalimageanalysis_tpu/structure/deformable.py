@@ -438,19 +438,16 @@ class Deformable(object):
                                        -1, 0), cz, cy, cx,
                           background=0.0)           # (3,Z,Y,X) mm xyz
         # displaced ref-pixel sample coords: pix + L @ disp (L = linear
-        # part of position->pixel; pos2pix(pos)=pix grid identity here)
+        # part of position->pixel; pos2pix(pos)=pix grid identity here).
+        # The base grid never materializes: the fused-coordinate disp
+        # kernel mode adds it in-register (docs/PERF.md round-3 profile)
+        from ..ops.pallas_warp import field_warp_disp
         L = np.asarray(geo.position_to_pixel_matrix(
             ref.matrix, ref.spacing, ref.origin))[:3, :3] \
             .astype(np.float32)
-        base = affine_coords(np.eye(4, dtype=np.float32), (Z, Y, X))
-        cx2 = base[2] + (L[0, 0] * disp[0] + L[0, 1] * disp[1]
-                         + L[0, 2] * disp[2])
-        cy2 = base[1] + (L[1, 0] * disp[0] + L[1, 1] * disp[1]
-                         + L[1, 2] * disp[2])
-        cz2 = base[0] + (L[2, 0] * disp[0] + L[2, 1] * disp[1]
-                         + L[2, 2] * disp[2])
-        warped = np.asarray(field_warp(
-            jnp.asarray(resampled, jnp.float32), cz2, cy2, cx2,
+        disp_pix = jnp.einsum("ij,jzyx->izyx", jnp.asarray(L), disp)
+        warped = np.asarray(field_warp_disp(
+            jnp.asarray(resampled, jnp.float32), disp_pix,
             background=config.background_fill))
         return {"array": warped, "origin": np.asarray(ref.origin),
                 "spacing": np.asarray(ref.spacing),

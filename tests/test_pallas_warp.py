@@ -250,3 +250,90 @@ def test_affine_warp_fused_matches_eager(rng):
     ref = _affine_resample_jit(jnp.asarray(vol), jnp.asarray(A, jnp.float32),
                                (20, 26, 42), jnp.float32(-3001.0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+
+def test_disp_mode_matches_xla_twin(rng):
+    """Fused-coordinate displacement mode (planar (3,Z,Y,X) field, base
+    coords generated in-kernel) vs the XLA twin, on shapes that force
+    output-grid padding so the (program_id, iota) < out-dims mask is
+    exercised."""
+    from medicalimageanalysis_tpu.ops.pallas_warp import warp_disp_jit
+
+    vol = rng.normal(size=(21, 29, 71)).astype(np.float32)
+    disp = rng.normal(scale=2.0, size=(3, 18, 27, 66)).astype(np.float32)
+    Zo, Yo, Xo = disp.shape[1:]
+    zz = np.arange(Zo, dtype=np.float32)[:, None, None]
+    yy = np.arange(Yo, dtype=np.float32)[None, :, None]
+    xx = np.arange(Xo, dtype=np.float32)[None, None, :]
+    ref = np.asarray(field_warp_xla(
+        jnp.asarray(vol)[None], jnp.asarray(zz + disp[2]),
+        jnp.asarray(yy + disp[1]), jnp.asarray(xx + disp[0]), 0.25))[0]
+    out, ovf = warp_disp_jit(jnp.asarray(vol), jnp.asarray(disp), 0.25,
+                             interpret=True, with_overflow=True)
+    assert float(ovf) == 0.0
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    # batched volumes share the field
+    volb = rng.normal(size=(3, 21, 29, 71)).astype(np.float32)
+    refb = np.stack([np.asarray(field_warp_xla(
+        jnp.asarray(volb[b])[None], jnp.asarray(zz + disp[2]),
+        jnp.asarray(yy + disp[1]), jnp.asarray(xx + disp[0]), 0.0))[0]
+        for b in range(3)])
+    outb = warp_disp_jit(jnp.asarray(volb), jnp.asarray(disp), 0.0,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(outb), refb, atol=1e-5)
+
+
+def test_affine_mode_in_kernel_coords(rng):
+    """Affine mode (12 SMEM coefficients, coords from program_id+iota)
+    must match the coordinate-mode kernel + affine_coords exactly."""
+    from medicalimageanalysis_tpu.ops.pallas_warp import affine_warp_fused
+
+    vol = rng.normal(size=(19, 33, 67)).astype(np.float32)
+    A = np.eye(4, dtype=np.float32)
+    A[:3, :3] += rng.normal(scale=0.05, size=(3, 3)).astype(np.float32)
+    A[:3, 3] = [2.5, -1.0, 0.5]
+    osh = (17, 30, 70)
+    cz, cy, cx = affine_coords(A, osh)
+    ref = np.asarray(field_warp_xla(jnp.asarray(vol)[None],
+                                    cz, cy, cx, -3001.0))[0]
+    out, ovf = affine_warp_fused(jnp.asarray(vol), jnp.asarray(A),
+                                 jnp.float32(-3001.0), osh,
+                                 interpret=True)
+    assert float(ovf) == 0.0
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
+
+
+def test_required_window_bounds_field_spread(rng):
+    """required_window must cap the per-tile spread any smooth field
+    actually exhibits, and the implied slab must be computable."""
+    from medicalimageanalysis_tpu.ops.pallas_warp import (
+        required_window, window_slab_bytes)
+    from scipy.ndimage import gaussian_filter
+
+    d = rng.normal(scale=6.0, size=(3, 40, 48, 130)).astype(np.float32)
+    for c in range(3):
+        d[c] = gaussian_filter(d[c], sigma=5.0) * 30.0
+    dz, dy = required_window(d)
+    assert dz >= 16 and dy >= 16
+    # tiny field -> floors at the default caps
+    dz0, dy0 = required_window(np.zeros((3, 8, 8, 128), np.float32))
+    assert (dz0, dy0) == (16, 16)
+    assert window_slab_bytes((40, 48, 130), (dz, dy), batch=3) > 0
+
+
+def test_invert_dvf_rough_field_roundtrip(rng):
+    """invert_dvf on a rough field: compose(d, v) ~ 0 in the interior
+    (the eager surface must stay exact regardless of backend path)."""
+    from scipy.ndimage import gaussian_filter
+    from medicalimageanalysis_tpu.ops.registration.dvf import (
+        compose_dvf, invert_dvf)
+
+    d = rng.normal(scale=4.0, size=(24, 28, 32, 3)).astype(np.float32)
+    for c in range(3):
+        d[..., c] = gaussian_filter(d[..., c], sigma=3.0) * 6.0
+    sp = (1.0, 1.0, 1.0)
+    v = invert_dvf(d, sp, iterations=30)
+    resid = compose_dvf(d, v, sp)
+    interior = resid[6:-6, 6:-6, 6:-6]
+    assert np.abs(interior).max() < 0.35
