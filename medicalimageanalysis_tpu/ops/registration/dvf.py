@@ -83,11 +83,9 @@ def warp_volume(volume, dvf_mm, spacing_xyz, background=0.0):
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
     if isinstance(vol, jax.core.Tracer) or isinstance(dvf, jax.core.Tracer):
         return _warp(vol, dvf / sp, jnp.float32(background))
-    from ..pallas_warp import field_warp
-    dvf_vox = dvf / sp
-    Xg, Yg, Zg = _base_coords(vol.shape)
-    return field_warp(vol, Zg + dvf_vox[..., 2], Yg + dvf_vox[..., 1],
-                      Xg + dvf_vox[..., 0], background=background)
+    from ..pallas_warp import field_warp_disp
+    return field_warp_disp(vol, jnp.moveaxis(dvf / sp, -1, 0),
+                           background=background)
 
 
 @partial(jax.jit, static_argnames=("iterations", "window", "use_xla"))
