@@ -137,6 +137,19 @@ def main():
     np.asarray(out[1])  # forced host pull: see docs/PERF.md relay caveats
     reg_ms = (time.perf_counter() - t2) * 1000.0
 
+    # marginal per-step cost (the 40-step figure above is mostly the
+    # ~24 ms relay RPC floor): steps sweep inside the same one-scan
+    # program, (t(240) - t(40)) / 200
+    reg_t = {}
+    for st in (40, 240):
+        out = _register_level(*args, steps=st, stride=(2, 2, 2))
+        np.asarray(out[1])
+        t2 = time.perf_counter()
+        out = _register_level(*args, steps=st, stride=(2, 2, 2))
+        np.asarray(out[1])
+        reg_t[st] = time.perf_counter() - t2
+    reg_step_ms = max((reg_t[240] - reg_t[40]) / 200.0, 1e-9) * 1000.0
+
     def pull(x):
         # forced completion: block_until_ready can return early through
         # the relay (docs/PERF.md); a 1-element host pull is reliable
@@ -228,6 +241,25 @@ def main():
                     (time.perf_counter() - t4) * 1000.0
     roi_mask = np.asarray(c2m.mask)  # cv2 pass ran last: host array
 
+    # device rasterizer ON-CHIP figure: the end-to-end number above is
+    # dominated by the 31 MB mask download through the tunnel; this one
+    # keeps everything resident and pulls 1 element (docs/PERF.md)
+    from medicalimageanalysis_tpu.ops.rasterize import (
+        _polygon_bitmaps_device, _scatter_xor)
+    from medicalimageanalysis_tpu.utils.convert.contour import _plane_split
+    polys2d, slice_idx = _plane_split(contours, "Axial")
+    raster_onchip_ms = float("inf")
+    for timed in (False, True, True):
+        t4b = time.perf_counter()
+        bm, Kr = _polygon_bitmaps_device(polys2d, 512, 512)
+        ii = np.full(bm.shape[0], dims_shw[0], np.int32)
+        ii[:Kr] = np.clip(slice_idx, 0, dims_shw[0])
+        out_m = _scatter_xor(bm, jnp.asarray(ii), dims_shw[0])
+        float(out_m.ravel()[0])
+        if timed:
+            raster_onchip_ms = min(raster_onchip_ms,
+                                   (time.perf_counter() - t4b) * 1000.0)
+
     # config #3: batched isotropic resample + Gaussian over the cohort
     from medicalimageanalysis_tpu.ops.filters import _gauss_kernel_matrix
     from medicalimageanalysis_tpu.ops.resample import _interp_matrix
@@ -291,6 +323,7 @@ def main():
             "chunk": CHUNK, "total_s": round(total, 3),
             "host_s": round(t_host, 3),
             "rigid_reg_40step_ms": round(reg_ms, 1),
+            "rigid_reg_marginal_ms_per_step": round(reg_step_ms, 3),
             "onchip_series_per_s": round(onchip_series_s, 2),
             "onchip_vs_baseline": round(onchip_series_s / TARGET, 3),
             "onchip_marginal_series_per_s":
@@ -298,6 +331,7 @@ def main():
             "onchip_marginal_vs_baseline":
                 round(onchip_marginal_series_s / TARGET, 2),
             "raster_device_ms": round(raster_ms["device"], 1),
+            "raster_device_onchip_ms": round(raster_onchip_ms, 1),
             "raster_cv2_ms": round(raster_ms["cv2"], 1),
             "resample_filter_batch_ms": round(resample_ms, 1),
             "marching_cubes_ms": round(mc_ms, 1),
