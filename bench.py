@@ -253,7 +253,9 @@ def main():
         t4b = time.perf_counter()
         bm, Kr = _polygon_bitmaps_device(polys2d, 512, 512)
         ii = np.full(bm.shape[0], dims_shw[0], np.int32)
-        ii[:Kr] = np.clip(slice_idx, 0, dims_shw[0])
+        sidx = np.asarray(slice_idx, np.int32)
+        ii[:Kr] = np.where((sidx >= 0) & (sidx < dims_shw[0]), sidx,
+                           dims_shw[0])
         out_m = _scatter_xor(bm, jnp.asarray(ii), dims_shw[0])
         float(out_m.ravel()[0])
         if timed:

@@ -69,6 +69,16 @@ def _round_up(v, m):
     return -(-int(v) // m) * m
 
 
+def _base_grid(shape_zyx):
+    """Broadcastable (zz, yy, xx) f32 output-grid base coordinates —
+    the XLA-twin counterpart of the fused modes' in-kernel iota."""
+    Zo, Yo, Xo = shape_zyx
+    zz = jnp.arange(Zo, dtype=jnp.float32)[:, None, None]
+    yy = jnp.arange(Yo, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(Xo, dtype=jnp.float32)[None, None, :]
+    return zz, yy, xx
+
+
 def _pick_config(vol_shape, window=None):
     """Static tile/slab sizes for a given (padded) volume shape.
 
@@ -637,18 +647,17 @@ def warp_disp_jit(vols, disp, background=0.0, window=None,
     """
     squeeze = vols.ndim == 3
     volb = vols[None] if squeeze else vols
-    use_kernel = jax.default_backend() == "tpu" if interpret is None \
-        else True
+    # run the kernel on TPU, or anywhere when interpret=True explicitly
+    # exercises it; interpret=False off-TPU still takes the XLA twin
+    # (a Mosaic kernel cannot lower there — round-2 review finding)
+    use_kernel = (jax.default_backend() == "tpu") or interpret is True
     if use_kernel:
         out, _, ovf = _warp_call(
             jnp.asarray(volb, jnp.float32), jnp.asarray(disp, jnp.float32),
             jnp.asarray(background, jnp.float32), False, window,
             _default_interpret(interpret), mode="disp")
     else:
-        Zo, Yo, Xo = disp.shape[1:]
-        zz = jnp.arange(Zo, dtype=jnp.float32)[:, None, None]
-        yy = jnp.arange(Yo, dtype=jnp.float32)[None, :, None]
-        xx = jnp.arange(Xo, dtype=jnp.float32)[None, None, :]
+        zz, yy, xx = _base_grid(disp.shape[1:])
         out = field_warp_xla(jnp.asarray(volb, jnp.float32),
                              zz + disp[2], yy + disp[1], xx + disp[0],
                              background)
@@ -685,10 +694,7 @@ def field_warp_disp(vols, disp, background=0.0):
                                      False, win, False, mode="disp")
             if float(ovf) == 0.0:
                 return out[0] if squeeze else out
-    Zo, Yo, Xo = disp.shape[1:]
-    zz = jnp.arange(Zo, dtype=jnp.float32)[:, None, None]
-    yy = jnp.arange(Yo, dtype=jnp.float32)[None, :, None]
-    xx = jnp.arange(Xo, dtype=jnp.float32)[None, None, :]
+    zz, yy, xx = _base_grid(disp.shape[1:])
     out = field_warp_xla(volb, zz + disp[2], yy + disp[1], xx + disp[0],
                          background)
     return out[0] if squeeze else out

@@ -211,7 +211,10 @@ def rasterize_polygons(polygons, slice_indices, n_slices, H, W):
     bitmaps, _ = _polygon_bitmaps_device(polygons, H, W)
     Kb = bitmaps.shape[0]
     idx = np.full(Kb, n_slices, dtype=np.int32)        # padding -> dump
-    ids = np.clip(np.asarray(slice_indices, dtype=np.int32), 0, None)
-    idx[:K] = np.where(ids < n_slices, ids, n_slices)
+    ids = np.asarray(slice_indices, dtype=np.int32)
+    # out-of-range (including NEGATIVE) slices -> dump row, matching the
+    # cv2 backend's `if 0 <= s < S` drop (round-2 review finding: a
+    # clip-to-0 XORed below-volume contours into slice 0)
+    idx[:K] = np.where((ids >= 0) & (ids < n_slices), ids, n_slices)
     out = _scatter_xor(bitmaps, jnp.asarray(idx), int(n_slices))
     return np.asarray(out)

@@ -97,11 +97,8 @@ def _invert_planar(field_b, iterations, window=None, use_xla=False):
     def body(_, carry):
         v, ovf = carry
         if use_xla:
-            Zo, Yo, Xo = field_b.shape[1:]
-            zz = jnp.arange(Zo, dtype=jnp.float32)[:, None, None]
-            yy = jnp.arange(Yo, dtype=jnp.float32)[None, :, None]
-            xx = jnp.arange(Xo, dtype=jnp.float32)[None, None, :]
-            from ..pallas_warp import field_warp_xla
+            from ..pallas_warp import _base_grid, field_warp_xla
+            zz, yy, xx = _base_grid(field_b.shape[1:])
             out = field_warp_xla(field_b, zz + v[2], yy + v[1],
                                  xx + v[0], 0.0)
             dovf = jnp.float32(0.0)
@@ -152,15 +149,6 @@ def _compose_planar(u_b, v_b, window=None):
     return out + v_b, ovf
 
 
-@jax.jit
-def _compose(u_vox, v_vox):
-    """Channel-last twin of :func:`_compose_planar` (jit-safe, default
-    window — demons keeps its fields within the caps)."""
-    out, _ = _compose_planar(jnp.moveaxis(u_vox, -1, 0),
-                             jnp.moveaxis(v_vox, -1, 0))
-    return jnp.moveaxis(out, 0, -1)
-
-
 def compose_dvf(u_mm, v_mm, spacing_xyz):
     """Compose two mm fields on the same grid: exact for rough fields
     (window sized from v, the coordinate field; XLA twin when the slab
@@ -176,14 +164,10 @@ def compose_dvf(u_mm, v_mm, spacing_xyz):
             if float(ovf) == 0.0:
                 return np.moveaxis(np.asarray(out), 0, -1) * sp
     # exact XLA twin (coordinate spread exceeded any VMEM-fitting slab)
-    from ..pallas_warp import field_warp_xla
-    Zo, Yo, Xo = u_b.shape[1:]
-    zz = np.arange(Zo, dtype=np.float32)[:, None, None]
-    yy = np.arange(Yo, dtype=np.float32)[None, :, None]
-    xx = np.arange(Xo, dtype=np.float32)[None, None, :]
-    out = field_warp_xla(jnp.asarray(u_b), jnp.asarray(zz + v_b[2]),
-                         jnp.asarray(yy + v_b[1]),
-                         jnp.asarray(xx + v_b[0]), 0.0)
+    from ..pallas_warp import _base_grid, field_warp_xla
+    zz, yy, xx = _base_grid(u_b.shape[1:])
+    out = field_warp_xla(jnp.asarray(u_b), zz + v_b[2], yy + v_b[1],
+                         xx + v_b[0], 0.0)
     return (np.moveaxis(np.asarray(out), 0, -1) + np.moveaxis(v_b, 0, -1)) \
         * sp
 

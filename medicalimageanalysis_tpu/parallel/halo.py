@@ -157,10 +157,16 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     # neighbors, so the halo (and the z-displacement cap) is bounded by
     # the local shard depth
     H = min(int(halo), Zl)
+    if H < 3:
+        # cap = H - 2 would pin (or corrupt) the z-displacement
+        raise ValueError(
+            f"effective halo {H} (min(halo={halo}, Z/shards={Zl})) is "
+            "too shallow for any z-motion; use fewer shards or a "
+            "deeper volume")
     sp = jnp.asarray(spacing_xyz, jnp.float32)
 
     taps, radius = _gauss_taps(max(float(std), 1e-3))
-    if radius > Zl:
+    if smooth and radius > Zl:
         raise ValueError(
             f"smoothing radius {radius} exceeds the {Zl}-row shard "
             "depth; lower std or use fewer shards")

@@ -36,7 +36,8 @@ def run(fn, *args):
 def main():
     from medicalimageanalysis_tpu.ops.registration.demons import (
         _demons_core)
-    from medicalimageanalysis_tpu.ops.registration.dvf import _invert
+    from medicalimageanalysis_tpu.ops.registration.dvf import (
+        _invert_planar)
 
     rng = np.random.default_rng(0)
     fixed = jax.device_put(jnp.asarray(
@@ -57,12 +58,13 @@ def main():
               f" -> marginal {marg:.2f} ms/iter, fixed"
               f" {ts[10] - 10 * marg:.0f} ms")
 
-    dvf = jax.device_put(jnp.asarray(
-        rng.normal(scale=2.0, size=SHAPE + (3,)).astype(np.float32)))
+    dvf = jax.device_put(jnp.asarray(np.moveaxis(
+        rng.normal(scale=2.0, size=SHAPE + (3,)).astype(np.float32),
+        -1, 0).copy()))
     jax.block_until_ready(dvf)
     ts = {}
     for it in (10, 40):
-        ts[it] = run(_invert, dvf, it)
+        ts[it] = run(_invert_planar, dvf, it)
     marg = (ts[40] - ts[10]) / 30.0
     print(f"invert_dvf: 10it={ts[10]:.0f}ms 40it={ts[40]:.0f}ms"
           f" -> marginal {marg:.2f} ms/iter, fixed"
@@ -77,17 +79,18 @@ def smooth_invert():
     """Marginal invert cost on a SMOOTH realistic DVF (the rough-noise
     field above inflates the kernel's dynamic window loop)."""
     from scipy.ndimage import gaussian_filter
-    from medicalimageanalysis_tpu.ops.registration.dvf import _invert
+    from medicalimageanalysis_tpu.ops.registration.dvf import (
+        _invert_planar)
     rng = np.random.default_rng(1)
     d = rng.normal(scale=6.0, size=SHAPE + (3,)).astype(np.float32)
     for c in range(3):
         d[..., c] = gaussian_filter(d[..., c], sigma=8.0) * 40.0
     print(f"smooth DVF |d| max={np.abs(d).max():.1f} vox")
-    dvf = jax.device_put(jnp.asarray(d))
+    dvf = jax.device_put(jnp.asarray(np.moveaxis(d, -1, 0).copy()))
     jax.block_until_ready(dvf)
     ts = {}
     for it in (10, 40):
-        ts[it] = run(_invert, dvf, it)
+        ts[it] = run(_invert_planar, dvf, it)
     marg = (ts[40] - ts[10]) / 30.0
     print(f"invert_dvf smooth: 10it={ts[10]:.0f}ms 40it={ts[40]:.0f}ms"
           f" -> marginal {marg:.2f} ms/iter")

@@ -262,3 +262,25 @@ def test_metadata_goldens_pinned(tmp_path, rng):
     np.testing.assert_allclose(img.origin, [1.0, 2.0, 3.0], atol=1e-9)
     np.testing.assert_allclose(img.spacing, [1.0, 1.0, 2.0], atol=1e-9)
     np.testing.assert_allclose(img.matrix, np.eye(3), atol=1e-9)
+
+
+def test_rasterize_out_of_range_slices_match_cv2(rng):
+    """Below-volume (negative) and above-volume slice indices must be
+    DROPPED by the device path exactly like the cv2 backend's
+    `if 0 <= s < S` (round-2 review finding: clip-to-0 XORed
+    below-volume contours into slice 0)."""
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        _rasterize_plane)
+
+    sq = np.array([[4.0, 4.0], [20.0, 4.0], [20.0, 18.0], [4.0, 18.0]])
+    contours = []
+    for z in (-3.0, -1.0, 2.0, 5.0, 9.0, 12.0):   # 2 below, 2 above
+        contours.append(np.concatenate(
+            [sq, np.full((4, 1), z)], axis=1))
+    dims = [8, 32, 32]
+    dev = _rasterize_plane(contours, dims, "Axial", backend="device")
+    gold = _rasterize_plane(contours, dims, "Axial", backend="cv2")
+    assert dev.shape == gold.shape
+    np.testing.assert_array_equal(dev, gold)
+    assert gold[0].sum() == 0          # nothing leaked into slice 0
+    assert gold[2].sum() > 0 and gold[5].sum() > 0
