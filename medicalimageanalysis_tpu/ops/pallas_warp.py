@@ -604,6 +604,49 @@ def make_warp_sampler(vol, background=0.0, window=None, interpret=None):
     return sample
 
 
+def make_disp_sampler(vol, background=0.0, window=None, interpret=None):
+    """Differentiable DISPLACEMENT sampler ``sample(disp) -> out`` with
+    the exact analytic VJP fused into the forward kernel pass.
+
+    disp is the planar (3, Zo, Yo, Xo) voxel-displacement field, rows
+    (x, y, z); out(p) = vol(p + disp(p)). The cotangent w.r.t. disp is
+    just the coordinate gradients the kernel already accumulates —
+    ``(g*gx, g*gy, g*gz)`` stacked planar — so deformable descents
+    (B-spline FFD) never materialize coordinate volumes in either pass.
+    Not differentiable w.r.t. the volume."""
+    vol = jnp.asarray(vol, jnp.float32)
+    squeeze = vol.ndim == 3
+    volb = vol[None] if squeeze else vol
+
+    @jax.custom_vjp
+    def sample(disp):
+        out, _, _ = _warp_call(volb, disp, jnp.float32(background),
+                               False, window, _default_interpret(interpret),
+                               mode="disp")
+        return out[0] if squeeze else out
+
+    def fwd(disp):
+        out, grads, _ = _warp_call(volb, disp, jnp.float32(background),
+                                   True, window,
+                                   _default_interpret(interpret),
+                                   mode="disp")
+        gz, gy, gx = grads
+        if squeeze:
+            out, gz, gy, gx = out[0], gz[0], gy[0], gx[0]
+        return out, (gz, gy, gx)
+
+    def bwd(res, g):
+        gz, gy, gx = res
+        if not squeeze:
+            return (jnp.stack([jnp.sum(g * gx, axis=0),
+                               jnp.sum(g * gy, axis=0),
+                               jnp.sum(g * gz, axis=0)]),)
+        return (jnp.stack([g * gx, g * gy, g * gz]),)
+
+    sample.defvjp(fwd, bwd)
+    return sample
+
+
 def _default_interpret(interpret):
     if interpret is None:
         return jax.default_backend() != "tpu"

@@ -54,53 +54,54 @@ def bspline_basis_matrix(n_vox, n_ctrl, ctrl_spacing_vox):
 @partial(jax.jit, static_argnames=("steps",))
 def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
                  sp, lr, steps):
-    from .dvf import _base_coords
-
-    Xg, Yg, Zg = _base_coords(fixed.shape)
-
     if jax.default_backend() == "tpu":
-        # Pallas tile-slab sampler: exact trilinear with the analytic
-        # coordinate VJP fused into the forward kernel (the XLA gather
-        # this replaces runs at ~14 M pts/s AND re-gathers in the
-        # backward pass; docs/PERF.md). Gradients flow coords -> dense
-        # field -> control points through the separable basis einsums.
-        from ..pallas_warp import make_warp_sampler
-        sample_moving = make_warp_sampler(moving, 0.0)
+        # Pallas displacement sampler: exact trilinear with the
+        # analytic VJP fused into the forward kernel — the densified
+        # field feeds the kernel directly as tiled blocks, so neither
+        # pass materializes coordinate volumes (docs/PERF.md round-3
+        # profile). Gradients flow disp -> control points through the
+        # separable basis einsums.
+        from ..pallas_warp import make_disp_sampler
+        sample_disp = make_disp_sampler(moving, 0.0)
     else:
         # off-TPU the XLA gather is fine (the 14 M pts/s pathology is
         # TPU-specific) and beats interpret-mode kernel emulation
+        from ..pallas_warp import _base_grid
         from ..resample import make_trilinear_sampler
         _sample = make_trilinear_sampler(moving, 0.0)
+        zz, yy, xx = _base_grid(fixed.shape)
 
-        def sample_moving(cz, cy, cx):
-            return _sample(jnp.stack([cx, cy, cz], axis=-1))
+        def sample_disp(dv):
+            return _sample(jnp.stack([xx + dv[0], yy + dv[1],
+                                      zz + dv[2]], axis=-1))
+
+    spc = sp[:, None, None, None]
 
     def densify(ctrl):
-        # ctrl (Gz, Gy, Gx, 3) -> (Z, Y, X, 3) via separable contractions
-        out = jnp.einsum("zg,gyxc->zyxc", Bz, ctrl,
+        # ctrl (3, Gz, Gy, Gx) planar -> (3, Z, Y, X) via separable
+        # contractions (channel axis leads: no per-step transposes)
+        out = jnp.einsum("zg,cgyx->czyx", Bz, ctrl,
                          preferred_element_type=jnp.float32)
-        out = jnp.einsum("yh,zhxc->zyxc", By, out,
+        out = jnp.einsum("yh,czhx->czyx", By, out,
                          preferred_element_type=jnp.float32)
-        out = jnp.einsum("xk,zykc->zyxc", Bx, out,
+        out = jnp.einsum("xk,czyk->czyx", Bx, out,
                          preferred_element_type=jnp.float32)
         return out
 
     def loss_fn(ctrl):
-        d = densify(ctrl)                      # mm
-        dv = d / sp
-        warped = sample_moving(Zg + dv[..., 2], Yg + dv[..., 1],
-                               Xg + dv[..., 0])
+        d = densify(ctrl)                      # (3, Z, Y, X) mm
+        warped = sample_disp(d / spc)
         w = fixed_mask
         diff = (fixed - warped) * w
         mse = jnp.sum(diff * diff) / jnp.maximum(jnp.sum(w), 1.0)
         # light bending-energy regularizer keeps the field smooth
-        reg = jnp.mean(jnp.square(jnp.diff(ctrl, axis=0))) \
-            + jnp.mean(jnp.square(jnp.diff(ctrl, axis=1))) \
-            + jnp.mean(jnp.square(jnp.diff(ctrl, axis=2)))
+        reg = jnp.mean(jnp.square(jnp.diff(ctrl, axis=1))) \
+            + jnp.mean(jnp.square(jnp.diff(ctrl, axis=2))) \
+            + jnp.mean(jnp.square(jnp.diff(ctrl, axis=3)))
         return mse + 1e-3 * reg
 
     opt = optax.adam(lr)
-    ctrl0 = jnp.zeros((Bz.shape[1], By.shape[1], Bx.shape[1], 3),
+    ctrl0 = jnp.zeros((3, Bz.shape[1], By.shape[1], Bx.shape[1]),
                       jnp.float32)
 
     def step(carry, _):
@@ -112,7 +113,7 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
 
     (ctrl, _), losses = jax.lax.scan(step, (ctrl0, opt.init(ctrl0)),
                                      None, length=steps)
-    return densify(ctrl), losses
+    return jnp.moveaxis(densify(ctrl), 0, -1), losses
 
 
 def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),

@@ -337,3 +337,25 @@ def test_invert_dvf_rough_field_roundtrip(rng):
     resid = compose_dvf(d, v, sp)
     interior = resid[6:-6, 6:-6, 6:-6]
     assert np.abs(interior).max() < 0.35
+
+
+def test_disp_sampler_vjp_matches_xla_autodiff(rng):
+    """make_disp_sampler's fused VJP (cotangent = g * coordinate
+    gradients, planar) must match XLA autodiff through the gather."""
+    from medicalimageanalysis_tpu.ops.pallas_warp import (
+        _base_grid, make_disp_sampler)
+
+    vol = rng.normal(size=(12, 16, 40)).astype(np.float32)
+    disp = (0.8 * rng.normal(size=(3, 12, 16, 40))).astype(np.float32)
+    sampler = make_disp_sampler(vol, background=0.0, interpret=True)
+    g1 = jax.grad(lambda d: jnp.sum(sampler(d) ** 2))(jnp.asarray(disp))
+
+    zz, yy, xx = _base_grid(vol.shape)
+
+    def xla_loss(d):
+        out = field_warp_xla(jnp.asarray(vol)[None], zz + d[2],
+                             yy + d[1], xx + d[0], 0.0)[0]
+        return jnp.sum(out ** 2)
+
+    g2 = jax.grad(xla_loss)(jnp.asarray(disp))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
