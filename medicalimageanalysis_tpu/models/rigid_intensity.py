@@ -64,11 +64,63 @@ def _sample_grid(shape_zyx, step):
 # Optimize scaled parameters: pose = params * _POSE_SCALE.
 _POSE_SCALE = np.array([0.05, 0.05, 0.05, 5.0, 5.0, 5.0], np.float32)
 
+_MI_BINS = 32
 
-@partial(jax.jit, static_argnames=("steps", "stride", "use_pallas"))
+
+def _soft_bin_weights(vals, bins):
+    """(N, bins) triangular soft-assignment weights for vals in [0, 1]
+    (Parzen window, piecewise-linear -> differentiable). Each value hits
+    <= 2 bins; the dense matrix trades memory for an MXU matmul."""
+    centers = jnp.arange(bins, dtype=jnp.float32)
+    u = jnp.clip(vals, 0.0, 1.0) * (bins - 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - centers[None, :]))
+
+
+def _metric_loss(metric, vals, ref_vals, inside):
+    """Similarity loss over flattened sampled values.
+
+    'mse'  — masked mean squared error (mono-modality default);
+    'ncc'  — 1 - (global normalized cross-correlation)^2;
+    'mi'   — negative mutual information from a soft-binned joint
+             histogram: W_ref^T @ W_mov is one (bins, N) x (N, bins)
+             MXU matmul, exact-gradient through the Parzen weights.
+             Values must be pre-normalized to [0, 1] (the register_*
+             entry points' `normalize=True` does this). Cross-modality
+             (CT<->MR) metric, BASELINE config #4."""
+    v = vals.ravel()
+    r = ref_vals.ravel()
+    w = inside.ravel()
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    if metric == "mse":
+        diff = (v - r) * w
+        return jnp.sum(diff * diff) / n
+    if metric == "ncc":
+        mv = jnp.sum(v * w) / n
+        mr = jnp.sum(r * w) / n
+        dv = (v - mv) * w
+        dr = (r - mr) * w
+        cov = jnp.sum(dv * dr)
+        var = jnp.sum(dv * dv) * jnp.sum(dr * dr)
+        return 1.0 - (cov * cov) / jnp.maximum(var, 1e-12)
+    if metric == "mi":
+        B = _MI_BINS
+        Wr = _soft_bin_weights(r, B) * w[:, None]
+        Wm = _soft_bin_weights(v, B)
+        joint = Wr.T @ Wm                              # (B, B) on MXU
+        p = joint / jnp.maximum(jnp.sum(joint), 1e-6)
+        pr = jnp.sum(p, axis=1, keepdims=True)
+        pm = jnp.sum(p, axis=0, keepdims=True)
+        mi = jnp.sum(p * (jnp.log(p + 1e-12)
+                          - jnp.log(pr * pm + 1e-12)))
+        return -mi
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+@partial(jax.jit,
+         static_argnames=("steps", "stride", "use_pallas", "metric"))
 def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
                     pose0, lr, steps, stride, intensity_scale=1.0,
-                    use_pallas=True):
+                    use_pallas=True, metric="mse"):
     """One pyramid level of Adam descent on masked MSE.
 
     The level's volumes are first DOWNSAMPLED by `stride` (separable
@@ -134,9 +186,7 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
             inside = ((cx >= 0) & (cx <= MX - 1) & (cy >= 0)
                       & (cy <= MY - 1) & (cz >= 0)
                       & (cz <= MZ - 1)).astype(jnp.float32)
-            diff = (vals - ref_valsv) * inside
-            return jnp.sum(diff * diff) / jnp.maximum(jnp.sum(inside),
-                                                      1.0)
+            return _metric_loss(metric, vals, ref_valsv, inside)
     else:
         from ..ops.resample import make_trilinear_sampler
 
@@ -153,9 +203,7 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
             mov_pix = mov_pos @ mov_pos2pix.T
             vals = sample_mov(mov_pix[:, :3])
             inside = _inside_mask(mov_vol.shape, mov_pix[:, :3])
-            diff = (vals - ref_vals) * inside
-            return jnp.sum(diff * diff) / jnp.maximum(jnp.sum(inside),
-                                                      1.0)
+            return _metric_loss(metric, vals, ref_vals, inside)
 
     opt = optax.adam(lr)
 
@@ -188,7 +236,8 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
                                    centers, poses0=None,
                                    levels=((4, 60, 0.3), (2, 40, 0.1),
                                            (1, 25, 0.03)),
-                                   intensity_scale=1.0, mesh=None):
+                                   intensity_scale=1.0, mesh=None,
+                                   metric="mse"):
     """Cohort registration: P volume pairs through ONE compiled program
     per pyramid level.
 
@@ -241,7 +290,7 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
                 pose, ls = _register_level(
                     ri, mi, rpi, mpi, ci, pi, jnp.float32(lr),
                     int(steps), (int(stride),) * 3, scale,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, metric=metric)
                 return pose, ls[-1]
             return jax.lax.map(one, (r, m, rp, mp, c, p0))
 
@@ -268,7 +317,7 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
                     pose1, ls = _register_level(
                         ri, mi, rpi, mpi, ci, pi, jnp.float32(lr),
                         int(steps), (int(stride),) * 3, scale,
-                        use_pallas=False)
+                        use_pallas=False, metric=metric)
                     return pose1, ls[-1]
                 return jax.lax.map(one, (r, m, rp, mp, c, p0))
 
@@ -291,17 +340,24 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
 def register_rigid_intensity(reference_image, moving_image, pose0=None,
                              levels=((4, 60, 0.3), (2, 40, 0.1),
                                      (1, 25, 0.03)),
-                             normalize=True):
-    """Register moving onto reference by masked-MSE gradient descent.
+                             normalize=True, metric="mse"):
+    """Register moving onto reference by gradient descent on a masked
+    similarity metric.
 
     Parameters
     ----------
     reference_image, moving_image : objects with .array/.matrix/
         .spacing/.origin (Image instances or equivalents)
     levels : tuple of (stride, steps, lr) coarse-to-fine schedule
+    metric : 'mse' (mono-modality default) | 'ncc' | 'mi' (soft-binned
+        mutual information — the CT<->MR cross-modality metric,
+        BASELINE config #4; requires normalize=True)
 
     Returns (matrix4 ``reference -> moving``, info dict).
     """
+    if metric == "mi" and not normalize:
+        raise ValueError("metric='mi' requires normalize=True "
+                         "([0, 1] intensities for the Parzen bins)")
     ref = np.asarray(reference_image.array, dtype=np.float32)
     mov = np.asarray(moving_image.array, dtype=np.float32)
     intensity_scale = 1.0
@@ -352,7 +408,8 @@ def register_rigid_intensity(reference_image, moving_image, pose0=None,
             refj, movj, jnp.asarray(ref_pix2pos),
             jnp.asarray(mov_pos2pix), jnp.asarray(center), pose_in,
             jnp.float32(lr), int(steps), (stride, stride, stride),
-            jnp.float32(intensity_scale), use_pallas=use_pallas)
+            jnp.float32(intensity_scale), use_pallas=use_pallas,
+            metric=metric)
         if use_pallas and not _fits(pose):
             # the descent WALKED past the slab caps mid-level (no
             # overflow sync exists under jit): redo this level on the
@@ -362,7 +419,8 @@ def register_rigid_intensity(reference_image, moving_image, pose0=None,
                 refj, movj, jnp.asarray(ref_pix2pos),
                 jnp.asarray(mov_pos2pix), jnp.asarray(center), pose_in,
                 jnp.float32(lr), int(steps), (stride, stride, stride),
-                jnp.float32(intensity_scale), use_pallas=False)
+                jnp.float32(intensity_scale), use_pallas=False,
+                metric=metric)
         losses_all.append(np.asarray(losses))
 
     matrix = np.asarray(pose_to_matrix(pose, jnp.asarray(center)),

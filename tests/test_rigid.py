@@ -277,3 +277,45 @@ def test_register_rigid_intensity_batch(rng):
             assert np.abs(m[:3, 3] - want).max() < 0.35
         results.append(poses)
     np.testing.assert_allclose(results[0], results[1], atol=1e-5)
+
+
+def test_register_intensity_mi_cross_modality():
+    """MI metric recovers a known shift between a CT-like volume and a
+    nonlinearly intensity-remapped (pseudo-MR) copy where MSE has no
+    meaningful optimum (BASELINE config #4's CT<->MR leg)."""
+    import jax.numpy as jnp
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        register_rigid_intensity)
+
+    rng = np.random.default_rng(3)
+    zz, yy, xx = np.mgrid[0:24, 0:48, 0:48].astype(np.float32)
+    ref = (np.exp(-(((zz - 12) / 5) ** 2 + ((yy - 24) / 9) ** 2
+                    + ((xx - 24) / 9) ** 2)) * 900
+           + np.exp(-(((zz - 7) / 3) ** 2 + ((yy - 12) / 4) ** 2
+                      + ((xx - 33) / 4) ** 2)) * 500).astype(np.float32)
+    ref += rng.normal(0, 5, ref.shape).astype(np.float32)
+    # pseudo-MR: monotonic-free nonlinear remap (intensity INVERSION
+    # with a bump) + shift by 3 voxels in x
+    remap = 1000.0 - ref + 400.0 * np.exp(-((ref - 400.0) / 150.0) ** 2)
+    mov = np.roll(remap, shift=3, axis=2).astype(np.float32)
+    mov += rng.normal(0, 5, mov.shape).astype(np.float32)
+
+    class Img:
+        def __init__(self, a):
+            self.array = a
+            self.matrix = np.eye(3)
+            self.spacing = np.ones(3)
+            self.origin = np.zeros(3)
+
+        def compute_center(self):
+            return np.array([24.0, 24.0, 12.0])
+
+    matrix, info = register_rigid_intensity(
+        Img(ref), Img(mov), metric="mi",
+        levels=((2, 80, 0.2), (1, 40, 0.05)))
+    # recovered translation: ref -> mov physical map should carry x -> x+3
+    t = matrix[:3, 3]
+    assert abs(t[0] - 3.0) < 0.8, f"MI failed to recover shift: t={t}"
+    assert abs(t[1]) < 0.8 and abs(t[2]) < 0.8
+    rot = matrix[:3, :3]
+    assert np.abs(rot - np.eye(3)).max() < 0.05
