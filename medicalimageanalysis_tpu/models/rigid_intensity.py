@@ -121,7 +121,8 @@ def _metric_loss(metric, vals, ref_vals, inside):
 def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
                     pose0, lr, steps, stride, intensity_scale=1.0,
                     use_pallas=True, metric="mse"):
-    """One pyramid level of Adam descent on masked MSE.
+    """One pyramid level of Adam descent on the selected masked
+    similarity metric (see :func:`_metric_loss`).
 
     The level's volumes are first DOWNSAMPLED by `stride` (separable
     MXU contractions) and the loss evaluates on the full contiguous

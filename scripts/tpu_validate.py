@@ -134,6 +134,48 @@ def main():
              for b in range(2))
     check("largest_component_batch vs scipy", ok)
 
+    # 7) fused-coordinate kernel modes (disp / affine) vs XLA twin
+    from medicalimageanalysis_tpu.ops.pallas_warp import (
+        _base_grid, affine_warp_fused, make_disp_sampler, warp_disp_jit)
+    volm = jax.device_put(jnp.asarray(
+        rng.normal(size=(21, 29, 71)).astype(np.float32)))
+    disp = jnp.asarray(
+        rng.normal(scale=2.0, size=(3, 18, 27, 66)).astype(np.float32))
+    bz, by, bx = _base_grid(disp.shape[1:])
+    refd = field_warp_xla(volm[None], bz + disp[2], by + disp[1],
+                          bx + disp[0], 0.25)[0]
+    outd, ovfd = warp_disp_jit(volm, disp, 0.25, with_overflow=True)
+    d = float(jnp.max(jnp.abs(outd - refd)))
+    check("disp-mode warp exactness", d < 1e-5 and float(ovfd) == 0,
+          f"max|diff|={d:.2e}")
+
+    A = np.eye(4, dtype=np.float32)
+    A[:3, :3] += rng.normal(scale=0.05, size=(3, 3)).astype(np.float32)
+    A[:3, 3] = [2.5, -1.0, 0.5]
+    ca, cb, cc = affine_coords(A, (17, 30, 70))
+    refa = field_warp_xla(volm[None], ca, cb, cc, -3001.0)[0]
+    outa, ovfa = affine_warp_fused(volm, jnp.asarray(A),
+                                   jnp.float32(-3001.0), (17, 30, 70))
+    d = float(jnp.max(jnp.abs(outa - refa)))
+    check("affine-mode warp exactness", d < 5e-3 and float(ovfa) == 0,
+          f"max|diff|={d:.2e}")
+
+    # 8) disp-sampler VJP vs XLA autodiff on hardware
+    sampler = make_disp_sampler(volm[:12, :16, :40], 0.0)
+    disp_s = jnp.asarray(
+        0.8 * rng.normal(size=(3, 12, 16, 40)).astype(np.float32))
+    g1 = jax.grad(lambda dd: jnp.sum(sampler(dd) ** 2))(disp_s)
+    bz, by, bx = _base_grid((12, 16, 40))
+
+    def xla_loss(dd):
+        o = field_warp_xla(volm[None, :12, :16, :40], bz + dd[2],
+                           by + dd[1], bx + dd[0], 0.0)[0]
+        return jnp.sum(o ** 2)
+
+    g2 = jax.grad(xla_loss)(disp_s)
+    d = float(jnp.max(jnp.abs(g1 - g2)))
+    check("disp-sampler VJP vs autodiff", d < 1e-2, f"max|diff|={d:.2e}")
+
     print(f"\n{len(failures)} failure(s)" if failures
           else "\nALL TPU VALIDATIONS PASSED")
     return 1 if failures else 0

@@ -319,3 +319,33 @@ def test_register_intensity_mi_cross_modality():
     assert abs(t[1]) < 0.8 and abs(t[2]) < 0.8
     rot = matrix[:3, :3]
     assert np.abs(rot - np.eye(3)).max() < 0.05
+
+
+def test_register_intensity_ncc_linear_remap():
+    """NCC is invariant to affine intensity remaps: recovers a shift
+    between a volume and a gain/offset-remapped copy."""
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        register_rigid_intensity)
+
+    rng = np.random.default_rng(5)
+    zz, yy, xx = np.mgrid[0:24, 0:40, 0:40].astype(np.float32)
+    ref = (np.exp(-(((zz - 12) / 5) ** 2 + ((yy - 20) / 8) ** 2
+                    + ((xx - 20) / 8) ** 2)) * 800).astype(np.float32)
+    ref += rng.normal(0, 4, ref.shape).astype(np.float32)
+    mov = np.roll(ref * 0.4 + 120.0, shift=2, axis=1).astype(np.float32)
+
+    class Img:
+        def __init__(self, a):
+            self.array = a
+            self.matrix = np.eye(3)
+            self.spacing = np.ones(3)
+            self.origin = np.zeros(3)
+
+        def compute_center(self):
+            return np.array([20.0, 20.0, 12.0])
+
+    matrix, _ = register_rigid_intensity(
+        Img(ref), Img(mov), metric="ncc",
+        levels=((2, 60, 0.2), (1, 30, 0.05)))
+    t = matrix[:3, 3]
+    assert abs(t[1] - 2.0) < 0.6 and abs(t[0]) < 0.6 and abs(t[2]) < 0.6
