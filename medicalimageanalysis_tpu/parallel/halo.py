@@ -254,7 +254,23 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
         return fn(f, stack, grad_f)
 
     vol_sh = NamedSharding(mesh, P(axis_name, None, None))
-    f = jax.device_put(fixed, vol_sh)
-    m = jax.device_put(moving, vol_sh)
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+    if multiproc:
+        # multi-host mesh: every process holds the same global host
+        # array; build the sharded jax.Array shard-by-shard (device_put
+        # cannot target non-addressable devices)
+        fnp, mnp = np.asarray(fixed), np.asarray(moving)
+        f = jax.make_array_from_callback(
+            fnp.shape, vol_sh, lambda idx: fnp[idx])
+        m = jax.make_array_from_callback(
+            mnp.shape, vol_sh, lambda idx: mnp[idx])
+    else:
+        f = jax.device_put(fixed, vol_sh)
+        m = jax.device_put(moving, vol_sh)
     u = run(f, m)
+    if multiproc:
+        # replicate so every process can read the full field
+        u = jax.jit(jnp.asarray,
+                    out_shardings=NamedSharding(mesh, P()))(u)
     return np.moveaxis(np.asarray(u), 0, -1) * np.asarray(spacing_xyz)

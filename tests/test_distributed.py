@@ -67,7 +67,23 @@ def total_mean(b):
 out = total_mean(gbatch)   # replicated scalar: addressable everywhere
 val = float(out)
 assert abs(val - 1000.0) < 1e-3, val
-print(f"worker {pid} OK total={val}")
+
+# sequence-parallel demons across the 2-process mesh: one volume
+# z-sharded over 'space', halo ppermutes + pmax riding the global mesh;
+# result must match each worker's own single-device demons loop
+from medicalimageanalysis_tpu.ops.registration.demons import (
+    demons_registration)
+from medicalimageanalysis_tpu.parallel.halo import demons_z_sharded
+
+zz, yy, xx = np.mgrid[0:8, 0:16, 0:16].astype(np.float32)
+fx = (np.exp(-(((zz - 4) / 2) ** 2 + ((yy - 8) / 4) ** 2
+               + ((xx - 8) / 4) ** 2)) * 100).astype(np.float32)
+mv = np.roll(fx, shift=1, axis=2).astype(np.float32)
+got = demons_z_sharded(fx, mv, mesh, iterations=4, std=1, halo=4)
+ref = demons_registration(fx, mv, method="fast", iterations=4, std=1)
+derr = float(np.abs(got - ref).max())
+assert derr < 2e-3, f"sharded demons mismatch across processes: {derr}"
+print(f"worker {pid} OK total={val} demons_err={derr:.2e}")
 """
 
 

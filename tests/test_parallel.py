@@ -200,3 +200,30 @@ def test_demons_z_sharded_matches_single_device(rng):
         assert err < 2e-3, f"{method}: sharded demons diverges ({err})"
     # the fast variant must actually have recovered some of the shift
     assert np.abs(got[..., 0]).max() > 0.3
+
+
+def test_register_batch_mi_metric(rng):
+    """metric='mi' threads through the batched cohort registration
+    (static arg through lax.map + shard_map)."""
+    _require_8()
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        register_rigid_intensity_batch)
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    zz, yy, xx = np.mgrid[0:8, 0:24, 0:24].astype(np.float32)
+    base = np.exp(-(((zz - 4) / 2) ** 2 + ((yy - 12) / 5) ** 2
+                    + ((xx - 12) / 5) ** 2)).astype(np.float32)
+    B = 4
+    refs = np.broadcast_to(base, (B, 8, 24, 24)).copy()
+    refs += rng.normal(0, 0.01, refs.shape).astype(np.float32)
+    movs = np.roll(1.0 - refs, shift=1, axis=3).copy()  # inverted + shift
+
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    centers = np.tile(np.array([12.0, 12.0, 4.0], np.float32), (B, 1))
+    mesh = make_mesh(8, space=2)
+    poses, losses = register_rigid_intensity_batch(
+        refs, movs, eye, eye, centers, metric="mi",
+        levels=((1, 30, 0.05),), mesh=mesh)
+    assert poses.shape == (B, 6) and np.isfinite(losses).all()
+    # inverted intensities: MI still pulls x-translation toward +1
+    assert np.all(poses[:, 3] > 0.25)
