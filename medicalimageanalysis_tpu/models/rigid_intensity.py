@@ -103,10 +103,7 @@ def _metric_loss(metric, vals, ref_vals, inside):
         var = jnp.sum(dv * dv) * jnp.sum(dr * dr)
         return 1.0 - (cov * cov) / jnp.maximum(var, 1e-12)
     if metric == "mi":
-        B = _MI_BINS
-        Wr = _soft_bin_weights(r, B) * w[:, None]
-        Wm = _soft_bin_weights(v, B)
-        joint = Wr.T @ Wm                              # (B, B) on MXU
+        joint = _mi_joint(v, r, w)
         p = joint / jnp.maximum(jnp.sum(joint), 1e-6)
         pr = jnp.sum(p, axis=1, keepdims=True)
         pm = jnp.sum(p, axis=0, keepdims=True)
@@ -114,6 +111,41 @@ def _metric_loss(metric, vals, ref_vals, inside):
                           - jnp.log(pr * pm + 1e-12)))
         return -mi
     raise ValueError(f"unknown metric {metric!r}")
+
+
+# dense (N, bins) Parzen matrices are ~4 GB per 32M-voxel volume; past
+# this many values the joint histogram accumulates in rematerialized
+# chunks instead (weights recomputed in the backward pass)
+_MI_CHUNK = 1 << 21
+
+
+def _mi_joint(v, r, w):
+    """(bins, bins) soft joint histogram. Small N: one MXU matmul.
+    Large N: lax.scan over _MI_CHUNK-value chunks with jax.checkpoint
+    so neither pass materializes the (N, bins) weight matrices."""
+    B = _MI_BINS
+    N = v.shape[0]
+    if N <= _MI_CHUNK:
+        Wr = _soft_bin_weights(r, B) * w[:, None]
+        Wm = _soft_bin_weights(v, B)
+        return Wr.T @ Wm
+    C = -(-N // _MI_CHUNK)
+    pad = C * _MI_CHUNK - N
+    vp = jnp.pad(v, (0, pad))
+    rp = jnp.pad(r, (0, pad))
+    wp = jnp.pad(w, (0, pad))            # padded weights 0 -> no count
+
+    @jax.checkpoint
+    def body(acc, xs):
+        vc, rc, wc = xs
+        Wr = _soft_bin_weights(rc, B) * wc[:, None]
+        Wm = _soft_bin_weights(vc, B)
+        return acc + Wr.T @ Wm, None
+
+    xs = (vp.reshape(C, _MI_CHUNK), rp.reshape(C, _MI_CHUNK),
+          wp.reshape(C, _MI_CHUNK))
+    joint, _ = jax.lax.scan(body, jnp.zeros((B, B), jnp.float32), xs)
+    return joint
 
 
 @partial(jax.jit,
@@ -267,6 +299,18 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
         else jnp.asarray(poses0, jnp.float32)
     scale = jnp.float32(intensity_scale)
     losses = jnp.zeros((P_n,), jnp.float32)
+
+    if metric == "mi":
+        # the Parzen bins cover [0, 1] and clip has zero gradient
+        # outside it: unnormalized input would silently no-op the
+        # registration (review finding)
+        hi = float(jnp.max(jnp.abs(refs.astype(jnp.float32)))) \
+            * float(intensity_scale)
+        if not (0.0 < hi <= 1.5):
+            raise ValueError(
+                "metric='mi' needs intensities normalized to [0, 1] "
+                f"(after intensity_scale; saw max {hi:.3g}) — see "
+                "register_rigid_intensity's normalize=True recipe")
 
     from ..ops.pallas_warp import fits_warp_caps
 

@@ -51,29 +51,40 @@ def bspline_basis_matrix(n_vox, n_ctrl, ctrl_spacing_vox):
     return m
 
 
-@partial(jax.jit, static_argnames=("steps",))
+@partial(jax.jit,
+         static_argnames=("steps", "use_pallas", "window", "with_mmask"))
 def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
-                 sp, lr, steps):
-    if jax.default_backend() == "tpu":
+                 sp, lr, steps, use_pallas=True, window=None,
+                 with_mmask=False):
+    # the moving-image mask (ITK semantics: a sample only contributes
+    # where the warped moving mask is on) warps through the SAME kernel
+    # call as the image, batched
+    stack = jnp.stack([moving, moving_mask]) if with_mmask \
+        else moving[None]
+    if use_pallas and jax.default_backend() == "tpu":
         # Pallas displacement sampler: exact trilinear with the
         # analytic VJP fused into the forward kernel — the densified
         # field feeds the kernel directly as tiled blocks, so neither
         # pass materializes coordinate volumes (docs/PERF.md round-3
         # profile). Gradients flow disp -> control points through the
-        # separable basis einsums.
+        # separable basis einsums. Callers verify the final field
+        # against the slab windows and redo with a sized window / the
+        # XLA sampler when it overflowed (bspline_registration).
         from ..pallas_warp import make_disp_sampler
-        sample_disp = make_disp_sampler(moving, 0.0)
+        sample_disp = make_disp_sampler(stack, 0.0, window=window)
     else:
         # off-TPU the XLA gather is fine (the 14 M pts/s pathology is
         # TPU-specific) and beats interpret-mode kernel emulation
         from ..pallas_warp import _base_grid
         from ..resample import make_trilinear_sampler
-        _sample = make_trilinear_sampler(moving, 0.0)
+        _samplers = [make_trilinear_sampler(stack[b], 0.0)
+                     for b in range(stack.shape[0])]
         zz, yy, xx = _base_grid(fixed.shape)
 
         def sample_disp(dv):
-            return _sample(jnp.stack([xx + dv[0], yy + dv[1],
-                                      zz + dv[2]], axis=-1))
+            coords = jnp.stack([xx + dv[0], yy + dv[1], zz + dv[2]],
+                               axis=-1)
+            return jnp.stack([s(coords) for s in _samplers])
 
     spc = sp[:, None, None, None]
 
@@ -90,8 +101,9 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
 
     def loss_fn(ctrl):
         d = densify(ctrl)                      # (3, Z, Y, X) mm
-        warped = sample_disp(d / spc)
-        w = fixed_mask
+        w_all = sample_disp(d / spc)
+        warped = w_all[0]
+        w = fixed_mask * w_all[1] if with_mmask else fixed_mask
         diff = (fixed - warped) * w
         mse = jnp.sum(diff * diff) / jnp.maximum(jnp.sum(w), 1.0)
         # light bending-energy regularizer keeps the field smooth
@@ -125,7 +137,15 @@ def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     `control_spacing` in mm (default [50,50,50] like reference
     simpleitk.py:106-107); `mesh_size` overrides the grid resolution.
     The returned field is the *sampling* field: moving(x + d(x)) ~
-    fixed(x).
+    fixed(x). `moving_mask` (ITK semantics) warps with the image and
+    gates the loss where the warped mask is on.
+
+    Exactness on TPU: after the fit the final field's per-tile spread
+    is checked against the warp kernel's slab windows; if it exceeded
+    them (organ-scale motion with a tight control grid) the fit is
+    REDONE with a demand-sized window, or on the unbounded XLA sampler
+    when no VMEM-fitting window suffices — overflowed samples would
+    otherwise return background with zeroed gradients (review finding).
     """
     fixed = np.asarray(fixed, dtype=np.float32)
     moving = np.asarray(moving, dtype=np.float32)
@@ -150,11 +170,32 @@ def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
 
     fmask = np.ones_like(fixed) if fixed_mask is None \
         else np.asarray(fixed_mask, dtype=np.float32)
-    mmask = np.ones_like(moving) if moving_mask is None \
-        else np.asarray(moving_mask, dtype=np.float32)
+    with_mmask = moving_mask is not None
+    mmask = np.asarray(moving_mask, np.float32) if with_mmask \
+        else np.zeros((1, 1, 1), np.float32)     # dummy: not transferred
 
-    dvf, losses = _bspline_fit(
-        jnp.asarray(fixed), jnp.asarray(moving), jnp.asarray(fmask),
-        jnp.asarray(mmask), Bz, By, Bx, jnp.asarray(sp),
-        jnp.float32(lr), int(iterations))
+    args = (jnp.asarray(fixed), jnp.asarray(moving), jnp.asarray(fmask),
+            jnp.asarray(mmask), Bz, By, Bx, jnp.asarray(sp),
+            jnp.float32(lr), int(iterations))
+    dvf, losses = _bspline_fit(*args, with_mmask=with_mmask)
+
+    if jax.default_backend() == "tpu":
+        # post-fit exactness check: did the field outgrow the kernel's
+        # slab windows? (overflowed samples return background with
+        # zero gradients — review finding). 1.25x margin covers the
+        # descent's intermediate excursions
+        from ..pallas_warp import (SLAB_VMEM_BUDGET, required_window,
+                                   window_slab_bytes)
+        disp_vox = np.moveaxis(np.asarray(dvf), -1, 0) \
+            / sp[:, None, None, None]
+        win = required_window(disp_vox * 1.25)
+        if win[0] > 16 or win[1] > 16:
+            batch = 2 if with_mmask else 1
+            if window_slab_bytes(fixed.shape, win,
+                                 batch) <= SLAB_VMEM_BUDGET:
+                dvf, losses = _bspline_fit(*args, window=win,
+                                           with_mmask=with_mmask)
+            else:
+                dvf, losses = _bspline_fit(*args, use_pallas=False,
+                                           with_mmask=with_mmask)
     return np.asarray(dvf), np.asarray(losses)

@@ -147,8 +147,11 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
         raise ValueError("sharded demons supports 'demons' and 'fast'; "
                          "use demons_registration for diffeomorphic")
     n_shards = mesh.shape[axis_name]
-    fixed = jnp.asarray(fixed, jnp.float32)
-    moving = jnp.asarray(moving, jnp.float32)
+    # stay HOST-side until the sharded placement: jnp.asarray here
+    # would stage the whole volume on one local device — exactly the
+    # OOM this function exists to avoid (review finding)
+    fixed = np.asarray(fixed, np.float32)
+    moving = np.asarray(moving, np.float32)
     Z, Y, X = fixed.shape
     if Z % n_shards != 0:
         raise ValueError(f"z={Z} not divisible by {n_shards} shards")
@@ -260,11 +263,10 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
         # multi-host mesh: every process holds the same global host
         # array; build the sharded jax.Array shard-by-shard (device_put
         # cannot target non-addressable devices)
-        fnp, mnp = np.asarray(fixed), np.asarray(moving)
         f = jax.make_array_from_callback(
-            fnp.shape, vol_sh, lambda idx: fnp[idx])
+            fixed.shape, vol_sh, lambda idx: fixed[idx])
         m = jax.make_array_from_callback(
-            mnp.shape, vol_sh, lambda idx: mnp[idx])
+            moving.shape, vol_sh, lambda idx: moving[idx])
     else:
         f = jax.device_put(fixed, vol_sh)
         m = jax.device_put(moving, vol_sh)

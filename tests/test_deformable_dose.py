@@ -419,3 +419,57 @@ def test_compute_dose_statistics_whole_grid():
                                4 * 8 * 8 * 2.5 / 1000.0)
     np.testing.assert_allclose(stats["integral_gy_cc"],
                                2.0 * 4 * 8 * 8 * 2.5 / 1000.0)
+
+
+def test_bspline_moving_mask_gates_loss(rng):
+    """moving_mask warps with the image (ITK semantics): corrupted
+    intensities outside the mask must not pollute the fit."""
+    from medicalimageanalysis_tpu.ops.registration.bspline import (
+        bspline_registration)
+
+    zz, yy, xx = np.mgrid[0:16, 0:32, 0:32].astype(np.float32)
+    fixed = (np.exp(-(((zz - 8) / 4) ** 2 + ((yy - 16) / 6) ** 2
+                      + ((xx - 16) / 6) ** 2)) * 100).astype(np.float32)
+    moving = np.roll(fixed, shift=2, axis=2)
+    mmask = np.ones_like(moving)
+    # corrupt a corner of the moving image and mask it out
+    moving2 = moving.copy()
+    moving2[:4, :8, :8] = 500.0
+    mmask[:4, :8, :8] = 0.0
+    dvf, losses = bspline_registration(
+        fixed, moving2, control_spacing=[8, 8, 8], iterations=40,
+        moving_mask=mmask)
+    assert losses[-1] < losses[0]
+    interior = dvf[4:-4, 8:-8, 8:-8]
+    assert abs(interior[..., 0].mean() - 2.0) < 1.0
+
+
+def test_mi_chunked_joint_matches_dense(rng):
+    """The chunked/rematerialized MI joint histogram must equal the
+    dense matmul path (values and gradients)."""
+    import jax
+    import jax.numpy as jnp
+    from medicalimageanalysis_tpu.models import rigid_intensity as ri
+
+    v = rng.random(5000).astype(np.float32)
+    r = rng.random(5000).astype(np.float32)
+    w = (rng.random(5000) > 0.2).astype(np.float32)
+
+    dense = ri._mi_joint(jnp.asarray(v), jnp.asarray(r), jnp.asarray(w))
+    old = ri._MI_CHUNK
+    try:
+        ri._MI_CHUNK = 512          # force the scan path + padding
+        chunked = ri._mi_joint(jnp.asarray(v), jnp.asarray(r),
+                               jnp.asarray(w))
+        gd = jax.grad(lambda x: jnp.sum(
+            ri._metric_loss("mi", x, jnp.asarray(r), jnp.asarray(w))))(
+                jnp.asarray(v))
+    finally:
+        ri._MI_CHUNK = old
+    gd2 = jax.grad(lambda x: jnp.sum(
+        ri._metric_loss("mi", x, jnp.asarray(r), jnp.asarray(w))))(
+            jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd2),
+                               atol=1e-4)
