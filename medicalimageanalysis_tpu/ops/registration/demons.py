@@ -49,7 +49,8 @@ def _smooth_field(u, mz, my, mx):
 @partial(jax.jit,
          static_argnames=("iterations", "method", "smooth", "std_vox"))
 def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
-                 iterations, method, smooth, elastic_lambda=0.2):
+                 iterations, method, smooth, elastic_lambda=0.2,
+                 u0=None):
     """Returns (dvf_mm (Z,Y,X,3), total_overflow).
 
     The whole iteration loop holds the field PLANAR (3, Z, Y, X) and
@@ -132,16 +133,33 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
                  jnp.gradient(div, axis=0)])
         return u_new, ovf
 
-    u0 = jnp.zeros((3,) + fixed.shape, jnp.float32)
+    if u0 is None:
+        u0 = jnp.zeros((3,) + fixed.shape, jnp.float32)
     u, ovf = jax.lax.fori_loop(0, iterations, body,
                                (u0, jnp.float32(0.0)))
     return jnp.moveaxis(u, 0, -1) * sp, ovf    # voxels -> mm
 
 
+def _downsample_volume(vol, factor):
+    from ..resample import separable_resample
+    Z, Y, X = vol.shape
+    out = (max(Z // factor, 2), max(Y // factor, 2), max(X // factor, 2))
+    return separable_resample(vol, out)
+
+
+def _upsample_field(u_mm, out_shape):
+    """Planar-free field upsample: each mm component is resolution-
+    independent, so a separable trilinear resample per channel is
+    exact pyramid prolongation."""
+    from ..resample import separable_resample
+    return jnp.stack([separable_resample(u_mm[..., c], out_shape)
+                      for c in range(3)], axis=-1)
+
+
 def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                         method="demons", smooth=True, std=1,
                         iterations=50, intensity_threshold=0.001,
-                        step=2.0, elastic_lambda=0.2):
+                        step=2.0, elastic_lambda=0.2, pyramid=None):
     """Run a demons variant; returns (Z, Y, X, 3) DVF in mm such that
     moving(x + d(x)) ~ fixed(x) on the fixed grid.
 
@@ -151,15 +169,50 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     forces with a linear-elastic grad(div u) relaxation step
     (weight ``elastic_lambda``) for tissue-like near-incompressibility
     (the reference reserved this as an empty stub).
+
+    pyramid: optional coarse-to-fine downsample factors, e.g. (4, 2, 1)
+    — beyond-parity multi-resolution schedule (the reference's
+    single-level sitk filters stall on large deformations). Each level
+    runs ``iterations`` iterations on the downsampled pair, warm-
+    started from the previous level's upsampled mm field (mm components
+    are resolution-independent). The final factor should be 1.
     """
     fixed = jnp.asarray(fixed, dtype=jnp.float32)
     moving = jnp.asarray(moving, dtype=jnp.float32)
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
-    out, ovf = _demons_core(fixed, moving, sp, float(std),
-                            jnp.float32(step),
-                            jnp.float32(intensity_threshold),
-                            int(iterations), method, bool(smooth),
-                            jnp.float32(elastic_lambda))
+
+    if pyramid:
+        out_mm = None
+        ovf = jnp.float32(0.0)
+        for factor in pyramid:
+            if int(factor) > 1:
+                f_l = _downsample_volume(fixed, int(factor))
+                m_l = _downsample_volume(moving, int(factor))
+            else:
+                f_l, m_l = fixed, moving
+            # physical voxel size grows with the factor
+            ratio = jnp.asarray(
+                [fixed.shape[2] / f_l.shape[2],
+                 fixed.shape[1] / f_l.shape[1],
+                 fixed.shape[0] / f_l.shape[0]], jnp.float32)
+            sp_l = sp * ratio
+            u0 = None
+            if out_mm is not None:
+                up = _upsample_field(jnp.asarray(out_mm), f_l.shape)
+                u0 = jnp.moveaxis(up / sp_l, -1, 0)      # mm -> voxels
+            out_mm, dovf = _demons_core(
+                f_l, m_l, sp_l, float(std), jnp.float32(step),
+                jnp.float32(intensity_threshold), int(iterations),
+                method, bool(smooth), jnp.float32(elastic_lambda),
+                u0=u0)
+            ovf = ovf + dovf
+        out = out_mm
+    else:
+        out, ovf = _demons_core(fixed, moving, sp, float(std),
+                                jnp.float32(step),
+                                jnp.float32(intensity_threshold),
+                                int(iterations), method, bool(smooth),
+                                jnp.float32(elastic_lambda))
     if float(ovf) > 0:
         # the evolving field exceeded the warp kernel's slab windows in
         # some tiles (possible for very rough/large deformations with

@@ -473,3 +473,31 @@ def test_mi_chunked_joint_matches_dense(rng):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(gd), np.asarray(gd2),
                                atol=1e-4)
+
+
+def test_demons_pyramid_recovers_large_shift(rng):
+    """Multi-resolution demons (beyond-parity) recovers a deformation
+    far outside the single-level capture range."""
+    from medicalimageanalysis_tpu.ops.registration.demons import (
+        demons_registration)
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+
+    zz, yy, xx = np.mgrid[0:24, 0:48, 0:48].astype(np.float32)
+    fixed = (np.exp(-(((zz - 12) / 5) ** 2 + ((yy - 24) / 9) ** 2
+                      + ((xx - 24) / 9) ** 2)) * 100).astype(np.float32)
+    moving = np.roll(fixed, shift=7, axis=2)
+
+    kw = dict(method="fast", iterations=25, std=1)
+    dvf_single = demons_registration(fixed, moving, **kw)
+    dvf_pyr = demons_registration(fixed, moving, pyramid=(4, 2, 1), **kw)
+    assert dvf_pyr.shape == fixed.shape + (3,)
+
+    def resid(d):
+        w = np.asarray(warp_volume(moving, d, (1, 1, 1)))
+        return float(np.abs(w - fixed)[4:-4, 8:-8, 8:-8].mean())
+
+    base = float(np.abs(moving - fixed)[4:-4, 8:-8, 8:-8].mean())
+    r_pyr = resid(dvf_pyr)
+    assert r_pyr < 0.25 * base, (r_pyr, base)
+    # and it must beat the single-level run on this large shift
+    assert r_pyr < resid(dvf_single)
