@@ -346,10 +346,13 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
             except ImportError:  # pragma: no cover
                 from jax.experimental.shard_map import shard_map
             spec = P("data")
+            # check_vma=False: the Pallas sampler's outputs carry no
+            # varying-axes metadata (vma validation rejects pallas_call
+            # under shard_map)
             level = shard_map(
                 level, mesh=mesh,
                 in_specs=(spec, spec, spec, spec, spec, spec),
-                out_specs=(spec, spec))
+                out_specs=(spec, spec), check_vma=False)
         poses_in = poses
         poses, losses = jax.jit(level)(refs, movs, ref_pix2pos,
                                        mov_pos2pix, centers, poses_in)
@@ -375,7 +378,8 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
                 spec = P("data")
                 level2 = shard_map(
                     level2, mesh=mesh,
-                    in_specs=(spec,) * 6, out_specs=(spec, spec))
+                    in_specs=(spec,) * 6, out_specs=(spec, spec),
+                    check_vma=False)
             poses, losses = jax.jit(level2)(refs, movs, ref_pix2pos,
                                             mov_pos2pix, centers,
                                             poses_in)

@@ -92,22 +92,27 @@ def preprocess_batch(raw, slopes, intercepts, out_shape=(64, 256, 256),
 def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
                  method="fast", iterations=30, std=1.0, step=2.0,
                  intensity_threshold=0.001, smooth=True, mesh=None):
-    """Deformable registration over a whole cohort: vmapped demons
-    (one compiled program for B pairs), optionally sharded over the
-    'data' axis of a Mesh. Returns (B, Z, Y, X, 3) DVFs in mm."""
+    """Deformable registration over a whole cohort: one compiled
+    program runs B pairs back-to-back (``lax.map``; on a Mesh the pair
+    axis shards over 'data' so each chip maps over its local pairs —
+    a vmap here would batch the Pallas warp, which Mosaic cannot lower
+    for ANY-memory-space operands: found by examples/cohort_scale.py on
+    hardware). Returns (B, Z, Y, X, 3) DVFs in mm."""
     from ..ops.registration.demons import _demons_core
 
     fixed = jnp.asarray(fixed_batch, jnp.float32)
     moving = jnp.asarray(moving_batch, jnp.float32)
     sp = jnp.asarray(spacing_xyz, jnp.float32)
 
-    def single(f, m):
+    def single(args):
+        f, m = args
         dvf, _ovf = _demons_core(f, m, sp, float(std), jnp.float32(step),
                                  jnp.float32(intensity_threshold),
                                  int(iterations), method, bool(smooth))
         return dvf
 
-    fn = jax.vmap(single)
+    def fn(f, m):
+        return jax.lax.map(single, (f, m))
     if mesh is None:
         jfn = jax.jit(fn)
     else:
