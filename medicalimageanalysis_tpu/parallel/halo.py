@@ -132,9 +132,14 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
       are MXU matmuls, shard-local);
     - per-shard z-displacement is clamped to ``halo - 2`` rows for
       sampling (document/raise `halo` for organ-scale motion; the x/y
-      components are unlimited). Within that bound results match the
-      single-device :func:`ops.registration.demons.demons_registration`
-      to f32 tolerance (tests/test_parallel.py).
+      components are unlimited). Within that bound the semantics match
+      the single-device :func:`demons_registration` exactly; on the XLA
+      backend the fields agree to f32 tolerance
+      (tests/test_parallel.py), while on TPU the two Pallas execution
+      orders can diverge at the ``|diff| > threshold`` knife-edge
+      (demons is iteratively bistable there) — both are valid demons
+      trajectories with equal warp residuals (measured 0.1225 vs 0.1227
+      on a 1.53-baseline pair; docs/PERF.md).
 
     fixed/moving: (Z, Y, X) with Z divisible by the shard count.
     Returns a (Z, Y, X, 3) mm DVF (host numpy).
