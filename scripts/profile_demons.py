@@ -111,29 +111,32 @@ def main():
         return jax.lax.fori_loop(0, ITERS, body, v0)
     timeit("invert body planar", invert_planar, vol3, -u_plan)
 
-    # 6. smoothing alone, channel-last
+    # 6. smoothing alone, channel-last (per-channel einsums)
     mz = jnp.asarray(_gauss_kernel_matrix(Z, 1.0))
     my = jnp.asarray(_gauss_kernel_matrix(Y, 1.0))
     mx = jnp.asarray(_gauss_kernel_matrix(X, 1.0))
 
     @jax.jit
     def smooth_last(u):
+        def one(c):
+            o = jnp.einsum("ij,jyx->iyx", mz, u[..., c],
+                           preferred_element_type=jnp.float32)
+            o = jnp.einsum("kj,zjx->zkx", my, o,
+                           preferred_element_type=jnp.float32)
+            return jnp.einsum("lj,zyj->zyl", mx, o,
+                              preferred_element_type=jnp.float32)
+
         def body(_, uu):
-            return _smooth_field(uu, mz, my, mx)
+            del uu
+            return jnp.stack([one(0), one(1), one(2)], axis=-1)
         return jax.lax.fori_loop(0, ITERS, body, u)
     timeit("smooth alone (channel-last)", smooth_last, u_last)
 
-    # 7. smoothing alone, planar batched einsum
+    # 7. smoothing alone, planar batched (the shipped _smooth_field)
     @jax.jit
     def smooth_planar(u):
         def body(_, uu):
-            o = jnp.einsum("ij,cjyx->ciyx", mz, uu,
-                           preferred_element_type=jnp.float32)
-            o = jnp.einsum("kj,czjx->czkx", my, o,
-                           preferred_element_type=jnp.float32)
-            o = jnp.einsum("lj,czyj->czyl", mx, o,
-                           preferred_element_type=jnp.float32)
-            return o
+            return _smooth_field(uu, mz, my, mx)
         return jax.lax.fori_loop(0, ITERS, body, u)
     timeit("smooth alone (planar batched)", smooth_planar, u_plan)
 
