@@ -302,15 +302,17 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
 
     if metric == "mi":
         # the Parzen bins cover [0, 1] and clip has zero gradient
-        # outside it: unnormalized input would silently no-op the
-        # registration (review finding)
-        hi = float(jnp.max(jnp.abs(refs.astype(jnp.float32)))) \
-            * float(intensity_scale)
-        if not (0.0 < hi <= 1.5):
-            raise ValueError(
-                "metric='mi' needs intensities normalized to [0, 1] "
-                f"(after intensity_scale; saw max {hi:.3g}) — see "
-                "register_rigid_intensity's normalize=True recipe")
+        # outside it: unnormalized (or signed-normalized) input on
+        # EITHER side would silently no-op the registration
+        for name, arr in (("refs", refs), ("movs", movs)):
+            a = arr.astype(jnp.float32) * scale
+            lo, hi = float(jnp.min(a)), float(jnp.max(a))
+            if not (lo >= -0.05 and 0.0 < hi <= 1.5):
+                raise ValueError(
+                    "metric='mi' needs intensities normalized to "
+                    f"[0, 1] (after intensity_scale; {name} span "
+                    f"[{lo:.3g}, {hi:.3g}]) — see "
+                    "register_rigid_intensity's normalize=True recipe")
 
     from ..ops.pallas_warp import fits_warp_caps
 
@@ -341,18 +343,13 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
-            try:
-                from jax import shard_map  # jax >= 0.8
-            except ImportError:  # pragma: no cover
-                from jax.experimental.shard_map import shard_map
+
+            from ..parallel.mesh import shard_map_nocheck
             spec = P("data")
-            # check_vma=False: the Pallas sampler's outputs carry no
-            # varying-axes metadata (vma validation rejects pallas_call
-            # under shard_map)
-            level = shard_map(
-                level, mesh=mesh,
+            level = shard_map_nocheck(
+                level, mesh,
                 in_specs=(spec, spec, spec, spec, spec, spec),
-                out_specs=(spec, spec), check_vma=False)
+                out_specs=(spec, spec))
         poses_in = poses
         poses, losses = jax.jit(level)(refs, movs, ref_pix2pos,
                                        mov_pos2pix, centers, poses_in)
@@ -371,15 +368,12 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
 
             if mesh is not None:
                 from jax.sharding import PartitionSpec as P
-                try:
-                    from jax import shard_map
-                except ImportError:  # pragma: no cover
-                    from jax.experimental.shard_map import shard_map
+
+                from ..parallel.mesh import shard_map_nocheck
                 spec = P("data")
-                level2 = shard_map(
-                    level2, mesh=mesh,
-                    in_specs=(spec,) * 6, out_specs=(spec, spec),
-                    check_vma=False)
+                level2 = shard_map_nocheck(
+                    level2, mesh, in_specs=(spec,) * 6,
+                    out_specs=(spec, spec))
             poses, losses = jax.jit(level2)(refs, movs, ref_pix2pos,
                                             mov_pos2pix, centers,
                                             poses_in)

@@ -182,20 +182,32 @@ def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     if jax.default_backend() == "tpu":
         # post-fit exactness check: did the field outgrow the kernel's
         # slab windows? (overflowed samples return background with
-        # zero gradients — review finding). 1.25x margin covers the
-        # descent's intermediate excursions
+        # zero gradients — review finding). Each redo is RE-verified —
+        # an overflow-stalled first fit under-reports the demand, so a
+        # single unchecked redo could still be inexact; after two
+        # window escalations the unbounded XLA sampler settles it.
         from ..pallas_warp import (SLAB_VMEM_BUDGET, required_window,
                                    window_slab_bytes)
-        disp_vox = np.moveaxis(np.asarray(dvf), -1, 0) \
-            / sp[:, None, None, None]
-        win = required_window(disp_vox * 1.25)
-        if win[0] > 16 or win[1] > 16:
-            batch = 2 if with_mmask else 1
+        batch = 2 if with_mmask else 1
+        window = None                       # default (16, 16) caps
+        for _attempt in range(2):
+            disp_vox = np.moveaxis(np.asarray(dvf), -1, 0) \
+                / sp[:, None, None, None]
+            win = required_window(disp_vox * 1.25)
+            prev = window if window is not None else (16, 16)
+            if win[0] <= prev[0] and win[1] <= prev[1]:
+                break                       # field fit the caps: exact
             if window_slab_bytes(fixed.shape, win,
-                                 batch) <= SLAB_VMEM_BUDGET:
-                dvf, losses = _bspline_fit(*args, window=win,
-                                           with_mmask=with_mmask)
-            else:
+                                 batch) > SLAB_VMEM_BUDGET:
+                window = None
                 dvf, losses = _bspline_fit(*args, use_pallas=False,
                                            with_mmask=with_mmask)
+                break
+            window = win
+            dvf, losses = _bspline_fit(*args, window=win,
+                                       with_mmask=with_mmask)
+        else:
+            # still growing past each sized window: unbounded sampler
+            dvf, losses = _bspline_fit(*args, use_pallas=False,
+                                       with_mmask=with_mmask)
     return np.asarray(dvf), np.asarray(losses)

@@ -182,6 +182,11 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
 
     if pyramid:
+        pyramid = tuple(int(f) for f in pyramid)
+        if pyramid[-1] != 1:
+            # the contract is a fixed-grid (Z, Y, X, 3) field: always
+            # finish at full resolution
+            pyramid = pyramid + (1,)
         out_mm = None
         ovf = jnp.float32(0.0)
         for factor in pyramid:

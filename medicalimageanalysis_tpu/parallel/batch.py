@@ -93,11 +93,13 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
                  method="fast", iterations=30, std=1.0, step=2.0,
                  intensity_threshold=0.001, smooth=True, mesh=None):
     """Deformable registration over a whole cohort: one compiled
-    program runs B pairs back-to-back (``lax.map``; on a Mesh the pair
-    axis shards over 'data' so each chip maps over its local pairs —
-    a vmap here would batch the Pallas warp, which Mosaic cannot lower
-    for ANY-memory-space operands: found by examples/cohort_scale.py on
-    hardware). Returns (B, Z, Y, X, 3) DVFs in mm."""
+    program runs B pairs back-to-back (``lax.map``; a vmap here would
+    batch the Pallas warp, which Mosaic cannot lower for
+    ANY-memory-space operands — found by examples/cohort_scale.py on
+    hardware). With a Mesh, shard_map splits the pair axis over 'data'
+    FIRST, so each chip lax.maps only its local pairs (a bare lax.map
+    under jit is a sequential loop GSPMD cannot partition — review
+    finding). Returns (B, Z, Y, X, 3) DVFs in mm."""
     from ..ops.registration.demons import _demons_core
 
     fixed = jnp.asarray(fixed_batch, jnp.float32)
@@ -116,12 +118,12 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
     if mesh is None:
         jfn = jax.jit(fn)
     else:
-        from .mesh import volume_sharding
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        vol_sh = volume_sharding(mesh)
-        dvf_sh = NamedSharding(mesh, P("data", "space", None, None, None))
-        jfn = jax.jit(fn, in_shardings=(vol_sh, vol_sh),
-                      out_shardings=dvf_sh)
+        from jax.sharding import PartitionSpec as P
+
+        from .mesh import shard_map_nocheck
+        spec = P("data")
+        jfn = jax.jit(shard_map_nocheck(fn, mesh, in_specs=(spec, spec),
+                                        out_specs=spec))
     return jfn(fixed, moving)
 
 

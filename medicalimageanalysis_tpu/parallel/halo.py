@@ -253,17 +253,13 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
             stack = jnp.stack([m, mx_ / sp[0], my_ / sp[1], mz_ / sp[2]])
         else:
             stack = m[None]
-        # check_vma=False: the per-shard body dispatches the Pallas
-        # warp kernel, whose pallas_call outputs carry no varying-axes
-        # metadata — jax's vma validation rejects them under shard_map
-        # (found by examples/cohort_scale.py on hardware)
-        fn = shard_map(
-            local_loop, mesh=mesh,
+        from .mesh import shard_map_nocheck
+        fn = shard_map_nocheck(
+            local_loop, mesh,
             in_specs=(P(axis_name, None, None),
                       P(None, axis_name, None, None),
                       P(None, axis_name, None, None)),
-            out_specs=P(None, axis_name, None, None),
-            check_vma=False)
+            out_specs=P(None, axis_name, None, None))
         return fn(f, stack, grad_f)
 
     vol_sh = NamedSharding(mesh, P(axis_name, None, None))

@@ -15,7 +15,26 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "volume_sharding", "batch_sharding",
-           "replicated_sharding", "initialize_distributed"]
+           "replicated_sharding", "initialize_distributed",
+           "shard_map_nocheck"]
+
+
+def shard_map_nocheck(f, mesh, in_specs, out_specs):
+    """shard_map with varying-axes validation off — required when the
+    per-shard body dispatches a Pallas kernel (pallas_call outputs
+    carry no vma metadata and the validator rejects them; found on
+    hardware by examples/cohort_scale.py). Handles both the jax>=0.8
+    `check_vma` and the legacy `check_rep` keyword."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - legacy jax
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,

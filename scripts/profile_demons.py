@@ -118,8 +118,8 @@ def main():
 
     @jax.jit
     def smooth_last(u):
-        def one(c):
-            o = jnp.einsum("ij,jyx->iyx", mz, u[..., c],
+        def one(uu, c):
+            o = jnp.einsum("ij,jyx->iyx", mz, uu[..., c],
                            preferred_element_type=jnp.float32)
             o = jnp.einsum("kj,zjx->zkx", my, o,
                            preferred_element_type=jnp.float32)
@@ -127,8 +127,9 @@ def main():
                               preferred_element_type=jnp.float32)
 
         def body(_, uu):
-            del uu
-            return jnp.stack([one(0), one(1), one(2)], axis=-1)
+            # chain the CARRY so the loop body is not loop-invariant
+            return jnp.stack([one(uu, 0), one(uu, 1), one(uu, 2)],
+                             axis=-1)
         return jax.lax.fori_loop(0, ITERS, body, u)
     timeit("smooth alone (channel-last)", smooth_last, u_last)
 
