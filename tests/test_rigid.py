@@ -349,3 +349,15 @@ def test_register_intensity_ncc_linear_remap():
         levels=((2, 60, 0.2), (1, 30, 0.05)))
     t = matrix[:3, 3]
     assert abs(t[1] - 2.0) < 0.6 and abs(t[0]) < 0.6 and abs(t[2]) < 0.6
+
+
+def test_rigid_compute_intensity_metric_passthrough(two_images):
+    """metric= kwarg flows through Rigid.compute_intensity to the
+    registration model (structure-level API)."""
+    ct, mr = two_images
+    rigid = mia.Rigid(ct, mr)
+    info = rigid.compute_intensity(
+        levels=((2, 80, 0.2), (1, 60, 0.05)), metric="ncc")
+    t = rigid.matrix[:3, 3]
+    np.testing.assert_allclose(t, [-2.0, 3.0, 0.0], atol=0.8)
+    assert "loss" in rigid.misc["intensity_info"]
