@@ -363,23 +363,30 @@ class Deformable(object):
 
     def compute_demons(self, method=None, modality_gradient=True, sigma=2,
                        smooth=True, std=1, iterations=50,
-                       intensity_threshold=0.001, step=2.0, crop=5):
-        """Demons variants (reference structure/deformable.py:615-690)."""
+                       intensity_threshold=0.001, step=2.0, crop=5,
+                       pyramid=None):
+        """Demons variants (reference structure/deformable.py:615-690).
+
+        ``pyramid``: optional coarse-to-fine factors, e.g. (4, 2, 1) —
+        beyond-parity multi-resolution schedule for large deformations
+        (see ops.registration.demons.demons_registration)."""
         backend = self._backend(modality_gradient, sigma)
         backend.resample()
         if method in ("Demons", "demons"):
             dvf_volume = backend.demons(
                 smooth=smooth, std=std, iterations=iterations,
-                intensity_threshold=intensity_threshold, crop=crop)
+                intensity_threshold=intensity_threshold, crop=crop,
+                pyramid=pyramid)
         elif method in ("Diffeomorphic", "diffeomorphic"):
             dvf_volume = backend.diffeomorphic(
                 smooth=smooth, std=std, iterations=iterations,
-                intensity_threshold=intensity_threshold, crop=crop)
+                intensity_threshold=intensity_threshold, crop=crop,
+                pyramid=pyramid)
         else:
             dvf_volume = backend.fast_demons(
                 smooth=smooth, std=std, iterations=iterations,
                 intensity_threshold=intensity_threshold, step=step,
-                crop=crop)
+                crop=crop, pyramid=pyramid)
         self._store_dvf(dvf_volume)
 
     @staticmethod

@@ -143,7 +143,7 @@ class DeformableJAX(object):
                             iterations=min(iterations, 300), crop=crop)
 
     def demons(self, smooth=True, std=1, iterations=50,
-               intensity_threshold=0.001, crop=5):
+               intensity_threshold=0.001, crop=5, pyramid=None):
         if crop > 0:
             self.mask_crop(margin=crop)
         fixed, moving = self._masked_arrays()
@@ -151,22 +151,25 @@ class DeformableJAX(object):
             fixed, moving, self.reference_image["spacing"],
             method="demons", smooth=smooth, std=std,
             iterations=iterations,
-            intensity_threshold=intensity_threshold)
+            intensity_threshold=intensity_threshold, pyramid=pyramid)
         return self._dvf_volume(dvf)
 
     def fast_demons(self, smooth=True, std=1, iterations=50,
-                    intensity_threshold=0.001, step=2.0, crop=5):
+                    intensity_threshold=0.001, step=2.0, crop=5,
+                    pyramid=None):
         if crop > 0:
             self.mask_crop(margin=crop)
         fixed, moving = self._masked_arrays()
         dvf = demons_registration(
             fixed, moving, self.reference_image["spacing"],
             method="fast", smooth=smooth, std=std, iterations=iterations,
-            intensity_threshold=intensity_threshold, step=step)
+            intensity_threshold=intensity_threshold, step=step,
+            pyramid=pyramid)
         return self._dvf_volume(dvf)
 
     def diffeomorphic(self, smooth=True, std=1, iterations=50,
-                      intensity_threshold=0.001, step=2.0, crop=5):
+                      intensity_threshold=0.001, step=2.0, crop=5,
+                      pyramid=None):
         if crop > 0:
             self.mask_crop(margin=crop)
         fixed, moving = self._masked_arrays()
@@ -174,7 +177,8 @@ class DeformableJAX(object):
             fixed, moving, self.reference_image["spacing"],
             method="diffeomorphic", smooth=smooth, std=std,
             iterations=iterations,
-            intensity_threshold=intensity_threshold, step=step)
+            intensity_threshold=intensity_threshold, step=step,
+            pyramid=pyramid)
         return self._dvf_volume(dvf)
 
     def biomechanical(self, smooth=True, std=1, iterations=50,
