@@ -51,14 +51,24 @@ def _convert_value(vr, raw, little):
         if not s:
             return None
         parts = s.split("\\")
-        vals = [float(p) for p in parts if p.strip()]
+        try:
+            vals = [float(p) for p in parts if p.strip()]
+        except ValueError:
+            # corrupt numeric string: a partial list would silently
+            # change the multiplicity (IOP/IPP geometry!), so the whole
+            # value is treated as absent — consumers skip the dataset
+            # like the reference skips unparseable files (fuzz finding)
+            return None
         return vals if len(vals) > 1 else (vals[0] if vals else None)
     if vr == "IS":
         s = raw.decode("latin-1", errors="replace").strip(" \x00")
         if not s:
             return None
         parts = s.split("\\")
-        vals = [int(float(p)) for p in parts if p.strip()]
+        try:
+            vals = [int(float(p)) for p in parts if p.strip()]
+        except ValueError:
+            return None
         return vals if len(vals) > 1 else (vals[0] if vals else None)
     order = "<" if little else ">"
     if vr in ("US", "SS", "UL", "SL", "FL", "FD", "SV", "UV"):

@@ -242,7 +242,12 @@ class DicomReader(object):
         buckets = {}
         for d in self.ds:
             if d and (0x0008, 0x0060) in d:
-                buckets.setdefault(d["Modality"].value, []).append(d)
+                mod = d["Modality"].value
+                if not isinstance(mod, str):
+                    # corrupt CS bytes can decode to a multi-value list
+                    # (invalid DICOM) — skip the file (fuzz finding)
+                    continue
+                buckets.setdefault(mod, []).append(d)
 
         for modality in list(self.ds_modality.keys()):
             images = buckets.get(modality, [])
@@ -259,14 +264,24 @@ class DicomReader(object):
                 if ("ImageOrientationPatient" not in img
                         or "ImagePositionPatient" not in img):
                     continue
-                orient = np.asarray(img["ImageOrientationPatient"].value,
-                                    dtype=np.float64)
-                pos = np.asarray(img["ImagePositionPatient"].value,
-                                 dtype=np.float64)
+                try:
+                    orient = np.asarray(
+                        img["ImageOrientationPatient"].value,
+                        dtype=np.float64)
+                    pos = np.asarray(img["ImagePositionPatient"].value,
+                                     dtype=np.float64)
+                    if orient.shape != (6,) or pos.shape != (3,):
+                        raise ValueError("bad multiplicity")
+                    series_uid = img["SeriesInstanceUID"].value
+                except (TypeError, ValueError, KeyError):
+                    # corrupt geometry/UID tags (decoder returns None,
+                    # wrong multiplicity, or the tag bytes themselves
+                    # were damaged): skip the slice like the reference
+                    # skips unparseable files (fuzz finding)
+                    continue
                 acq = img.get("AcquisitionNumber")
                 acq = np.int64(acq) if acq is not None else np.int64(1)
-                entries.append((img["SeriesInstanceUID"].value, acq,
-                                orient, pos, img))
+                entries.append((series_uid, acq, orient, pos, img))
             if not entries:
                 continue
 

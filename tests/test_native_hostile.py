@@ -155,3 +155,34 @@ def test_packbits_truncated_streams():
     # no-op header then EOF
     out = _packbits_decode(bytes([128]), 8)
     assert len(out) == 0
+
+
+def test_full_ingest_byte_flip_fuzz(tmp_path):
+    """Byte-flip fuzz through the FULL Python ingest path: a valid CT
+    slice with random corruptions must never escape the tolerant
+    read_dicoms flow as an uncaught exception (reference behavior:
+    unparseable files are skipped)."""
+    import os
+
+    import medicalimageanalysis_tpu as mia
+    from medicalimageanalysis_tpu.data import Data
+    from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+    rng = np.random.default_rng(77)
+    d = tmp_path / "ct"
+    arr = rng.integers(-500, 2000, size=(4, 32, 32)).astype(np.int16)
+    CreateDicomImage(str(d), arr, spacing=[1.0, 1.0], thickness=2.0).run()
+    src = sorted(os.listdir(d))[0]
+    good = open(os.path.join(d, src), "rb").read()
+
+    mut_path = tmp_path / "mut.dcm"
+    for trial in range(100):
+        blob = bytearray(good)
+        for _ in range(int(rng.integers(1, 16))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        mut_path.write_bytes(bytes(blob))
+        Data.clear()
+        # must not raise — corrupt files are skipped or load partially
+        mia.read_dicoms(file_list=[str(mut_path)])
+    Data.clear()
