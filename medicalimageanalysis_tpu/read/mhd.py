@@ -33,7 +33,22 @@ def read_mhd_volume(path):
 
     Array axis order follows the sitk convention the reference relied
     on: (z, y, x) for scalar volumes, (z, y, x, C) for vector volumes.
+    Corrupt headers/payloads raise a clean ValueError naming the file
+    (not whatever KeyError/zlib/reshape error the parse hit — fuzz
+    finding); a missing primary file stays FileNotFoundError.
     """
+    try:
+        return _read_mhd_volume(path)
+    except FileNotFoundError:
+        raise
+    except (KeyError, ValueError, TypeError, OverflowError, OSError,
+            IndexError, zlib.error) as e:
+        raise ValueError(
+            f"invalid MHD file {str(path)!r}: "
+            f"{type(e).__name__}: {e}") from e
+
+
+def _read_mhd_volume(path):
     header = {}
     data_file = None
     with open(path, "rb") as f:

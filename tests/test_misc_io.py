@@ -478,3 +478,30 @@ def test_runtime_cache_respects_existing():
     runtime.setup_jax_cache()
     assert jax.config.jax_compilation_cache_dir == before
     assert before is not None
+
+
+def test_mhd_corrupt_raises_clean_valueerror(tmp_path, rng):
+    """Corrupt MHD headers/payloads must raise ValueError naming the
+    file, not whatever KeyError/TypeError/zlib error the parse hit
+    (byte-flip fuzz finding)."""
+    from medicalimageanalysis_tpu.read.mhd import (read_mhd_volume,
+                                                   write_mhd_volume)
+
+    vol = rng.normal(size=(4, 8, 8)).astype(np.float32)
+    p = tmp_path / "v.mhd"
+    write_mhd_volume(str(p), vol, spacing=[1, 1, 2], origin=[0, 0, 0])
+    good = p.read_bytes()
+    for trial in range(60):
+        blob = bytearray(good)
+        for _ in range(int(rng.integers(1, 10))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        p.write_bytes(bytes(blob))
+        try:
+            read_mhd_volume(str(p))
+        except (ValueError, FileNotFoundError):
+            pass  # the typed-error contract
+    # valid file still reads
+    p.write_bytes(good)
+    arr, sp, o, d = read_mhd_volume(str(p))
+    np.testing.assert_allclose(arr, vol)
