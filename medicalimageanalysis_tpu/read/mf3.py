@@ -41,6 +41,18 @@ class ThreeMfReader(object):
         self.roi_name = roi_name
 
     def load(self):
+        """Corrupt archives raise a clean ValueError naming the file
+        (not BadZipFile/KeyError/ET.ParseError — fuzz finding)."""
+        try:
+            return self._load()
+        except FileNotFoundError:
+            raise
+        except Exception as e:
+            raise ValueError(
+                f"invalid 3MF file {str(self.file)!r}: "
+                f"{type(e).__name__}: {e}") from e
+
+    def _load(self):
         archive = zipfile.ZipFile(self.file, "r")
         root = ET.parse(archive.open("3D/3dmodel.model"))
 
