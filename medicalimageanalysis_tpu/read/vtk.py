@@ -15,7 +15,20 @@ __all__ = ["read_vtk_polydata", "write_vtk_polydata", "VtkReader"]
 
 def read_vtk_polydata(path):
     """Read an ASCII legacy .vtk POLYDATA file -> TriMesh (triangulating
-    larger polygons by fanning)."""
+    larger polygons by fanning). Corrupt files raise a clean ValueError
+    naming the file (fuzz finding)."""
+    try:
+        return _read_vtk_polydata(path)
+    except FileNotFoundError:
+        raise
+    except (ValueError, IndexError, KeyError, TypeError,
+            OverflowError) as e:
+        raise ValueError(
+            f"invalid VTK file {str(path)!r}: "
+            f"{type(e).__name__}: {e}") from e
+
+
+def _read_vtk_polydata(path):
     with open(str(path), "r", errors="replace") as f:
         tokens = f.read().split()
 
