@@ -9,8 +9,10 @@ synthesize a cohort of CT series on disk, then
 2. batched 6-DoF rigid  — every pair descends in one compiled program
                           per pyramid level, pair axis sharded over
                           'data';
-3. batched fast demons  — deformable refinement, batch over 'data',
-                          volumes split over 'space';
+3. batched fast demons  — deformable refinement, pair axis sharded
+                          over 'data' (each chip maps its local pairs;
+                          use demons_z_sharded when single volumes need
+                          splitting);
 4. `demons_z_sharded`   — the sequence-parallel alternative: ONE large
                           volume z-sharded over 'space' with halo
                           exchange (for volumes too big for one chip).

@@ -36,6 +36,17 @@ def _normalize_tag(key):
     raise TypeError(f"invalid tag key {key!r}")
 
 
+def value_or(ds, key, default):
+    """Element value, or `default` when the tag is absent OR its value
+    decoded to None (corrupt DS/IS numeric strings decode to None
+    rather than raising — fuzz finding; a bare presence check would
+    pass None into float()/np.double() at the consumer)."""
+    if key not in ds:
+        return default
+    v = ds[key].value
+    return default if v is None else v
+
+
 class DataElement:
     __slots__ = ("tag", "VR", "value")
 

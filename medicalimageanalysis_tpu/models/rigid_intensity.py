@@ -303,11 +303,14 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
     if metric == "mi":
         # the Parzen bins cover [0, 1] and clip has zero gradient
         # outside it: unnormalized (or signed-normalized) input on
-        # EITHER side would silently no-op the registration
+        # EITHER side would silently no-op the registration. min/max
+        # run on the stored dtype (no f32 cohort copy) and scale on
+        # host; a blank all-zero volume is degenerate but harmless.
+        s = float(intensity_scale)
         for name, arr in (("refs", refs), ("movs", movs)):
-            a = arr.astype(jnp.float32) * scale
-            lo, hi = float(jnp.min(a)), float(jnp.max(a))
-            if not (lo >= -0.05 and 0.0 < hi <= 1.5):
+            lo = float(jnp.min(arr)) * s
+            hi = float(jnp.max(arr)) * s
+            if not (lo >= -0.05 and hi <= 1.5):
                 raise ValueError(
                     "metric='mi' needs intensities normalized to "
                     f"[0, 1] (after intensity_scale; {name} span "

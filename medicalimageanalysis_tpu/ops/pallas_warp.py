@@ -771,6 +771,26 @@ def window_slab_bytes(vol_shape, window, batch=1):
     return batch * cfg["ZS"] * cfg["YS"] * cfg["SX"] * 4
 
 
+def fits_x_window(disp_x, vol_x, tx=128):
+    """True when a displacement field's x taps fit the kernel's x slab.
+
+    For vol X <= 512 the whole padded row is resident (always fits);
+    beyond that the slab is a 384-lane window with a 128-aligned base,
+    so the within-tile x-tap spread (tile width + displacement spread)
+    must stay under 256 lanes. required_window covers only (DZ, DY) —
+    this is its x-axis companion (review finding)."""
+    cfg = _pick_config((1, 1, vol_x))
+    if cfg["SX"] >= _round_up(vol_x, 128):
+        return True
+    d = np.asarray(disp_x, np.float32)
+    Z, Y, X = d.shape
+    px = (-X) % tx
+    d = np.pad(d, ((0, 0), (0, 0), (0, px)), mode="edge")
+    c = d.reshape(Z, Y, (X + px) // tx, tx)
+    spread = (c.max(axis=3) - c.min(axis=3)).max()
+    return float(spread) + tx + 3 <= cfg["SX"] - 128
+
+
 def affine_coords(pixel_matrix, out_shape):
     """Materialize (cz, cy, cx) for an (x,y,z)-ordered 4x4 pixel matrix
     mapping output pixel (x, y, z, 1) -> input pixel, the convention of

@@ -182,32 +182,36 @@ def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     if jax.default_backend() == "tpu":
         # post-fit exactness check: did the field outgrow the kernel's
         # slab windows? (overflowed samples return background with
-        # zero gradients — review finding). Each redo is RE-verified —
-        # an overflow-stalled first fit under-reports the demand, so a
-        # single unchecked redo could still be inexact; after two
-        # window escalations the unbounded XLA sampler settles it.
-        from ..pallas_warp import (SLAB_VMEM_BUDGET, required_window,
-                                   window_slab_bytes)
+        # zero gradients — review finding). The redo is RE-verified —
+        # an overflow-stalled first fit under-reports the demand — and
+        # any second failure (or an x-tap overflow, which the z/y
+        # window cannot express) goes straight to the unbounded XLA
+        # sampler, so no windowed fit result is ever used unverified.
+        from ..pallas_warp import (SLAB_VMEM_BUDGET, fits_x_window,
+                                   required_window, window_slab_bytes)
         batch = 2 if with_mmask else 1
-        window = None                       # default (16, 16) caps
-        for _attempt in range(2):
-            disp_vox = np.moveaxis(np.asarray(dvf), -1, 0) \
+
+        def demand(field):
+            disp_vox = np.moveaxis(np.asarray(field), -1, 0) \
                 / sp[:, None, None, None]
-            win = required_window(disp_vox * 1.25)
-            prev = window if window is not None else (16, 16)
-            if win[0] <= prev[0] and win[1] <= prev[1]:
-                break                       # field fit the caps: exact
-            if window_slab_bytes(fixed.shape, win,
-                                 batch) > SLAB_VMEM_BUDGET:
-                window = None
-                dvf, losses = _bspline_fit(*args, use_pallas=False,
-                                           with_mmask=with_mmask)
-                break
-            window = win
-            dvf, losses = _bspline_fit(*args, window=win,
-                                       with_mmask=with_mmask)
-        else:
-            # still growing past each sized window: unbounded sampler
+            return (required_window(disp_vox * 1.25),
+                    fits_x_window(disp_vox[0] * 1.25, fixed.shape[2]))
+
+        win, x_ok = demand(dvf)
+        if not x_ok:
             dvf, losses = _bspline_fit(*args, use_pallas=False,
                                        with_mmask=with_mmask)
+        elif win[0] > 16 or win[1] > 16:
+            if window_slab_bytes(fixed.shape, win,
+                                 batch) <= SLAB_VMEM_BUDGET:
+                dvf, losses = _bspline_fit(*args, window=win,
+                                           with_mmask=with_mmask)
+                win2, x_ok2 = demand(dvf)
+                redo = (not x_ok2 or win2[0] > win[0]
+                        or win2[1] > win[1])
+            else:
+                redo = True
+            if redo:
+                dvf, losses = _bspline_fit(*args, use_pallas=False,
+                                           with_mmask=with_mmask)
     return np.asarray(dvf), np.asarray(losses)

@@ -108,10 +108,9 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
 
     def single(args):
         f, m = args
-        dvf, _ovf = _demons_core(f, m, sp, float(std), jnp.float32(step),
-                                 jnp.float32(intensity_threshold),
-                                 int(iterations), method, bool(smooth))
-        return dvf
+        return _demons_core(f, m, sp, float(std), jnp.float32(step),
+                            jnp.float32(intensity_threshold),
+                            int(iterations), method, bool(smooth))
 
     def fn(f, m):
         return jax.lax.map(single, (f, m))
@@ -122,9 +121,20 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
 
         from .mesh import shard_map_nocheck
         spec = P("data")
-        jfn = jax.jit(shard_map_nocheck(fn, mesh, in_specs=(spec, spec),
-                                        out_specs=spec))
-    return jfn(fixed, moving)
+        jfn = jax.jit(shard_map_nocheck(fn, mesh,
+                                        in_specs=(spec, spec),
+                                        out_specs=(spec, spec)))
+    dvfs, ovfs = jfn(fixed, moving)
+    total_ovf = float(jnp.sum(ovfs))
+    if total_ovf > 0:
+        # same diagnostic contract as demons_registration: overflowed
+        # taps took the background value (review finding)
+        import warnings
+        warnings.warn(
+            f"demons_batch: {total_ovf:.0f} warp taps exceeded the "
+            "kernel slab caps (treated as background). Increase "
+            "smoothing or reduce step.", RuntimeWarning)
+    return dvfs
 
 
 def make_registration_step(vol_shape, lr=0.05, stride=2):

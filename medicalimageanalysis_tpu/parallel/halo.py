@@ -193,10 +193,12 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
         spc = sp[:, None, None, None]
         cap = jnp.float32(H - 2)
 
-        def body(_, u_vox):
+        def body(_, carry):
+            u_vox, ovf = carry
             uz = jnp.clip(u_vox[2], -cap, cap)
             disp = jnp.stack([u_vox[0], u_vox[1], uz + jnp.float32(H)])
-            w = warp_disp_jit(slab, disp, 0.0)
+            w, dovf = warp_disp_jit(slab, disp, 0.0, with_overflow=True)
+            ovf = ovf + dovf
             # global-z bounds: the halo slab edge-replicates past the
             # volume, but out-of-volume samples must take background 0
             # exactly like the single-device kernel's inside test
@@ -234,13 +236,15 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
                     acc = acc + taps_j[t] * lax.dynamic_slice_in_dim(
                         uslab, t, Zl, axis=1)
                 u_new = acc
-            return u_new
+            return u_new, ovf
 
         # derive u0 from a shard-local value: the loop carry must be
         # 'varying' over the space axis (shard_map typing), which a
         # bare jnp.zeros is not; XLA folds the 0*f term away
         u0 = jnp.zeros((3, Zl, Y, X), jnp.float32) + 0.0 * f_loc[None]
-        return lax.fori_loop(0, int(iterations), body, u0)
+        u, ovf = lax.fori_loop(0, int(iterations), body,
+                               (u0, 0.0 * jnp.sum(f_loc)))
+        return u, lax.psum(ovf, axis_name)
 
     @jax.jit
     def run(f, m):
@@ -259,7 +263,7 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
             in_specs=(P(axis_name, None, None),
                       P(None, axis_name, None, None),
                       P(None, axis_name, None, None)),
-            out_specs=P(None, axis_name, None, None))
+            out_specs=(P(None, axis_name, None, None), P()))
         return fn(f, stack, grad_f)
 
     vol_sh = NamedSharding(mesh, P(axis_name, None, None))
@@ -276,7 +280,15 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     else:
         f = jax.device_put(fixed, vol_sh)
         m = jax.device_put(moving, vol_sh)
-    u = run(f, m)
+    u, ovf = run(f, m)
+    if float(jax.device_get(ovf).ravel()[0]) > 0:
+        # same diagnostic contract as demons_registration (review
+        # finding): overflowed taps took the background value
+        import warnings
+        warnings.warn(
+            "demons_z_sharded: warp taps exceeded the kernel slab caps "
+            "(treated as background). Increase smoothing or reduce "
+            "step.", RuntimeWarning)
     if multiproc:
         # replicate so every process can read the full field
         u = jax.jit(jnp.asarray,

@@ -35,10 +35,12 @@ def _plane_from_patient_orientation(img):
 def _inplane_spacing(img, allow_imager=True, allow_us_regions=False):
     """Spacing fallback chain shared by the planar readers
     (reference read/dicom.py:967-1010, 1186-1224, 1344-1385)."""
+    from ..dicom.dataset import value_or
     inplane = [1, 1]
-    if "PixelSpacing" in img:
+    if value_or(img, "PixelSpacing", None) is not None:
         inplane = img.PixelSpacing
-    elif allow_imager and "ImagerPixelSpacing" in img:
+    elif allow_imager and value_or(img, "ImagerPixelSpacing",
+                                   None) is not None:
         inplane = img.ImagerPixelSpacing
     elif "ContributingSourcesSequence" in img:
         seq = img.ContributingSourcesSequence[0]

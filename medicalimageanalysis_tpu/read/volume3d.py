@@ -96,12 +96,14 @@ class Read3D(object):
     def _compute_spacing(self):
         """In-plane spacing fallback chain + slice pitch from IPP projection
         with irregular-spacing detection (reference read/dicom.py:575-623)."""
+        from ..dicom.dataset import value_or
         ds = self.image_set[0]
         inplane_spacing = [1, 1]
-        slice_thickness = np.double(ds.SliceThickness) \
-            if "SliceThickness" in ds else np.double(1.0)
+        # value_or: corrupt DS values decode to None and must take the
+        # same default as an absent tag (fuzz finding)
+        slice_thickness = np.double(value_or(ds, "SliceThickness", 1.0))
 
-        if "PixelSpacing" in ds:
+        if value_or(ds, "PixelSpacing", None) is not None:
             inplane_spacing = ds.PixelSpacing
         elif "ContributingSourcesSequence" in ds:
             seq = ds.ContributingSourcesSequence[0]
@@ -175,11 +177,10 @@ class Read3D(object):
 
         slopes = np.empty(n, dtype=np.float32)
         intercepts = np.empty(n, dtype=np.float32)
+        from ..dicom.dataset import value_or
         for i, _slice in enumerate(self.image_set):
-            intercepts[i] = _slice.RescaleIntercept \
-                if (0x0028, 0x1052) in _slice else 0
-            slopes[i] = _slice.RescaleSlope \
-                if (0x0028, 0x1053) in _slice else 1
+            intercepts[i] = value_or(_slice, (0x0028, 0x1052), 0)
+            slopes[i] = value_or(_slice, (0x0028, 0x1053), 1)
 
         raw = self._stage_pixels_native(n, rows, cols)
         if raw is None:
