@@ -396,10 +396,22 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         from ..dicom import dcmread
         from ..read.volume3d import Read3D
 
-        datasets = [dcmread(f) for f in self.filepaths]
-        by_sop = {ds.SOPInstanceUID: ds for ds in datasets}
-        ordered = [by_sop[sop] for sop in self.sops if sop in by_sop]
-        rebuilt = Read3D(ordered, only_tags=False, register=False)
+        try:
+            datasets = [dcmread(f) for f in self.filepaths]
+            by_sop = {ds.SOPInstanceUID: ds for ds in datasets}
+            ordered = [by_sop[sop] for sop in self.sops if sop in by_sop]
+            if not ordered:
+                raise ValueError("no slices matched the recorded SOPs")
+            rebuilt = Read3D(ordered, only_tags=False, register=False)
+        except ValueError:
+            raise
+        except Exception as e:
+            # the files changed/corrupted since the only_tags pass: a
+            # clean typed error instead of whatever the rebuild hit
+            # (fuzz finding)
+            raise ValueError(
+                f"deferred pixel load failed for {self.image_name!r}: "
+                f"{type(e).__name__}: {e}") from e
         self.array = rebuilt.array
         self.window = self.get_window()
         self.display = Display(self)
