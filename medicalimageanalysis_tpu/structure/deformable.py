@@ -22,8 +22,7 @@ from ..data import Data
 from ..dicom import generate_uid
 from ..ops import geometry as geo
 from ..ops.registration.dvf import invert_dvf, sample_dvf_at_points
-from ..ops.resample import (affine_resample, compose_pixel_matrix,
-                            trilinear_gather)
+from ..ops.resample import affine_resample, compose_pixel_matrix
 
 __all__ = ["Display", "Deformable"]
 
