@@ -155,6 +155,27 @@ def main():
         # the relay (docs/PERF.md); a 1-element host pull is reliable
         float(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
+    # deformable (demons) marginal per-iteration cost, device-resident
+    # 64x128x128 pair, iters 5 vs 25 in the same fori_loop program
+    from medicalimageanalysis_tpu.ops.registration.demons import (
+        _demons_core)
+    dz, dy, dx = 64, 128, 128
+    rng_d = np.random.default_rng(1)
+    fx_d = jax.device_put(jnp.asarray(
+        rng_d.normal(size=(dz, dy, dx)).astype(np.float32)))
+    mv_d = jax.device_put(jnp.asarray(
+        rng_d.normal(size=(dz, dy, dx)).astype(np.float32)))
+    sp_d = jax.device_put(jnp.asarray([1.0, 1.0, 1.0], jnp.float32))
+    dem_t = {}
+    for it in (5, 25):
+        pull(_demons_core(fx_d, mv_d, sp_d, 1.0, jnp.float32(2.0),
+                          jnp.float32(0.001), it, "fast", True))
+        td = time.perf_counter()
+        pull(_demons_core(fx_d, mv_d, sp_d, 1.0, jnp.float32(2.0),
+                          jnp.float32(0.001), it, "fast", True))
+        dem_t[it] = time.perf_counter() - td
+    demons_iter_ms = max((dem_t[25] - dem_t[5]) / 20.0, 1e-9) * 1000.0
+
     # config #1 transfer-free: the fused device pipeline with the batch
     # already resident in HBM (the tunnel's ~12 MB/s upload dominates
     # the end-to-end number above; local hardware has PCIe/DMA)
@@ -326,6 +347,7 @@ def main():
             "host_s": round(t_host, 3),
             "rigid_reg_40step_ms": round(reg_ms, 1),
             "rigid_reg_marginal_ms_per_step": round(reg_step_ms, 3),
+            "demons_marginal_ms_per_iter": round(demons_iter_ms, 2),
             "onchip_series_per_s": round(onchip_series_s, 2),
             "onchip_vs_baseline": round(onchip_series_s / TARGET, 3),
             "onchip_marginal_series_per_s":
