@@ -310,12 +310,26 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
         for name, arr in (("refs", refs), ("movs", movs)):
             lo = float(jnp.min(arr)) * s
             hi = float(jnp.max(arr)) * s
-            if not (lo >= -0.05 and hi <= 1.5):
+            if not (lo >= -0.01 and hi <= 1.05):
                 raise ValueError(
                     "metric='mi' needs intensities normalized to "
                     f"[0, 1] (after intensity_scale; {name} span "
                     f"[{lo:.3g}, {hi:.3g}]) — see "
                     "register_rigid_intensity's normalize=True recipe")
+            if lo < 0.0 or hi > 1.0:
+                # inside the hard bound but outside [0,1]: those
+                # voxels clip into the edge Parzen bins with zero
+                # gradient — report how many are affected
+                frac = float(jnp.mean(
+                    ((arr * s) < 0.0) | ((arr * s) > 1.0)))
+                if frac > 0:
+                    import warnings
+                    warnings.warn(
+                        f"metric='mi': {frac:.2%} of {name} voxels "
+                        "fall outside [0, 1] after intensity_scale "
+                        "and will clip into zero-gradient edge Parzen "
+                        "bins, weakening the registration",
+                        stacklevel=2)
 
     from ..ops.pallas_warp import fits_warp_caps
 

@@ -114,8 +114,7 @@ def scan(buf, stop_before_pixels=False, max_entries=8192):
     return arr, (int(meta[0]), int(meta[1]), int(meta[2]), int(meta[3]))
 
 
-_scan_arena = {}
-_scan_arena_lock = threading.Lock()
+_scan_arena = threading.local()
 
 
 def scan_batch(buffers, stop_before_pixels=False, max_entries=2048,
@@ -126,22 +125,24 @@ def scan_batch(buffers, stop_before_pixels=False, max_entries=2048,
     counts[i] < 0 mirrors mia_scan error codes; -3 (table overflow)
     callers should retry per-file with a bigger table.
 
-    The entry table is a REUSED module-level arena (a fresh ~16 MB
-    np.zeros per cohort cost more in page faults than the scan itself);
-    rows beyond counts[i] hold stale garbage from earlier calls, and the
-    WHOLE table is invalidated by the next scan_batch call — callers
-    must copy out what they keep (datasets_from_scan_batch does)."""
+    The entry table is a REUSED THREAD-LOCAL arena (a fresh ~16 MB
+    np.zeros per cohort cost more in page faults than the scan itself,
+    and thread-locality means two concurrent scan_batch callers — e.g.
+    two DicomReaders in threads — can never overwrite each other's
+    tables); rows beyond counts[i] hold stale garbage from earlier
+    calls, and the WHOLE table is invalidated by this thread's next
+    scan_batch call — callers must copy out what they keep
+    (datasets_from_scan_batch does)."""
     lib = get_lib()
     if lib is None or not buffers:
         return None
     n = len(buffers)
     bufs = (ctypes.c_char_p * n)(*buffers)
     lens = (ctypes.c_uint64 * n)(*[len(b) for b in buffers])
-    with _scan_arena_lock:
-        arena = _scan_arena.get("entries")
-        if arena is None or arena.size < n * max_entries:
-            arena = np.zeros(n * max_entries, dtype=ENTRY_DTYPE)
-            _scan_arena["entries"] = arena
+    arena = getattr(_scan_arena, "entries", None)
+    if arena is None or arena.size < n * max_entries:
+        arena = np.zeros(n * max_entries, dtype=ENTRY_DTYPE)
+        _scan_arena.entries = arena
     entries = arena[:n * max_entries].reshape(n, max_entries)
     counts = np.zeros(n, np.int64)
     metas = np.zeros((n, 4), np.uint64)

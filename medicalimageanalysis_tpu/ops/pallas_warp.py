@@ -604,7 +604,8 @@ def make_warp_sampler(vol, background=0.0, window=None, interpret=None):
     return sample
 
 
-def make_disp_sampler(vol, background=0.0, window=None, interpret=None):
+def make_disp_sampler(vol, background=0.0, window=None, interpret=None,
+                      with_overflow=False):
     """Differentiable DISPLACEMENT sampler ``sample(disp) -> out`` with
     the exact analytic VJP fused into the forward kernel pass.
 
@@ -613,30 +614,39 @@ def make_disp_sampler(vol, background=0.0, window=None, interpret=None):
     just the coordinate gradients the kernel already accumulates —
     ``(g*gx, g*gy, g*gz)`` stacked planar — so deformable descents
     (B-spline FFD) never materialize coordinate volumes in either pass.
-    Not differentiable w.r.t. the volume."""
+    Not differentiable w.r.t. the volume.
+
+    with_overflow=True makes the sampler return ``(out, ovf)`` where
+    ovf is the f32 slab-overflow element count (zero cotangent), so an
+    optimizer scan can accumulate overflow across EVERY iterate instead
+    of only inspecting the final field (ADVICE r2: a transiently
+    overflowing fit silently degrades convergence)."""
     vol = jnp.asarray(vol, jnp.float32)
     squeeze = vol.ndim == 3
     volb = vol[None] if squeeze else vol
 
     @jax.custom_vjp
     def sample(disp):
-        out, _, _ = _warp_call(volb, disp, jnp.float32(background),
-                               False, window, _default_interpret(interpret),
-                               mode="disp")
-        return out[0] if squeeze else out
+        out, _, ovf = _warp_call(volb, disp, jnp.float32(background),
+                                 False, window, _default_interpret(interpret),
+                                 mode="disp")
+        out = out[0] if squeeze else out
+        return (out, ovf) if with_overflow else out
 
     def fwd(disp):
-        out, grads, _ = _warp_call(volb, disp, jnp.float32(background),
-                                   True, window,
-                                   _default_interpret(interpret),
-                                   mode="disp")
+        out, grads, ovf = _warp_call(volb, disp, jnp.float32(background),
+                                     True, window,
+                                     _default_interpret(interpret),
+                                     mode="disp")
         gz, gy, gx = grads
         if squeeze:
             out, gz, gy, gx = out[0], gz[0], gy[0], gx[0]
-        return out, (gz, gy, gx)
+        return ((out, ovf) if with_overflow else out), (gz, gy, gx)
 
     def bwd(res, g):
         gz, gy, gx = res
+        if with_overflow:
+            g = g[0]
         if not squeeze:
             return (jnp.stack([jnp.sum(g * gx, axis=0),
                                jnp.sum(g * gy, axis=0),

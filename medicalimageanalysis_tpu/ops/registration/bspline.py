@@ -71,7 +71,8 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
         # against the slab windows and redo with a sized window / the
         # XLA sampler when it overflowed (bspline_registration).
         from ..pallas_warp import make_disp_sampler
-        sample_disp = make_disp_sampler(stack, 0.0, window=window)
+        sample_disp = make_disp_sampler(stack, 0.0, window=window,
+                                        with_overflow=True)
     else:
         # off-TPU the XLA gather is fine (the 14 M pts/s pathology is
         # TPU-specific) and beats interpret-mode kernel emulation
@@ -84,7 +85,8 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
         def sample_disp(dv):
             coords = jnp.stack([xx + dv[0], yy + dv[1], zz + dv[2]],
                                axis=-1)
-            return jnp.stack([s(coords) for s in _samplers])
+            return (jnp.stack([s(coords) for s in _samplers]),
+                    jnp.float32(0.0))
 
     spc = sp[:, None, None, None]
 
@@ -101,7 +103,7 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
 
     def loss_fn(ctrl):
         d = densify(ctrl)                      # (3, Z, Y, X) mm
-        w_all = sample_disp(d / spc)
+        w_all, ovf = sample_disp(d / spc)
         warped = w_all[0]
         w = fixed_mask * w_all[1] if with_mmask else fixed_mask
         diff = (fixed - warped) * w
@@ -110,22 +112,23 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
         reg = jnp.mean(jnp.square(jnp.diff(ctrl, axis=1))) \
             + jnp.mean(jnp.square(jnp.diff(ctrl, axis=2))) \
             + jnp.mean(jnp.square(jnp.diff(ctrl, axis=3)))
-        return mse + 1e-3 * reg
+        return mse + 1e-3 * reg, ovf
 
     opt = optax.adam(lr)
     ctrl0 = jnp.zeros((3, Bz.shape[1], By.shape[1], Bx.shape[1]),
                       jnp.float32)
 
     def step(carry, _):
-        ctrl, opt_state = carry
-        loss, g = jax.value_and_grad(loss_fn)(ctrl)
+        ctrl, opt_state, tot_ovf = carry
+        (loss, ovf), g = jax.value_and_grad(loss_fn, has_aux=True)(ctrl)
         updates, opt_state = opt.update(g, opt_state)
         ctrl = optax.apply_updates(ctrl, updates)
-        return (ctrl, opt_state), loss
+        return (ctrl, opt_state, tot_ovf + ovf), loss
 
-    (ctrl, _), losses = jax.lax.scan(step, (ctrl0, opt.init(ctrl0)),
-                                     None, length=steps)
-    return jnp.moveaxis(densify(ctrl), 0, -1), losses
+    (ctrl, _, total_ovf), losses = jax.lax.scan(
+        step, (ctrl0, opt.init(ctrl0), jnp.float32(0.0)),
+        None, length=steps)
+    return jnp.moveaxis(densify(ctrl), 0, -1), losses, total_ovf
 
 
 def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
@@ -177,16 +180,20 @@ def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     args = (jnp.asarray(fixed), jnp.asarray(moving), jnp.asarray(fmask),
             jnp.asarray(mmask), Bz, By, Bx, jnp.asarray(sp),
             jnp.float32(lr), int(iterations))
-    dvf, losses = _bspline_fit(*args, with_mmask=with_mmask)
+    dvf, losses, ovf1 = _bspline_fit(*args, with_mmask=with_mmask)
 
     if jax.default_backend() == "tpu":
         # post-fit exactness check: did the field outgrow the kernel's
         # slab windows? (overflowed samples return background with
-        # zero gradients — review finding). The redo is RE-verified —
-        # an overflow-stalled first fit under-reports the demand — and
-        # any second failure (or an x-tap overflow, which the z/y
-        # window cannot express) goes straight to the unbounded XLA
-        # sampler, so no windowed fit result is ever used unverified.
+        # zero gradients — review finding). The overflow counter is
+        # accumulated across EVERY iterate of the fit (ADVICE r2: a
+        # transiently overflowing fit whose final field fits the caps
+        # would otherwise be silently accepted). The redo is
+        # RE-verified — by its own accumulated counter plus the final
+        # field's demand — and any second failure (or an x-tap
+        # overflow, which the z/y window cannot express) goes straight
+        # to the unbounded XLA sampler, so no windowed fit result is
+        # ever used unverified.
         from ..pallas_warp import (SLAB_VMEM_BUDGET, fits_x_window,
                                    required_window, window_slab_bytes)
         batch = 2 if with_mmask else 1
@@ -198,20 +205,25 @@ def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                     fits_x_window(disp_vox[0] * 1.25, fixed.shape[2]))
 
         win, x_ok = demand(dvf)
+        overflowed = float(ovf1) > 0
         if not x_ok:
-            dvf, losses = _bspline_fit(*args, use_pallas=False,
-                                       with_mmask=with_mmask)
-        elif win[0] > 16 or win[1] > 16:
-            if window_slab_bytes(fixed.shape, win,
+            dvf, losses, _ = _bspline_fit(*args, use_pallas=False,
+                                          with_mmask=with_mmask)
+        elif win[0] > 16 or win[1] > 16 or overflowed:
+            # intermediate-only overflow under-reports demand via the
+            # final field: widen past both the demand and the default
+            win_r = ((max(win[0], 24), max(win[1], 24)) if overflowed
+                     else win)
+            if window_slab_bytes(fixed.shape, win_r,
                                  batch) <= SLAB_VMEM_BUDGET:
-                dvf, losses = _bspline_fit(*args, window=win,
-                                           with_mmask=with_mmask)
+                dvf, losses, ovf2 = _bspline_fit(*args, window=win_r,
+                                                 with_mmask=with_mmask)
                 win2, x_ok2 = demand(dvf)
-                redo = (not x_ok2 or win2[0] > win[0]
-                        or win2[1] > win[1])
+                redo = (not x_ok2 or win2[0] > win_r[0]
+                        or win2[1] > win_r[1] or float(ovf2) > 0)
             else:
                 redo = True
             if redo:
-                dvf, losses = _bspline_fit(*args, use_pallas=False,
-                                           with_mmask=with_mmask)
+                dvf, losses, _ = _bspline_fit(*args, use_pallas=False,
+                                              with_mmask=with_mmask)
     return np.asarray(dvf), np.asarray(losses)

@@ -176,9 +176,9 @@ class MhdReader(object):
                     and self.moving_name is not None:
                 self.create_dvf()
             elif self.dose is not None:
-                pass  # reserved, like the reference (read/mhd.py:148-152)
-            elif self.roi_name is not None:
-                pass  # reserved, like the reference (read/mhd.py:148-152)
+                self.create_dose()
+            elif self.roi_name is not None or self.roi_names is not None:
+                self.create_roi()
         else:
             self.create_image()
 
@@ -210,10 +210,88 @@ class MhdReader(object):
         return Data.image[image_name]
 
     def create_roi(self):
-        pass  # stub, like the reference (read/mhd.py:198-205)
+        """Attach the MHD volume to `reference_name`'s image as ROI
+        mask(s). The reference reserved this branch as a `pass` stub
+        (read/mhd.py:198-205); implemented here per this repo's
+        fix-the-reference stance. A single `roi_name` treats the
+        volume as a binary mask (non-zero = inside); `roi_names`
+        treats it as a label volume with labels 1..N in list order.
+        The grid must match the target image's.
+        """
+        if self.reference_name not in Data.image:
+            raise ValueError(
+                f"MhdReader roi branch: reference image "
+                f"'{self.reference_name}' is not loaded")
+        image = Data.image[self.reference_name]
+        array = self.mhd[0]
+        if tuple(array.shape) != tuple(np.asarray(image.dimensions)):
+            raise ValueError(
+                "MhdReader roi branch: mask grid "
+                f"{tuple(array.shape)} does not match image grid "
+                f"{tuple(np.asarray(image.dimensions))}")
+        from ..structure.roi import Roi
+
+        if self.roi_names is not None:
+            names = list(self.roi_names)
+            values = list(range(1, len(names) + 1))
+        else:
+            names = [self.roi_name]
+            values = [None]
+        for name, value in zip(names, values):
+            if name not in image.rois:
+                image.rois[name] = Roi(image, name=name, visible=True,
+                                       filepaths=self.file,
+                                       plane=image.plane)
+            mask = (array != 0) if value is None else (array == value)
+            image.rois[name].convert_mask(mask)
+        Data.match_rois()
 
     def create_dose(self):
-        pass  # stub, like the reference (read/mhd.py:207-212)
+        """Register the MHD volume as a Dose grid linked to
+        `reference_name`'s frame. The reference reserved this branch
+        as a `pass` stub (read/mhd.py:207-212); implemented here per
+        this repo's fix-the-reference stance. `dose` can be a scaling
+        factor (True/1 means raw values are already Gy)."""
+        import types
+
+        from ..dicom import Dataset, generate_uid
+        from ..read.dicom import create_dose_name
+        from ..structure.dose import Dose
+
+        array, spacing, origin, direction = self.mhd
+        scale = 1.0 if self.dose is True else float(self.dose)
+        dose_array = np.asarray(array, np.float32) * np.float32(scale)
+
+        ds = Dataset()
+        ds.Modality = "RTDOSE"
+        ds.SOPInstanceUID = generate_uid()
+        ds.SeriesInstanceUID = generate_uid()
+        ds.StudyInstanceUID = generate_uid()
+        if self.reference_name in Data.image:
+            ds.FrameOfReferenceUID = \
+                Data.image[self.reference_name].frame_ref
+        ds.filename = str(self.file)
+
+        orientation = np.asarray(direction, np.float64).flatten()[:6]
+        carrier = types.SimpleNamespace(
+            image_set=[ds],
+            array=dose_array,
+            dose_name=(self.dose_name if self.dose_name is not None
+                       else create_dose_name("RTDOSE")),
+            modality="RTDOSE",
+            filepaths=[str(self.file)],
+            sops=[str(ds.SOPInstanceUID)],
+            plane="Axial",
+            spacing=np.asarray(spacing, np.float64),
+            dimensions=np.asarray(dose_array.shape),
+            orientation=orientation,
+            origin=np.asarray(origin, np.float64),
+            image_matrix=np.asarray(direction, np.float64),
+        )
+        dose_obj = Dose(carrier)
+        Data.dose[carrier.dose_name] = dose_obj
+        Data.dose_list += [carrier.dose_name]
+        return dose_obj
 
     def create_dvf(self):
         """Register a Deformable built from the vector volume

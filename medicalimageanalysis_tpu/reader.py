@@ -148,13 +148,21 @@ def read_nifti(file, modality=None, image_name=None):
     return _read(file, modality=modality, image_name=image_name)
 
 
-def read_mhd(file=None, image_name=None, roi_names=None, dose_name=None,
+def read_mhd(file=None, modality=None, image_name=None, roi_name=None,
+             roi_names=None, dose=None, dose_name=None,
              reference_name=None, moving_name=None, dvf=False):
-    """Load a MetaImage (.mhd) file (reference reader.py:375-459)."""
+    """Load a MetaImage (.mhd) file (reference reader.py:375-459).
+
+    Unlike the reference — whose roi/dose branches are reserved `pass`
+    stubs (read/mhd.py:148-152) — `roi_name`/`roi_names` attaches the
+    volume as ROI mask(s) on `reference_name`'s image, and `dose`
+    (True or a Gy scaling factor) registers it as a Dose grid."""
     from .read.mhd import MhdReader
 
-    reader = MhdReader(file=file, image_name=image_name,
-                       roi_names=roi_names, dose_name=dose_name,
+    reader = MhdReader(file=file, modality=modality,
+                       image_name=image_name, roi_name=roi_name,
+                       roi_names=roi_names, dose=dose,
+                       dose_name=dose_name,
                        reference_name=reference_name,
                        moving_name=moving_name, dvf=dvf)
     reader.load()

@@ -378,15 +378,39 @@ class Rigid(object):
                              origin=out["origin"])
 
     def pre_alignment(self, superior=False, center=False, origin=False):
-        """Only the `origin` branch is implemented, like the reference
-        (structure/rigid.py:763-785 has `pass` for the others)."""
+        """Rapid programmatic initializations of the translation.
+
+        The reference documents three modes but implements only
+        `origin` (structure/rigid.py:763-785; `superior` and `center`
+        are `pass` there). All three are real here — this repo's
+        stance is fix-the-reference:
+
+        - `superior`: match the cranial (max physical z) bounds, with
+          x/y centered — the usual head-scan initialization where the
+          scan tops align but lengths differ.
+        - `center`: match the 3D volume centers.
+        - `origin`: match the voxel-(0,0,0) origins (reference
+          behavior, bit-identical).
+
+        The matrix maps reference -> moving physical space, so the
+        translation is always (moving landmark - reference landmark).
+        """
+        ref_img = Data.image[self.reference_name]
+        mov_img = Data.image[self.moving_name]
         if superior:
-            pass
+            ref_c = np.asarray(ref_img.compute_center(), np.float64)
+            mov_c = np.asarray(mov_img.compute_center(), np.float64)
+            ref_b = ref_img.compute_bounds()
+            mov_b = mov_img.compute_bounds()
+            self.matrix[:3, 3] = [mov_c[0] - ref_c[0],
+                                  mov_c[1] - ref_c[1],
+                                  mov_b[5] - ref_b[5]]
         elif center:
-            pass
+            ref_c = np.asarray(ref_img.compute_center(), np.float64)
+            mov_c = np.asarray(mov_img.compute_center(), np.float64)
+            self.matrix[:3, 3] = mov_c - ref_c
         elif origin:
-            self.matrix[:3, 3] = (Data.image[self.moving_name].origin
-                                  - Data.image[self.reference_name].origin)
+            self.matrix[:3, 3] = (mov_img.origin - ref_img.origin)
 
     # -- queries ----------------------------------------------------------
     def retrieve_angles(self, order="ZXY"):

@@ -215,3 +215,26 @@ def test_binary_host_mc_unpadded_border():
     # interior crossings only: open box has fewer faces than the padded
     closed = marching_cubes_mask(mask, pad=True)
     assert closed.faces.shape[0] > mesh.faces.shape[0]
+
+
+def test_compute_midpoints():
+    """compute_midpoints returns the shortest-edge midpoints of the
+    crowded faces with deduplicated sorted edge pairs (broken WIP in
+    the reference, surface.py:207-251)."""
+    mesh = ball_mesh()
+    ref = Refinement(mesh)
+    mids, edges = ref.compute_midpoints()
+    assert mids.shape[0] == edges.shape[0] > 0
+    assert edges.shape[1] == 2
+    # edges sorted + unique
+    assert (edges[:, 0] <= edges[:, 1]).all()
+    assert np.unique(edges, axis=0).shape[0] == edges.shape[0]
+    # every midpoint is the mean of its edge's endpoints
+    pts = np.asarray(mesh.points)
+    np.testing.assert_allclose(
+        mids, (pts[edges[:, 0]] + pts[edges[:, 1]]) / 2, atol=1e-12)
+    # each chosen edge belongs to a crowded face
+    crowded = set(int(i) for i in ref.correct_faces)
+    face_sets = [set(map(int, f)) for f in np.asarray(mesh.faces)]
+    for e in edges:
+        assert any(set(map(int, e)) <= face_sets[c] for c in crowded)

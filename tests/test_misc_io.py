@@ -505,3 +505,76 @@ def test_mhd_corrupt_raises_clean_valueerror(tmp_path, rng):
     p.write_bytes(good)
     arr, sp, o, d = read_mhd_volume(str(p))
     np.testing.assert_allclose(arr, vol)
+
+
+def test_mhd_roi_branch(tmp_path, rng):
+    """read_mhd(roi_name=..., reference_name=...) attaches the MHD
+    volume as an ROI mask on the target image (the reference reserved
+    this branch as a `pass` stub, read/mhd.py:198-205)."""
+    from medicalimageanalysis_tpu.read.mhd import write_mhd_volume
+
+    arr = (rng.normal(0, 50, (6, 16, 16)).astype(np.float32)
+           .astype(np.int16))
+    write_ct_series(tmp_path / "ct", arr, spacing=(1, 1), thickness=2.0)
+    mia.read_dicoms(folder_path=str(tmp_path / "ct"), clear=True)
+    name = Data.image_list[0]
+    image = Data.image[name]
+
+    mask = np.zeros(arr.shape, np.uint8)
+    mask[2:5, 4:12, 5:13] = 1
+    p = tmp_path / "roi.mhd"
+    write_mhd_volume(str(p), mask, spacing=image.spacing,
+                     origin=image.origin)
+    mia.read_mhd(file=str(p), reference_name=name, roi_name="Liver")
+    assert "Liver" in image.rois
+    got = image.rois["Liver"].compute_mask()
+    # mask -> contour -> mask round trip loses at most the boundary
+    assert (got & mask.astype(bool)).sum() > 0.8 * mask.sum()
+
+    # label-volume variant with two labels
+    labels = np.zeros(arr.shape, np.uint8)
+    labels[1:3, 2:8, 2:8] = 1
+    labels[4:6, 8:14, 8:14] = 2
+    p2 = tmp_path / "labels.mhd"
+    write_mhd_volume(str(p2), labels, spacing=image.spacing,
+                     origin=image.origin)
+    mia.read_mhd(file=str(p2), reference_name=name,
+                 roi_names=["A", "B"])
+    assert "A" in image.rois and "B" in image.rois
+
+    # mismatched grid raises a clean error
+    bad = np.zeros((3, 4, 4), np.uint8)
+    p3 = tmp_path / "bad.mhd"
+    write_mhd_volume(str(p3), bad, spacing=[1, 1, 1], origin=[0, 0, 0])
+    with pytest.raises(ValueError, match="does not match"):
+        mia.read_mhd(file=str(p3), reference_name=name, roi_name="X")
+
+
+def test_mhd_dose_branch(tmp_path, rng):
+    """read_mhd(dose=..., reference_name=...) registers the MHD volume
+    as a Dose grid (the reference reserved this branch as a `pass`
+    stub, read/mhd.py:207-212)."""
+    from medicalimageanalysis_tpu.read.mhd import write_mhd_volume
+
+    arr = np.zeros((6, 16, 16), np.int16)
+    write_ct_series(tmp_path / "ct", arr, spacing=(1, 1), thickness=2.0)
+    mia.read_dicoms(folder_path=str(tmp_path / "ct"), clear=True)
+    name = Data.image_list[0]
+
+    dose_vals = rng.uniform(0, 70, (6, 16, 16)).astype(np.float32)
+    p = tmp_path / "dose.mhd"
+    write_mhd_volume(str(p), dose_vals, spacing=[1, 1, 2],
+                     origin=[0, 0, 0])
+    mia.read_mhd(file=str(p), reference_name=name, dose=True)
+    assert len(Data.dose_list) == 1
+    dose = Data.dose[Data.dose_list[0]]
+    np.testing.assert_allclose(dose.array, dose_vals)
+    assert dose.frame_ref == Data.image[name].frame_ref
+    stats = dose.compute_dose_statistics()
+    assert abs(stats["max"] - dose_vals.max()) < 1e-5
+
+    # scaling factor honored
+    mia.read_mhd(file=str(p), reference_name=name, dose=0.5,
+                 dose_name="half")
+    np.testing.assert_allclose(Data.dose["half"].array,
+                               dose_vals * 0.5, rtol=1e-6)

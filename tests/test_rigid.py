@@ -135,6 +135,26 @@ def test_pre_alignment_origin(two_images):
         np.asarray(Data.image[mr].origin) - np.asarray(Data.image[ct].origin))
 
 
+def test_pre_alignment_center_and_superior(two_images):
+    """center matches the volume centers; superior matches the cranial
+    (max physical z) bounds with x/y centered. Reference left both as
+    `pass` (structure/rigid.py:763-785); implemented here."""
+    ct, mr = two_images
+    rigid = mia.Rigid(ct, mr)
+    rigid.pre_alignment(center=True)
+    expect = (np.asarray(Data.image[mr].compute_center(), float)
+              - np.asarray(Data.image[ct].compute_center(), float))
+    np.testing.assert_allclose(rigid.matrix[:3, 3], expect, atol=1e-9)
+
+    rigid.pre_alignment(superior=True)
+    ct_b = Data.image[ct].compute_bounds()
+    mr_b = Data.image[mr].compute_bounds()
+    np.testing.assert_allclose(rigid.matrix[2, 3], mr_b[5] - ct_b[5],
+                               atol=1e-9)
+    np.testing.assert_allclose(rigid.matrix[0, 3], expect[0], atol=1e-9)
+    np.testing.assert_allclose(rigid.matrix[1, 3], expect[1], atol=1e-9)
+
+
 def test_icp_point_to_plane():
     """Point-to-plane ICP on a meshed surface recovers a small rigid
     transform."""
