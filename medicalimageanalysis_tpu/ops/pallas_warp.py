@@ -62,7 +62,7 @@ except Exception:  # pragma: no cover
 __all__ = ["field_warp", "field_warp_xla", "make_warp_sampler",
            "affine_coords", "affine_warp", "warp_jit", "warp_disp_jit",
            "fits_warp_caps", "predicted_spread", "required_window",
-           "window_slab_bytes"]
+           "window_slab_bytes", "oblique_plan", "affine_warp_oblique"]
 
 
 def _round_up(v, m):
@@ -199,7 +199,7 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
             cz = gzf + d[2]
             cy = gyf + d[1]
             cx = gxf + d[0]
-        else:                                  # affine: 12 coeffs, SMEM
+        else:                # affine / affine_shear: 12(+4) coeffs, SMEM
             cx = (c_ref[0] * gxf + c_ref[1] * gyf + c_ref[2] * gzf
                   + c_ref[3])
             cy = (c_ref[4] * gxf + c_ref[5] * gyf + c_ref[6] * gzf
@@ -232,15 +232,47 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
     # when a low output row samples volume row 0
     FZ, FY = cfg["FZ"], cfg["FY"]
     ZP, YP, XP = cfg["ZP"], cfg["YP"], cfg["XP"]
-    z0 = z0 + FZ
-    z1 = z1 + FZ
-    y0 = y0 + FY
-    y1 = y1 + FY
-
+    shear = mode == "affine_shear"
     big = jnp.int32(1 << 30)
-    # slab base demand per element: tap row minus output row
-    sz = jnp.where(inside, z0 - tz, big)
-    sy = jnp.where(inside, y0 - ty, big)
+    if shear:
+        # oblique mode: the volume is the integer-staircase-SHEARED
+        # copy V2[z + oz - stair(kz, x), y + oy - stair(ky, x), x] =
+        # V[z, y, x] (exact row permutation built by the caller), so
+        # each x-tap addresses its own z/y rows. Taps/fracs/inside come
+        # from the ORIGINAL-frame coords above; only row addressing
+        # moves to the sheared frame, collapsing the per-tile sublane
+        # spread from ~|sin(theta)|*TX to the Schur-complement residual
+        # ~|A11 - ky*A01|*TY + O(1) (docs/PERF.md round 3).
+        kyc = c_ref[12]
+        kzc = c_ref[13]
+        oyi = c_ref[14].astype(jnp.int32)
+        ozi = c_ref[15].astype(jnp.int32)
+        x0f = x0.astype(jnp.float32)
+        x1f = x1.astype(jnp.float32)
+        # staircase shifts per x-tap; formula must match the builder's
+        # (_stair) bit-for-bit: floor(k*x + 0.5) in f32
+        sa_y = jnp.floor(kyc * x0f + 0.5).astype(jnp.int32)
+        sb_y = jnp.floor(kyc * x1f + 0.5).astype(jnp.int32)
+        sa_z = jnp.floor(kzc * x0f + 0.5).astype(jnp.int32)
+        sb_z = jnp.floor(kzc * x1f + 0.5).astype(jnp.int32)
+        z0a = z0 + FZ + ozi - sa_z
+        z1a = z1 + FZ + ozi - sa_z
+        z0b = z0 + FZ + ozi - sb_z
+        z1b = z1 + FZ + ozi - sb_z
+        y0a = y0 + FY + oyi - sa_y
+        y1a = y1 + FY + oyi - sa_y
+        y0b = y0 + FY + oyi - sb_y
+        y1b = y1 + FY + oyi - sb_y
+        sz = jnp.where(inside, jnp.minimum(z0a, z0b) - tz, big)
+        sy = jnp.where(inside, jnp.minimum(y0a, y0b) - ty, big)
+    else:
+        z0 = z0 + FZ
+        z1 = z1 + FZ
+        y0 = y0 + FY
+        y1 = y1 + FY
+        # slab base demand per element: tap row minus output row
+        sz = jnp.where(inside, z0 - tz, big)
+        sy = jnp.where(inside, y0 - ty, big)
     sx_lo = jnp.where(inside, x0, big)
 
     # HBM is (8, 128)-tiled: the DMA slice offsets in the last two dims
@@ -256,27 +288,41 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
         xlo = pl.multiple_of((xlo // 128) * 128, 128)
 
     # window offsets (delta = slab row - output row), per tap
-    dza = z0 - zlo - tz
-    dzb = z1 - zlo - tz
-    dya = y0 - ylo - ty
-    dyb = y1 - ylo - ty
     xal = x0 - xlo
     xbl = x1 - xlo
 
     ZW = ZS - TZ           # max z window offset
     YW = YS - TY - 8       # max y window offset (8 = aligned-load slack)
+    if shear:
+        dz0a = z0a - zlo - tz
+        dz1a = z1a - zlo - tz
+        dz0b = z0b - zlo - tz
+        dz1b = z1b - zlo - tz
+        dy0a = y0a - ylo - ty
+        dy1a = y1a - ylo - ty
+        dy0b = y0b - ylo - ty
+        dy1b = y1b - ylo - ty
+        dz_min = jnp.minimum(dz0a, dz0b)
+        dz_max = jnp.maximum(dz1a, dz1b)
+        dy_min = jnp.minimum(dy0a, dy0b)
+        dy_max = jnp.maximum(dy1a, dy1b)
+    else:
+        dz_min = dza = z0 - zlo - tz
+        dz_max = dzb = z1 - zlo - tz
+        dy_min = dya = y0 - ylo - ty
+        dy_max = dyb = y1 - ylo - ty
     bad = (inside
-           & ((dza < 0) | (dzb > ZW) | (dya < 0) | (dyb > YW)
-              | (xal < 0) | (xbl > SX - 1)))
+           & ((dz_min < 0) | (dz_max > ZW) | (dy_min < 0)
+              | (dy_max > YW) | (xal < 0) | (xbl > SX - 1)))
     xal = jnp.clip(xal, 0, SX - 1)
     xbl = jnp.clip(xbl, 0, SX - 1)
 
     # dynamic loop bounds from the tile's actual spread (clipped so
     # out-of-cap elements can't explode the loop; they are masked bad)
-    kz_lo = jnp.clip(jnp.min(jnp.where(inside, dza, ZS)), 0, ZW)
-    kz_hi = jnp.clip(jnp.max(jnp.where(inside, dzb, -1)), -1, ZW) + 1
-    ky_lo = jnp.clip(jnp.min(jnp.where(inside, dya, YS)), 0, YW)
-    ky_hi = jnp.clip(jnp.max(jnp.where(inside, dyb, -1)), -1, YW) + 1
+    kz_lo = jnp.clip(jnp.min(jnp.where(inside, dz_min, ZS)), 0, ZW)
+    kz_hi = jnp.clip(jnp.max(jnp.where(inside, dz_max, -1)), -1, ZW) + 1
+    ky_lo = jnp.clip(jnp.min(jnp.where(inside, dy_min, YS)), 0, YW)
+    ky_hi = jnp.clip(jnp.max(jnp.where(inside, dy_max, -1)), -1, YW) + 1
 
     dma = pltpu.make_async_copy(
         vol_ref.at[:, pl.ds(zlo, ZS), pl.ds(ylo, YS), pl.ds(xlo, SX)],
@@ -290,18 +336,32 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
     init = tuple(zeros for _ in range(B * n_acc))
 
     def ky_body(kz, ky, carry):
-        wza = jnp.where(dza == kz, one - fz, 0.0)
-        wzb = jnp.where(dzb == kz, fz, 0.0)
-        wz = wza + wzb
-        wya = jnp.where(dya == ky, one - fy, 0.0)
-        wyb = jnp.where(dyb == ky, fy, 0.0)
-        wy = wya + wyb
-        wzy = wz * wy
-        if want_grad:
-            dwz = (jnp.where(dzb == kz, one, 0.0)
-                   - jnp.where(dza == kz, one, 0.0))
-            dwy = (jnp.where(dyb == ky, one, 0.0)
-                   - jnp.where(dya == ky, one, 0.0))
+        if shear:
+            # each x-tap owns its sheared-frame rows: separate (z, y)
+            # match weights per tap, same two gathers per iteration
+            wza = (jnp.where(dz0a == kz, one - fz, 0.0)
+                   + jnp.where(dz1a == kz, fz, 0.0))
+            wzb = (jnp.where(dz0b == kz, one - fz, 0.0)
+                   + jnp.where(dz1b == kz, fz, 0.0))
+            wya = (jnp.where(dy0a == ky, one - fy, 0.0)
+                   + jnp.where(dy1a == ky, fy, 0.0))
+            wyb = (jnp.where(dy0b == ky, one - fy, 0.0)
+                   + jnp.where(dy1b == ky, fy, 0.0))
+            wa = wza * wya * (one - fx)
+            wb = wzb * wyb * fx
+        else:
+            wza = jnp.where(dza == kz, one - fz, 0.0)
+            wzb = jnp.where(dzb == kz, fz, 0.0)
+            wz = wza + wzb
+            wya = jnp.where(dya == ky, one - fy, 0.0)
+            wyb = jnp.where(dyb == ky, fy, 0.0)
+            wy = wya + wyb
+            wzy = wz * wy
+            if want_grad:
+                dwz = (jnp.where(dzb == kz, one, 0.0)
+                       - jnp.where(dza == kz, one, 0.0))
+                dwy = (jnp.where(dyb == ky, one, 0.0)
+                       - jnp.where(dya == ky, one, 0.0))
         # Mosaic vector loads need 8-aligned sublane offsets: load an
         # aligned block 8 rows taller, then rotate out the residual
         ky_base = pl.multiple_of((ky // 8) * 8, 8)
@@ -313,6 +373,9 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
             rows = blk[:, :TY, :].reshape(T, SX)
             xa = _gather_rows(rows, xal, SX)
             xb = _gather_rows(rows, xbl, SX)
+            if shear:
+                out.append(carry[b * n_acc] + wa * xa + wb * xb)
+                continue
             xv = xa * (one - fx) + xb * fx
             out.append(carry[b * n_acc] + wzy * xv)
             if want_grad:
@@ -354,7 +417,7 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
 
 
 def _warp_call(vol, coords, background, want_grad, window, interpret,
-               mode="coords", out_shape=None):
+               mode="coords", out_shape=None, logical_dims=None):
     """Padded pallas_call. vol (B, Z, Y, X) f32.
 
     coords per mode:
@@ -364,9 +427,18 @@ def _warp_call(vol, coords, background, want_grad, window, interpret,
       rows ordered (x, y, z) — the kernel adds the output-grid base;
     - "affine": 12 row-major coefficients of the output-pixel -> input
       pixel map ((x, y, z) rows over (x, y, z, 1) columns; traced values
-      fine) with ``out_shape`` giving (Zo, Yo, Xo).
+      fine) with ``out_shape`` giving (Zo, Yo, Xo);
+    - "affine_shear": 16 coefficients — the 12 affine ones plus
+      (ky, kz, oy, oz) staircase-shear parameters; ``vol`` is the
+      SHEARED volume built by :func:`affine_warp_oblique` and
+      ``logical_dims`` carries the ORIGINAL (Z, Y, X) used for the
+      inside test and tap clamping.
     """
     B, Z, Y, X = vol.shape
+    # logical dims drive the inside test / tap clamps (original frame);
+    # Z/Y/X stay the PHYSICAL (possibly sheared) dims for pad/slab math
+    Zl, Yl, Xl = (Z, Y, X) if logical_dims is None \
+        else (int(v) for v in logical_dims)
     if mode == "coords":
         cz, cy, cx = coords
         Zo, Yo, Xo = cz.shape
@@ -374,6 +446,8 @@ def _warp_call(vol, coords, background, want_grad, window, interpret,
         Zo, Yo, Xo = coords.shape[1:]
     else:
         Zo, Yo, Xo = out_shape
+    if mode == "affine_shear" and want_grad:
+        raise NotImplementedError("affine_shear mode is forward-only")
     cfg = _pick_config((Z, Y, X), window)
     TZ, TY, TX = cfg["TZ"], cfg["TY"], cfg["TX"]
     ZS, YS, SX = cfg["ZS"], cfg["YS"], cfg["SX"]
@@ -405,7 +479,7 @@ def _warp_call(vol, coords, background, want_grad, window, interpret,
     Zg, Yg, Xg = Zo + oz, Yo + oy, Xo + ox
     grid = (Zg // TZ, Yg // TY, Xg // TX)
 
-    dims = jnp.asarray([Z, Y, X, Zo, Yo, Xo], jnp.int32)
+    dims = jnp.asarray([Zl, Yl, Xl, Zo, Yo, Xo], jnp.int32)
     bg = jnp.asarray(background, jnp.float32).reshape(1)
 
     kernel = partial(_warp_kernel, cfg=cfg, B=B, want_grad=want_grad,
@@ -434,8 +508,9 @@ def _warp_call(vol, coords, background, want_grad, window, interpret,
                                 lambda i, j, k: (0, i, j, k))]
         c_args = (jnp.asarray(coords, jnp.float32),)
     else:
-        c_specs = [sspec((12,))]
-        c_args = (jnp.asarray(coords, jnp.float32).reshape(12),)
+        n_coef = 16 if mode == "affine_shear" else 12
+        c_specs = [sspec((n_coef,))]
+        c_args = (jnp.asarray(coords, jnp.float32).reshape(n_coef),)
 
     n_out = 4 if want_grad else 1
     ovf_spec = pl.BlockSpec((8, 128), lambda i, j, k: (0, 0))
@@ -856,3 +931,145 @@ def affine_warp_fused(volume, pixel_matrix, background, out_shape,
                              False, None, interpret, mode="affine",
                              out_shape=tuple(int(s) for s in out_shape))
     return out[0], ovf
+
+
+# ---------------------------------------------------------------------------
+# Oblique (30-60 degree) affine resample: exact staircase-shear
+# factorization. A fully oblique rotation puts a ~|sin(theta)|*128-row
+# diagonal band under every 128-lane output tile, which no VMEM slab
+# window can cover (round-2 finding: such transforms fell back to the
+# ~14 M pts/s XLA gather). Factor the map instead:
+#
+#   warp(V, A) == warp_shear(shear(V, ky, kz), A, ky, kz)
+#
+# where shear is an EXACT integer row permutation
+#   V2[z + oz - stair(kz, x), y + oy - stair(ky, x), x] = V[z, y, x],
+#   stair(k, x) = floor(k*x + 0.5),  ky = A10/A00, kz = A20/A00,
+# built on-device by the ordinary warp kernel in TRANSPOSED (z, x, y)
+# layout (there the per-column row shift is a per-sublane-constant LANE
+# gather with integer coords — exact, and it fits the default slab
+# windows since its sublane spreads are ~|k|*8). The residual warp's
+# per-tile sublane spread collapses to the Schur-complement rows
+# |A11 - ky*A01|*TY + |A12 - ky*A02|*TZ + O(1), so 30-60 degree
+# obliques run at aligned-kernel-class speed instead of the gather.
+# ---------------------------------------------------------------------------
+
+def _stair(k, x):
+    """The staircase shift floor(k*x + 0.5) — ONE formula shared by the
+    host planner (numpy), the shear builder (jnp) and the kernel, so
+    all three round identically (f32)."""
+    return np.floor(np.float32(k) * np.float32(x) + np.float32(0.5))
+
+
+def oblique_plan(pixel_matrix, vol_shape_zyx, budget=None):
+    """Host-side feasibility plan for the staircase-shear oblique path.
+
+    Returns None when the factorization does not apply (x column too
+    weak / slopes too steep / residual window exceeds the VMEM budget),
+    else a dict with the shear slopes, offsets, sheared dims and the
+    residual (DZ, DY) window for :func:`affine_warp_oblique`."""
+    A = np.asarray(pixel_matrix, np.float64)
+    R = A[:3, :3]
+    a00 = R[0, 0]
+    if abs(a00) < 0.35:
+        return None
+    ky = R[1, 0] / a00
+    kz = R[2, 0] / a00
+    if abs(ky) > 1.05 or abs(kz) > 1.05:
+        return None
+    Z, Y, X = (int(v) for v in vol_shape_zyx)
+    # residual per-tile spreads: the shear cancels the x_o coupling of
+    # the z/y rows exactly; what remains is the Schur complement over
+    # (y_o, z_o) plus bounded constants (floor tap +1, staircase
+    # rounding +1, x0-vs-x1 shift difference +|k|, second tap +1)
+    TZ, TY = 8, 8
+    sy = (abs(R[1, 1] - ky * R[0, 1]) * (TY - 1)
+          + abs(R[1, 2] - ky * R[0, 2]) * (TZ - 1)
+          + abs(ky) + 4)
+    szp = (abs(R[2, 1] - kz * R[0, 1]) * (TY - 1)
+           + abs(R[2, 2] - kz * R[0, 2]) * (TZ - 1)
+           + abs(kz) + 4)
+    # the window also absorbs the slab-base alignment residual (y base
+    # aligns down to 8) the non-shear path absorbs the same way
+    win = (max(16, int(np.ceil(szp)) + 2), max(16, int(np.ceil(sy)) + 2))
+    # sheared dims: staircases are monotone, extremes at x endpoints
+    ez = int(_stair(kz, X - 1))
+    ey = int(_stair(ky, X - 1))
+    oz = max(0, ez)
+    oy = max(0, ey)
+    Z2 = _round_up(Z + abs(ez), 16)
+    Y2 = _round_up(Y + abs(ey), 16)
+    if budget is None:
+        budget = SLAB_VMEM_BUDGET
+    if window_slab_bytes((Z2, Y2, X), win, 1) > budget:
+        return None
+    # x slab: when the padded row exceeds the resident SX window the
+    # within-tile x footprint (plus the 128-aligned base residual)
+    # must fit the window, exactly like fits_x_window for fields
+    cfg = _pick_config((Z2, Y2, X), win)
+    if cfg["SX"] < _round_up(X, 128):
+        foot = (abs(R[0, 0]) * 127 + abs(R[0, 1]) * 7
+                + abs(R[0, 2]) * 7 + 2)
+        if foot > cfg["SX"] - 128:
+            return None
+    return dict(ky=float(ky), kz=float(kz), oy=int(oy), oz=int(oz),
+                Z2=int(Z2), Y2=int(Y2), window=win)
+
+
+@partial(jax.jit, static_argnames=("out_shape", "v2_shape", "window",
+                                   "perm", "flips", "interpret"))
+def _oblique_call(vol, A12, kap, background, out_shape, v2_shape,
+                  window, perm, flips, interpret):
+    """One-program oblique resample: relayout -> on-device staircase
+    shear (transposed-layout warp, integer coords, exact) -> residual
+    affine_shear kernel. Returns (out, total_overflow)."""
+    if perm is not None:
+        vol = jnp.transpose(vol, perm)
+    if flips:
+        vol = jnp.flip(vol, flips)
+    Z, Y, X = vol.shape
+    Z2, Y2 = v2_shape
+    ky, kz, oy, oz = kap[0], kap[1], kap[2], kap[3]
+    # staircase shear in (z, x, y) layout: source row shifts become a
+    # per-sublane-constant lane gather the ordinary kernel handles with
+    # default windows (sublane spreads ~|k|*8); integer coords make the
+    # trilinear taps degenerate to the exact row copy
+    vt = jnp.transpose(vol, (0, 2, 1))
+    z2 = jnp.arange(Z2, dtype=jnp.float32)[:, None, None]
+    xc = jnp.arange(X, dtype=jnp.float32)[None, :, None]
+    y2 = jnp.arange(Y2, dtype=jnp.float32)[None, None, :]
+    stz = jnp.floor(kz * xc + 0.5)
+    sty = jnp.floor(ky * xc + 0.5)
+    sh = (Z2, X, Y2)
+    cz1 = jnp.broadcast_to(z2 - oz + stz, sh)
+    cy1 = jnp.broadcast_to(xc, sh)
+    cx1 = jnp.broadcast_to(y2 - oy + sty, sh)
+    v2t, _, ovf1 = _warp_call(vt[None], (cz1, cy1, cx1),
+                              jnp.float32(0.0), False, None, interpret,
+                              mode="coords")
+    v2 = jnp.transpose(v2t[0], (0, 2, 1))
+    coef = jnp.concatenate([A12, kap])
+    out, _, ovf2 = _warp_call(v2[None], coef, background, False, window,
+                              interpret, mode="affine_shear",
+                              out_shape=out_shape,
+                              logical_dims=(Z, Y, X))
+    return out[0], ovf1 + ovf2
+
+
+def affine_warp_oblique(volume, pixel_matrix, background, out_shape,
+                        plan, perm=None, flips=None, interpret=False):
+    """Exact oblique affine resample via the staircase-shear
+    factorization (see module section comment). ``plan`` comes from
+    :func:`oblique_plan` for the (relayouted) matrix; returns
+    ``(out, overflow_count)`` — callers fall back to the XLA gather
+    when the count is nonzero, so results are always exact."""
+    vol = jnp.asarray(volume, jnp.float32)
+    A12 = jnp.asarray(pixel_matrix, jnp.float32)[:3, :].reshape(12)
+    kap = jnp.asarray([plan["ky"], plan["kz"], plan["oy"], plan["oz"]],
+                      jnp.float32)
+    return _oblique_call(vol, A12, kap,
+                         jnp.asarray(background, jnp.float32),
+                         tuple(int(s) for s in out_shape),
+                         (plan["Z2"], plan["Y2"]), plan["window"],
+                         perm, tuple(flips) if flips else (),
+                         bool(interpret))

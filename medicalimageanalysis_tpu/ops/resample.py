@@ -261,9 +261,11 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
         # attempt and its wasted run + sync when the per-tile footprint
         # cannot fit the slab windows — large rotations go straight to
         # the gather
-        from .pallas_warp import affine_warp_fused, fits_warp_caps
+        from .pallas_warp import (affine_warp_fused, affine_warp_oblique,
+                                  fits_warp_caps, oblique_plan)
         osh = tuple(int(s) for s in out_shape)
         fused_args = None
+        al = None
         if fits_warp_caps(A):
             fused_args = (A, None, ())
         else:
@@ -281,6 +283,24 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
             if float(ovf) == 0.0:
                 return out
             # caps exceeded despite the host prediction: exact fallback
+        else:
+            # fully oblique (30-60 degree) map: exact staircase-shear
+            # factorization (ops/pallas_warp.py oblique section) — the
+            # case that previously fell to the ~14 M pts/s gather
+            if al is not None:
+                perm, flips, A2 = al
+                shp = tuple(vol.shape[p] for p in perm)
+            else:
+                perm, flips, A2 = None, (), A
+                shp = vol.shape
+            plan = oblique_plan(A2, shp)
+            if plan is not None:
+                out, ovf = affine_warp_oblique(
+                    vol, jnp.asarray(A2, jnp.float32),
+                    jnp.float32(background), osh, plan,
+                    perm=perm, flips=flips)
+                if float(ovf) == 0.0:
+                    return out
     A = jnp.asarray(pixel_matrix, dtype=jnp.float32)
     return _affine_resample_jit(vol, A, tuple(int(s) for s in out_shape),
                                 jnp.float32(background))

@@ -359,3 +359,64 @@ def test_disp_sampler_vjp_matches_xla_autodiff(rng):
 
     g2 = jax.grad(xla_loss)(jnp.asarray(disp))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+def test_oblique_shear_kernel_exact(rng):
+    """The staircase-shear oblique path (30-60 deg rotations) matches
+    the independent numpy golden with zero overflow — the case that
+    previously fell back to the XLA gather (VERDICT r2 #1)."""
+    from scipy.spatial.transform import Rotation
+
+    from medicalimageanalysis_tpu.ops.pallas_warp import (
+        affine_warp_oblique, oblique_plan)
+    from medicalimageanalysis_tpu.ops.resample import _axis_align_input
+
+    Z, Y, X = 20, 28, 36
+    vol = rng.normal(size=(Z, Y, X)).astype(np.float32)
+    for deg, axis in [(45.0, (0, 0, 1)), (60.0, (0, 0, 1)),
+                      (45.0, (1, 1, 1)), (33.0, (1, 2, 0.5))]:
+        ax = np.asarray(axis, float)
+        R = Rotation.from_rotvec(
+            np.deg2rad(deg) * ax / np.linalg.norm(ax)).as_matrix()
+        A = np.eye(4)
+        A[:3, :3] = R
+        c = np.array([X / 2, Y / 2, Z / 2])
+        A[:3, 3] = c - R @ c
+        al = _axis_align_input(A, vol.shape)
+        if al is not None:
+            perm, flips, A2 = al
+            shp = tuple(vol.shape[p] for p in perm)
+        else:
+            perm, flips, A2 = None, (), A
+            shp = vol.shape
+        plan = oblique_plan(A2, shp)
+        assert plan is not None, (deg, axis)
+        out, ovf = affine_warp_oblique(
+            vol, A2, -3001.0, (Z, Y, X), plan, perm=perm, flips=flips,
+            interpret=True)
+        cz, cy, cx = affine_coords(A, (Z, Y, X))
+        golden = _numpy_trilinear(vol, np.asarray(cz), np.asarray(cy),
+                                  np.asarray(cx), -3001.0)
+        assert float(ovf) == 0.0, (deg, axis)
+        np.testing.assert_allclose(np.asarray(out), golden, atol=2e-4)
+
+
+def test_oblique_plan_gates():
+    """Planner refuses maps the shear factorization cannot serve."""
+    from medicalimageanalysis_tpu.ops.pallas_warp import oblique_plan
+
+    # weak x column (x output direction nearly orthogonal to input x)
+    A = np.eye(4)
+    A[0, 0] = 0.1
+    assert oblique_plan(A, (32, 32, 32)) is None
+    # slope too steep for the staircase (ky = 2)
+    A = np.eye(4)
+    A[1, 0] = 2.0
+    assert oblique_plan(A, (32, 32, 32)) is None
+    # a clean 45-degree in-plane rotation plans with small windows
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    A = np.eye(4)
+    A[:2, :2] = [[c, -s], [s, c]]
+    plan = oblique_plan(A, (32, 64, 64))
+    assert plan is not None
+    assert plan["window"][0] <= 24 and plan["window"][1] <= 24
