@@ -201,6 +201,32 @@ def decode_jpeg_lossless(ds):
     return arr
 
 
+def decode_jpeg_dct_native(ds):
+    """Sequential-DCT JPEG (baseline .50 / Extended 12-bit .51) via the
+    native decoder — the 12-bit path GDCM covers for the reference
+    (read/dicom.py:52) that cv2 cannot decode."""
+    from ..native import jpeg_dct_decode
+
+    frames, rows, cols, samples = _target_shape(ds)
+    frags = ds.PixelData
+    if isinstance(frags, (bytes, bytearray)):
+        frags = [bytes(frags)]
+    if len(frags) > frames:
+        frags = [b"".join(frags)]
+    out = []
+    for frag in frags[:max(frames, 1)]:
+        arr = jpeg_dct_decode(frag)
+        if arr is None:
+            raise ValueError("JPEG sequential-DCT decode failed (native "
+                             "decoder unavailable or bad stream)")
+        out.append(arr)
+    dtype = _native_dtype(ds).newbyteorder("=")
+    arr = np.stack(out).astype(dtype)
+    if frames == 1:
+        arr = arr[0]
+    return arr
+
+
 def decode_jpeg_cv2(ds):
     import cv2
 
@@ -243,6 +269,19 @@ def decode_pixel_data(ds):
         return decode_rle(ds)
     if ts in (uids.JPEGLossless, uids.JPEGLosslessSV1):
         return decode_jpeg_lossless(ds)
+    if ts in (uids.JPEGBaseline8Bit, uids.JPEGExtended12Bit):
+        # >8-bit samples: cv2's JPEG codec is 8-bit only — the native
+        # sequential-DCT decoder is the primary (12-bit Extended,
+        # legacy CR/mammo); 8-bit keeps cv2 (battle-tested, handles
+        # subsampled color) with the native decoder as fallback
+        deep = int(ds.get("BitsAllocated", 8) or 8) > 8 \
+            or int(ds.get("BitsStored", 8) or 8) > 8
+        if deep:
+            return decode_jpeg_dct_native(ds)
+        try:
+            return decode_jpeg_cv2(ds)
+        except ValueError:
+            return decode_jpeg_dct_native(ds)
     if ts in uids.ENCAPSULATED_SYNTAXES:
         return decode_jpeg_cv2(ds)
     # unknown syntax: try native

@@ -1,0 +1,85 @@
+"""Lossless 12-bit pixel packing for host->device staging.
+
+CT pixels are <= 12 bits stored in int16 (DICOM BitsStored is 12 for
+essentially every CT/MR archive; the reference decodes them through
+GDCM into int16, read/dicom.py:509-534). Uploading the raw int16 wastes
+25% of the host->device link — which is THE bottleneck for cohort
+ingest both through the tunneled bench chip (~12 MB/s) and on real
+hardware (PCIe vs HBM). Packing groups of 8 values into 3 uint32 words
+(96 bits) cuts staged bytes by 25% and unpacks on-device with eight
+static shift/mask extractions — pure VPU ops, no gathers, fused by XLA
+into whatever consumes the batch.
+
+Packing is RANGE-KEYED and lossless: values are offset by the batch min
+and must span < 4096; `pack12` returns None when they don't (callers
+stage raw int16 instead — the honest fallback, e.g. 16-bit MR).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["pack12", "unpack12_device"]
+
+
+def pack12(arr):
+    """Pack an int array whose value RANGE fits 12 bits.
+
+    arr: any-shape integer array with (max - min) < 4096, trailing axis
+    length padded internally to a multiple of 8.
+
+    Returns ``(words, lo, orig_tail)`` — ``words`` uint32 with shape
+    ``arr.shape[:-1] + (ceil(tail/8)*3,)``, ``lo`` the int offset,
+    ``orig_tail`` the unpadded trailing length — or None when the range
+    does not fit (caller stages raw).
+    """
+    a = np.asarray(arr)
+    if not np.issubdtype(a.dtype, np.integer) or a.size == 0:
+        return None
+    lo = int(a.min())
+    if int(a.max()) - lo > 0xFFF:
+        return None
+    # int32 offset then uint32 lanes with in-place combines: the naive
+    # int64 + stack chain measured 160x slower at cohort scale
+    v = (a.astype(np.int32) - lo).astype(np.uint32)
+    tail = a.shape[-1]
+    pad = (-tail) % 8
+    if pad:
+        v = np.concatenate(
+            [v, np.zeros(a.shape[:-1] + (pad,), np.uint32)], axis=-1)
+    g = v.reshape(a.shape[:-1] + ((tail + pad) // 8, 8))
+    w = np.empty(a.shape[:-1] + ((tail + pad) // 8, 3), np.uint32)
+    np.bitwise_or(g[..., 0], g[..., 1] << 12, out=w[..., 0])
+    w[..., 0] |= (g[..., 2] & 0xFF) << 24
+    np.bitwise_or(g[..., 2] >> 8, g[..., 3] << 4, out=w[..., 1])
+    w[..., 1] |= g[..., 4] << 16
+    w[..., 1] |= (g[..., 5] & 0xF) << 28
+    np.bitwise_or(g[..., 5] >> 4, g[..., 6] << 8, out=w[..., 2])
+    w[..., 2] |= g[..., 7] << 20
+    return w.reshape(a.shape[:-1] + (-1,)), lo, tail
+
+
+def unpack12_device(words, lo, tail, dtype=jnp.float32):
+    """Device-side inverse of :func:`pack12` (jit-safe, static shifts).
+
+    words: (..., 3*ceil(tail/8)) uint32; returns (..., tail) ``dtype``.
+    """
+    w = jnp.asarray(words)
+    g = w.reshape(w.shape[:-1] + (w.shape[-1] // 3, 3))
+    w0 = g[..., 0]
+    w1 = g[..., 1]
+    w2 = g[..., 2]
+    m = jnp.uint32(0xFFF)
+    v0 = w0 & m
+    v1 = (w0 >> 12) & m
+    v2 = ((w0 >> 24) | (w1 << 8)) & m
+    v3 = (w1 >> 4) & m
+    v4 = (w1 >> 16) & m
+    v5 = ((w1 >> 28) | (w2 << 4)) & m
+    v6 = (w2 >> 8) & m
+    v7 = (w2 >> 20) & m
+    vals = jnp.stack([v0, v1, v2, v3, v4, v5, v6, v7], axis=-1)
+    vals = vals.reshape(w.shape[:-1] + (-1,))[..., :tail]
+    return vals.astype(dtype) + jnp.asarray(lo, dtype)

@@ -288,3 +288,31 @@ def test_shear_permutation_large_rotation(rng):
                                             vol.shape, jnp.float32(0.0)))
     d80 = np.abs(out80[inner] - ref80[inner])
     assert float(d80.mean()) < 0.05 * float(vol.std())
+
+
+def test_bitpack12_roundtrip(rng):
+    """pack12/unpack12_device: lossless 12-bit staging round trip,
+    range gating, odd tails."""
+    import jax.numpy as jnp
+
+    from medicalimageanalysis_tpu.ops.bitpack import (pack12,
+                                                      unpack12_device)
+
+    for shape in [(3, 5, 40), (2, 7, 37), (1, 13)]:
+        arr = rng.integers(-1000, 3000, size=shape).astype(np.int16)
+        packed = pack12(arr)
+        assert packed is not None
+        words, lo, tail = packed
+        assert words.shape[-1] == 3 * ((shape[-1] + 7) // 8)
+        out = np.asarray(unpack12_device(words, lo, tail,
+                                         dtype=jnp.int32))
+        np.testing.assert_array_equal(out, arr.astype(np.int32))
+        # 25% fewer staged bytes (modulo the pad-to-8 tail)
+        padded = arr.shape[-1] + (-arr.shape[-1]) % 8
+        assert words.nbytes == 0.75 * arr.nbytes / arr.shape[-1] * padded
+
+    # range beyond 12 bits -> honest refusal
+    wide = rng.integers(-30000, 30000, size=(4, 16)).astype(np.int16)
+    assert pack12(wide) is None
+    # floats refused
+    assert pack12(rng.normal(size=(4, 8)).astype(np.float32)) is None
