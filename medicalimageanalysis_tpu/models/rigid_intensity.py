@@ -76,7 +76,7 @@ def _soft_bin_weights(vals, bins):
     return jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - centers[None, :]))
 
 
-def _metric_loss(metric, vals, ref_vals, inside):
+def _metric_loss(metric, vals, ref_vals, inside, bins=None):
     """Similarity loss over flattened sampled values.
 
     'mse'  — masked mean squared error (mono-modality default);
@@ -103,7 +103,7 @@ def _metric_loss(metric, vals, ref_vals, inside):
         var = jnp.sum(dv * dv) * jnp.sum(dr * dr)
         return 1.0 - (cov * cov) / jnp.maximum(var, 1e-12)
     if metric == "mi":
-        joint = _mi_joint(v, r, w)
+        joint = _mi_joint(v, r, w, bins or _MI_BINS)
         p = joint / jnp.maximum(jnp.sum(joint), 1e-6)
         pr = jnp.sum(p, axis=1, keepdims=True)
         pm = jnp.sum(p, axis=0, keepdims=True)
@@ -119,11 +119,11 @@ def _metric_loss(metric, vals, ref_vals, inside):
 _MI_CHUNK = 1 << 21
 
 
-def _mi_joint(v, r, w):
+def _mi_joint(v, r, w, bins=None):
     """(bins, bins) soft joint histogram. Small N: one MXU matmul.
     Large N: lax.scan over _MI_CHUNK-value chunks with jax.checkpoint
     so neither pass materializes the (N, bins) weight matrices."""
-    B = _MI_BINS
+    B = bins or _MI_BINS
     N = v.shape[0]
     if N <= _MI_CHUNK:
         Wr = _soft_bin_weights(r, B) * w[:, None]
@@ -310,7 +310,12 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
         for name, arr in (("refs", refs), ("movs", movs)):
             lo = float(jnp.min(arr)) * s
             hi = float(jnp.max(arr)) * s
-            if not (lo >= -0.01 and hi <= 1.05):
+            # hard bound catches grossly unnormalized input (raw HU,
+            # uint16); normalized-with-noise data legitimately pokes a
+            # little outside [0, 1] (e.g. -0.03 noise floor) and gets
+            # the out-of-range-fraction warning below instead
+            # (ADVICE r2)
+            if not (lo >= -0.05 and hi <= 1.5):
                 raise ValueError(
                     "metric='mi' needs intensities normalized to "
                     f"[0, 1] (after intensity_scale; {name} span "

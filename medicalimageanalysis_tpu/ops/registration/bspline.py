@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["bspline_registration", "bspline_basis_matrix"]
+__all__ = ["bspline_registration", "bspline_basis_matrix",
+           "elastix_registration"]
 
 
 def _cubic_bspline(t):
@@ -52,10 +53,12 @@ def bspline_basis_matrix(n_vox, n_ctrl, ctrl_spacing_vox):
 
 
 @partial(jax.jit,
-         static_argnames=("steps", "use_pallas", "window", "with_mmask"))
+         static_argnames=("steps", "use_pallas", "window", "with_mmask",
+                          "metric", "bins", "with_base"))
 def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
                  sp, lr, steps, use_pallas=True, window=None,
-                 with_mmask=False):
+                 with_mmask=False, metric="mse", bins=32,
+                 with_base=False, base_mm=None):
     # the moving-image mask (ITK semantics: a sample only contributes
     # where the warped moving mask is on) warps through the SAME kernel
     # call as the image, batched
@@ -101,18 +104,30 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
                          preferred_element_type=jnp.float32)
         return out
 
-    def loss_fn(ctrl):
+    def total_disp(ctrl):
         d = densify(ctrl)                      # (3, Z, Y, X) mm
+        if with_base:
+            d = d + base_mm
+        return d
+
+    def loss_fn(ctrl):
+        d = total_disp(ctrl)
         w_all, ovf = sample_disp(d / spc)
         warped = w_all[0]
         w = fixed_mask * w_all[1] if with_mmask else fixed_mask
-        diff = (fixed - warped) * w
-        mse = jnp.sum(diff * diff) / jnp.maximum(jnp.sum(w), 1.0)
+        if metric == "mse":
+            diff = (fixed - warped) * w
+            sim = jnp.sum(diff * diff) / jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            # Mattes-MI / NCC via the shared Parzen machinery (elastix
+            # parity, reference simpleitk.py:131-176 metric selection)
+            from ...models.rigid_intensity import _metric_loss
+            sim = _metric_loss(metric, warped, fixed, w, bins=bins)
         # light bending-energy regularizer keeps the field smooth
         reg = jnp.mean(jnp.square(jnp.diff(ctrl, axis=1))) \
             + jnp.mean(jnp.square(jnp.diff(ctrl, axis=2))) \
             + jnp.mean(jnp.square(jnp.diff(ctrl, axis=3)))
-        return mse + 1e-3 * reg, ovf
+        return sim + 1e-3 * reg, ovf
 
     opt = optax.adam(lr)
     ctrl0 = jnp.zeros((3, Bz.shape[1], By.shape[1], Bx.shape[1]),
@@ -128,7 +143,7 @@ def _bspline_fit(fixed, moving, fixed_mask, moving_mask, Bz, By, Bx,
     (ctrl, _, total_ovf), losses = jax.lax.scan(
         step, (ctrl0, opt.init(ctrl0), jnp.float32(0.0)),
         None, length=steps)
-    return jnp.moveaxis(densify(ctrl), 0, -1), losses, total_ovf
+    return jnp.moveaxis(total_disp(ctrl), 0, -1), losses, total_ovf
 
 
 def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
@@ -227,3 +242,152 @@ def bspline_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                 dvf, losses, _ = _bspline_fit(*args, use_pallas=False,
                                               with_mmask=with_mmask)
     return np.asarray(dvf), np.asarray(losses)
+
+
+_ELASTIX_METRICS = {
+    "AdvancedMeanSquares": "mse",
+    "AdvancedMattesMutualInformation": "mi",
+    "AdvancedNormalizedCorrelation": "ncc",
+}
+
+
+def elastix_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
+                         parameter_map=None, metric="mi", bins=32,
+                         resolutions=4, final_grid_spacing=10.0,
+                         iterations=256, lr=0.25, fixed_mask=None,
+                         moving_mask=None):
+    """Elastix-parity multi-resolution B-spline registration.
+
+    Mirrors the schedule the reference gets from SimpleElastix's
+    "nonrigid" default parameter map (reference
+    utils/deformable/simpleitk.py:131-176): ``resolutions`` levels
+    coarse-to-fine with both the image and the control grid halving in
+    resolution per level (grid spacing = final_grid_spacing * 2^l),
+    Mattes mutual information (default; Parzen joint histogram on the
+    MXU, shared with the rigid MI metric) or mean-squares /
+    normalized-correlation, and ``iterations`` optimizer steps per
+    level. Each level warm-starts additively from the previous level's
+    field: loss(ctrl) = metric(fixed_l, moving(x + base_mm + B ctrl)),
+    so the prolongation is exact (mm components are
+    resolution-independent).
+
+    ``parameter_map`` accepts the elastix keys the reference exposes
+    (values may be elastix-style one-element string lists): Metric,
+    NumberOfHistogramBins, NumberOfResolutions,
+    FinalGridSpacingInPhysicalUnits, MaximumNumberOfIterations.
+    Returns ((Z, Y, X, 3) DVF mm, losses) like bspline_registration.
+    """
+    if parameter_map:
+        pm = {k: (v[0] if isinstance(v, (list, tuple)) else v)
+              for k, v in dict(parameter_map).items()}
+        if "Metric" in pm:
+            metric = _ELASTIX_METRICS.get(str(pm["Metric"]), metric)
+        bins = int(pm.get("NumberOfHistogramBins", bins))
+        resolutions = int(pm.get("NumberOfResolutions", resolutions))
+        final_grid_spacing = float(
+            pm.get("FinalGridSpacingInPhysicalUnits", final_grid_spacing))
+        iterations = int(pm.get("MaximumNumberOfIterations", iterations))
+
+    fixed = np.asarray(fixed, np.float32)
+    moving = np.asarray(moving, np.float32)
+    if metric == "mi":
+        # Mattes bins each image over its own range: normalize
+        # independently to [0, 1] (zero-range volumes stay flat)
+        def norm(a):
+            lo, hi = float(a.min()), float(a.max())
+            return (a - lo) / (hi - lo) if hi > lo else a * 0.0
+        fixed = norm(fixed)
+        moving = norm(moving)
+
+    sp_full = np.asarray(spacing_xyz, np.float32)
+    from .demons import _downsample_volume, _upsample_field
+
+    base_mm = None
+    losses_all = []
+    for lev in range(int(resolutions)):
+        factor = 2 ** (int(resolutions) - 1 - lev)
+        if factor > 1:
+            f_l = np.asarray(_downsample_volume(fixed, factor))
+            m_l = np.asarray(_downsample_volume(moving, factor))
+        else:
+            f_l, m_l = fixed, moving
+        ratio = np.asarray([fixed.shape[2] / f_l.shape[2],
+                            fixed.shape[1] / f_l.shape[1],
+                            fixed.shape[0] / f_l.shape[0]], np.float32)
+        sp_l = sp_full * ratio
+        fm_l = np.ones_like(f_l) if fixed_mask is None else np.asarray(
+            _downsample_volume(np.asarray(fixed_mask, np.float32),
+                               factor) if factor > 1
+            else np.asarray(fixed_mask, np.float32))
+        # MI/NCC must EXCLUDE out-of-domain samples, not see the fill
+        # value: a 0.0 fill is a legitimate intensity bin (for
+        # inverted-contrast MR it is the TISSUE bin), so an ungated
+        # histogram metric can "improve" by pushing samples out of
+        # bounds (measured: MI rises while the field diverges). Warp a
+        # ones-mask (ITK Mattes semantics) when no moving mask given.
+        need_domain_mask = metric != "mse"
+        with_mmask = moving_mask is not None or need_domain_mask
+        if moving_mask is not None:
+            mm = np.asarray(moving_mask, np.float32)
+            mm_l = np.asarray(_downsample_volume(mm, factor)) \
+                if factor > 1 else mm
+        elif need_domain_mask:
+            mm_l = np.ones_like(m_l)
+        else:
+            mm_l = np.zeros((1, 1, 1), np.float32)
+
+        Zl, Yl, Xl = f_l.shape
+        grid_mm = final_grid_spacing * factor
+        mesh = [max(1, int(n * s / grid_mm))
+                for n, s in zip((Xl, Yl, Zl), sp_l)]
+        gx, gy, gz = (int(m) + 3 for m in mesh)
+        Bx = jnp.asarray(bspline_basis_matrix(Xl, gx, Xl / mesh[0]))
+        By = jnp.asarray(bspline_basis_matrix(Yl, gy, Yl / mesh[1]))
+        Bz = jnp.asarray(bspline_basis_matrix(Zl, gz, Zl / mesh[2]))
+
+        with_base = base_mm is not None
+        base_l = None
+        if with_base:
+            up = _upsample_field(jnp.asarray(base_mm), f_l.shape)
+            base_l = jnp.moveaxis(up, -1, 0)           # planar mm
+
+        fit_args = (jnp.asarray(f_l), jnp.asarray(m_l),
+                    jnp.asarray(fm_l), jnp.asarray(mm_l), Bz, By, Bx,
+                    jnp.asarray(sp_l), jnp.float32(lr), int(iterations))
+        fit_kw = dict(with_mmask=with_mmask, metric=metric,
+                      bins=int(bins), with_base=with_base,
+                      base_mm=base_l)
+        dvf, losses, ovf = _bspline_fit(*fit_args, **fit_kw)
+
+        if jax.default_backend() == "tpu":
+            # per-level exactness (same contract as
+            # bspline_registration): the accumulated overflow counter
+            # plus the final field's window demand decide a redo on a
+            # widened window or the unbounded XLA sampler — an
+            # overflowed level would warm-start the next level from a
+            # locally-backgrounded fit
+            from ..pallas_warp import (SLAB_VMEM_BUDGET, fits_x_window,
+                                       required_window,
+                                       window_slab_bytes)
+            disp_vox = np.moveaxis(np.asarray(dvf), -1, 0) \
+                / sp_l[:, None, None, None]
+            win = required_window(disp_vox * 1.25)
+            x_ok = fits_x_window(disp_vox[0] * 1.25, f_l.shape[2])
+            if not x_ok or win[0] > 16 or win[1] > 16 \
+                    or float(ovf) > 0:
+                win_r = (max(win[0], 24), max(win[1], 24))
+                batch = 2 if with_mmask else 1
+                if x_ok and window_slab_bytes(
+                        f_l.shape, win_r, batch) <= SLAB_VMEM_BUDGET:
+                    dvf, losses, ovf2 = _bspline_fit(
+                        *fit_args, window=win_r, **fit_kw)
+                    if float(ovf2) > 0:
+                        dvf, losses, _ = _bspline_fit(
+                            *fit_args, use_pallas=False, **fit_kw)
+                else:
+                    dvf, losses, _ = _bspline_fit(
+                        *fit_args, use_pallas=False, **fit_kw)
+        base_mm = dvf                                   # (Zl,Yl,Xl,3) mm
+        losses_all.append(np.asarray(losses))
+
+    return np.asarray(base_mm, np.float32), np.concatenate(losses_all)

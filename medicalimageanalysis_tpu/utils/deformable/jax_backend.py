@@ -136,11 +136,34 @@ class DeformableJAX(object):
     def elastix(self, parameter=None, metric="Intensity", bins=6,
                 resolution=4, spacing=10, iterations=2000, order=3,
                 crop=5):
-        """Elastix-flavored nonrigid registration: the reference needs a
-        SimpleElastix build (simpleitk.py:131-176); here it maps to the
-        B-spline kernel with the elastix-style final grid spacing."""
-        return self.bspline(control_spacing=[spacing] * 3,
-                            iterations=min(iterations, 300), crop=crop)
+        """Elastix-parity nonrigid registration (the reference needs a
+        SimpleElastix build, simpleitk.py:131-176): multi-resolution
+        B-spline with Mattes mutual information (``metric`` anything
+        but 'Intensity', like the reference's switch) or mean squares,
+        grid and image halving per level, elastix-style parameter map
+        accepted via ``parameter`` (Metric / NumberOfHistogramBins /
+        NumberOfResolutions / FinalGridSpacingInPhysicalUnits /
+        MaximumNumberOfIterations keys, one-element string lists
+        fine)."""
+        from ...ops.registration.bspline import elastix_registration
+
+        if crop > 0:
+            self.mask_crop(margin=crop)
+        fixed = self.reference_image["array"].astype(np.float32)
+        moving = self.moving_image["array"].astype(np.float32)
+        fmask = None if self.reference_mask is None \
+            else self.reference_mask["array"]
+        mmask = None if self.moving_mask is None \
+            else self.moving_mask["array"]
+        dvf, _ = elastix_registration(
+            fixed, moving, self.reference_image["spacing"],
+            parameter_map=parameter,
+            metric=("mse" if metric == "Intensity" else "mi"),
+            bins=max(int(bins), 8), resolutions=int(resolution),
+            final_grid_spacing=float(spacing),
+            iterations=min(int(iterations), 300),
+            fixed_mask=fmask, moving_mask=mmask)
+        return self._dvf_volume(dvf)
 
     def demons(self, smooth=True, std=1, iterations=50,
                intensity_threshold=0.001, crop=5, pyramid=None):

@@ -501,3 +501,80 @@ def test_demons_pyramid_recovers_large_shift(rng):
     assert r_pyr < 0.25 * base, (r_pyr, base)
     # and it must beat the single-level run on this large shift
     assert r_pyr < resid(dvf_single)
+
+
+def test_elastix_mi_recovers_deformation_cross_modality():
+    """Elastix-parity multi-res Mattes-MI B-spline: a CT<->'MR' pair
+    (inverted contrast, so MSE would fail) recovers a known smooth
+    deformation (VERDICT r2 next #7). The phantom is TEXTURED
+    (smoothed noise): MI on a radially-symmetric blob is degenerate —
+    any intensity-shell-preserving warp maximizes it — exactly like
+    real featureless regions, which real elastix also cannot anchor."""
+    from scipy.ndimage import gaussian_filter as _gf
+
+    from medicalimageanalysis_tpu.ops.registration.bspline import (
+        elastix_registration)
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+
+    rng = np.random.default_rng(3)
+    anat = _gf(rng.normal(size=(16, 48, 48)), (1.5, 3, 3))         .astype(np.float32)
+    fixed = (anat - anat.min()) / (anat.max() - anat.min()) * 1000
+    # known smooth deformation: 2-voxel y shift
+    moving_ct = np.roll(fixed, shift=2, axis=1)
+    # fake MR: inverted + rescaled contrast (monotone transform -> MI
+    # sees the structure, MSE does not)
+    m = moving_ct.max()
+    moving_mr = (m - moving_ct) * 0.37 + 11.0
+
+    dvf, losses = elastix_registration(
+        fixed, moving_mr, (1, 1, 1), metric="mi", bins=32,
+        resolutions=2, final_grid_spacing=12.0, iterations=150, lr=0.2)
+    assert dvf.shape == fixed.shape + (3,)
+    # warp the ORIGINAL (non-inverted) moving with the field: if the
+    # geometry was recovered, it matches fixed
+    warped = np.asarray(warp_volume(moving_ct, dvf, (1, 1, 1)))
+    inner = np.s_[2:-2, 4:-4, 4:-4]
+    err_before = np.abs(moving_ct - fixed)[inner].mean()
+    err_after = np.abs(warped - fixed)[inner].mean()
+    assert err_after < 0.05 * err_before
+    assert losses[-1] < losses[0]
+
+
+def test_elastix_parameter_map_keys():
+    """Elastix-style parameter maps (one-element string lists) are
+    honored (reference simpleitk.py:155-166 key set)."""
+    from medicalimageanalysis_tpu.ops.registration.bspline import (
+        elastix_registration)
+
+    fixed = make_blob().astype(np.float32) / 1000.0
+    moving = np.roll(fixed, shift=1, axis=2)
+    pm = {
+        "Metric": ["AdvancedMeanSquares"],
+        "NumberOfHistogramBins": ["16"],
+        "NumberOfResolutions": ["2"],
+        "FinalGridSpacingInPhysicalUnits": ["8"],
+        "MaximumNumberOfIterations": ["60"],
+    }
+    dvf, losses = elastix_registration(fixed, moving, (1, 1, 1),
+                                       parameter_map=pm)
+    # 2 resolutions x 60 iterations of recorded losses
+    assert losses.shape[0] == 120
+    assert dvf.shape == fixed.shape + (3,)
+    assert losses[-1] < losses[0]
+
+
+def test_deformable_jax_elastix_api(two_images):
+    """DeformableJAX.elastix drives the real multi-res path through
+    the reference API surface."""
+    ct, mr = two_images
+    from medicalimageanalysis_tpu.utils.deformable.jax_backend import (
+        DeformableJAX)
+
+    ref = Data.image[ct]
+    mov = Data.image[mr]
+    dj = DeformableJAX(
+        reference_image=ref.create_volume(),
+        moving_image=mov.create_volume())
+    out = dj.elastix(metric="Intensity", resolution=2, spacing=12,
+                     iterations=60, crop=0)
+    assert out["array"].shape == tuple(ref.dimensions) + (3,)
