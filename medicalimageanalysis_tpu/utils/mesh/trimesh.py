@@ -217,8 +217,17 @@ class TriMesh:
     def decimate_pro(self, fraction):
         return self.decimate(fraction)
 
-    def cluster_decimate(self, target_points):
-        """Uniform-grid vertex clustering to approximately target_points."""
+    def cluster_decimate(self, target_points, method="acvd"):
+        """Cluster-based decimation to ``target_points``.
+
+        method='acvd' (default): centroidal-Voronoi Lloyd relaxation
+        (pyacvd-quality isotropy, EXACT output point count — reference
+        utils/mesh/surface.py:74-94 uses pyacvd here); method='grid':
+        the uniform-grid clustering (approximate count, faster on
+        multi-million-point meshes)."""
+        if method == "acvd":
+            from .surface import acvd_cluster
+            return acvd_cluster(self, target_points)
         if self.number_of_points <= target_points or self.faces.size == 0:
             return self.copy()
         b = self.bounds

@@ -238,3 +238,103 @@ def test_compute_midpoints():
     face_sets = [set(map(int, f)) for f in np.asarray(mesh.faces)]
     for e in edges:
         assert any(set(map(int, e)) <= face_sets[c] for c in crowded)
+
+
+def _tri_quality(mesh):
+    """(aspect ratios, areas): aspect = circumradius / (2 * inradius),
+    1.0 for equilateral."""
+    p = np.asarray(mesh.points)
+    f = np.asarray(mesh.faces)
+    a = np.linalg.norm(p[f[:, 1]] - p[f[:, 0]], axis=1)
+    b = np.linalg.norm(p[f[:, 2]] - p[f[:, 1]], axis=1)
+    c = np.linalg.norm(p[f[:, 0]] - p[f[:, 2]], axis=1)
+    s = (a + b + c) / 2
+    area = np.sqrt(np.maximum(s * (s - a) * (s - b) * (s - c), 1e-30))
+    circum = a * b * c / (4 * area)
+    inr = area / s
+    return circum / (2 * inr), area
+
+
+def test_acvd_cluster_quality():
+    """ACVD clustering hits the pyacvd quality bar: exact point count,
+    isotropic triangles (aspect/area CV), and strictly better isotropy
+    than the round-2 uniform-grid clustering (VERDICT r2 next #5)."""
+    from medicalimageanalysis_tpu.utils.mesh.surface import acvd_cluster
+
+    mesh = ball_mesh(r=13, n=32)
+    target = 400
+    out = acvd_cluster(mesh, target)
+    assert out.number_of_points == target
+    aspect, area = _tri_quality(out)
+    # pyacvd-class isotropy on a sphere: most triangles near-equilateral
+    assert np.median(aspect) < 1.6, np.median(aspect)
+    assert np.mean(aspect < 2.5) > 0.9
+    assert area.std() / area.mean() < 0.6
+    # volume preserved to a few percent
+    assert abs(out.volume - mesh.volume) < 0.1 * mesh.volume
+
+    grid = mesh.cluster_decimate(target, method="grid")
+    g_aspect, g_area = _tri_quality(grid)
+    assert np.median(aspect) < np.median(g_aspect)
+    assert area.std() / area.mean() < g_area.std() / g_area.mean()
+
+
+def test_refinement_cluster_uses_acvd():
+    from medicalimageanalysis_tpu.utils.mesh.surface import Refinement
+
+    mesh = ball_mesh(r=10, n=24)
+    ref = Refinement(mesh)
+    out = ref.cluster(points=200)
+    assert out.number_of_points == 200
+
+
+def test_self_intersection_repair():
+    """Two interpenetrating spheres (off-lattice shift: a lattice-
+    aligned shift makes every crossing degenerate and undetectable):
+    intersections found, repair removes them all and stays watertight
+    (pymeshfix-grade, VERDICT r2 next #5)."""
+    from medicalimageanalysis_tpu.utils.mesh.surface import (
+        _boundary_loops, find_self_intersections,
+        remove_self_intersections)
+    from medicalimageanalysis_tpu.utils.mesh.trimesh import TriMesh
+
+    s1 = ball_mesh(r=5, n=14)
+    s2 = ball_mesh(r=5, n=14)
+    p2 = s2.points.copy()
+    p2 += np.array([4.37, 0.21, 0.13])   # off-lattice overlap
+    merged = TriMesh(
+        np.concatenate([s1.points, p2]),
+        np.concatenate([s1.faces, s2.faces + s1.number_of_points]))
+    bad = find_self_intersections(merged)
+    assert bad.size > 0
+    fixed = remove_self_intersections(merged)
+    assert find_self_intersections(fixed).size == 0
+    assert len(_boundary_loops(fixed)) == 0   # watertight
+    # a clean sphere has none to begin with
+    assert find_self_intersections(s1).size == 0
+
+
+def test_expansion_fixes_intersections():
+    """Normal-offset expansion of a CONCAVE shape pinches in the
+    concavity; the repair removes the self-intersections it creates
+    (reference runs pymeshfix here, surface.py:281-308)."""
+    from medicalimageanalysis_tpu.ops.marching_cubes import (
+        marching_cubes_mask)
+    from medicalimageanalysis_tpu.utils.mesh.surface import (
+        expansion, find_self_intersections)
+
+    # kidney-bean: sphere minus an off-center bite -> concave crease
+    n = 22
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n]
+    c = n / 2 - 0.5
+    mask = ((zz - c) ** 2 + (yy - c) ** 2 + (xx - c) ** 2
+            <= 8 ** 2).astype(np.uint8)
+    mask[(zz - c) ** 2 + (yy - (c + 7)) ** 2 + (xx - c) ** 2
+         <= 5 ** 2] = 0
+    from medicalimageanalysis_tpu.utils.mesh.surface import taubin_smooth
+    bean = taubin_smooth(marching_cubes_mask(mask), iterations=30,
+                         passband=0.1)
+    raw = expansion(bean, 1.0)
+    out = expansion(bean, 1.0, fix_intersections=True)
+    assert find_self_intersections(out).size == 0
+    assert out.volume > 0.9 * bean.volume
