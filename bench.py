@@ -439,6 +439,9 @@ def main():
             "raster_cv2_ms": round(raster_ms["cv2"], 1),
             "resample_filter_batch_ms": round(resample_ms, 1),
             "marching_cubes_ms": round(mc_ms, 1),
+            "mc_path": __import__(
+                "medicalimageanalysis_tpu.ops.marching_cubes",
+                fromlist=["last_mc_path"]).last_mc_path,
             "voxelize_ms": round(voxelize_ms, 1),
             "packed_upload_chunks": packed_hits,
             "oblique_reslice_marginal_ms": round(oblique_ms, 2),
