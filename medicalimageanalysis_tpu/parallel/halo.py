@@ -22,7 +22,8 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["gaussian_z_sharded", "demons_z_sharded"]
+__all__ = ["gaussian_z_sharded", "demons_z_sharded",
+           "demons_batch_z_sharded"]
 
 
 def _gauss_taps(sigma_vox):
@@ -110,6 +111,80 @@ def _exchange_z(block, h, n_shards, axis_name, z_axis):
     below = jnp.where(idx == 0, edge_low, from_below)
     above = jnp.where(idx == n_shards - 1, edge_high, from_above)
     return jnp.concatenate([below, block, above], axis=z_axis)
+
+
+def _make_pair_loop(n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j,
+                    my, mx, radius, symmetric, smooth, iterations, step,
+                    intensity_threshold):
+    """Per-pair z-sharded demons loop (closure over the static config);
+    shared by :func:`demons_z_sharded` (one pair) and
+    :func:`demons_batch_z_sharded` (lax.map over local pairs)."""
+    from ..ops.pallas_warp import warp_disp_jit
+
+    def local_loop(f_loc, stack_loc, gf_loc):
+        # f_loc (Zl,Y,X); stack_loc (B,Zl,Y,X); gf_loc (3,Zl,Y,X)
+        slab = _exchange_z(stack_loc, H, n_shards, axis_name, 1)
+        idx = lax.axis_index(axis_name)
+        z_base = (idx * Zl).astype(jnp.float32)
+        zz_loc = jnp.arange(Zl, dtype=jnp.float32)[:, None, None]
+        K = jnp.mean(sp) ** 2
+        spc = sp[:, None, None, None]
+        cap = jnp.float32(H - 2)
+
+        def body(_, carry):
+            u_vox, ovf = carry
+            uz = jnp.clip(u_vox[2], -cap, cap)
+            disp = jnp.stack([u_vox[0], u_vox[1], uz + jnp.float32(H)])
+            w, dovf = warp_disp_jit(slab, disp, 0.0, with_overflow=True)
+            ovf = ovf + dovf
+            # global-z bounds: the halo slab edge-replicates past the
+            # volume, but out-of-volume samples must take background 0
+            # exactly like the single-device kernel's inside test
+            gz = z_base + zz_loc + uz
+            z_in = (gz >= 0) & (gz <= jnp.float32(Z - 1))
+            w = jnp.where(z_in[None], w, 0.0)
+            warped = w[0]
+            diff = f_loc - warped
+            g = 0.5 * (gf_loc + w[1:4]) if symmetric else gf_loc
+            g2 = jnp.sum(g * g, axis=0)
+            denom = g2 + (diff * diff) / K
+            active = ((jnp.abs(diff) > intensity_threshold)
+                      & (denom > 1e-9))
+            upd_mm = jnp.where(
+                active[None], (diff / jnp.maximum(denom, 1e-9))[None] * g,
+                0.0)
+            if symmetric:
+                local_max2 = jnp.max(jnp.sum(upd_mm * upd_mm, axis=0))
+                max_norm = jnp.sqrt(lax.pmax(local_max2, axis_name))
+                scale = jnp.minimum(
+                    1.0, step / jnp.maximum(max_norm, 1e-9))
+                upd_mm = upd_mm * scale
+            u_new = u_vox + upd_mm / spc
+            if smooth:
+                # y/x: shard-local MXU contractions; z: taps over a
+                # radius-row halo (same taps + edge replication as the
+                # dense _gauss_kernel_matrix -> identical result)
+                u_new = jnp.einsum("kj,czjx->czkx", my, u_new,
+                                   preferred_element_type=jnp.float32)
+                u_new = jnp.einsum("lj,czyj->czyl", mx, u_new,
+                                   preferred_element_type=jnp.float32)
+                uslab = _exchange_z(u_new, radius, n_shards, axis_name, 1)
+                acc = jnp.zeros_like(u_new)
+                for t in range(2 * radius + 1):
+                    acc = acc + taps_j[t] * lax.dynamic_slice_in_dim(
+                        uslab, t, Zl, axis=1)
+                u_new = acc
+            return u_new, ovf
+
+        # derive u0 from a shard-local value: the loop carry must be
+        # 'varying' over the space axis (shard_map typing), which a
+        # bare jnp.zeros is not; XLA folds the 0*f term away
+        u0 = jnp.zeros((3, Zl, Y, X), jnp.float32) + 0.0 * f_loc[None]
+        u, ovf = lax.fori_loop(0, int(iterations), body,
+                               (u0, 0.0 * jnp.sum(f_loc)))
+        return u, lax.psum(ovf, axis_name)
+
+    return local_loop
 
 
 def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
@@ -294,3 +369,108 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
         u = jax.jit(jnp.asarray,
                     out_shardings=NamedSharding(mesh, P()))(u)
     return np.moveaxis(np.asarray(u), 0, -1) * np.asarray(spacing_xyz)
+
+
+def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
+                           spacing_xyz=(1.0, 1.0, 1.0), method="fast",
+                           iterations=30, smooth=True, std=1, step=2.0,
+                           intensity_threshold=0.001, halo=16,
+                           data_axis="data", space_axis="space"):
+    """Demons over B pairs x z-shards on the FULL ('data', 'space')
+    mesh at once (VERDICT r2 next #6: ``demons_batch`` replicated
+    'space', leaving half the mesh idle for cohorts of huge volumes).
+
+    The pair axis splits over `data_axis`; each pair's z-axis splits
+    over `space_axis` with the same halo-exchange iteration loop as
+    :func:`demons_z_sharded` (shared `_make_pair_loop`). Local pairs
+    run under ``lax.map`` — every 'space' peer maps the same local
+    pair count, so the per-pair ring ppermutes/pmax line up across the
+    axis (legal SPMD). Within the halo's z-displacement cap the
+    per-pair fields match the single-device trajectories to f32
+    tolerance (tests/test_parallel.py).
+
+    fixed/moving: (B, Z, Y, X); B divisible by the 'data' size, Z by
+    the 'space' size. Returns (B, Z, Y, X, 3) mm DVFs (host numpy).
+    """
+    from ..ops.filters import _gauss_kernel_matrix
+
+    if method not in ("demons", "fast"):
+        raise ValueError("sharded demons supports 'demons' and 'fast'")
+    n_data = mesh.shape[data_axis]
+    n_shards = mesh.shape[space_axis]
+    fixed = np.asarray(fixed_batch, np.float32)
+    moving = np.asarray(moving_batch, np.float32)
+    B, Z, Y, X = fixed.shape
+    if B % n_data != 0:
+        raise ValueError(f"B={B} not divisible by {n_data} data shards")
+    if Z % n_shards != 0:
+        raise ValueError(f"z={Z} not divisible by {n_shards} shards")
+    Zl = Z // n_shards
+    H = min(int(halo), Zl)
+    if H < 3:
+        raise ValueError(
+            f"effective halo {H} (min(halo={halo}, Z/shards={Zl})) is "
+            "too shallow for any z-motion")
+    sp = jnp.asarray(spacing_xyz, jnp.float32)
+    taps, radius = _gauss_taps(max(float(std), 1e-3))
+    if smooth and radius > Zl:
+        raise ValueError(
+            f"smoothing radius {radius} exceeds the {Zl}-row shard depth")
+    taps_j = jnp.asarray(taps)
+    my = jnp.asarray(_gauss_kernel_matrix(Y, max(float(std), 1e-3)))
+    mx = jnp.asarray(_gauss_kernel_matrix(X, max(float(std), 1e-3)))
+    symmetric = method == "fast"
+
+    pair_loop = _make_pair_loop(
+        n_shards, space_axis, Z, Zl, Y, X, H, sp, taps_j, my, mx,
+        radius, symmetric, smooth, iterations, step, intensity_threshold)
+
+    def local_batch(f_loc, stack_loc, gf_loc):
+        # f_loc (Bl, Zl, Y, X); stack (Bl, C, Zl, Y, X); gf (Bl, 3, ...)
+        def one(args):
+            return pair_loop(*args)
+        u, ovf = lax.map(one, (f_loc, stack_loc, gf_loc))
+        return u, jnp.sum(ovf, keepdims=True)
+
+    @jax.jit
+    def run(f, m):
+        gz, gy, gx = jnp.gradient(f, axis=(1, 2, 3))
+        grad_f = jnp.stack([gx / sp[0], gy / sp[1], gz / sp[2]], axis=1)
+        if symmetric:
+            mz_, my_, mx_ = jnp.gradient(m, axis=(1, 2, 3))
+            stack = jnp.stack(
+                [m, mx_ / sp[0], my_ / sp[1], mz_ / sp[2]], axis=1)
+        else:
+            stack = m[:, None]
+        from .mesh import shard_map_nocheck
+        fn = shard_map_nocheck(
+            local_batch, mesh,
+            in_specs=(P(data_axis, space_axis, None, None),
+                      P(data_axis, None, space_axis, None, None),
+                      P(data_axis, None, space_axis, None, None)),
+            out_specs=(P(data_axis, None, space_axis, None, None),
+                       P(data_axis)))
+        return fn(f, stack, grad_f)
+
+    vol_sh = NamedSharding(mesh, P(data_axis, space_axis, None, None))
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+    if multiproc:
+        f = jax.make_array_from_callback(
+            fixed.shape, vol_sh, lambda idx: fixed[idx])
+        m = jax.make_array_from_callback(
+            moving.shape, vol_sh, lambda idx: moving[idx])
+    else:
+        f = jax.device_put(fixed, vol_sh)
+        m = jax.device_put(moving, vol_sh)
+    u, ovf = run(f, m)
+    if float(np.sum(jax.device_get(ovf))) > 0:
+        import warnings
+        warnings.warn(
+            "demons_batch_z_sharded: warp taps exceeded the kernel "
+            "slab caps (treated as background). Increase smoothing or "
+            "reduce step.", RuntimeWarning)
+    if multiproc:
+        u = jax.jit(jnp.asarray,
+                    out_shardings=NamedSharding(mesh, P()))(u)
+    return np.moveaxis(np.asarray(u), 1, -1) * np.asarray(spacing_xyz)

@@ -227,3 +227,41 @@ def test_register_batch_mi_metric(rng):
     assert poses.shape == (B, 6) and np.isfinite(losses).all()
     # inverted intensities: MI still pulls x-translation toward +1
     assert np.all(poses[:, 3] > 0.25)
+
+
+def test_demons_batch_z_sharded_matches_single_device(rng):
+    """B pairs x z-shards over the FULL ('data', 'space') mesh at once
+    (VERDICT r2 next #6): every pair's field matches its single-device
+    demons trajectory to f32 tolerance."""
+    _require_8()
+    from medicalimageanalysis_tpu.ops.registration.demons import (
+        demons_registration)
+    from medicalimageanalysis_tpu.parallel.halo import (
+        demons_batch_z_sharded)
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    zz, yy, xx = np.mgrid[0:16, 0:20, 0:32].astype(np.float32)
+    base = np.exp(-(((zz - 8) / 4) ** 2 + ((yy - 10) / 4) ** 2
+                    + ((xx - 16) / 6) ** 2)).astype(np.float32) * 100
+    B = 4
+    fixeds = np.stack([
+        base + rng.normal(0, 0.05, base.shape).astype(np.float32)
+        for _ in range(B)])
+    movings = np.stack([
+        np.roll(fixeds[b], shift=1 + (b % 2), axis=2) for b in range(B)])
+
+    mesh = make_mesh(8, space=4)        # ('data'=2, 'space'=4)
+    got = demons_batch_z_sharded(fixeds, movings, mesh, (1, 1, 1),
+                                 method="fast", iterations=6, std=1)
+    assert got.shape == (B, 16, 20, 32, 3)
+    for b in range(B):
+        ref = demons_registration(fixeds[b], movings[b], (1, 1, 1),
+                                  method="fast", iterations=6, std=1)
+        err = np.abs(got[b] - ref).max()
+        assert err < 2e-3, f"pair {b} diverges ({err})"
+    # shifts actually recovered
+    assert np.abs(got[..., 0]).max() > 0.2
+
+    # divisibility contracts
+    with pytest.raises(ValueError, match="not divisible"):
+        demons_batch_z_sharded(fixeds[:3], movings[:3], mesh)
