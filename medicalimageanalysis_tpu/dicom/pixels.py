@@ -181,17 +181,55 @@ def decode_jpeg_lossless(ds):
     the path GDCM/pylibjpeg covers for the reference."""
     from ..native import jpeg_lossless_decode
 
-    frames, rows, cols, samples = _target_shape(ds)
-    frags = ds.PixelData
+    return _decode_jpeg_frames(ds, jpeg_lossless_decode,
+                               "JPEG-Lossless")
+
+
+def _group_jpeg_fragments(frags, frames):
+    """Encapsulated fragments -> one byte stream per frame.
+
+    DICOM allows any number of fragments per frame; each frame's first
+    fragment begins with the JPEG SOI marker (FF D8), so fragments
+    merge into the current frame until the next SOI-initial fragment.
+    A mismatch between the grouped count and the declared frame count
+    raises (silently returning fewer frames than the header declares
+    lost 9 of 10 frames unreported — review finding)."""
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
-    if len(frags) > frames:
-        frags = [b"".join(frags)]
+    frags = [bytes(f) for f in frags if len(f) > 0]
+    # a leading non-SOI fragment ahead of an SOI one is the Basic
+    # Offset Table item the parser surfaces as fragment 0
+    if len(frags) > 1 and frags[0][:2] != b"\xFF\xD8" \
+            and frags[1][:2] == b"\xFF\xD8":
+        frags = frags[1:]
+    frames = max(int(frames), 1)
+    if len(frags) == frames:
+        return frags
+    groups = []
+    for f in frags:
+        f = bytes(f)
+        if f[:2] == b"\xFF\xD8" or not groups:
+            groups.append(f)
+        else:
+            groups[-1] += f
+    if len(groups) != frames:
+        raise ValueError(
+            f"encapsulated JPEG: {len(groups)} SOI-delimited frame "
+            f"streams from {len(frags)} fragments, but the header "
+            f"declares {frames} frames")
+    return groups
+
+
+def _decode_jpeg_frames(ds, decode_fn, err_label):
+    """Shared frame loop for the native JPEG decoders (lossless and
+    sequential-DCT): fragment grouping, per-frame decode, dtype cast."""
+    frames, rows, cols, samples = _target_shape(ds)
+    streams = _group_jpeg_fragments(ds.PixelData, frames)
     out = []
-    for frag in frags[:max(frames, 1)]:
-        arr = jpeg_lossless_decode(frag)
+    for frag in streams:
+        arr = decode_fn(frag)
         if arr is None:
-            raise ValueError("JPEG-Lossless decode failed (native "
+            raise ValueError(f"{err_label} decode failed (native "
                              "decoder unavailable or bad stream)")
         out.append(arr)
     dtype = _native_dtype(ds).newbyteorder("=")
@@ -204,27 +242,13 @@ def decode_jpeg_lossless(ds):
 def decode_jpeg_dct_native(ds):
     """Sequential-DCT JPEG (baseline .50 / Extended 12-bit .51) via the
     native decoder — the 12-bit path GDCM covers for the reference
-    (read/dicom.py:52) that cv2 cannot decode."""
+    (read/dicom.py:52) that cv2 cannot decode. 3-component scans
+    return the RAW decoded component values (pydicom parity: no
+    implicit YBR->RGB; PhotometricInterpretation tells the caller)."""
     from ..native import jpeg_dct_decode
 
-    frames, rows, cols, samples = _target_shape(ds)
-    frags = ds.PixelData
-    if isinstance(frags, (bytes, bytearray)):
-        frags = [bytes(frags)]
-    if len(frags) > frames:
-        frags = [b"".join(frags)]
-    out = []
-    for frag in frags[:max(frames, 1)]:
-        arr = jpeg_dct_decode(frag)
-        if arr is None:
-            raise ValueError("JPEG sequential-DCT decode failed (native "
-                             "decoder unavailable or bad stream)")
-        out.append(arr)
-    dtype = _native_dtype(ds).newbyteorder("=")
-    arr = np.stack(out).astype(dtype)
-    if frames == 1:
-        arr = arr[0]
-    return arr
+    return _decode_jpeg_frames(ds, jpeg_dct_decode,
+                               "JPEG sequential-DCT")
 
 
 def decode_jpeg_cv2(ds):

@@ -647,9 +647,11 @@ int mia_jpegls14_decode(const uint8_t* buf, uint64_t len, int32_t* out,
 // made such files raise in round 2 (VERDICT r2 missing #1).
 //
 // Supported: grayscale (any precision 2..16 the marker allows; DICOM
-// uses 8 and 12), and 3-component 1x1-sampled scans (YCbCr -> RGB);
-// interleaved or one-component-per-scan; restart intervals. Hostile
-// input returns negative codes, never reads out of bounds.
+// uses 8 and 12), and 3-component 1x1-sampled scans (RAW component
+// values — no color-space conversion; the caller interprets them per
+// PhotometricInterpretation, pydicom parity); interleaved or
+// one-component-per-scan; restart intervals. Hostile input returns
+// negative codes, never reads out of bounds.
 
 static const uint8_t kZigzag[64] = {
     0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,

@@ -282,25 +282,27 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
                 jnp.float32(background), osh, perm=perm, flips=flips)
             if float(ovf) == 0.0:
                 return out
-            # caps exceeded despite the host prediction: exact fallback
+            # caps exceeded despite the host prediction: fall through
+            # to the oblique factorization below before the gather
+            # (review finding: going straight to the ~14 M pts/s
+            # gather skipped a path that usually serves these maps)
+        # fully oblique (30-60 degree) map — or a fused attempt that
+        # overflowed at runtime: exact staircase-shear factorization
+        # (ops/pallas_warp.py oblique section)
+        if al is not None:
+            perm, flips, A2 = al
+            shp = tuple(vol.shape[p] for p in perm)
         else:
-            # fully oblique (30-60 degree) map: exact staircase-shear
-            # factorization (ops/pallas_warp.py oblique section) — the
-            # case that previously fell to the ~14 M pts/s gather
-            if al is not None:
-                perm, flips, A2 = al
-                shp = tuple(vol.shape[p] for p in perm)
-            else:
-                perm, flips, A2 = None, (), A
-                shp = vol.shape
-            plan = oblique_plan(A2, shp)
-            if plan is not None:
-                out, ovf = affine_warp_oblique(
-                    vol, jnp.asarray(A2, jnp.float32),
-                    jnp.float32(background), osh, plan,
-                    perm=perm, flips=flips)
-                if float(ovf) == 0.0:
-                    return out
+            perm, flips, A2 = None, (), A
+            shp = vol.shape
+        plan = oblique_plan(A2, shp)
+        if plan is not None:
+            out, ovf = affine_warp_oblique(
+                vol, jnp.asarray(A2, jnp.float32),
+                jnp.float32(background), osh, plan,
+                perm=perm, flips=flips)
+            if float(ovf) == 0.0:
+                return out
     A = jnp.asarray(pixel_matrix, dtype=jnp.float32)
     return _affine_resample_jit(vol, A, tuple(int(s) for s in out_shape),
                                 jnp.float32(background))

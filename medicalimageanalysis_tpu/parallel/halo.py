@@ -258,68 +258,10 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     mx = jnp.asarray(_gauss_kernel_matrix(X, max(float(std), 1e-3)))
     symmetric = method == "fast"
 
-    def local_loop(f_loc, stack_loc, gf_loc):
-        # f_loc (Zl,Y,X); stack_loc (B,Zl,Y,X); gf_loc (3,Zl,Y,X)
-        slab = _exchange_z(stack_loc, H, n_shards, axis_name, 1)
-        idx = lax.axis_index(axis_name)
-        z_base = (idx * Zl).astype(jnp.float32)
-        zz_loc = jnp.arange(Zl, dtype=jnp.float32)[:, None, None]
-        K = jnp.mean(sp) ** 2
-        spc = sp[:, None, None, None]
-        cap = jnp.float32(H - 2)
-
-        def body(_, carry):
-            u_vox, ovf = carry
-            uz = jnp.clip(u_vox[2], -cap, cap)
-            disp = jnp.stack([u_vox[0], u_vox[1], uz + jnp.float32(H)])
-            w, dovf = warp_disp_jit(slab, disp, 0.0, with_overflow=True)
-            ovf = ovf + dovf
-            # global-z bounds: the halo slab edge-replicates past the
-            # volume, but out-of-volume samples must take background 0
-            # exactly like the single-device kernel's inside test
-            gz = z_base + zz_loc + uz
-            z_in = (gz >= 0) & (gz <= jnp.float32(Z - 1))
-            w = jnp.where(z_in[None], w, 0.0)
-            warped = w[0]
-            diff = f_loc - warped
-            g = 0.5 * (gf_loc + w[1:4]) if symmetric else gf_loc
-            g2 = jnp.sum(g * g, axis=0)
-            denom = g2 + (diff * diff) / K
-            active = ((jnp.abs(diff) > intensity_threshold)
-                      & (denom > 1e-9))
-            upd_mm = jnp.where(
-                active[None], (diff / jnp.maximum(denom, 1e-9))[None] * g,
-                0.0)
-            if symmetric:
-                local_max2 = jnp.max(jnp.sum(upd_mm * upd_mm, axis=0))
-                max_norm = jnp.sqrt(lax.pmax(local_max2, axis_name))
-                scale = jnp.minimum(
-                    1.0, step / jnp.maximum(max_norm, 1e-9))
-                upd_mm = upd_mm * scale
-            u_new = u_vox + upd_mm / spc
-            if smooth:
-                # y/x: shard-local MXU contractions; z: taps over a
-                # radius-row halo (same taps + edge replication as the
-                # dense _gauss_kernel_matrix -> identical result)
-                u_new = jnp.einsum("kj,czjx->czkx", my, u_new,
-                                   preferred_element_type=jnp.float32)
-                u_new = jnp.einsum("lj,czyj->czyl", mx, u_new,
-                                   preferred_element_type=jnp.float32)
-                uslab = _exchange_z(u_new, radius, n_shards, axis_name, 1)
-                acc = jnp.zeros_like(u_new)
-                for t in range(2 * radius + 1):
-                    acc = acc + taps_j[t] * lax.dynamic_slice_in_dim(
-                        uslab, t, Zl, axis=1)
-                u_new = acc
-            return u_new, ovf
-
-        # derive u0 from a shard-local value: the loop carry must be
-        # 'varying' over the space axis (shard_map typing), which a
-        # bare jnp.zeros is not; XLA folds the 0*f term away
-        u0 = jnp.zeros((3, Zl, Y, X), jnp.float32) + 0.0 * f_loc[None]
-        u, ovf = lax.fori_loop(0, int(iterations), body,
-                               (u0, 0.0 * jnp.sum(f_loc)))
-        return u, lax.psum(ovf, axis_name)
+    local_loop = _make_pair_loop(
+        n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j, my, mx,
+        radius, symmetric, smooth, iterations, step,
+        intensity_threshold)
 
     @jax.jit
     def run(f, m):

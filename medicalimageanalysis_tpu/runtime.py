@@ -108,7 +108,11 @@ def transfer_rate_bytes_per_s(force=False):
             pass
     try:
         n = 1 << 22                       # 4 MB
-        host = np.zeros(n, np.uint8)
+        # random payload: an all-zeros probe is trivially compressible
+        # and a compressing transport would report a rate real pixel
+        # data never reaches (review finding)
+        host = np.random.default_rng(0).integers(
+            0, 256, n, dtype=np.uint8)
         dev = jax.device_put(host)
         np.asarray(dev)                   # warm the path
         t0 = time.perf_counter()

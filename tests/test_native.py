@@ -229,3 +229,48 @@ def test_j2k_16bit_end_to_end_and_hostile(tmp_path, rng):
             decode_pixel_data(ds)
         except (ValueError, AttributeError):
             pass
+
+
+def test_jpeg_multiframe_fragmented(tmp_path, rng):
+    """Multi-frame encapsulated JPEG with != 1 fragment per frame:
+    frames group on SOI-initial fragments; a count mismatch raises
+    instead of silently dropping frames (review finding)."""
+    from medicalimageanalysis_tpu.dicom.jpegdct import encode_jpeg_dct
+    from medicalimageanalysis_tpu.dicom.pixels import (
+        _group_jpeg_fragments, decode_pixel_data)
+
+    frames = [(rng.integers(0, 4096, size=(16, 16)) & 0xFFF)
+              .astype(np.uint16) for _ in range(3)]
+    streams = [encode_jpeg_dct(f, precision=12, quant=1) for f in frames]
+
+    # split every frame into two fragments (legal DICOM
+    # fragmentation; splits land on even offsets because DICOM items
+    # are even-length — an odd split would get zero-padded by the
+    # writer and corrupt the rejoined entropy stream)
+    frags = []
+    for s in streams:
+        cut = (len(s) // 2) & ~1
+        frags += [s[:cut], s[cut:]]
+    grouped = _group_jpeg_fragments(frags, 3)
+    assert len(grouped) == 3
+    assert all(g == s for g, s in zip(grouped, streams))
+
+    ds = make_ct_slice(np.zeros((16, 16), np.uint16))
+    ds.Rows, ds.Columns = 16, 16
+    ds.NumberOfFrames = 3
+    ds.BitsAllocated = 16
+    ds.BitsStored = 12
+    ds.HighBit = 11
+    ds.PixelData = frags
+    dcmwrite(tmp_path / "mf.dcm", ds,
+             transfer_syntax=uids.JPEGExtended12Bit)
+    out = dcmread(tmp_path / "mf.dcm").pixel_array
+    assert out.shape == (3, 16, 16)
+    for k in range(3):
+        err = np.abs(out[k].astype(np.int64)
+                     - frames[k].astype(np.int64))
+        assert err.max() <= 24
+
+    # declared frames != SOI groups -> typed error, not silent loss
+    with pytest.raises(ValueError, match="declares"):
+        _group_jpeg_fragments(frags, 5)
