@@ -99,6 +99,11 @@ def get_lib():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+    lib.mia_pack12.restype = ctypes.c_int
+    lib.mia_pack12.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -233,3 +238,17 @@ def jpeg_dct_decode(frag):
     None. Covers the 12-bit JPEG-Extended path GDCM provides the
     reference and cv2 cannot decode (VERDICT r2 missing #1)."""
     return _jpeg_decode_via("mia_jpegdct_decode", frag)
+
+
+def pack12_native(arr_i16, lo, out_words, n_threads=0):
+    """Threaded 12-bit packing: arr (groups*8,) contiguous int16 ->
+    out (groups*3,) uint32. Returns False when the native lib is
+    unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    n_groups = arr_i16.size // 8
+    lib.mia_pack12(arr_i16.ctypes.data_as(ctypes.c_void_p), n_groups,
+                   int(lo), out_words.ctypes.data_as(ctypes.c_void_p),
+                   int(n_threads))
+    return True
