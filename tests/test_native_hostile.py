@@ -186,3 +186,50 @@ def test_full_ingest_byte_flip_fuzz(tmp_path):
         # must not raise — corrupt files are skipped or load partially
         mia.read_dicoms(file_list=[str(mut_path)])
     Data.clear()
+
+
+def test_jpeg_extended_ingest_byte_flip_fuzz(tmp_path):
+    """Byte-flip fuzz of a 12-bit JPEG-Extended (.51) slice through
+    the FULL read_dicoms flow: the new native sequential-DCT decode
+    path must honor the same tolerant-ingest contract (corrupt files
+    skipped, never an uncaught exception)."""
+    import os
+
+    import medicalimageanalysis_tpu as mia
+    from medicalimageanalysis_tpu.data import Data
+    from medicalimageanalysis_tpu.dicom import dcmwrite, uids
+    from medicalimageanalysis_tpu.dicom.jpegdct import encode_jpeg_dct
+    from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+    rng = np.random.default_rng(78)
+    d = tmp_path / "ct"
+    arr = rng.integers(0, 3000, size=(4, 32, 32)).astype(np.int16)
+    CreateDicomImage(str(d), arr, spacing=[1.0, 1.0], thickness=2.0).run()
+    # rewrite slice 0 as encapsulated JPEG-Extended
+    from medicalimageanalysis_tpu.dicom import dcmread
+    src = sorted(os.listdir(d))[0]
+    ds = dcmread(os.path.join(d, src))
+    px = np.asarray(ds.pixel_array).clip(0, 4095).astype(np.uint16)
+    ds.BitsAllocated = 16
+    ds.BitsStored = 12
+    ds.HighBit = 11
+    ds.PixelData = [encode_jpeg_dct(px, precision=12, quant=1)]
+    jext = tmp_path / "jext.dcm"
+    dcmwrite(jext, ds, transfer_syntax=uids.JPEGExtended12Bit)
+    good = jext.read_bytes()
+
+    # sanity: the clean file ingests with pixels intact
+    Data.clear()
+    mia.read_dicoms(file_list=[str(jext)])
+    assert len(Data.image_list) == 1
+
+    mut_path = tmp_path / "mut.dcm"
+    for trial in range(150):
+        blob = bytearray(good)
+        for _ in range(int(rng.integers(1, 16))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        mut_path.write_bytes(bytes(blob))
+        Data.clear()
+        mia.read_dicoms(file_list=[str(mut_path)])  # must not raise
+    Data.clear()
