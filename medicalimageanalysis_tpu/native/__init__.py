@@ -104,6 +104,16 @@ def get_lib():
     lib.mia_pack12.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int]
+
+    lib.mia_mc_run.restype = ctypes.c_void_p
+    lib.mia_mc_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    lib.mia_mc_fetch.restype = ctypes.c_int
+    lib.mia_mc_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -238,6 +248,44 @@ def jpeg_dct_decode(frag):
     None. Covers the 12-bit JPEG-Extended path GDCM provides the
     reference and cv2 cannot decode (VERDICT r2 missing #1)."""
     return _jpeg_decode_via("mia_jpegdct_decode", frag)
+
+
+def marching_cubes_native(vol8, flat_tab, starts, ntris, pad=False,
+                          n_threads=0):
+    """Fused native marching tetrahedra on a 0/1 uint8 volume ->
+    (points (P, 3) float32 in pixel coords of the (virtually) padded
+    volume, faces (F, 3) int32) or None on fallback. With pad=True the
+    one-voxel zero border is applied VIRTUALLY inside the kernel (no
+    host-side np.pad copy). Tables come from
+    ops.marching_cubes._binary_tables (device-kernel-generated) so the
+    native, numpy, and device paths stay bit-identical; output ordering
+    (ascending packed-key points, emit-order faces) matches the numpy
+    path exactly."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vol8 = np.ascontiguousarray(vol8, dtype=np.uint8)
+    flat_tab = np.ascontiguousarray(flat_tab, dtype=np.int16)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ntris = np.ascontiguousarray(ntris, dtype=np.int64)
+    npts = ctypes.c_int64()
+    nfc = ctypes.c_int64()
+    h = lib.mia_mc_run(
+        vol8.ctypes.data_as(ctypes.c_void_p),
+        vol8.shape[0], vol8.shape[1], vol8.shape[2],
+        flat_tab.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        ntris.ctypes.data_as(ctypes.c_void_p),
+        int(bool(pad)), int(n_threads),
+        ctypes.byref(npts), ctypes.byref(nfc))
+    if not h:
+        return None
+    pts = np.empty((npts.value, 3), np.float32)
+    faces = np.empty((nfc.value, 3), np.int32)
+    lib.mia_mc_fetch(ctypes.c_void_p(h),
+                     pts.ctypes.data_as(ctypes.c_void_p),
+                     faces.ctypes.data_as(ctypes.c_void_p))
+    return pts, faces
 
 
 def pack12_native(arr_i16, lo, out_words, n_threads=0):

@@ -180,6 +180,7 @@ def _compact_tris(tris, valid, cap, quantize):
 
 
 _BIN_TABLE = None
+_USE_NATIVE_MC = True   # tests flip this to pin the numpy twin
 
 
 def _binary_tables():
@@ -213,9 +214,12 @@ def _binary_tables():
     return _BIN_TABLE
 
 
-def _binary_mc_host(vol8, pad):
-    """Table-driven marching tetrahedra for 0/1 masks, pure vectorized
-    numpy on host.
+def _binary_mc_host(volu8, pad):
+    """Table-driven marching tetrahedra for 0/1 masks: a fused native
+    C++ pass when libmiadicom is available, vectorized numpy otherwise.
+    ``volu8`` is the UNPADDED uint8 mask; with pad=True the one-voxel
+    zero border is virtual in the native path and np.pad'd for the
+    numpy twin.
 
     For a binary mask every triangle is a fixed function of its cube's
     8-bit corner pattern (all crossings are exact edge midpoints), and
@@ -225,9 +229,27 @@ def _binary_mc_host(vol8, pad):
     do in place (docs/PERF.md marching-cubes breakdown). The device
     path (:func:`_emit_triangles`) remains the float-volume/isovalue
     path; this is bit-identical to it via :func:`_binary_tables`.
+
+    The native pass (native.marching_cubes_native, same tables, same
+    output ordering — bit-identical by test) runs first: the numpy
+    path's large temporaries (the 31 MB np.pad copy, eight shifted
+    pattern planes, (M, 3, 3) int64 key math, factorize weld) made it
+    the bench row most exposed to single-core CPU steal.
     """
     flat_tab, starts, ntris_tab = _binary_tables()
-    v = vol8
+    if _USE_NATIVE_MC:
+        try:
+            from ..native import marching_cubes_native
+            res = marching_cubes_native(volu8, flat_tab, starts,
+                                        ntris_tab, pad=pad)
+        except Exception:
+            res = None
+        if res is not None:
+            points, faces = res
+            if pad:
+                points -= 1.0
+            return TriMesh(points, faces)
+    v = np.pad(volu8, 1) if pad else volu8
     # bounding-box crop: the pattern pass is the only full-volume term
     nz = np.nonzero(v.any(axis=(1, 2)))[0]
     if nz.size == 0:
@@ -283,10 +305,12 @@ def _bucket(n, minimum=64, step=2.0):
     return b
 
 
-# host table path throughput (docs/PERF.md round-2: ~0.4 s best at
-# 1.15M tris, CPU-steal swings to ~5 s) and the device path's fixed
-# dispatch/compute cost — both feed the auto-selection estimate
+# host table path throughput (numpy twin ~0.35 us/tri best;
+# the fused native C++ pass ~0.14 us/tri, round-3 measurement at
+# 1.15M tris) and the device path's fixed dispatch/compute cost —
+# all feed the auto-selection estimate
 _HOST_S_PER_TRI = 0.35e-6
+_HOST_S_PER_TRI_NATIVE = 0.14e-6
 _DEVICE_FIXED_S = 0.08
 last_mc_path = "host"       # observability: which path the last call took
 
@@ -315,7 +339,12 @@ def _prefer_device_mc(vol8):
         est_tris = max(2 * t, 1)
         est_bytes = vol8.nbytes + est_tris * 36 * 1.3
         device_cost = est_bytes / rate + _DEVICE_FIXED_S
-        host_cost = est_tris * _HOST_S_PER_TRI
+        per_tri = _HOST_S_PER_TRI
+        if _USE_NATIVE_MC:
+            from ..native import get_lib
+            if get_lib() is not None:
+                per_tri = _HOST_S_PER_TRI_NATIVE
+        host_cost = est_tris * per_tri
         if device_cost < host_cost:
             last_mc_path = "device"
             return True
@@ -337,12 +366,16 @@ def marching_cubes_mask(mask, iso=0.5, pad=True):
         or (src.size > 0 and float(src.max()) < 255
             and float(src.min()) >= 0))
     if small_int:
-        vol8 = np.pad(src.astype(np.uint8), 1) if pad \
-            else src.astype(np.uint8)
-        vmin, vmax = float(vol8.min()), float(vol8.max())
-        shape = vol8.shape
-        if vmax <= 1.0 and vmin >= 0.0 and iso == 0.5 \
-                and max(shape) < 16000:
+        # bool masks reinterpret as uint8 for free; padding is DEFERRED
+        # (virtual inside the native binary path) so the common case
+        # never materializes the full-volume copy
+        if src.dtype == np.bool_ and src.flags.c_contiguous:
+            u8 = src.view(np.uint8)
+        else:
+            u8 = np.ascontiguousarray(src, dtype=np.uint8)
+        vmax = float(u8.max()) if u8.size else 0.0
+        shape = tuple(s + (2 if pad else 0) for s in u8.shape)
+        if vmax <= 1.0 and iso == 0.5 and max(shape) < 16000:
             # 0/1 mask at the standard isovalue: the surface is a pure
             # table function of each cube's corner pattern. Host table
             # vs device emit+compact is decided by the MEASURED
@@ -350,8 +383,9 @@ def marching_cubes_mask(mask, iso=0.5, pad=True):
             # wrong on one side — ~12 MB/s through the tunneled bench
             # chip makes downloads dominate, GB/s local PCIe makes the
             # CPU-steal-prone host path the slow one).
-            if not _prefer_device_mc(vol8):
-                return _binary_mc_host(vol8, pad)
+            if not _prefer_device_mc(u8):
+                return _binary_mc_host(u8, pad)
+        vol8 = np.pad(u8, 1) if pad else u8
         # stage as uint8 and cast on device: the host->device volume
         # copy is the dominant off-chip cost (4x fewer bytes than f32)
         volj = jnp.asarray(vol8).astype(jnp.float32)

@@ -196,7 +196,9 @@ def test_binary_host_mc_matches_device_pipeline():
             & (g_faces[:, 0] != g_faces[:, 2]))
     g_faces = g_faces[good]
 
-    mesh = _binary_mc_host(vol8, pad=True)
+    # _binary_mc_host now takes the UNPADDED mask (the one-voxel zero
+    # border is virtual in the native path, np.pad'd in the numpy twin)
+    mesh = _binary_mc_host(mask, pad=True)
     np.testing.assert_array_equal(mesh.points, g_points)
     np.testing.assert_array_equal(mesh.faces, g_faces)
 

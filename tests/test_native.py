@@ -274,3 +274,49 @@ def test_jpeg_multiframe_fragmented(tmp_path, rng):
     # declared frames != SOI groups -> typed error, not silent loss
     with pytest.raises(ValueError, match="declares"):
         _group_jpeg_fragments(frags, 5)
+
+
+def test_native_marching_cubes_parity(rng):
+    """The fused C++ marching-tetrahedra pass must be BIT-identical to
+    the numpy table twin (same device-kernel-generated tables, same
+    ascending-key weld, same emit-order faces) — including virtual
+    padding at volume boundaries and the pad=False path."""
+    from medicalimageanalysis_tpu.native import marching_cubes_native
+    from medicalimageanalysis_tpu.ops import marching_cubes as mc
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    flat_tab, starts, ntris_tab = mc._binary_tables()
+    assert marching_cubes_native(
+        np.zeros((4, 4, 4), np.uint8), flat_tab, starts, ntris_tab,
+        pad=True)[0].shape == (0, 3)
+
+    masks = [rng.random((15, 22, 18)) > 0.55,          # speckle
+             np.ones((4, 5, 6), bool)]                  # boundary-touch
+    z, y, x = np.mgrid[:30, :34, :28]
+    masks.append(((z - 15) ** 2 + (y - 17) ** 2 * 0.8
+                  + (x - 14) ** 2 * 1.1) < 11 ** 2)     # ellipsoid
+    corner = np.zeros((6, 7, 8), bool)
+    corner[0:3, 0:4, 5:8] = True                        # corner-touch
+    masks.append(corner)
+    for i, mask in enumerate(masks):
+        for pad in (True, False):
+            old = mc._USE_NATIVE_MC
+            try:
+                mc._USE_NATIVE_MC = False
+                m_np = mc.marching_cubes_mask(mask, pad=pad)
+                mc._USE_NATIVE_MC = True
+                m_nat = mc.marching_cubes_mask(mask, pad=pad)
+            finally:
+                mc._USE_NATIVE_MC = old
+            assert np.array_equal(m_np.points, m_nat.points), (i, pad)
+            assert np.array_equal(m_np.faces, m_nat.faces), (i, pad)
+
+    # watertightness through the native path (pad closes the surface)
+    m = mc.marching_cubes_mask(masks[2])
+    e = np.concatenate([m.faces[:, [0, 1]], m.faces[:, [1, 2]],
+                        m.faces[:, [2, 0]]])
+    e.sort(axis=1)
+    k = e[:, 0].astype(np.int64) << 32 | e[:, 1]
+    _, cnt = np.unique(k, return_counts=True)
+    assert (cnt == 2).all()
