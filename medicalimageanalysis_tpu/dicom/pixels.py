@@ -6,10 +6,9 @@ python-gdcm/pylibjpeg; reference read/dicom.py:52 imports gdcm):
 
 - native little/big-endian uncompressed
 - RLE Lossless (PackBits segments, DICOM PS3.5 annex G)
-- JPEG family via OpenCV ``imdecode`` (baseline 8-bit, JPEG2000)
-
-JPEG-Lossless (process 14) is intentionally routed through a clear error
-until the native C++ decoder lands (tracked in PARITY.md).
+- JPEG-Lossless p14/SV1, sequential-DCT 8/12-bit, and JPEG-LS
+  (T.87 .4.80/.81) via the native C++ decoders (native/dicomscan.cpp)
+- 8-bit baseline JPEG and JPEG2000 via OpenCV ``imdecode``
 """
 
 from __future__ import annotations
@@ -239,6 +238,15 @@ def _decode_jpeg_frames(ds, decode_fn, err_label):
     return arr
 
 
+def decode_jpegls(ds):
+    """JPEG-LS (T.87, .4.80/.81) via the native decoder — GDCM/CharLS
+    territory for the reference (read/dicom.py:52); cv2 has no JPEG-LS
+    codec at all, so this is the only route."""
+    from ..native import jpegls_t87_decode
+
+    return _decode_jpeg_frames(ds, jpegls_t87_decode, "JPEG-LS")
+
+
 def decode_jpeg_dct_native(ds):
     """Sequential-DCT JPEG (baseline .50 / Extended 12-bit .51) via the
     native decoder — the 12-bit path GDCM covers for the reference
@@ -293,6 +301,8 @@ def decode_pixel_data(ds):
         return decode_rle(ds)
     if ts in (uids.JPEGLossless, uids.JPEGLosslessSV1):
         return decode_jpeg_lossless(ds)
+    if ts in (uids.JPEGLSLossless, uids.JPEGLSNearLossless):
+        return decode_jpegls(ds)
     if ts in (uids.JPEGBaseline8Bit, uids.JPEGExtended12Bit):
         # >8-bit samples: cv2's JPEG codec is 8-bit only — the native
         # sequential-DCT decoder is the primary (12-bit Extended,

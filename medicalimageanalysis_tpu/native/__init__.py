@@ -93,6 +93,13 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
 
+    lib.mia_jpegls_decode.restype = ctypes.c_int
+    lib.mia_jpegls_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
     lib.mia_jpegdct_decode.restype = ctypes.c_int
     lib.mia_jpegdct_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
@@ -240,6 +247,14 @@ def jpeg_lossless_decode(frag):
     """Native JPEG-Lossless (SOF3) decode -> (array (H, W[, C]) int32)
     or None."""
     return _jpeg_decode_via("mia_jpegls14_decode", frag)
+
+
+def jpegls_t87_decode(frag):
+    """Native JPEG-LS (ITU-T T.87, DICOM .4.80 lossless / .4.81
+    near-lossless) decode -> array (H, W) int32 or None. The codec the
+    reference gets from GDCM/CharLS (ref read/dicom.py:52); cv2 ships
+    no JPEG-LS support."""
+    return _jpeg_decode_via("mia_jpegls_decode", frag)
 
 
 def jpeg_dct_decode(frag):

@@ -981,6 +981,397 @@ int mia_jpegdct_decode(const uint8_t* buf, uint64_t len, int32_t* out,
 }
 
 // ---------------------------------------------------------------------
+// JPEG-LS (ITU-T T.87 / ISO 14495-1) decoder — DICOM transfer syntaxes
+// 1.2.840.10008.1.2.4.80 (lossless) and .81 (near-lossless). The
+// reference decodes these through GDCM/CharLS (requirements.txt:~1-86,
+// gdcm import at reference read/dicom.py:52); cv2 ships no JPEG-LS
+// codec. Scope: single-component scans (the DICOM CT/MR/PT case) with
+// LSE preset-parameter support, NEAR >= 0, 2..16-bit precision.
+// Multi-component interleaves, mapping tables, and restart intervals
+// return typed errors (negative rc -> clean ValueError in Python).
+//
+// LOCO-I essentials implemented exactly per the T.87 pseudo-code:
+// gradient quantization with T1/T2/T3, 365 regular contexts + 2 run
+// interruption contexts, median-edge prediction with bias correction
+// C[Q], limited-length Golomb coding LG(k, LIMIT), run mode with the
+// 32-entry J[] run-length ladder, k==0 mapping inversion when
+// 2B[Q] <= -N[Q], RESET-halving of (A, B, N).
+
+// Bit reader with JPEG-LS marker-stuffing semantics: a byte following
+// a 0xFF carries only 7 data bits (its MSB is a stuffed 0); 0xFF
+// followed by a byte with the MSB set is a marker = end of data.
+struct LsBitReader {
+    const uint8_t* buf;
+    uint64_t len;
+    uint64_t pos;
+    uint32_t cache;
+    int ncache;
+    bool prev_ff;
+    bool ok;
+
+    int next_bit() {
+        if (ncache == 0) {
+            if (pos >= len) { ok = false; return 0; }
+            uint8_t b = buf[pos];
+            if (prev_ff && (b & 0x80)) { ok = false; return 0; }
+            pos++;
+            cache = b;
+            ncache = prev_ff ? 7 : 8;
+            prev_ff = (b == 0xFF);
+        }
+        ncache--;
+        return (cache >> ncache) & 1;
+    }
+
+    int receive(int n) {
+        int v = 0;
+        for (int i = 0; i < n; i++) v = (v << 1) | next_bit();
+        return v;
+    }
+};
+
+static const int kLsJ[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                             2, 3, 3, 3, 3, 4, 4, 5, 5, 6, 6,
+                             7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+static inline int ls_ceil_log2(int v) {
+    int k = 0;
+    while ((1 << k) < v) k++;
+    return k;
+}
+
+// limited-length Golomb decode LG(k, limit): z zeros + '1' + k LSBs,
+// or the (limit - qbpp - 1)-zeros escape + qbpp bits (value - 1)
+static int ls_decode_limited(LsBitReader& br, int k, int limit,
+                             int qbpp) {
+    int z = 0;
+    while (br.ok && br.next_bit() == 0) {
+        z++;
+        if (z > limit) return -1;   // hostile: no valid code this long
+    }
+    if (!br.ok) return -1;
+    if (z < limit - qbpp - 1) {
+        int v = br.receive(k);
+        if (!br.ok) return -1;
+        return (z << k) | v;
+    }
+    int v = br.receive(qbpp);
+    if (!br.ok) return -1;
+    return v + 1;
+}
+
+int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
+                      int64_t out_capacity, int* w_out, int* h_out,
+                      int* ncomp_out, int* prec_out) {
+    if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return -1;  // SOI
+    uint64_t p = 2;
+
+    int precision = 0, H = 0, W = 0, ncomp = 0;
+    int maxval = 0, T1 = 0, T2 = 0, T3 = 0, RESET = 0;
+    int near = 0, ilv = 0, dri = 0, ns = 0;
+    uint64_t scan_start = 0;
+
+    while (p + 4 <= len) {
+        if (buf[p] != 0xFF) { p++; continue; }
+        uint8_t marker = buf[p + 1];
+        p += 2;
+        if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7))
+            continue;
+        if (marker == 0xD9) return -4;   // EOI before SOS
+        if (p + 2 > len) return -2;
+        int seg_len = (buf[p] << 8) | buf[p + 1];
+        uint64_t seg_end = p + seg_len;
+        if (seg_end > len || seg_len < 2) return -2;
+
+        if (marker == 0xF7) {            // SOF55 (JPEG-LS frame)
+            if (p + 8 > seg_end) return -2;
+            precision = buf[p + 2];
+            H = (buf[p + 3] << 8) | buf[p + 4];
+            W = (buf[p + 5] << 8) | buf[p + 6];
+            ncomp = buf[p + 7];
+            if (ncomp != 1) return -3;   // scope: single component
+            if (p + 8 + 3 * (uint64_t)ncomp > seg_end) return -2;
+        } else if (marker == 0xF8) {     // LSE preset parameters
+            if (p + 3 > seg_end) return -2;
+            int id = buf[p + 2];
+            if (id == 1) {
+                if (p + 13 > seg_end) return -2;
+                maxval = (buf[p + 3] << 8) | buf[p + 4];
+                T1 = (buf[p + 5] << 8) | buf[p + 6];
+                T2 = (buf[p + 7] << 8) | buf[p + 8];
+                T3 = (buf[p + 9] << 8) | buf[p + 10];
+                RESET = (buf[p + 11] << 8) | buf[p + 12];
+            } else {
+                return -3;  // mapping tables / extensions unsupported
+            }
+        } else if (marker == 0xDD) {     // DRI
+            if (p + 4 > seg_end) return -2;
+            dri = (buf[p + 2] << 8) | buf[p + 3];
+            if (dri != 0) return -3;     // restart intervals unsupported
+        } else if (marker == 0xDA) {     // SOS
+            if (p + 3 > seg_end) return -2;
+            ns = buf[p + 2];
+            if (ns != 1) return -3;
+            if (p + 6 + 2 * (uint64_t)ns > seg_end) return -2;
+            int tm = buf[p + 4];         // mapping table selector
+            if (tm != 0) return -3;
+            near = buf[p + 3 + 2 * ns];
+            ilv = buf[p + 4 + 2 * ns];
+            if (ilv != 0) return -3;
+            // Ah/Al byte: a nonzero point transform (Al) shifts every
+            // sample; decoding it as 0 would be silently wrong
+            if ((buf[p + 5 + 2 * ns] & 0x0F) != 0) return -3;
+            scan_start = seg_end;
+            break;
+        }
+        p = seg_end;
+    }
+
+    if (!W || !H || !ncomp || !scan_start || scan_start >= len)
+        return -5;
+    if (precision < 2 || precision > 16) return -5;
+    if (maxval == 0) maxval = (1 << precision) - 1;
+    if (maxval < 1 || maxval > (1 << precision) - 1 || maxval > 65535)
+        return -5;
+    if (near < 0 || near > (maxval < 255 ? maxval / 2 : 255)) return -5;
+    if ((int64_t)W * H > out_capacity) return -6;
+
+    // default thresholds / RESET (T.87 C.2.4.1.1.1); an LSE value of 0
+    // selects the default
+    {
+        const int clamp_lo = near + 1;
+        int dT1, dT2, dT3;
+        if (maxval >= 128) {
+            int factor = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
+            dT1 = factor * (3 - 2) + 2 + 3 * near;
+            dT2 = factor * (7 - 3) + 3 + 5 * near;
+            dT3 = factor * (21 - 4) + 4 + 7 * near;
+        } else {
+            int factor = 256 / (maxval + 1);
+            dT1 = 3 / factor + 3 * near;
+            if (dT1 < 2) dT1 = 2;
+            dT2 = 7 / factor + 5 * near;
+            if (dT2 < 3) dT2 = 3;
+            dT3 = 21 / factor + 7 * near;
+            if (dT3 < 4) dT3 = 4;
+        }
+        if (T1 == 0) T1 = dT1;
+        if (T2 == 0) T2 = dT2;
+        if (T3 == 0) T3 = dT3;
+        if (RESET == 0) RESET = 64;
+        if (T1 < clamp_lo) T1 = clamp_lo;
+        if (T1 > maxval) T1 = maxval;
+        if (T2 < T1) T2 = T1;
+        if (T2 > maxval) T2 = maxval;
+        if (T3 < T2) T3 = T2;
+        if (T3 > maxval) T3 = maxval;
+        if (RESET < 3) return -5;
+    }
+
+    const int range = (maxval + 2 * near) / (2 * near + 1) + 1;
+    const int qbpp = ls_ceil_log2(range);
+    const int bpp_ = ls_ceil_log2(maxval + 1) < 2
+                         ? 2 : ls_ceil_log2(maxval + 1);
+    const int limit = 2 * (bpp_ + (bpp_ > 8 ? bpp_ : 8));
+    const int64_t full = (int64_t)range * (2 * near + 1);
+
+    // context state (int64 so hostile streams cannot overflow updates)
+    int64_t A[367], B[365], N[367];
+    int C[365];
+    int64_t Nn[2] = {0, 0};
+    {
+        int64_t ainit = (range + 32) / 64;
+        if (ainit < 2) ainit = 2;
+        for (int q = 0; q < 367; q++) { A[q] = ainit; N[q] = 1; }
+        for (int q = 0; q < 365; q++) { B[q] = 0; C[q] = 0; }
+    }
+
+    *w_out = W; *h_out = H; *ncomp_out = 1; *prec_out = precision;
+
+    LsBitReader br{buf + scan_start, len - scan_start, 0, 0, 0,
+                   false, true};
+    // line buffers with one-sample margins (index x+1 = column x);
+    // prev[0] retains what cur[0] held one line earlier, which is
+    // exactly the T.87 Rc rule for column 0
+    std::vector<int32_t> prevv((size_t)W + 2, 0), curv((size_t)W + 2, 0);
+    int32_t* prev = prevv.data();
+    int32_t* cur = curv.data();
+    int runindex = 0;
+
+    auto quantize = [&](int d) -> int {
+        if (d <= -T3) return -4;
+        if (d <= -T2) return -3;
+        if (d <= -T1) return -2;
+        if (d < -near) return -1;
+        if (d <= near) return 0;
+        if (d < T1) return 1;
+        if (d < T2) return 2;
+        if (d < T3) return 3;
+        return 4;
+    };
+
+    for (int64_t y = 0; y < H; y++) {
+        prev[W + 1] = prev[W];   // Rd at the last column = Rb
+        cur[0] = prev[1];        // Ra at column 0 = Rb
+        int64_t x = 0;
+        int32_t* orow = out + y * W;
+        while (x < W) {
+            const int Ra = cur[x], Rb = prev[x + 1], Rc = prev[x],
+                      Rd = prev[x + 2];
+            const int D1 = Rd - Rb, D2 = Rb - Rc, D3 = Rc - Ra;
+            const int aD1 = D1 < 0 ? -D1 : D1, aD2 = D2 < 0 ? -D2 : D2,
+                      aD3 = D3 < 0 ? -D3 : D3;
+
+            if (aD1 <= near && aD2 <= near && aD3 <= near) {
+                // ---------------- run mode ----------------
+                bool interrupted = false;
+                while (true) {
+                    int bit = br.next_bit();
+                    if (!br.ok) return -8;
+                    if (bit == 1) {
+                        int64_t cnt = (int64_t)1 << kLsJ[runindex];
+                        int64_t rem = W - x;
+                        int64_t fill = cnt < rem ? cnt : rem;
+                        for (int64_t i = 0; i < fill; i++) {
+                            cur[x + 1] = Ra;
+                            orow[x] = Ra;
+                            x++;
+                        }
+                        if (cnt <= rem && runindex < 31) runindex++;
+                        if (x >= W) break;      // end of line, no 0 bit
+                    } else {
+                        int jj = kLsJ[runindex];
+                        int cnt = jj ? br.receive(jj) : 0;
+                        if (!br.ok) return -8;
+                        if (cnt > W - x - 1) return -8;  // hostile count
+                        for (int i = 0; i < cnt; i++) {
+                            cur[x + 1] = Ra;
+                            orow[x] = Ra;
+                            x++;
+                        }
+                        interrupted = true;
+                        break;
+                    }
+                }
+                if (!interrupted) continue;   // line ended inside run
+
+                // ------- run interruption sample (contexts 365/366)
+                const int Ra2 = cur[x], Rb2 = prev[x + 1];
+                const int ad = Ra2 > Rb2 ? Ra2 - Rb2 : Rb2 - Ra2;
+                const int ritype = ad <= near ? 1 : 0;
+                const int Px = ritype ? Ra2 : Rb2;
+                const int sign = (!ritype && Ra2 > Rb2) ? -1 : 1;
+                const int Q = 365 + ritype;
+                const int64_t temp =
+                    ritype ? A[366] + (N[366] >> 1) : A[365];
+                int k = 0;
+                while ((N[Q] << k) < temp) {
+                    k++;
+                    if (k > 24) return -8;   // hostile state blow-up
+                }
+                // glimit > qbpp always holds here: limit >= 2*(bpp+8),
+                // J <= 15, qbpp <= bpp for any NEAR >= 0
+                const int glimit = limit - kLsJ[runindex] - 1;
+                int emerr = ls_decode_limited(br, k, glimit, qbpp);
+                if (emerr < 0) return -8;
+                const int tmpv = emerr + ritype;   // == 2|e| - map
+                const int map = tmpv & 1;
+                const int64_t eabs = ((int64_t)tmpv + map) / 2;
+                const bool cond = (k != 0) || (2 * Nn[ritype] >= N[Q]);
+                int64_t errval = (map == (int)cond) ? -eabs : eabs;
+
+                if (errval < 0) Nn[ritype]++;
+                A[Q] += (emerr + 1 - ritype) >> 1;
+                if (N[Q] == RESET) {
+                    A[Q] >>= 1;
+                    N[Q] >>= 1;
+                    Nn[ritype] >>= 1;
+                }
+                N[Q]++;
+
+                int64_t Rx = Px + sign * errval * (2 * near + 1);
+                if (Rx < -near) Rx += full;
+                else if (Rx > maxval + near) Rx -= full;
+                if (Rx < 0) Rx = 0;
+                if (Rx > maxval) Rx = maxval;
+                cur[x + 1] = (int32_t)Rx;
+                orow[x] = (int32_t)Rx;
+                x++;
+                if (runindex > 0) runindex--;
+                continue;
+            }
+
+            // ---------------- regular mode ----------------
+            int q1 = quantize(D1), q2 = quantize(D2), q3 = quantize(D3);
+            int sign = 1;
+            if (q1 < 0 || (q1 == 0 && (q2 < 0 || (q2 == 0 && q3 < 0)))) {
+                sign = -1;
+                q1 = -q1; q2 = -q2; q3 = -q3;
+            }
+            const int Q = q1 * 81 + q2 * 9 + q3;   // 1..364
+
+            // median-edge predictor + bias correction
+            const int mn = Ra < Rb ? Ra : Rb, mx = Ra < Rb ? Rb : Ra;
+            int Px;
+            if (Rc >= mx) Px = mn;
+            else if (Rc <= mn) Px = mx;
+            else Px = Ra + Rb - Rc;
+            Px += sign * C[Q];
+            if (Px < 0) Px = 0;
+            if (Px > maxval) Px = maxval;
+
+            int k = 0;
+            while ((N[Q] << k) < A[Q]) {
+                k++;
+                if (k > 24) return -8;
+            }
+            const int merr = ls_decode_limited(br, k, limit, qbpp);
+            if (merr < 0) return -8;
+
+            int64_t errval;
+            if (near == 0 && k == 0 && 2 * B[Q] <= -N[Q]) {
+                // inverted mapping: m = 2e+1 (e >= 0), m = -2(e+1) (e<0)
+                errval = (merr & 1) ? (merr - 1) / 2
+                                    : -(int64_t)merr / 2 - 1;
+            } else {
+                errval = (merr & 1) ? -((int64_t)merr + 1) / 2
+                                    : (int64_t)merr / 2;
+            }
+
+            B[Q] += errval * (2 * near + 1);
+            A[Q] += errval < 0 ? -errval : errval;
+            if (N[Q] == RESET) {
+                A[Q] >>= 1;
+                B[Q] = B[Q] >= 0 ? B[Q] >> 1 : -((1 - B[Q]) >> 1);
+                N[Q] >>= 1;
+            }
+            N[Q]++;
+            if (B[Q] <= -N[Q]) {
+                if (C[Q] > -128) C[Q]--;
+                B[Q] += N[Q];
+                if (B[Q] <= -N[Q]) B[Q] = -N[Q] + 1;
+            } else if (B[Q] > 0) {
+                if (C[Q] < 127) C[Q]++;
+                B[Q] -= N[Q];
+                if (B[Q] > 0) B[Q] = 0;
+            }
+
+            int64_t Rx = Px + sign * errval * (2 * near + 1);
+            if (Rx < -near) Rx += full;
+            else if (Rx > maxval + near) Rx -= full;
+            if (Rx < 0) Rx = 0;
+            if (Rx > maxval) Rx = maxval;
+            cur[x + 1] = (int32_t)Rx;
+            orow[x] = (int32_t)Rx;
+            x++;
+        }
+        std::swap(prev, cur);
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
 // 12-bit pixel packing for host->device staging (ops/bitpack.py): 8
 // int16 values (offset by lo, range-checked by the caller) -> 3 uint32
 // words. Threaded; the numpy chain costs ~0.24 s on a bench cohort,

@@ -320,3 +320,134 @@ def test_native_marching_cubes_parity(rng):
     k = e[:, 0].astype(np.int64) << 32 | e[:, 1]
     _, cnt = np.unique(k, return_counts=True)
     assert (cnt == 2).all()
+
+
+# --------------------------------------------------------------------
+# JPEG-LS (ITU-T T.87, DICOM .4.80/.81) — own encoder (dicom/jpegls_t87)
+# round-tripped against the native C++ decoder. The reference covers
+# this codec via GDCM/CharLS (ref read/dicom.py:52); cv2 cannot.
+
+def _jpegls_pair():
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    from medicalimageanalysis_tpu.native import jpegls_t87_decode
+    return encode_jpegls, jpegls_t87_decode
+
+
+def test_jpegls_lossless_roundtrip_precisions(rng):
+    enc, dec = _jpegls_pair()
+    for prec, shape in [(8, (37, 53)), (12, (64, 64)), (16, (48, 80))]:
+        maxv = (1 << prec) - 1
+        y, x = np.mgrid[:shape[0], :shape[1]]
+        img = ((np.sin(y / 7.0) * np.cos(x / 9.0) * 0.4 + 0.5)
+               * maxv).astype(np.int64)
+        img += rng.integers(-3, 4, shape)
+        img = np.clip(img, 0, maxv)
+        img[:10, :20] = maxv // 3      # flat block -> run mode
+        img[-5:, :] = 0                # run to end-of-line
+        stream = enc(img, precision=prec)
+        out = dec(stream)
+        assert out is not None, f"decode failed at precision {prec}"
+        np.testing.assert_array_equal(out, img)
+        assert len(stream) < img.size * 2      # actually compresses
+
+
+def test_jpegls_edge_shapes(rng):
+    enc, dec = _jpegls_pair()
+    cases = [
+        np.full((1, 64), 100, np.int64),           # single row, pure run
+        rng.integers(0, 4096, (64, 1)),            # single column
+        np.zeros((16, 16), np.int64),              # all-zero
+        np.full((16, 16), 4095, np.int64),         # all-MAXVAL
+        rng.integers(0, 4096, (1, 1)),             # single sample
+        np.tile([0, 4095], (8, 8)),                # max-contrast stripes
+    ]
+    for img in cases:
+        stream = enc(img, precision=12)
+        out = dec(stream)
+        assert out is not None, img.shape
+        np.testing.assert_array_equal(out, img)
+
+
+def test_jpegls_near_lossless_bound(rng):
+    enc, dec = _jpegls_pair()
+    img = rng.integers(0, 4096, (50, 60)).astype(np.int64)
+    for near in (1, 2, 7):
+        out = dec(enc(img, precision=12, near=near))
+        assert out is not None
+        assert np.abs(out.astype(np.int64) - img).max() <= near
+
+
+def test_jpegls_lse_presets(rng):
+    """Non-default MAXVAL/thresholds/RESET travel via the LSE marker."""
+    enc, dec = _jpegls_pair()
+    img = rng.integers(0, 3000, (40, 40)).astype(np.int64)
+    stream = enc(img, precision=12, maxval=3000,
+                 thresholds=(10, 30, 80), reset=32)
+    assert b"\xFF\xF8" in stream       # LSE emitted
+    out = dec(stream)
+    assert out is not None
+    np.testing.assert_array_equal(out, img)
+
+
+def test_jpegls_dicom_end_to_end(tmp_path, rng):
+    """.4.80 lossless and .4.81 near-lossless series decode through
+    dcmread / read pipeline with exact (resp. bounded) pixels."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+
+    arr = (rng.integers(0, 4096, size=(32, 32)) & 0xFFF) \
+        .astype(np.uint16)
+    ds = make_ct_slice(np.zeros((32, 32), np.uint16))
+    ds.BitsAllocated = 16
+    ds.BitsStored = 12
+    ds.HighBit = 11
+    ds.PixelData = [encode_jpegls(arr.astype(np.int64), precision=12)]
+    dcmwrite(tmp_path / "ls.dcm", ds,
+             transfer_syntax=uids.JPEGLSLossless)
+    out = dcmread(tmp_path / "ls.dcm")
+    assert out.file_meta.TransferSyntaxUID == uids.JPEGLSLossless
+    np.testing.assert_array_equal(out.pixel_array, arr)
+
+    ds.PixelData = [encode_jpegls(arr.astype(np.int64), precision=12,
+                                  near=2)]
+    dcmwrite(tmp_path / "nls.dcm", ds,
+             transfer_syntax=uids.JPEGLSNearLossless)
+    out = dcmread(tmp_path / "nls.dcm")
+    err = np.abs(out.pixel_array.astype(np.int64) - arr.astype(np.int64))
+    assert err.max() <= 2
+
+
+def test_jpegls_unsupported_features_rejected(rng):
+    """Streams using features outside the supported scope (multi-
+    component, nonzero point transform) fail typed, never mis-decode."""
+    from medicalimageanalysis_tpu.native import jpegls_t87_decode
+    enc, dec = _jpegls_pair()
+    good = bytearray(enc(rng.integers(0, 256, (8, 8)), precision=8))
+    # patch SOF55 Nf (component count) to 3
+    i = good.index(b"\xFF\xF7")
+    nf_at = i + 2 + 2 + 5              # marker+len+P(1)+H(2)+W(2)
+    bad = bytearray(good)
+    bad[nf_at] = 3
+    assert jpegls_t87_decode(bytes(bad)) is None
+    # patch SOS Al (point transform) to 1
+    j = good.index(b"\xFF\xDA")
+    al_at = j + 4 + 1 + 2 + 2          # marker+len+ns+compspec+near+ilv
+    bad = bytearray(good)
+    bad[al_at] = 1
+    assert jpegls_t87_decode(bytes(bad)) is None
+
+
+def test_jpegls_hostile_streams(rng):
+    """Byte-flip fuzz + truncations over valid streams: the native
+    decoder must return None on damage it detects and NEVER crash or
+    write outside the claimed dimensions."""
+    enc, dec = _jpegls_pair()
+    img = rng.integers(0, 4096, size=(24, 24)).astype(np.int64)
+    good = bytes(enc(img, precision=12))
+    for _ in range(300):
+        blob = bytearray(good)
+        for _ in range(int(rng.integers(1, 8))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        dec(bytes(blob))               # must not crash
+    for cut in rng.integers(2, len(good), 60):
+        dec(good[:int(cut)])           # truncations must not crash
