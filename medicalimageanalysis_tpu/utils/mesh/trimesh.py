@@ -258,10 +258,16 @@ class TriMesh:
         return TriMesh(new_points, new_faces[valid])
 
     # -- plane cross-section ------------------------------------------------
-    def slice_plane(self, normal, origin):
+    def slice_plane(self, normal, origin, candidate_faces=None):
         """Cross-section with the plane (normal, origin) -> list of
         (N, 3) polyline loops (replaces pyvista .slice + .strip,
-        reference structure/roi.py:406-486)."""
+        reference structure/roi.py:406-486).
+
+        candidate_faces optionally restricts the face set to a
+        precomputed index array that must contain every face crossing
+        the plane (callers slicing MANY parallel planes bucket faces
+        by span once instead of paying O(F) per plane — the
+        ModelToMask voxelizer hot spot); output is identical."""
         if isinstance(normal, str):
             normal = {"x": [1, 0, 0], "y": [0, 1, 0],
                       "z": [0, 0, 1]}[normal.lower()]
@@ -269,9 +275,15 @@ class TriMesh:
         n = n / np.linalg.norm(n)
         o = np.asarray(origin, dtype=np.float64)
 
-        d = (self.points - o) @ n  # signed distances
-        f = self.faces
-        df = d[f]
+        if candidate_faces is None:
+            d = (self.points - o) @ n  # signed distances
+            f = self.faces
+            df = d[f]
+        else:
+            # O(candidates) instead of O(points): the many-parallel-
+            # planes callers pay the full point set only once
+            f = self.faces[candidate_faces]
+            df = ((self.points[f.reshape(-1)] - o) @ n).reshape(f.shape)
         side = df > 0
         crossing = (side.any(axis=1)) & (~side.all(axis=1))
         if not crossing.any():
@@ -281,40 +293,36 @@ class TriMesh:
         # crossed edges (the per-face Python loop was the voxelization
         # hot spot at ~100 planes x thousands of faces)
         cf = f[crossing]                        # (C, 3)
-        dc = d[cf]                              # (C, 3)
+        dc = df[crossing]                       # (C, 3)
         pairs = ((0, 1), (1, 2), (2, 0))
         cross_e = np.stack([(dc[:, a] > 0) != (dc[:, b] > 0)
                             for a, b in pairs], axis=1)      # (C, 3)
         n_cross = cross_e.sum(axis=1)
         generic = n_cross == 2
 
-        segments = []
-        if generic.any():
-            cfg = cf[generic]
-            dg = dc[generic]
-            pts_e = np.empty((cfg.shape[0], 3, 3))
-            for e, (a, b) in enumerate(pairs):
-                da, db = dg[:, a], dg[:, b]
-                denom = np.where(da - db != 0, da - db, 1.0)
-                t = (da / denom)[:, None]
-                pa = self.points[cfg[:, a]]
-                pb = self.points[cfg[:, b]]
-                pts_e[:, e] = pa + t * (pb - pa)
-            first2 = np.argsort(~cross_e[generic], axis=1,
-                                kind="stable")[:, :2]        # (G, 2)
-            rows = np.arange(cfg.shape[0])[:, None]
-            seg_pts = pts_e[rows, first2]                    # (G, 2, 3)
-            segments.extend((seg_pts[i, 0], seg_pts[i, 1])
-                            for i in range(seg_pts.shape[0]))
+        if not generic.any():
+            return []
+        cfg = cf[generic]
+        dg = dc[generic]
+        pts_e = np.empty((cfg.shape[0], 3, 3))
+        for e, (a, b) in enumerate(pairs):
+            da, db = dg[:, a], dg[:, b]
+            denom = np.where(da - db != 0, da - db, 1.0)
+            t = (da / denom)[:, None]
+            pa = self.points[cfg[:, a]]
+            pb = self.points[cfg[:, b]]
+            pts_e[:, e] = pa + t * (pb - pa)
+        first2 = np.argsort(~cross_e[generic], axis=1,
+                            kind="stable")[:, :2]        # (G, 2)
+        rows = np.arange(cfg.shape[0])[:, None]
+        seg_pts = pts_e[rows, first2]                    # (G, 2, 3)
 
         # NOTE: with the (d > 0) predicate, sign transitions around a
         # 3-cycle are always even, so every crossing face has EXACTLY
         # two crossed edges — 'generic' is always all-True and no
         # per-face fallback is needed (faces lying fully in the plane
         # have side all-False and are excluded by `crossing`).
-        if not segments:
-            return []
-        return _chain_segments(segments)
+        return _chain_segments(seg_pts)
 
     def slice(self, normal, origin):
         """pyvista-style alias returning a polyline container object."""
@@ -364,64 +372,142 @@ class _Polyline:
         return np.arange(self.points.shape[0])
 
 
+def _chain_closed_loops(pts, inverse, seg_ids):
+    """Vectorized loop extraction for the all-degree-2 case, ordered
+    exactly like the sequential walk (each loop starts at its lowest
+    segment index, runs a->b, loops emitted by ascending start
+    segment). Returns None when any node's degree != 2 or a segment is
+    degenerate — the caller falls back to the walk."""
+    n_seg = seg_ids.shape[0]
+    if n_seg == 0:
+        return []
+    if np.any(seg_ids[:, 0] == seg_ids[:, 1]):
+        return None
+    n_nodes = int(inverse.max()) + 1
+    deg = np.bincount(inverse, minlength=n_nodes)
+    if deg.min() != 2 or deg.max() != 2:
+        return None
+
+    # directed half-edges: 2s leaves seg_ids[s, 0], 2s+1 leaves
+    # seg_ids[s, 1]; the successor of e continues from the node e
+    # enters via that node's OTHER leaving edge (never the reverse)
+    leave = seg_ids.ravel()
+    order = np.argsort(leave, kind="stable")
+    out0 = order[0::2]                  # per node: lowest leaving edge
+    out1 = order[1::2]
+    eidx = np.arange(2 * n_seg)
+    rev = eidx ^ 1
+    enter = leave[rev]
+    cand0 = out0[enter]
+    succ = np.where(cand0 != rev, cand0, out1[enter])
+
+    # node coords: LAST quantized occurrence wins (walk parity)
+    coord = np.empty((n_nodes, pts.shape[1]), pts.dtype)
+    coord[inverse] = pts
+
+    succ_l = succ.tolist()
+    leave_l = leave.tolist()
+    used = [False] * n_seg
+    loops = []
+    for s in range(n_seg):
+        if used[s]:
+            continue
+        e = 2 * s
+        chain = []
+        while True:
+            chain.append(leave_l[e])
+            used[e >> 1] = True
+            e = succ_l[e]
+            if e == 2 * s:
+                break
+        loops.append(coord[np.asarray(chain)])
+    return loops
+
+
 def _chain_segments(segments, tol=1e-6):
-    """Chain unordered segments into polylines/loops."""
-    pts = []
-    for a, b in segments:
-        pts.append(a)
-        pts.append(b)
-    pts = np.asarray(pts)
+    """Chain unordered segments into polylines/loops.
+
+    All-closed-loop inputs (every quantized node has degree exactly 2
+    — the typical watertight-mesh cross-section) take a fully
+    vectorized permutation-cycle path; anything else (open chains,
+    pinch points, degenerate segments) falls back to the exact
+    sequential walk with identical ordering semantics.
+
+    segments: (N, 2, 3) endpoint array, or any sequence of (a, b)
+    point pairs."""
+    seg_arr = np.asarray(segments, dtype=np.float64)
+    if seg_arr.size == 0:
+        return []
+    pts = seg_arr.reshape(-1, seg_arr.shape[-1])
     scale = max(1.0, np.abs(pts).max())
     quant = np.round(pts / (tol * scale)).astype(np.int64)
     _, inverse = np.unique(quant, axis=0, return_inverse=True)
-    n_seg = len(segments)
+    n_seg = seg_arr.shape[0]
     seg_ids = inverse.reshape(n_seg, 2)
 
-    # adjacency: node -> list of (segment, other node)
-    from collections import defaultdict
-    adj = defaultdict(list)
-    for si, (a, b) in enumerate(seg_ids):
-        adj[a].append((si, b))
-        adj[b].append((si, a))
+    fast = _chain_closed_loops(pts, inverse, seg_ids)
+    if fast is not None:
+        return fast
 
-    id_to_point = {}
-    for i, pid in enumerate(inverse):
-        id_to_point[pid] = pts[i]
+    # exact walk over CSR adjacency (node-major, then segment index
+    # with each segment's a-entry before its b-entry — the same
+    # first-unused ordering the original dict-of-lists walk used)
+    n_nodes = int(inverse.max()) + 1
+    leave = seg_ids.ravel()
+    other = seg_ids[:, ::-1].ravel()
+    order = np.argsort(leave, kind="stable")
+    starts = np.searchsorted(leave[order],
+                             np.arange(n_nodes + 1)).tolist()
+    adj_seg = (order >> 1).tolist()
+    adj_other = other[order].tolist()
+    seg_list = seg_ids.tolist()
 
-    used = np.zeros(n_seg, dtype=bool)
+    # node coords: LAST quantized occurrence wins
+    coord = np.empty((n_nodes, pts.shape[1]), pts.dtype)
+    coord[inverse] = pts
+
+    used = [False] * n_seg
     loops = []
     for start_seg in range(n_seg):
         if used[start_seg]:
             continue
-        a, b = seg_ids[start_seg]
+        a, b = seg_list[start_seg]
         used[start_seg] = True
         chain = [a, b]
-        # extend forward
+        # extend forward (stop when the loop closes back to chain[0])
         current = b
-        prev_seg = start_seg
         while True:
-            nxt = [(si, other) for si, other in adj[current]
-                   if not used[si]]
-            if not nxt:
+            si = -1
+            for i in range(starts[current], starts[current + 1]):
+                if not used[adj_seg[i]]:
+                    si = adj_seg[i]
+                    nxt = adj_other[i]
+                    break
+            if si < 0:
                 break
-            si, other = nxt[0]
             used[si] = True
-            if other == chain[0]:
+            if nxt == chain[0]:
                 break  # loop closed
-            chain.append(other)
-            current = other
-        # extend backward
+            chain.append(nxt)
+            current = nxt
+        # extend backward (open chains only)
+        back = []
         current = chain[0]
         while True:
-            nxt = [(si, other) for si, other in adj[current]
-                   if not used[si]]
-            if not nxt:
+            si = -1
+            for i in range(starts[current], starts[current + 1]):
+                if not used[adj_seg[i]]:
+                    si = adj_seg[i]
+                    nxt = adj_other[i]
+                    break
+            if si < 0:
                 break
-            si, other = nxt[0]
             used[si] = True
-            chain.insert(0, other)
-            current = other
-        loops.append(np.asarray([id_to_point[c] for c in chain]))
+            back.append(nxt)
+            current = nxt
+        if back:
+            chain = back[::-1] + chain
+        loops.append(coord[np.asarray(chain)])
     return loops
 
 

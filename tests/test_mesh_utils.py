@@ -413,3 +413,63 @@ def test_tet_stuffing_quality():
     tm2 = Volume(surf2).create(edge_length=0.05)
     assert 0.90 * surf2.volume < tm2.volume < 1.05 * surf2.volume
     assert tm2.dihedral_angles().min() >= 8.0
+
+
+def test_chain_segments_fast_path_matches_walk():
+    """The vectorized all-degree-2 loop extraction and the CSR walk
+    must be interchangeable: identical loops (order, direction, start
+    point) on closed-loop inputs, and the walk must handle open
+    chains + pinch nodes the fast path refuses."""
+    import medicalimageanalysis_tpu.utils.mesh.trimesh as tmod
+
+    rng = np.random.default_rng(3)
+    # closed loops: random polygons chopped into shuffled segments
+    for n_loops in (1, 3):
+        segs = []
+        for k in range(n_loops):
+            nv = int(rng.integers(4, 40))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            ring = np.stack([(10 * k) + np.cos(ang), np.sin(ang),
+                             np.zeros(nv)], axis=1)
+            for i in range(nv):
+                segs.append((ring[i], ring[(i + 1) % nv]))
+        order = rng.permutation(len(segs))
+        segs = [segs[i] for i in order]
+        fast = tmod._chain_segments(segs)
+        old = tmod._chain_closed_loops
+        tmod._chain_closed_loops = lambda *a: None   # force the walk
+        try:
+            walk = tmod._chain_segments(segs)
+        finally:
+            tmod._chain_closed_loops = old
+        assert len(fast) == len(walk) == n_loops
+        for f, w in zip(fast, walk):
+            np.testing.assert_array_equal(f, w)
+
+    # open chain: fast path must decline, walk must return one chain
+    line = np.stack([np.arange(5.0), np.zeros(5), np.zeros(5)], axis=1)
+    segs = [(line[i], line[i + 1]) for i in range(4)]
+    loops = tmod._chain_segments(segs)
+    assert len(loops) == 1 and loops[0].shape[0] == 5
+
+
+def test_slice_plane_candidate_faces_identical():
+    """Restricting slice_plane to precomputed z-span candidates (the
+    ModelToMask bucketing) yields byte-identical loops."""
+    from medicalimageanalysis_tpu.ops.marching_cubes import (
+        marching_cubes_mask)
+
+    zz, yy, xx = np.mgrid[:24, :48, :48]
+    mask = (((zz - 12) / 8.0) ** 2 + ((yy - 24) / 15.0) ** 2
+            + ((xx - 24) / 11.0) ** 2) <= 1.0
+    mesh = marching_cubes_mask(mask.astype(np.uint8))
+    fz = mesh.points[:, 2][mesh.faces]
+    fmin, fmax = fz.min(axis=1), fz.max(axis=1)
+    for s in (6.0, 12.0, 17.5):
+        cands = np.where((fmin <= s) & (s < fmax))[0]
+        full = mesh.slice_plane([0, 0, 1], [0, 0, s])
+        sub = mesh.slice_plane([0, 0, 1], [0, 0, s],
+                               candidate_faces=cands)
+        assert len(full) == len(sub)
+        for f, w in zip(full, sub):
+            np.testing.assert_array_equal(f, w)
