@@ -56,6 +56,11 @@ def encode_jpeg_dct(image, precision=12, quant=1, restart_interval=0):
     H, W = img.shape
     q = np.full((8, 8), float(quant)) if np.isscalar(quant) \
         else np.asarray(quant, np.float64)
+    # quantize with the SAME integer table the DQT segment carries —
+    # dividing by a fractional q while writing round(q) would make
+    # every decoder dequantize with a different table than the encoder
+    # used (silent intensity scaling, review finding)
+    q = np.maximum(1, np.round(q))
     level = 1 << (precision - 1)
 
     bh, bw = -(-H // 8), -(-W // 8)
@@ -82,7 +87,7 @@ def encode_jpeg_dct(image, precision=12, quant=1, restart_interval=0):
     out += b"\xFF\xD8"
     # DQT table 0, zigzag order; baseline (SOF0) forbids 16-bit
     # entries, so use pq=0 whenever the values fit a byte
-    qz = np.maximum(1, np.round(q)).astype(int).ravel()[_ZIGZAG]
+    qz = q.astype(int).ravel()[_ZIGZAG]
     if qz.max() <= 255:
         dqt = bytes([0x00]) + bytes(int(v) for v in qz)
     else:

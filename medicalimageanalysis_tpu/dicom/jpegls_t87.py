@@ -35,7 +35,11 @@ _J = [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
 
 
 def default_thresholds(maxval, near):
-    """T.87 C.2.4.1.1.1 default (T1, T2, T3, RESET) for MAXVAL/NEAR."""
+    """T.87 C.2.4.1.1.1 default (T1, T2, T3, RESET) for MAXVAL/NEAR.
+
+    CLAMP_1 semantics (CharLS clamp_value): a computed default outside
+    [lo, MAXVAL] on either side collapses to the LOWER bound (NEAR+1
+    for T1, then T1 for T2, T2 for T3)."""
     if maxval >= 128:
         factor = (min(maxval, 4095) + 128) // 256
         t1 = factor * (3 - 2) + 2 + 3 * near
@@ -46,9 +50,9 @@ def default_thresholds(maxval, near):
         t1 = max(2, 3 // factor + 3 * near)
         t2 = max(3, 7 // factor + 5 * near)
         t3 = max(4, 21 // factor + 7 * near)
-    t1 = min(max(t1, near + 1), maxval)
-    t2 = min(max(t2, t1), maxval)
-    t3 = min(max(t3, t2), maxval)
+    t1 = near + 1 if (t1 > maxval or t1 < near + 1) else t1
+    t2 = t1 if (t2 > maxval or t2 < t1) else t2
+    t3 = t2 if (t3 > maxval or t3 < t2) else t3
     return t1, t2, t3, 64
 
 

@@ -525,6 +525,7 @@ int mia_jpegls14_decode(const uint8_t* buf, uint64_t len, int32_t* out,
         if (buf[p] != 0xFF) { p++; continue; }
         uint8_t marker = buf[p + 1];
         p += 2;
+        if (marker == 0xFF) { p -= 1; continue; }  // fill byte (B.1.1.2)
         if (marker == 0xD8 || marker == 0x01 ||
             (marker >= 0xD0 && marker <= 0xD7))
             continue;
@@ -755,9 +756,12 @@ static void idct8x8(const int32_t* in, const uint16_t* qt, float* out) {
     for (int y = 0; y < 8; y++) {          // rows: 1-D IDCT over u
         for (int x = 0; x < 8; x++) {
             float s = 0.f;
+            // int64 product: a 16-bit-precision stream with large DQT
+            // entries and accumulated DC prediction can exceed
+            // INT32_MAX (signed-overflow UB otherwise)
             for (int u = 0; u < 8; u++)
-                s += cosT[x][u] * (float)(in[y * 8 + u]
-                                          * (int32_t)qt[y * 8 + u]);
+                s += cosT[x][u] * (float)((int64_t)in[y * 8 + u]
+                                          * (int64_t)qt[y * 8 + u]);
             tmp[y * 8 + x] = s;
         }
     }
@@ -797,6 +801,7 @@ int mia_jpegdct_decode(const uint8_t* buf, uint64_t len, int32_t* out,
         if (buf[p] != 0xFF) { p++; continue; }
         uint8_t marker = buf[p + 1];
         p += 2;
+        if (marker == 0xFF) { p -= 1; continue; }  // fill byte (B.1.1.2)
         if (marker == 0xD8 || marker == 0x01 ||
             (marker >= 0xD0 && marker <= 0xD7))
             continue;
@@ -1075,6 +1080,7 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
         if (buf[p] != 0xFF) { p++; continue; }
         uint8_t marker = buf[p + 1];
         p += 2;
+        if (marker == 0xFF) { p -= 1; continue; }  // fill byte (B.1.1.2)
         if (marker == 0xD8 || marker == 0x01 ||
             (marker >= 0xD0 && marker <= 0xD7))
             continue;
@@ -1138,9 +1144,12 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
     if ((int64_t)W * H > out_capacity) return -6;
 
     // default thresholds / RESET (T.87 C.2.4.1.1.1); an LSE value of 0
-    // selects the default
+    // selects the default. CLAMP_1 semantics (matching CharLS
+    // clamp_value): a default outside [lo, MAXVAL] on EITHER side
+    // collapses to the LOWER bound (NEAR+1 for T1, T1 for T2, T2 for
+    // T3) — collapsing to MAXVAL instead diverges from conformant
+    // codecs from the first gradient on (review finding).
     {
-        const int clamp_lo = near + 1;
         int dT1, dT2, dT3;
         if (maxval >= 128) {
             int factor = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
@@ -1156,16 +1165,15 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
             dT3 = 21 / factor + 7 * near;
             if (dT3 < 4) dT3 = 4;
         }
-        if (T1 == 0) T1 = dT1;
-        if (T2 == 0) T2 = dT2;
-        if (T3 == 0) T3 = dT3;
+        if (T1 == 0) T1 = (dT1 > maxval || dT1 < near + 1) ? near + 1
+                                                           : dT1;
+        if (T2 == 0) T2 = (dT2 > maxval || dT2 < T1) ? T1 : dT2;
+        if (T3 == 0) T3 = (dT3 > maxval || dT3 < T2) ? T2 : dT3;
         if (RESET == 0) RESET = 64;
-        if (T1 < clamp_lo) T1 = clamp_lo;
-        if (T1 > maxval) T1 = maxval;
-        if (T2 < T1) T2 = T1;
-        if (T2 > maxval) T2 = maxval;
-        if (T3 < T2) T3 = T2;
-        if (T3 > maxval) T3 = maxval;
+        // explicit LSE values must already satisfy the ordering
+        // contract; silently clamping a hostile LSE mis-decodes
+        if (!(near < T1 && T1 <= T2 && T2 <= T3 && T3 <= maxval))
+            return -5;
         if (RESET < 3) return -5;
     }
 

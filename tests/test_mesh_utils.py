@@ -473,3 +473,35 @@ def test_slice_plane_candidate_faces_identical():
         assert len(full) == len(sub)
         for f, w in zip(full, sub):
             np.testing.assert_array_equal(f, w)
+
+
+def test_model_to_mask_descending_slice_locations():
+    """Descending slice locations (reachable via the convert=False
+    manual pipeline) must voxelize correctly: the z-span bucketing is
+    ascending-only and must fall back to full-face plane cuts instead
+    of silently producing empty candidates (review finding)."""
+    from medicalimageanalysis_tpu.ops.marching_cubes import (
+        marching_cubes_mask)
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        ModelToMask)
+
+    zz, yy, xx = np.mgrid[:20, :40, :40]
+    mask = (((zz - 10) / 7.0) ** 2 + ((yy - 20) / 12.0) ** 2
+            + ((xx - 20) / 9.0) ** 2) <= 1.0
+    mesh = marching_cubes_mask(mask.astype(np.uint8))
+
+    def manual(locs):
+        m = ModelToMask([mesh], convert=False, empty_array=False)
+        m.spacing = [1, 1, 1]
+        m.bounds = [0, 39, 0, 39, 0, 19]
+        m.origin = [0, 0, 0]
+        m.slice_locations = locs
+        m.dims = [len(locs), 40, 40]
+        m.compute_contours()
+        m.compute_mask()
+        return m
+
+    asc = manual(list(range(20)))
+    dsc = manual(list(range(19, -1, -1)))
+    assert (asc.mask != 0).sum() > 100
+    np.testing.assert_array_equal(asc.mask, dsc.mask[::-1])

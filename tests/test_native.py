@@ -451,3 +451,53 @@ def test_jpegls_hostile_streams(rng):
         dec(bytes(blob))               # must not crash
     for cut in rng.integers(2, len(good), 60):
         dec(good[:int(cut)])           # truncations must not crash
+
+
+def test_jpeg_fill_bytes_before_markers(rng):
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; the native parsers must skip them, not mis-read segment
+    lengths (review finding)."""
+    from medicalimageanalysis_tpu.dicom.jpegdct import encode_jpeg_dct
+    from medicalimageanalysis_tpu.native import jpeg_dct_decode
+    enc, dec = _jpegls_pair()
+
+    img = rng.integers(0, 4096, (16, 16)).astype(np.int64)
+    good = bytearray(enc(img, precision=12))
+    i = good.index(b"\xFF\xDA")
+    filled = bytes(good[:i]) + b"\xFF\xFF" + bytes(good[i:])
+    np.testing.assert_array_equal(dec(bytes(good)), dec(filled))
+
+    g2 = bytearray(encode_jpeg_dct(img.astype(np.uint16),
+                                   precision=12, quant=1))
+    j = g2.index(b"\xFF\xDB")
+    filled2 = bytes(g2[:j]) + b"\xFF" + bytes(g2[j:])
+    np.testing.assert_array_equal(jpeg_dct_decode(bytes(g2)),
+                                  jpeg_dct_decode(filled2))
+
+
+def test_jpegls_clamp1_default_thresholds(rng):
+    """Small-MAXVAL near-lossless defaults where the computed T1..T3
+    exceed MAXVAL must collapse to the LOWER bound (NEAR+1/T1/T2 —
+    T.87 CLAMP_1, CharLS parity), not to MAXVAL (review finding)."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import (
+        default_thresholds)
+    enc, dec = _jpegls_pair()
+    assert default_thresholds(20, 8) == (9, 9, 9, 64)
+    small = rng.integers(0, 21, (32, 32)).astype(np.int64)
+    out = dec(enc(small, precision=5, maxval=20, near=8))
+    assert out is not None
+    assert np.abs(out.astype(np.int64) - small).max() <= 8
+
+
+def test_jpeg_dct_fractional_quant_roundtrip(rng):
+    """encode_jpeg_dct must quantize with the same integer table the
+    DQT segment carries; a fractional quant used to scale every pixel
+    by round(q)/q silently (review finding)."""
+    from medicalimageanalysis_tpu.dicom.jpegdct import encode_jpeg_dct
+    from medicalimageanalysis_tpu.native import jpeg_dct_decode
+    img = rng.integers(0, 4096, (24, 24)).astype(np.uint16)
+    for q in (0.5, 1.5, 2.7):
+        dec = jpeg_dct_decode(encode_jpeg_dct(img, precision=12,
+                                              quant=q))
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= 8 * max(1.0, round(q)), (q, err)
