@@ -105,6 +105,11 @@ def decode_rle(ds):
     frags = ds.PixelData
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
+    # the native scanner surfaces the Basic Offset Table as fragment 0
+    # (the slow parser drops it); RLE is one fragment per frame, so a
+    # frames+1 count means a leading BOT
+    if len(frags) == frames + 1:
+        frags = frags[1:]
     if len(frags) < frames:
         raise ValueError("RLE: fewer fragments than frames")
 

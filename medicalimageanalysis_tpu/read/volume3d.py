@@ -184,18 +184,45 @@ class Read3D(object):
 
         raw = self._stage_pixels_native(n, rows, cols)
         if raw is None:
-            for i, _slice in enumerate(self.image_set):
-                px = _slice.pixel_array
-                if raw is None:
-                    raw = np.empty((n,) + px.shape, dtype=px.dtype)
-                raw[i] = px
-                if "PixelData" in _slice:
-                    del _slice.PixelData
+            raw = self._decode_pixels_parallel(n)
 
         assemble = assemble_volume if config.jit_ingest \
             else assemble_volume_numpy
         self.array = assemble(raw, slopes, intercepts,
                               ffs_op=decision["op"])
+
+    def _decode_pixels_parallel(self, n):
+        """Compressed-syntax fallback: decode per-slice pixel_array
+        from a bounded thread pool. Every decode backend here (native
+        JPEG-LS/JPEG-Lossless/DCT/RLE via ctypes, cv2 for baseline/
+        J2K) releases the GIL inside the C call, so slices of a
+        compressed series decode in parallel — the previous serial
+        loop left an N-core host idle on exactly the archives
+        (JPEG-LS/RLE-compressed CT) where decode dominates ingest.
+        Slice 0 decodes first on this thread to size the arena;
+        results land by index (deterministic)."""
+        first = self.image_set[0].pixel_array
+        raw = np.empty((n,) + first.shape, dtype=first.dtype)
+        raw[0] = first
+        if "PixelData" in self.image_set[0]:
+            del self.image_set[0].PixelData
+
+        def work(i):
+            _slice = self.image_set[i]
+            raw[i] = _slice.pixel_array
+            if "PixelData" in _slice:
+                del _slice.PixelData
+
+        import os as _os
+        workers = min(32, _os.cpu_count() or 1, max(n - 1, 1))
+        if n > 1 and workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(work, range(1, n)))
+        else:
+            for i in range(1, n):
+                work(i)
+        return raw
 
     def _stage_pixels_native(self, n, rows, cols):
         """Pinned-staging fast path: copy every slice's uncompressed

@@ -501,3 +501,47 @@ def test_jpeg_dct_fractional_quant_roundtrip(rng):
                                               quant=q))
         err = np.abs(dec.astype(int) - img.astype(int)).max()
         assert err <= 8 * max(1.0, round(q)), (q, err)
+
+
+def test_rle_dicom_native_scan_end_to_end(tmp_path, rng):
+    """RLE file written with a Basic Offset Table decodes through the
+    NATIVE scan path (which surfaces the BOT as fragment 0 — the
+    decode used to mistake it for frame 0 and raise)."""
+    arr = rng.integers(-1000, 3000, size=(64, 64)).astype(np.int16)
+    ds = make_ct_slice(arr.astype(np.uint16))
+    ds.PixelRepresentation = 1
+    ds.PixelData = [encode_rle_frame(arr)]
+    dcmwrite(tmp_path / "r.dcm", ds,
+             transfer_syntax=uids.RLELossless)
+    out = dcmread(tmp_path / "r.dcm", use_native=True)
+    np.testing.assert_array_equal(out.pixel_array, arr)
+
+
+def test_compressed_series_parallel_decode(tmp_path, rng, monkeypatch):
+    """The compressed-syntax ingest fallback decodes slices from a
+    thread pool; forced onto the pooled branch (cpu_count patched — the
+    CI box has 1 core) it must produce the identical volume."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    from medicalimageanalysis_tpu.reader import read_dicoms
+    from medicalimageanalysis_tpu.data import Data
+
+    vol = rng.integers(0, 4096, size=(6, 32, 32)).astype(np.uint16)
+    for z in range(6):
+        ds = make_ct_slice(vol[z].astype(np.int16))
+        ds.Rows = ds.Columns = 32
+        ds.BitsStored, ds.HighBit = 12, 11
+        ds.PixelRepresentation = 0
+        ds.InstanceNumber = z + 1
+        ds.ImagePositionPatient = [0.0, 0.0, float(z) * 2.0]
+        ds.SOPInstanceUID = f"7.7.{z}"
+        ds.PixelData = [encode_jpegls(vol[z].astype(np.int64),
+                                      precision=12)]
+        dcmwrite(tmp_path / f"s{z}.dcm", ds,
+                 transfer_syntax=uids.JPEGLSLossless)
+    import os as os_mod
+    monkeypatch.setattr(os_mod, "cpu_count", lambda: 4)
+    Data.clear()
+    read_dicoms(folder_path=str(tmp_path))
+    arr = np.asarray(Data.image[Data.image_list[0]].array)
+    np.testing.assert_array_equal(arr, vol.astype(np.int64) - 1024)
+    Data.clear()
