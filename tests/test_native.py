@@ -545,3 +545,51 @@ def test_compressed_series_parallel_decode(tmp_path, rng, monkeypatch):
     arr = np.asarray(Data.image[Data.image_list[0]].array)
     np.testing.assert_array_equal(arr, vol.astype(np.int64) - 1024)
     Data.clear()
+
+
+def test_native_vs_python_parser_all_syntaxes(tmp_path, rng):
+    """Systematic divergence sweep: for EVERY supported transfer
+    syntax, a written file must parse to the same metadata and pixels
+    through the native C++ scan path and the pure-Python parser (the
+    RLE BOT-fragment bug lived exactly in such a divergence)."""
+    from medicalimageanalysis_tpu.dicom.jpegdct import encode_jpeg_dct
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+
+    arr = rng.integers(0, 4000, size=(32, 32)).astype(np.uint16)
+    cases = {
+        uids.ExplicitVRLittleEndian: None,
+        uids.ImplicitVRLittleEndian: None,
+        uids.DeflatedExplicitVRLittleEndian: None,
+        uids.RLELossless: [encode_rle_frame(arr.astype(np.int16))],
+        uids.JPEGLosslessSV1: [encode_jpeg_lossless(arr, precision=16)],
+        uids.JPEGLSLossless: [encode_jpegls(arr.astype(np.int64),
+                                            precision=12)],
+        uids.JPEGLSNearLossless: [encode_jpegls(arr.astype(np.int64),
+                                                precision=12, near=2)],
+        uids.JPEGExtended12Bit: [encode_jpeg_dct(arr, precision=12,
+                                                 quant=1)],
+    }
+    for ts, pixels in cases.items():
+        ds = make_ct_slice(arr.copy() if pixels is None
+                           else np.zeros((32, 32), np.uint16))
+        ds.BitsStored, ds.HighBit = 12, 11
+        if pixels is not None:
+            ds.PixelData = pixels
+        f = tmp_path / f"{ts.split('.')[-1]}.dcm"
+        dcmwrite(f, ds, transfer_syntax=ts)
+        a = dcmread(f, use_native=True)
+        b = dcmread(f, use_native=False)
+        for kw in ("Modality", "PatientName", "PixelSpacing", "Rows",
+                   "BitsStored", "RescaleIntercept",
+                   "ImagePositionPatient"):
+            assert a.get(kw) == b.get(kw), (ts, kw)
+        assert a.file_meta.TransferSyntaxUID \
+            == b.file_meta.TransferSyntaxUID == ts
+        pa, pb = a.pixel_array, b.pixel_array
+        np.testing.assert_array_equal(pa, pb, err_msg=ts)
+        if ts == uids.JPEGLSNearLossless:
+            assert np.abs(pa.astype(int) - arr.astype(int)).max() <= 2
+        elif ts == uids.JPEGExtended12Bit:
+            assert np.abs(pa.astype(int) - arr.astype(int)).max() <= 24
+        else:
+            np.testing.assert_array_equal(pa, arr, err_msg=ts)
