@@ -219,10 +219,14 @@ def _jpeg_decode_via(fn_name, frag):
     if lib is None:
         return None
     fn = getattr(lib, fn_name)
-    # generous capacity guess; retry bigger on -6
+    # generous capacity guess; retry bigger on -6. np.empty, not
+    # np.zeros: the decoder writes every used pixel, and zeroing 16 MB
+    # per frame cost ~25% of a 256^2 decode. The result is COPIED out
+    # of the arena — returning a view pinned the whole arena per frame
+    # (4.8 GB transient for a 300-slice compressed series).
     cap = 1 << 22
     for _ in range(4):
-        out = np.zeros(cap, np.int32)
+        out = np.empty(cap, np.int32)
         w = ctypes.c_int()
         h = ctypes.c_int()
         nc = ctypes.c_int()
@@ -236,7 +240,7 @@ def _jpeg_decode_via(fn_name, frag):
         if rc != 0:
             return None
         n = w.value * h.value * nc.value
-        arr = out[:n]
+        arr = out[:n].copy()
         if nc.value > 1:
             return arr.reshape(h.value, w.value, nc.value)
         return arr.reshape(h.value, w.value)

@@ -1005,33 +1005,75 @@ int mia_jpegdct_decode(const uint8_t* buf, uint64_t len, int32_t* out,
 // Bit reader with JPEG-LS marker-stuffing semantics: a byte following
 // a 0xFF carries only 7 data bits (its MSB is a stuffed 0); 0xFF
 // followed by a byte with the MSB set is a marker = end of data.
+// 64-bit refill cache: receive() grabs n bits in one shift/mask and
+// unary() counts zero runs with clz instead of per-bit calls (the
+// per-bit loop was the decode hot spot at ~6 ms per 256^2 frame).
+// Valid bits are the LOW ncache bits of `cache`, next bit to read is
+// bit (ncache-1); starvation (end of data / marker) clears `ok`,
+// exactly like the per-bit reader it replaces.
 struct LsBitReader {
     const uint8_t* buf;
     uint64_t len;
     uint64_t pos;
-    uint32_t cache;
+    uint64_t cache;
     int ncache;
     bool prev_ff;
     bool ok;
 
-    int next_bit() {
-        if (ncache == 0) {
-            if (pos >= len) { ok = false; return 0; }
+    inline void fill() {
+        while (ncache <= 56) {
+            if (pos >= len) return;
             uint8_t b = buf[pos];
-            if (prev_ff && (b & 0x80)) { ok = false; return 0; }
+            if (prev_ff && (b & 0x80)) return;   // marker: end of data
             pos++;
-            cache = b;
-            ncache = prev_ff ? 7 : 8;
+            int nb = prev_ff ? 7 : 8;            // stuffed MSB is 0
             prev_ff = (b == 0xFF);
+            cache = (cache << nb) | (uint64_t)b;
+            ncache += nb;
         }
-        ncache--;
-        return (cache >> ncache) & 1;
     }
 
-    int receive(int n) {
-        int v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | next_bit();
-        return v;
+    inline int next_bit() {
+        if (ncache == 0) {
+            fill();
+            if (ncache == 0) { ok = false; return 0; }
+        }
+        ncache--;
+        return (int)((cache >> ncache) & 1);
+    }
+
+    inline int receive(int n) {          // n <= 24 at every call site
+        if (ncache < n) {
+            fill();
+            if (ncache < n) { ok = false; return 0; }
+        }
+        ncache -= n;
+        return (int)((cache >> ncache) & ((1u << n) - 1));
+    }
+
+    // zero-run length capped at `limit`, consuming the terminating 1;
+    // -1 = cap exceeded or data starved (ok cleared on starvation)
+    inline int unary(int limit) {
+        int z = 0;
+        for (;;) {
+            if (ncache == 0) {
+                fill();
+                if (ncache == 0) { ok = false; return -1; }
+            }
+            uint64_t window = ncache >= 64
+                ? cache : (cache & ((~0ULL) >> (64 - ncache)));
+            if (window == 0) {
+                z += ncache;
+                ncache = 0;
+                if (z > limit) return -1;
+                continue;
+            }
+            int top = 63 - __builtin_clzll(window);
+            z += ncache - 1 - top;
+            ncache = top;                // zeros + the 1 bit consumed
+            if (z > limit) return -1;
+            return z;
+        }
     }
 };
 
@@ -1049,12 +1091,8 @@ static inline int ls_ceil_log2(int v) {
 // or the (limit - qbpp - 1)-zeros escape + qbpp bits (value - 1)
 static int ls_decode_limited(LsBitReader& br, int k, int limit,
                              int qbpp) {
-    int z = 0;
-    while (br.ok && br.next_bit() == 0) {
-        z++;
-        if (z > limit) return -1;   // hostile: no valid code this long
-    }
-    if (!br.ok) return -1;
+    int z = br.unary(limit);   // hostile: no valid code longer than limit
+    if (z < 0 || !br.ok) return -1;
     if (z < limit - qbpp - 1) {
         int v = br.receive(k);
         if (!br.ok) return -1;
@@ -1207,17 +1245,25 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
     int32_t* cur = curv.data();
     int runindex = 0;
 
-    auto quantize = [&](int d) -> int {
-        if (d <= -T3) return -4;
-        if (d <= -T2) return -3;
-        if (d <= -T1) return -2;
-        if (d < -near) return -1;
-        if (d <= near) return 0;
-        if (d < T1) return 1;
-        if (d < T2) return 2;
-        if (d < T3) return 3;
-        return 4;
-    };
+    // gradient-quantizer LUT over the full difference range
+    // [-maxval, maxval] (<= 131071 entries at 16-bit): three lookups
+    // per sample instead of up to 24 compares
+    std::vector<int8_t> qlutv((size_t)(2 * maxval + 1));
+    for (int d = -maxval; d <= maxval; d++) {
+        int q;
+        if (d <= -T3) q = -4;
+        else if (d <= -T2) q = -3;
+        else if (d <= -T1) q = -2;
+        else if (d < -near) q = -1;
+        else if (d <= near) q = 0;
+        else if (d < T1) q = 1;
+        else if (d < T2) q = 2;
+        else if (d < T3) q = 3;
+        else q = 4;
+        qlutv[(size_t)(d + maxval)] = (int8_t)q;
+    }
+    const int8_t* qlut = qlutv.data() + maxval;
+    auto quantize = [&](int d) -> int { return qlut[d]; };
 
     for (int64_t y = 0; y < H; y++) {
         prev[W + 1] = prev[W];   // Rd at the last column = Rb
