@@ -432,34 +432,68 @@ int mia_rle_decode(const uint8_t* frag, uint64_t len, uint8_t* out,
 // multi component, Huffman entropy coding. This is the decode GDCM
 // provides that cv2 cannot.
 
+// 64-bit refill cache (T.81 FF00 byte-stuffing aware): receive() is
+// one shift/mask and Huffman decode peeks 16 bits at once — the
+// per-bit walk was the p14 decode hot spot. Valid bits are the LOW
+// ncache bits of `cache`; starvation (marker / end of data) clears
+// `ok` exactly like the per-bit reader it replaces.
 struct BitReader {
     const uint8_t* buf;
     uint64_t len;
     uint64_t pos;
-    uint32_t bits;
-    int nbits;
+    uint64_t cache;
+    int ncache;
     bool ok;
 
-    int next_bit() {
-        if (nbits == 0) {
-            if (pos >= len) { ok = false; return 0; }
-            uint8_t b = buf[pos++];
+    inline void fill() {
+        while (ncache <= 56) {
+            if (pos >= len) return;
+            uint8_t b = buf[pos];
             if (b == 0xFF) {
-                // stuffed zero byte after FF
-                if (pos < len && buf[pos] == 0x00) pos++;
-                else { ok = false; return 0; }
+                if (pos + 1 < len && buf[pos + 1] == 0x00) pos += 2;
+                else return;   // marker or dangling FF: end of data
+            } else {
+                pos++;
             }
-            bits = b;
-            nbits = 8;
+            cache = (cache << 8) | (uint64_t)b;
+            ncache += 8;
         }
-        nbits--;
-        return (bits >> nbits) & 1;
     }
 
-    int receive(int n) {
-        int v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | next_bit();
-        return v;
+    inline int next_bit() {
+        if (ncache == 0) {
+            fill();
+            if (ncache == 0) { ok = false; return 0; }
+        }
+        ncache--;
+        return (int)((cache >> ncache) & 1);
+    }
+
+    inline int receive(int n) {          // n <= 16 at every call site
+        if (ncache < n) {
+            fill();
+            if (ncache < n) { ok = false; return 0; }
+        }
+        ncache -= n;
+        return (int)((cache >> ncache) & ((1u << n) - 1));
+    }
+
+    // next 16 bits without consuming, zero-padded near end of data
+    inline uint32_t peek16() {
+        if (ncache < 16) fill();
+        if (ncache >= 16)
+            return (uint32_t)((cache >> (ncache - 16)) & 0xFFFF);
+        uint64_t w = ncache ? (cache & ((~0ULL) >> (64 - ncache))) : 0;
+        return (uint32_t)(w << (16 - ncache));
+    }
+
+    inline bool consume(int n) {         // only after a peek16 match
+        if (ncache < n) {
+            fill();
+            if (ncache < n) { ok = false; return false; }
+        }
+        ncache -= n;
+        return true;
     }
 };
 
@@ -471,6 +505,10 @@ struct Huff {
     // code lengths 1..16
     int mincode[17], maxcode[18], valptr[17];
     uint8_t vals[256];
+    // 8-bit-prefix fast table: codes of length <= 8 decode in one
+    // lookup; lut_len 0 falls through to the canonical walk
+    uint8_t lut_len[256];
+    uint8_t lut_val[256];
     bool valid;
 
     void build(const uint8_t* bits, const uint8_t* values, int nvals) {
@@ -486,20 +524,42 @@ struct Huff {
         }
         maxcode[17] = 0x7FFFFFFF;
         for (int i = 0; i < nvals && i < 256; i++) vals[i] = values[i];
+        for (int i = 0; i < 256; i++) lut_len[i] = 0;
+        int code2 = 0, k2 = 0;
+        for (int l = 1; l <= 8; l++) {
+            for (int c = 0; c < bits[l - 1]; c++, code2++, k2++) {
+                int prefix = code2 << (8 - l);
+                if (k2 >= 256 || prefix > 255)  // hostile DHT overflow
+                    continue;
+                for (int f = 0; f < (1 << (8 - l)); f++) {
+                    lut_len[prefix | f] = (uint8_t)l;
+                    lut_val[prefix | f] = vals[k2];
+                }
+            }
+            code2 <<= 1;
+        }
         valid = true;
     }
 
     int decode(BitReader& br) const {
-        int code = br.next_bit();
-        int l = 1;
-        while (l <= 16 && (maxcode[l] < 0 || code > maxcode[l])) {
-            code = (code << 1) | br.next_bit();
-            l++;
+        const uint32_t pk = br.peek16();
+        const int hi = (int)(pk >> 8);
+        const int l8 = lut_len[hi];
+        if (l8) {
+            if (!br.consume(l8)) return -1;
+            return lut_val[hi];
         }
-        if (l > 16 || !br.ok) return -1;
-        int idx = valptr[l] + code - mincode[l];
-        if (idx < 0 || idx >= 256) return -1;  // hostile DHT table
-        return vals[idx];
+        for (int l = 9; l <= 16; l++) {
+            int code = (int)(pk >> (16 - l));
+            if (maxcode[l] >= 0 && code <= maxcode[l]) {
+                if (!br.consume(l)) return -1;
+                int idx = valptr[l] + code - mincode[l];
+                if (idx < 0 || idx >= 256) return -1;  // hostile DHT
+                return vals[idx];
+            }
+        }
+        if (br.ncache < 16) br.ok = false;  // starved, not invalid
+        return -1;
     }
 };
 
