@@ -99,20 +99,29 @@ def _golomb_limited(bw, val, k, limit, qbpp):
 
 def encode_jpegls(image, precision=None, near=0, maxval=None,
                   thresholds=None, reset=64):
-    """Encode a 2D non-negative integer array as a JPEG-LS codestream.
+    """Encode a non-negative integer array as a JPEG-LS codestream.
 
+    2D (H, W) -> single-component; 3D (H, W, C<=4) -> C plane-
+    separated scans (ILV 0, one SOS per component — the layout the
+    native decoder supports for color/secondary-capture streams).
     near=0 -> lossless (.4.80); near>0 -> near-lossless (.4.81) with
     |decoded - original| <= near guaranteed. Returns bytes.
     """
     img = np.ascontiguousarray(image)
-    if img.ndim != 2:
-        raise ValueError("encode_jpegls: expected a 2D array")
     if img.dtype.kind not in "ui":
         raise ValueError("encode_jpegls: integer samples required")
     img = img.astype(np.int64)
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and 1 <= img.shape[2] <= 4:
+        planes = [np.ascontiguousarray(img[..., c])
+                  for c in range(img.shape[2])]
+    else:
+        raise ValueError("encode_jpegls: expected (H, W) or "
+                         "(H, W, C<=4)")
     if img.size and int(img.min()) < 0:
         raise ValueError("encode_jpegls: samples must be >= 0")
-    H, W = img.shape
+    H, W = planes[0].shape
     if not (0 < H < 65536 and 0 < W < 65536):
         raise ValueError("encode_jpegls: dimensions out of range")
 
@@ -140,16 +149,11 @@ def encode_jpegls(image, precision=None, near=0, maxval=None,
     if not 3 <= reset <= max(255, maxval):
         raise ValueError("encode_jpegls: bad RESET")
 
-    rng = (maxval + 2 * near) // (2 * near + 1) + 1
-    qbpp = max(1, (rng - 1).bit_length())
-    bpp = max(2, (maxval).bit_length())
-    limit = 2 * (bpp + max(8, bpp))
-    full = rng * (2 * near + 1)
-    half_rng = (rng + 1) // 2
-
     # ---- header -----------------------------------------------------
+    nc = len(planes)
     out = bytearray(b"\xFF\xD8")                       # SOI
-    sof = struct.pack(">BHHB", precision, H, W, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", precision, H, W, nc) + b"".join(
+        bytes([c + 1, 0x11, 0]) for c in range(nc))
     out += b"\xFF\xF7" + struct.pack(">H", len(sof) + 2) + sof  # SOF55
     nondefault = (maxval != (1 << precision) - 1 or reset != 64
                   or (t1, t2, t3) != (t1d, t2d, t3d))
@@ -157,8 +161,24 @@ def encode_jpegls(image, precision=None, near=0, maxval=None,
         lse = bytes([1]) + struct.pack(">HHHHH", maxval, t1, t2, t3,
                                        reset)
         out += b"\xFF\xF8" + struct.pack(">H", len(lse) + 2) + lse
-    sos = bytes([1, 1, 0x00, near, 0, 0])              # Cs,Tm,NEAR,ILV,Al
-    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+    for ci, plane in enumerate(planes):
+        sos = bytes([1, ci + 1, 0x00, near, 0, 0])     # Cs,Tm,NEAR,ILV,Al
+        out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+        out += _encode_scan(plane, W, H, maxval, near, t1, t2, t3,
+                            reset)
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+def _encode_scan(img, W, H, maxval, near, t1, t2, t3, reset):
+    """Entropy-coded bytes of ONE single-component scan (fresh context
+    state per T.87 — each ILV-0 scan restarts its modeller)."""
+    rng = (maxval + 2 * near) // (2 * near + 1) + 1
+    qbpp = max(1, (rng - 1).bit_length())
+    bpp = max(2, (maxval).bit_length())
+    limit = 2 * (bpp + max(8, bpp))
+    full = rng * (2 * near + 1)
+    half_rng = (rng + 1) // 2
 
     # ---- context state ----------------------------------------------
     ainit = max(2, (rng + 32) // 64)
@@ -354,6 +374,4 @@ def encode_jpegls(image, precision=None, near=0, maxval=None,
         prev, cur = cur, prev
 
     bw.flush()
-    out += bw.out
-    out += b"\xFF\xD9"                                 # EOI
-    return bytes(out)
+    return bytes(bw.out)

@@ -1050,10 +1050,11 @@ int mia_jpegdct_decode(const uint8_t* buf, uint64_t len, int32_t* out,
 // 1.2.840.10008.1.2.4.80 (lossless) and .81 (near-lossless). The
 // reference decodes these through GDCM/CharLS (requirements.txt:~1-86,
 // gdcm import at reference read/dicom.py:52); cv2 ships no JPEG-LS
-// codec. Scope: single-component scans (the DICOM CT/MR/PT case) with
-// LSE preset-parameter support, NEAR >= 0, 2..16-bit precision.
-// Multi-component interleaves, mapping tables, and restart intervals
-// return typed errors (negative rc -> clean ValueError in Python).
+// codec. Scope: 1..4 plane-separated components (ILV 0, one scan per
+// component — the DICOM CT/MR/PT case plus RGB secondary capture)
+// with LSE preset-parameter support, NEAR >= 0, 2..16-bit precision.
+// Line/sample interleaves (ILV 1/2), mapping tables, and restart
+// intervals return typed errors (negative rc -> ValueError in Python).
 //
 // LOCO-I essentials implemented exactly per the T.87 pseudo-code:
 // gradient quantization with T1/T2/T3, 365 regular contexts + 2 run
@@ -1163,118 +1164,21 @@ static int ls_decode_limited(LsBitReader& br, int k, int limit,
     return v + 1;
 }
 
-int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
-                      int64_t out_capacity, int* w_out, int* h_out,
-                      int* ncomp_out, int* prec_out) {
-    if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return -1;  // SOI
-    uint64_t p = 2;
+// first marker position inside entropy-coded JPEG-LS data: FF followed
+// by an MSB-set byte can never occur as data (stuffing guarantees a
+// 7-bit byte after every data FF), so this is exact
+static uint64_t ls_find_marker(const uint8_t* s, uint64_t n) {
+    for (uint64_t i = 0; i + 1 < n; i++)
+        if (s[i] == 0xFF && (s[i + 1] & 0x80)) return i;
+    return n;
+}
 
-    int precision = 0, H = 0, W = 0, ncomp = 0;
-    int maxval = 0, T1 = 0, T2 = 0, T3 = 0, RESET = 0;
-    int near = 0, ilv = 0, dri = 0, ns = 0;
-    uint64_t scan_start = 0;
-
-    while (p + 4 <= len) {
-        if (buf[p] != 0xFF) { p++; continue; }
-        uint8_t marker = buf[p + 1];
-        p += 2;
-        if (marker == 0xFF) { p -= 1; continue; }  // fill byte (B.1.1.2)
-        if (marker == 0xD8 || marker == 0x01 ||
-            (marker >= 0xD0 && marker <= 0xD7))
-            continue;
-        if (marker == 0xD9) return -4;   // EOI before SOS
-        if (p + 2 > len) return -2;
-        int seg_len = (buf[p] << 8) | buf[p + 1];
-        uint64_t seg_end = p + seg_len;
-        if (seg_end > len || seg_len < 2) return -2;
-
-        if (marker == 0xF7) {            // SOF55 (JPEG-LS frame)
-            if (p + 8 > seg_end) return -2;
-            precision = buf[p + 2];
-            H = (buf[p + 3] << 8) | buf[p + 4];
-            W = (buf[p + 5] << 8) | buf[p + 6];
-            ncomp = buf[p + 7];
-            if (ncomp != 1) return -3;   // scope: single component
-            if (p + 8 + 3 * (uint64_t)ncomp > seg_end) return -2;
-        } else if (marker == 0xF8) {     // LSE preset parameters
-            if (p + 3 > seg_end) return -2;
-            int id = buf[p + 2];
-            if (id == 1) {
-                if (p + 13 > seg_end) return -2;
-                maxval = (buf[p + 3] << 8) | buf[p + 4];
-                T1 = (buf[p + 5] << 8) | buf[p + 6];
-                T2 = (buf[p + 7] << 8) | buf[p + 8];
-                T3 = (buf[p + 9] << 8) | buf[p + 10];
-                RESET = (buf[p + 11] << 8) | buf[p + 12];
-            } else {
-                return -3;  // mapping tables / extensions unsupported
-            }
-        } else if (marker == 0xDD) {     // DRI
-            if (p + 4 > seg_end) return -2;
-            dri = (buf[p + 2] << 8) | buf[p + 3];
-            if (dri != 0) return -3;     // restart intervals unsupported
-        } else if (marker == 0xDA) {     // SOS
-            if (p + 3 > seg_end) return -2;
-            ns = buf[p + 2];
-            if (ns != 1) return -3;
-            if (p + 6 + 2 * (uint64_t)ns > seg_end) return -2;
-            int tm = buf[p + 4];         // mapping table selector
-            if (tm != 0) return -3;
-            near = buf[p + 3 + 2 * ns];
-            ilv = buf[p + 4 + 2 * ns];
-            if (ilv != 0) return -3;
-            // Ah/Al byte: a nonzero point transform (Al) shifts every
-            // sample; decoding it as 0 would be silently wrong
-            if ((buf[p + 5 + 2 * ns] & 0x0F) != 0) return -3;
-            scan_start = seg_end;
-            break;
-        }
-        p = seg_end;
-    }
-
-    if (!W || !H || !ncomp || !scan_start || scan_start >= len)
-        return -5;
-    if (precision < 2 || precision > 16) return -5;
-    if (maxval == 0) maxval = (1 << precision) - 1;
-    if (maxval < 1 || maxval > (1 << precision) - 1 || maxval > 65535)
-        return -5;
-    if (near < 0 || near > (maxval < 255 ? maxval / 2 : 255)) return -5;
-    if ((int64_t)W * H > out_capacity) return -6;
-
-    // default thresholds / RESET (T.87 C.2.4.1.1.1); an LSE value of 0
-    // selects the default. CLAMP_1 semantics (matching CharLS
-    // clamp_value): a default outside [lo, MAXVAL] on EITHER side
-    // collapses to the LOWER bound (NEAR+1 for T1, T1 for T2, T2 for
-    // T3) — collapsing to MAXVAL instead diverges from conformant
-    // codecs from the first gradient on (review finding).
-    {
-        int dT1, dT2, dT3;
-        if (maxval >= 128) {
-            int factor = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
-            dT1 = factor * (3 - 2) + 2 + 3 * near;
-            dT2 = factor * (7 - 3) + 3 + 5 * near;
-            dT3 = factor * (21 - 4) + 4 + 7 * near;
-        } else {
-            int factor = 256 / (maxval + 1);
-            dT1 = 3 / factor + 3 * near;
-            if (dT1 < 2) dT1 = 2;
-            dT2 = 7 / factor + 5 * near;
-            if (dT2 < 3) dT2 = 3;
-            dT3 = 21 / factor + 7 * near;
-            if (dT3 < 4) dT3 = 4;
-        }
-        if (T1 == 0) T1 = (dT1 > maxval || dT1 < near + 1) ? near + 1
-                                                           : dT1;
-        if (T2 == 0) T2 = (dT2 > maxval || dT2 < T1) ? T1 : dT2;
-        if (T3 == 0) T3 = (dT3 > maxval || dT3 < T2) ? T2 : dT3;
-        if (RESET == 0) RESET = 64;
-        // explicit LSE values must already satisfy the ordering
-        // contract; silently clamping a hostile LSE mis-decodes
-        if (!(near < T1 && T1 <= T2 && T2 <= T3 && T3 <= maxval))
-            return -5;
-        if (RESET < 3) return -5;
-    }
-
+// one JPEG-LS scan (single component, ILV 0) into a strided output
+// plane: out[(y*W + x) * stride]
+static int ls_decode_scan(const uint8_t* scan, uint64_t scan_len,
+                          int32_t* out, int stride, int W, int H,
+                          int maxval, int near, int T1, int T2, int T3,
+                          int RESET) {
     const int range = (maxval + 2 * near) / (2 * near + 1) + 1;
     const int qbpp = ls_ceil_log2(range);
     const int bpp_ = ls_ceil_log2(maxval + 1) < 2
@@ -1293,10 +1197,7 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
         for (int q = 0; q < 365; q++) { B[q] = 0; C[q] = 0; }
     }
 
-    *w_out = W; *h_out = H; *ncomp_out = 1; *prec_out = precision;
-
-    LsBitReader br{buf + scan_start, len - scan_start, 0, 0, 0,
-                   false, true};
+    LsBitReader br{scan, scan_len, 0, 0, 0, false, true};
     // line buffers with one-sample margins (index x+1 = column x);
     // prev[0] retains what cur[0] held one line earlier, which is
     // exactly the T.87 Rc rule for column 0
@@ -1329,7 +1230,7 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
         prev[W + 1] = prev[W];   // Rd at the last column = Rb
         cur[0] = prev[1];        // Ra at column 0 = Rb
         int64_t x = 0;
-        int32_t* orow = out + y * W;
+        int32_t* orow = out + y * W * stride;
         while (x < W) {
             const int Ra = cur[x], Rb = prev[x + 1], Rc = prev[x],
                       Rd = prev[x + 2];
@@ -1349,7 +1250,7 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
                         int64_t fill = cnt < rem ? cnt : rem;
                         for (int64_t i = 0; i < fill; i++) {
                             cur[x + 1] = Ra;
-                            orow[x] = Ra;
+                            orow[x * stride] = Ra;
                             x++;
                         }
                         if (cnt <= rem && runindex < 31) runindex++;
@@ -1361,7 +1262,7 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
                         if (cnt > W - x - 1) return -8;  // hostile count
                         for (int i = 0; i < cnt; i++) {
                             cur[x + 1] = Ra;
-                            orow[x] = Ra;
+                            orow[x * stride] = Ra;
                             x++;
                         }
                         interrupted = true;
@@ -1410,7 +1311,7 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
                 if (Rx < 0) Rx = 0;
                 if (Rx > maxval) Rx = maxval;
                 cur[x + 1] = (int32_t)Rx;
-                orow[x] = (int32_t)Rx;
+                orow[x * stride] = (int32_t)Rx;
                 x++;
                 if (runindex > 0) runindex--;
                 continue;
@@ -1477,12 +1378,148 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
             if (Rx < 0) Rx = 0;
             if (Rx > maxval) Rx = maxval;
             cur[x + 1] = (int32_t)Rx;
-            orow[x] = (int32_t)Rx;
+            orow[x * stride] = (int32_t)Rx;
             x++;
         }
         std::swap(prev, cur);
     }
     return 0;
+}
+
+int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
+                      int64_t out_capacity, int* w_out, int* h_out,
+                      int* ncomp_out, int* prec_out) {
+    if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return -1;  // SOI
+    uint64_t p = 2;
+
+    int precision = 0, H = 0, W = 0, ncomp = 0;
+    int comp_id[4] = {0};
+    bool comp_done[4] = {false, false, false, false};
+    int n_done = 0;
+    int maxval = 0, T1 = 0, T2 = 0, T3 = 0, RESET = 0;
+
+    while (p + 4 <= len) {
+        if (buf[p] != 0xFF) { p++; continue; }
+        uint8_t marker = buf[p + 1];
+        p += 2;
+        if (marker == 0xFF) { p -= 1; continue; }  // fill byte (B.1.1.2)
+        if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7))
+            continue;
+        if (marker == 0xD9)              // EOI
+            return (ncomp && n_done == ncomp) ? 0 : -4;
+        if (p + 2 > len) return -2;
+        int seg_len = (buf[p] << 8) | buf[p + 1];
+        uint64_t seg_end = p + seg_len;
+        if (seg_end > len || seg_len < 2) return -2;
+
+        if (marker == 0xF7) {            // SOF55 (JPEG-LS frame)
+            if (p + 8 > seg_end) return -2;
+            precision = buf[p + 2];
+            H = (buf[p + 3] << 8) | buf[p + 4];
+            W = (buf[p + 5] << 8) | buf[p + 6];
+            ncomp = buf[p + 7];
+            // scope: up to 4 plane-separated (ILV 0) components —
+            // line/sample interleaves (ILV 1/2) return typed errors
+            if (ncomp < 1 || ncomp > 4) return -3;
+            if (p + 8 + 3 * (uint64_t)ncomp > seg_end) return -2;
+            for (int i = 0; i < ncomp; i++)
+                comp_id[i] = buf[p + 8 + 3 * i];
+        } else if (marker == 0xF8) {     // LSE preset parameters
+            if (p + 3 > seg_end) return -2;
+            int id = buf[p + 2];
+            if (id == 1) {
+                if (p + 13 > seg_end) return -2;
+                maxval = (buf[p + 3] << 8) | buf[p + 4];
+                T1 = (buf[p + 5] << 8) | buf[p + 6];
+                T2 = (buf[p + 7] << 8) | buf[p + 8];
+                T3 = (buf[p + 9] << 8) | buf[p + 10];
+                RESET = (buf[p + 11] << 8) | buf[p + 12];
+            } else {
+                return -3;  // mapping tables / extensions unsupported
+            }
+        } else if (marker == 0xDD) {     // DRI
+            if (p + 4 > seg_end) return -2;
+            int dri = (buf[p + 2] << 8) | buf[p + 3];
+            if (dri != 0) return -3;     // restart intervals unsupported
+        } else if (marker == 0xDA) {     // SOS: decode one scan
+            if (!W || !H || !ncomp) return -5;
+            if (precision < 2 || precision > 16) return -5;
+            if (p + 3 > seg_end) return -2;
+            int ns = buf[p + 2];
+            if (ns != 1) return -3;      // ILV 0: one component per scan
+            if (p + 8 > seg_end) return -2;
+            int cs = buf[p + 3];
+            int tm = buf[p + 4];         // mapping table selector
+            if (tm != 0) return -3;
+            int near = buf[p + 5];
+            int ilv = buf[p + 6];
+            if (ilv != 0) return -3;
+            // Ah/Al byte: a nonzero point transform (Al) shifts every
+            // sample; decoding it as 0 would be silently wrong
+            if ((buf[p + 7] & 0x0F) != 0) return -3;
+            int ci = -1;
+            for (int i = 0; i < ncomp; i++)
+                if (comp_id[i] == cs) ci = i;
+            if (ci < 0 || comp_done[ci]) return -5;
+
+            int mv = maxval ? maxval : (1 << precision) - 1;
+            if (mv < 1 || mv > (1 << precision) - 1 || mv > 65535)
+                return -5;
+            if (near < 0 || near > (mv < 255 ? mv / 2 : 255)) return -5;
+            if ((int64_t)W * H * ncomp > out_capacity) return -6;
+
+            // per-scan thresholds: defaults per T.87 C.2.4.1.1.1 with
+            // CLAMP_1 semantics (CharLS clamp_value — out-of-range on
+            // EITHER side collapses to the LOWER bound: NEAR+1 for
+            // T1, then T1 for T2, T2 for T3); an LSE value of 0
+            // selects the default, explicit values must already obey
+            // the ordering contract (silently clamping mis-decodes)
+            int t1 = T1, t2 = T2, t3 = T3, rst = RESET;
+            {
+                int dT1, dT2, dT3;
+                if (mv >= 128) {
+                    int factor = ((mv < 4095 ? mv : 4095) + 128) / 256;
+                    dT1 = factor * (3 - 2) + 2 + 3 * near;
+                    dT2 = factor * (7 - 3) + 3 + 5 * near;
+                    dT3 = factor * (21 - 4) + 4 + 7 * near;
+                } else {
+                    int factor = 256 / (mv + 1);
+                    dT1 = 3 / factor + 3 * near;
+                    if (dT1 < 2) dT1 = 2;
+                    dT2 = 7 / factor + 5 * near;
+                    if (dT2 < 3) dT2 = 3;
+                    dT3 = 21 / factor + 7 * near;
+                    if (dT3 < 4) dT3 = 4;
+                }
+                if (t1 == 0) t1 = (dT1 > mv || dT1 < near + 1)
+                                      ? near + 1 : dT1;
+                if (t2 == 0) t2 = (dT2 > mv || dT2 < t1) ? t1 : dT2;
+                if (t3 == 0) t3 = (dT3 > mv || dT3 < t2) ? t2 : dT3;
+                if (rst == 0) rst = 64;
+                if (!(near < t1 && t1 <= t2 && t2 <= t3 && t3 <= mv))
+                    return -5;
+                if (rst < 3) return -5;
+            }
+
+            if (seg_end >= len) return -5;
+            int rc = ls_decode_scan(buf + seg_end, len - seg_end,
+                                    out + ci, ncomp, W, H, mv, near,
+                                    t1, t2, t3, rst);
+            if (rc != 0) return rc;
+            comp_done[ci] = true;
+            n_done++;
+            *w_out = W; *h_out = H; *ncomp_out = ncomp;
+            *prec_out = precision;
+            if (n_done == ncomp) return 0;
+            // skip this scan's entropy data (FF + MSB-set byte cannot
+            // occur as stuffed data, so the next marker is exact)
+            p = seg_end + ls_find_marker(buf + seg_end, len - seg_end);
+            continue;
+        }
+        p = seg_end;
+    }
+    return (ncomp && n_done == ncomp) ? 0 : -5;
 }
 
 // ---------------------------------------------------------------------

@@ -81,6 +81,8 @@ def main():
             encode_jpegls(np.minimum(img12, 4000), precision=12,
                           maxval=4000, thresholds=(9, 30, 80),
                           reset=32),
+            encode_jpegls(rng.integers(0, 256, (16, 16, 3)),
+                          precision=8),   # multi-scan (ILV 0) path
         ],
         "mia_jpegls14_decode": [
             encode_jpeg_lossless(img8, precision=8),

@@ -593,3 +593,30 @@ def test_native_vs_python_parser_all_syntaxes(tmp_path, rng):
             assert np.abs(pa.astype(int) - arr.astype(int)).max() <= 24
         else:
             np.testing.assert_array_equal(pa, arr, err_msg=ts)
+
+
+def test_jpegls_multicomponent_rgb(tmp_path, rng):
+    """3-component plane-separated (ILV 0) JPEG-LS: RGB secondary-
+    capture-style streams round-trip standalone and through a DICOM
+    file with SamplesPerPixel=3."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    enc, dec = _jpegls_pair()
+
+    rgb = rng.integers(0, 256, (32, 48, 3)).astype(np.int64)
+    out = dec(encode_jpegls(rgb, precision=8))
+    assert out is not None and out.shape == (32, 48, 3)
+    np.testing.assert_array_equal(out, rgb)
+
+    ds = make_ct_slice(np.zeros((32, 48), np.uint16))
+    ds.Rows, ds.Columns = 32, 48
+    ds.SamplesPerPixel = 3
+    ds.PhotometricInterpretation = "RGB"
+    ds.PlanarConfiguration = 0
+    ds.BitsAllocated = 8
+    ds.BitsStored = 8
+    ds.HighBit = 7
+    ds.PixelData = [encode_jpegls(rgb, precision=8)]
+    dcmwrite(tmp_path / "rgb.dcm", ds,
+             transfer_syntax=uids.JPEGLSLossless)
+    out = dcmread(tmp_path / "rgb.dcm")
+    np.testing.assert_array_equal(out.pixel_array, rgb)
