@@ -541,26 +541,32 @@ struct Huff {
         valid = true;
     }
 
-    int decode(BitReader& br) const {
-        const uint32_t pk = br.peek16();
-        const int hi = (int)(pk >> 8);
-        const int l8 = lut_len[hi];
-        if (l8) {
-            if (!br.consume(l8)) return -1;
-            return lut_val[hi];
-        }
-        for (int l = 9; l <= 16; l++) {
-            int code = (int)(pk >> (16 - l));
-            if (maxcode[l] >= 0 && code <= maxcode[l]) {
-                if (!br.consume(l)) return -1;
-                int idx = valptr[l] + code - mincode[l];
-                if (idx < 0 || idx >= 256) return -1;  // hostile DHT
-                return vals[idx];
-            }
-        }
-        if (br.ncache < 16) br.ok = false;  // starved, not invalid
-        return -1;
+// shared decode body for both readers (templates cannot have C
+// linkage, so the two overloads expand the same macro)
+#define MIA_HUFF_DECODE_BODY                                          \
+    {                                                                 \
+        const uint32_t pk = br.peek16();                              \
+        const int hi = (int)(pk >> 8);                                \
+        const int l8 = lut_len[hi];                                   \
+        if (l8) {                                                     \
+            if (!br.consume(l8)) return -1;                           \
+            return lut_val[hi];                                       \
+        }                                                             \
+        for (int l = 9; l <= 16; l++) {                               \
+            int code = (int)(pk >> (16 - l));                         \
+            if (maxcode[l] >= 0 && code <= maxcode[l]) {              \
+                if (!br.consume(l)) return -1;                        \
+                int idx = valptr[l] + code - mincode[l];              \
+                if (idx < 0 || idx >= 256) return -1; /* bad DHT */   \
+                return vals[idx];                                     \
+            }                                                         \
+        }                                                             \
+        if (br.ncache < 16) br.ok = false; /* starved, not invalid */ \
+        return -1;                                                    \
     }
+
+    int decode(BitReader& br) const MIA_HUFF_DECODE_BODY
+    int decode(struct DctBitReader& br) const;
 };
 
 // Decode SOF3 lossless JPEG. out: int32 buffer (w*h*ncomp, interleaved).
@@ -721,48 +727,82 @@ static const uint8_t kZigzag[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
+// 64-bit refill cache like BitReader, plus pending-marker tracking for
+// restart intervals. Cached-but-unused bits before a restart are the
+// pad bits the marker boundary discards; the forward marker scan in
+// restart() is exact because FF + non-00 can never occur as stuffed
+// entropy data.
 struct DctBitReader {
     const uint8_t* buf;
     uint64_t len;
     uint64_t pos;
-    uint32_t bits;
-    int nbits;
+    uint64_t cache;
+    int ncache;
     bool ok;
     int marker;  // pending RST/EOI marker seen in the stream, else -1
 
-    int next_bit() {
-        if (nbits == 0) {
-            if (marker >= 0) { ok = false; return 0; }
-            if (pos >= len) { ok = false; return 0; }
-            uint8_t b = buf[pos++];
+    inline void fill() {
+        while (ncache <= 56) {
+            if (marker >= 0 || pos >= len) return;
+            uint8_t b = buf[pos];
             if (b == 0xFF) {
-                if (pos < len && buf[pos] == 0x00) {
-                    pos++;
-                } else if (pos < len) {
-                    marker = buf[pos];  // RSTn / EOI / next SOS
-                    ok = false;
-                    return 0;
+                if (pos + 1 < len && buf[pos + 1] == 0x00) {
+                    pos += 2;
+                } else if (pos + 1 < len) {
+                    marker = buf[pos + 1];  // RSTn / EOI / next SOS
+                    pos += 2;
+                    return;
                 } else {
-                    ok = false;
-                    return 0;
+                    pos = len;              // dangling FF at end
+                    return;
                 }
+            } else {
+                pos++;
             }
-            bits = b;
-            nbits = 8;
+            cache = (cache << 8) | (uint64_t)b;
+            ncache += 8;
         }
-        nbits--;
-        return (bits >> nbits) & 1;
     }
 
-    int receive(int n) {
-        int v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | next_bit();
-        return v;
+    inline int next_bit() {
+        if (ncache == 0) {
+            fill();
+            if (ncache == 0) { ok = false; return 0; }
+        }
+        ncache--;
+        return (int)((cache >> ncache) & 1);
+    }
+
+    inline int receive(int n) {          // n <= 16 at every call site
+        if (ncache < n) {
+            fill();
+            if (ncache < n) { ok = false; return 0; }
+        }
+        ncache -= n;
+        return (int)((cache >> ncache) & ((1u << n) - 1));
+    }
+
+    inline uint32_t peek16() {
+        if (ncache < 16) fill();
+        if (ncache >= 16)
+            return (uint32_t)((cache >> (ncache - 16)) & 0xFFFF);
+        uint64_t w = ncache ? (cache & ((~0ULL) >> (64 - ncache))) : 0;
+        return (uint32_t)(w << (16 - ncache));
+    }
+
+    inline bool consume(int n) {
+        if (ncache < n) {
+            fill();
+            if (ncache < n) { ok = false; return false; }
+        }
+        ncache -= n;
+        return true;
     }
 
     // align to the next marker boundary and consume an expected RSTn
     bool restart() {
-        nbits = 0;
+        ncache = 0;
+        cache = 0;
         if (marker < 0) {
             // scan forward for the marker
             while (pos + 1 < len) {
@@ -773,8 +813,6 @@ struct DctBitReader {
                 }
                 pos++;
             }
-        } else {
-            pos++;  // consume the marker byte recorded by next_bit
         }
         if (marker >= 0xD0 && marker <= 0xD7) {
             marker = -1;
@@ -785,18 +823,8 @@ struct DctBitReader {
     }
 };
 
-static int huff_decode_dct(const Huff& hf, DctBitReader& br) {
-    int code = br.next_bit();
-    int l = 1;
-    while (l <= 16 && (hf.maxcode[l] < 0 || code > hf.maxcode[l])) {
-        code = (code << 1) | br.next_bit();
-        l++;
-    }
-    if (l > 16 || !br.ok) return -1;
-    int idx = hf.valptr[l] + code - hf.mincode[l];
-    if (idx < 0 || idx >= 256) return -1;
-    return hf.vals[idx];
-}
+inline int Huff::decode(DctBitReader& br) const MIA_HUFF_DECODE_BODY
+
 
 // separable float IDCT (DCT-III) with the 1/2 C(u) normalization
 struct CosTab {
@@ -985,13 +1013,13 @@ int mia_jpegdct_decode(const uint8_t* buf, uint64_t len, int32_t* out,
                     if (!hdc.valid || !hac.valid) return -7;
                     if (!q_ok[comp_q[comp]]) return -7;
                     for (int i = 0; i < 64; i++) coef[i] = 0;
-                    int t = huff_decode_dct(hdc, br);
+                    int t = hdc.decode(br);
                     if (t < 0 || t > 16) return -8;
                     int diff = t ? extend(br.receive(t), t) : 0;
                     dc_pred[comp] += diff;
                     coef[0] = dc_pred[comp];
                     for (int k = 1; k < 64;) {
-                        int rs = huff_decode_dct(hac, br);
+                        int rs = hac.decode(br);
                         if (rs < 0) return -8;
                         int r = (rs >> 4) & 0x0F;
                         int sz = rs & 0x0F;
