@@ -106,9 +106,11 @@ def decode_rle(ds):
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
     # the native scanner surfaces the Basic Offset Table as fragment 0
-    # (the slow parser drops it); RLE is one fragment per frame, so a
-    # frames+1 count means a leading BOT
-    if len(frags) == frames + 1:
+    # (the slow parser drops it); RLE is one fragment per frame, and a
+    # BOT is structurally empty or exactly 4 bytes per frame — a real
+    # RLE fragment is >= 64 bytes, so a count heuristic alone could
+    # discard a real frame when the header understates the frame count
+    if len(frags) == frames + 1 and len(frags[0]) in (0, 4 * frames):
         frags = frags[1:]
     if len(frags) < frames:
         raise ValueError("RLE: fewer fragments than frames")

@@ -255,9 +255,10 @@ def jpeg_lossless_decode(frag):
 
 def jpegls_t87_decode(frag):
     """Native JPEG-LS (ITU-T T.87, DICOM .4.80 lossless / .4.81
-    near-lossless) decode -> array (H, W) int32 or None. The codec the
-    reference gets from GDCM/CharLS (ref read/dicom.py:52); cv2 ships
-    no JPEG-LS support."""
+    near-lossless) decode -> array (H, W) int32, or (H, W, C) for
+    multi-component plane-separated (ILV 0) streams, or None. The
+    codec the reference gets from GDCM/CharLS (ref read/dicom.py:52);
+    cv2 ships no JPEG-LS support."""
     return _jpeg_decode_via("mia_jpegls_decode", frag)
 
 

@@ -1054,10 +1054,13 @@ int mia_jpegdct_decode(const uint8_t* buf, uint64_t len, int32_t* out,
             for (int s = 0; s < ns; s++) comp_done[scan_comp[s]] = true;
             decoded_any = true;
             // continue the marker scan AFTER the entropy data; when
-            // the reader recorded a pending marker, br.pos points AT
-            // the marker byte (0xFF is one before it)
+            // the cached reader recorded a pending marker, fill()
+            // advanced br.pos TWO past its 0xFF (review finding: the
+            // old per-bit reader stopped ON the marker byte, and the
+            // stale p -= 1 skipped the next SOS of one-component-per-
+            // scan files)
             p = seg_end + br.pos;
-            if (br.marker >= 0 && p > seg_end) p -= 1;
+            if (br.marker >= 0 && p >= seg_end + 2) p -= 2;
             continue;
         }
         p = seg_end;

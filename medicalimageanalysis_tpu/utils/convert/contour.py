@@ -336,37 +336,47 @@ class ModelToMask(object):
         over the full face set per plane was ~90% of voxelization time
         at organ scale (83 planes x 100k faces)."""
         slocs = np.asarray(self.slice_locations, np.float64)
-        # searchsorted bucketing requires ascending locations; the
-        # auto-computed grid always is, but user-supplied lists (e.g.
-        # descending feet-first slice positions) fall back to full-face
-        # cuts rather than silently producing empty candidates
-        sortable = slocs.size > 1 and bool(np.all(np.diff(slocs) >= 0))
+        # searchsorted bucketing needs sorted locations; the
+        # auto-computed grid is ascending, but user-supplied lists
+        # (e.g. descending feet-first slice positions) bucket against
+        # an argsorted copy with an index remap — candidates stay
+        # exact for ARBITRARY orderings (duplicates included: every
+        # sorted slot of an equal value falls inside [lo, hi))
+        n_s = slocs.shape[0]
+        need_sort = n_s > 1 and not bool(np.all(np.diff(slocs) >= 0))
+        if need_sort:
+            sort_idx = np.argsort(slocs, kind="stable")
+            slocs_sorted = slocs[sort_idx]
+            slot_of = np.empty(n_s, np.int64)
+            slot_of[sort_idx] = np.arange(n_s)
+        else:
+            slocs_sorted = slocs
+            slot_of = None
         for model in self.models:
             com = model.center
             org_bounds = model.GetBounds()
-            if sortable:
-                # per-face crossing candidates: plane s crosses a face
-                # iff fzmin <= s < fzmax (slice_plane's d>0 predicate)
-                fz = model.points[:, 2][model.faces]
-                fmin = fz.min(axis=1)
-                fmax = fz.max(axis=1)
-                lo = np.searchsorted(slocs, fmin, "left")
-                hi = np.searchsorted(slocs, fmax, "left")
-                counts = hi - lo
-                total = int(counts.sum())
-                fidx = np.repeat(np.arange(counts.shape[0]), counts)
-                cum = np.cumsum(counts)
-                planes = np.repeat(lo, counts) + (
-                    np.arange(total) - np.repeat(cum - counts, counts))
-                order = np.argsort(planes, kind="stable")
-                fidx = fidx[order]
-                bounds_at = np.searchsorted(
-                    planes[order], np.arange(slocs.shape[0] + 1))
+            # per-face crossing candidates: plane s crosses a face
+            # iff fzmin <= s < fzmax (slice_plane's d>0 predicate)
+            fz = model.points[:, 2][model.faces]
+            fmin = fz.min(axis=1)
+            fmax = fz.max(axis=1)
+            lo = np.searchsorted(slocs_sorted, fmin, "left")
+            hi = np.searchsorted(slocs_sorted, fmax, "left")
+            counts = hi - lo
+            total = int(counts.sum())
+            fidx = np.repeat(np.arange(counts.shape[0]), counts)
+            cum = np.cumsum(counts)
+            planes = np.repeat(lo, counts) + (
+                np.arange(total) - np.repeat(cum - counts, counts))
+            order = np.argsort(planes, kind="stable")
+            fidx = fidx[order]
+            bounds_at = np.searchsorted(planes[order],
+                                        np.arange(n_s + 1))
             model_contours = []
             for jj, s in enumerate(self.slice_locations):
                 if org_bounds[4] < s < org_bounds[5]:
-                    cands = fidx[bounds_at[jj]:bounds_at[jj + 1]] \
-                        if sortable else None
+                    slot = int(slot_of[jj]) if need_sort else jj
+                    cands = fidx[bounds_at[slot]:bounds_at[slot + 1]]
                     loops = model.slice_plane(
                         normal=[0, 0, 1], origin=[com[0], com[1], s],
                         candidate_faces=cands)

@@ -620,3 +620,47 @@ def test_jpegls_multicomponent_rgb(tmp_path, rng):
              transfer_syntax=uids.JPEGLSLossless)
     out = dcmread(tmp_path / "rgb.dcm")
     np.testing.assert_array_equal(out.pixel_array, rgb)
+
+
+def test_jpeg_dct_multiscan_two_components(rng):
+    """One-component-per-scan multi-component DCT streams must resume
+    the marker scan at the 0xFF of the pending marker (the cached
+    reader's pos is two past it — review finding: the stale resume
+    skipped the second SOS and failed valid plane-separated files)."""
+    from medicalimageanalysis_tpu.dicom.jpegdct import encode_jpeg_dct
+    from medicalimageanalysis_tpu.native import jpeg_dct_decode
+
+    a = rng.integers(0, 4096, (16, 16)).astype(np.uint16)
+    b = rng.integers(0, 4096, (16, 16)).astype(np.uint16)
+    sa = bytearray(encode_jpeg_dct(a, precision=12, quant=1))
+    sb = bytearray(encode_jpeg_dct(b, precision=12, quant=1))
+
+    def segments(s):
+        """(pre_sos, sos_plus_entropy) with SOI/EOI stripped."""
+        i = s.index(b"\xFF\xDA")
+        return bytes(s[2:i]), bytes(s[i:-2])
+
+    pre_a, scan_a = segments(sa)
+    _, scan_b = segments(sb)
+    # patch pre_a's SOF1 to two components (ids 1 and 2, 1x1, Tq 0)
+    j = pre_a.index(b"\xFF\xC1")
+    import struct as _s
+    seg_len = (pre_a[j + 2] << 8) | pre_a[j + 3]
+    body = bytearray(pre_a[j + 4:j + 2 + seg_len])
+    assert body[5] == 1                     # Nf
+    body[5] = 2
+    body += bytes([2, 0x11, 0])             # component 2 spec
+    new_sof = b"\xFF\xC1" + _s.pack(">H", len(body) + 2) + bytes(body)
+    pre = pre_a[:j] + new_sof + pre_a[j + 2 + seg_len:]
+    # patch scan_b's SOS component id to 2
+    scan_b = bytearray(scan_b)
+    sos_len = (scan_b[2] << 8) | scan_b[3]
+    assert scan_b[4] == 1                   # ns
+    scan_b[5] = 2                           # Cs
+    stream = b"\xFF\xD8" + pre + scan_a + bytes(scan_b) + b"\xFF\xD9"
+
+    out = jpeg_dct_decode(stream)
+    assert out is not None, "two-scan stream failed to decode"
+    assert out.shape == (16, 16, 2)
+    assert np.abs(out[..., 0].astype(int) - a.astype(int)).max() <= 24
+    assert np.abs(out[..., 1].astype(int) - b.astype(int)).max() <= 24
