@@ -133,7 +133,14 @@ def dcmwrite(path, ds, transfer_syntax=None):
     encap_pixels = None
     if transfer_syntax in uids.ENCAPSULATED_SYNTAXES and 0x7FE00010 in ds._dict:
         el = ds._dict.pop(0x7FE00010)
-        frags = el.value if isinstance(el.value, list) else [bytes(el.value)]
+        if isinstance(el.value, list):
+            frags = el.value
+        else:
+            # raw (uncompressed) pixel bytes + a compressed target
+            # syntax: auto-encode per frame (RLE / JPEG-LS) — the
+            # reference cannot write compressed at all
+            frags = _auto_encode_frames(ds, bytes(el.value),
+                                        transfer_syntax)
         encap_pixels = _encode_encapsulated(frags)
 
     try:
@@ -157,6 +164,62 @@ def dcmwrite(path, ds, transfer_syntax=None):
         f.write(b"DICM")
         f.write(meta)
         f.write(body)
+
+
+def _auto_encode_frames(ds, raw, transfer_syntax):
+    """Compress raw little-endian pixel bytes into per-frame fragments
+    for the target transfer syntax (RLE, JPEG-LS lossless). Signed
+    data travels as its two's-complement codes at BitsAllocated
+    precision — the decode path's dtype cast restores the sign, so
+    round trips are exact. Near-lossless (.4.81) is intentionally NOT
+    auto-selected: silently lossy writes need the caller to pass
+    pre-encoded fragments with an explicit NEAR."""
+    from . import pixels as px
+
+    frames, rows, cols, samples = px._target_shape(ds)
+    dtype = px._native_dtype(ds)
+    arr = np.frombuffer(raw, dtype=dtype,
+                        count=frames * rows * cols * samples)
+    arr = px._reshape(arr, ds)
+    if frames == 1:
+        arr = arr[None]
+
+    if transfer_syntax == uids.RLELossless:
+        if samples != 1:
+            raise ValueError("dcmwrite: RLE auto-encode supports "
+                             "SamplesPerPixel=1 (per-sample byte "
+                             "segment ordering); pre-encode fragments")
+        return [encode_rle_frame(f) for f in arr]
+
+    if transfer_syntax == uids.JPEGLSLossless:
+        bits_alloc = int(ds.get("BitsAllocated", 16))
+        signed = int(ds.get("PixelRepresentation", 0)) == 1
+        if signed:
+            codes = arr.astype(np.int64) & ((1 << bits_alloc) - 1)
+            precision = bits_alloc
+        else:
+            codes = arr.astype(np.int64)
+            precision = int(ds.get("BitsStored", bits_alloc)
+                            or bits_alloc)
+            if codes.size and int(codes.max()) >= (1 << precision):
+                precision = bits_alloc
+        try:
+            from ..native import jpegls_t87_encode
+        except Exception:
+            jpegls_t87_encode = None
+        out = []
+        for f in codes:
+            enc = jpegls_t87_encode(f, precision=precision) \
+                if jpegls_t87_encode is not None else None
+            if enc is None:            # native lib unavailable
+                from .jpegls_t87 import encode_jpegls
+                enc = encode_jpegls(f, precision=precision)
+            out.append(enc)
+        return out
+
+    raise ValueError(
+        f"dcmwrite: cannot auto-encode pixels for {transfer_syntax}; "
+        "pass PixelData as a list of pre-encoded frame fragments")
 
 
 def _encode_encapsulated(fragments):

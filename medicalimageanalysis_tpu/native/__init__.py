@@ -100,6 +100,11 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
 
+    lib.mia_jpegls_encode.restype = ctypes.c_int64
+    lib.mia_jpegls_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
+
     lib.mia_jpegdct_decode.restype = ctypes.c_int
     lib.mia_jpegdct_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
@@ -260,6 +265,31 @@ def jpegls_t87_decode(frag):
     codec the reference gets from GDCM/CharLS (ref read/dicom.py:52);
     cv2 ships no JPEG-LS support."""
     return _jpeg_decode_via("mia_jpegls_decode", frag)
+
+
+def jpegls_t87_encode(arr, precision, near=0):
+    """Native JPEG-LS encode of (H, W) or (H, W, C<=4) non-negative
+    int arrays -> codestream bytes, or None when the native library is
+    unavailable (callers fall back to the Python encoder, which is
+    bit-identical but ~100x slower). Default thresholds, no LSE."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, np.int32)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or not 1 <= a.shape[2] <= 4:
+        raise ValueError("jpegls_t87_encode: (H, W) or (H, W, C<=4)")
+    H, W, C = a.shape
+    cap = a.size * 4 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.mia_jpegls_encode(
+        a.ctypes.data_as(ctypes.c_void_p), W, H, C, int(precision),
+        int(near), out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        raise ValueError(f"jpegls_t87_encode: rc={n} (out-of-range "
+                         "samples or bad parameters)")
+    return out[:n].tobytes()
 
 
 def jpeg_dct_decode(frag):

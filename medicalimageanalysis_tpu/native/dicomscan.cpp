@@ -1554,6 +1554,326 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
 }
 
 // ---------------------------------------------------------------------
+// JPEG-LS encoder (T.87 LOCO-I), mirror of the validated Python
+// encoder dicom/jpegls_t87.py so the two are bit-identical — the
+// Python one stays the conformance reference, this one makes
+// compressed DICOM export production-speed (the Python scan loop is
+// ~0.5 s per 256^2 slice). Default thresholds only (no LSE), NEAR>=0,
+// 1..4 plane-separated components (ILV 0).
+
+struct LsBitWriter {
+    std::vector<uint8_t> out;
+    uint32_t cur = 0;
+    int n = 0;
+    int room = 8;   // 7 after an emitted 0xFF (stuffed MSB)
+
+    inline void put(uint32_t v, int nb) {
+        for (int i = nb - 1; i >= 0; i--) {
+            cur = (cur << 1) | ((v >> i) & 1u);
+            if (++n == room) {
+                out.push_back((uint8_t)cur);
+                room = (cur == 0xFF) ? 7 : 8;
+                cur = 0;
+                n = 0;
+            }
+        }
+    }
+
+    inline void zeros(int count) {
+        for (int i = 0; i < count; i++) put(0, 1);
+    }
+
+    void flush() {
+        if (n) {
+            cur <<= (room - n);
+            out.push_back((uint8_t)cur);
+            cur = 0;
+            n = 0;
+            room = 8;
+        }
+    }
+};
+
+static void ls_put_limited(LsBitWriter& bw, int64_t val, int k,
+                           int limit, int qbpp) {
+    int64_t hi = val >> k;
+    if (hi < limit - qbpp - 1) {
+        bw.zeros((int)hi);
+        bw.put(1, 1);
+        if (k) bw.put((uint32_t)(val & ((1 << k) - 1)), k);
+    } else {
+        bw.zeros(limit - qbpp - 1);
+        bw.put(1, 1);
+        bw.put((uint32_t)(val - 1), qbpp);
+    }
+}
+
+// one single-component scan (fresh modeller state per T.87)
+static void ls_encode_scan(const int32_t* img, int stride, int W,
+                           int H, int maxval, int near, int T1, int T2,
+                           int T3, int RESET, LsBitWriter& bw) {
+    const int range = (maxval + 2 * near) / (2 * near + 1) + 1;
+    const int qbpp = ls_ceil_log2(range);
+    const int bpp_ = ls_ceil_log2(maxval + 1) < 2
+                         ? 2 : ls_ceil_log2(maxval + 1);
+    const int limit = 2 * (bpp_ + (bpp_ > 8 ? bpp_ : 8));
+    const int64_t full = (int64_t)range * (2 * near + 1);
+    const int half_rng = (range + 1) / 2;
+    const int twon1 = 2 * near + 1;
+
+    int64_t A[367], B[365], N[367];
+    int C[365];
+    int64_t Nn[2] = {0, 0};
+    {
+        int64_t ainit = (range + 32) / 64;
+        if (ainit < 2) ainit = 2;
+        for (int q = 0; q < 367; q++) { A[q] = ainit; N[q] = 1; }
+        for (int q = 0; q < 365; q++) { B[q] = 0; C[q] = 0; }
+    }
+    int runindex = 0;
+
+    std::vector<int8_t> qlutv((size_t)(2 * maxval + 1));
+    for (int d = -maxval; d <= maxval; d++) {
+        int q;
+        if (d <= -T3) q = -4;
+        else if (d <= -T2) q = -3;
+        else if (d <= -T1) q = -2;
+        else if (d < -near) q = -1;
+        else if (d <= near) q = 0;
+        else if (d < T1) q = 1;
+        else if (d < T2) q = 2;
+        else if (d < T3) q = 3;
+        else q = 4;
+        qlutv[(size_t)(d + maxval)] = (int8_t)q;
+    }
+    const int8_t* qlut = qlutv.data() + maxval;
+
+    std::vector<int32_t> prevv((size_t)W + 2, 0), curv((size_t)W + 2, 0);
+    int32_t* prev = prevv.data();
+    int32_t* cur = curv.data();
+
+    for (int64_t y = 0; y < H; y++) {
+        const int32_t* row = img + y * W * stride;
+        prev[W + 1] = prev[W];
+        cur[0] = prev[1];
+        int64_t x = 0;
+        while (x < W) {
+            const int Ra = cur[x], Rb = prev[x + 1], Rc = prev[x],
+                      Rd = prev[x + 2];
+            const int D1 = Rd - Rb, D2 = Rb - Rc, D3 = Rc - Ra;
+            const int aD1 = D1 < 0 ? -D1 : D1, aD2 = D2 < 0 ? -D2 : D2,
+                      aD3 = D3 < 0 ? -D3 : D3;
+
+            if (aD1 <= near && aD2 <= near && aD3 <= near) {
+                // ---------------- run mode ----------------
+                int64_t runcnt = 0;
+                while (x + runcnt < W) {
+                    int diff = (int)row[(x + runcnt) * stride] - Ra;
+                    if (diff < 0) diff = -diff;
+                    if (diff > near) break;
+                    runcnt++;
+                }
+                for (int64_t i = 0; i < runcnt; i++)
+                    cur[x + 1 + i] = Ra;
+                int64_t end = x + runcnt;
+                while (runcnt >= ((int64_t)1 << kLsJ[runindex])) {
+                    bw.put(1, 1);
+                    runcnt -= (int64_t)1 << kLsJ[runindex];
+                    if (runindex < 31) runindex++;
+                }
+                if (end >= W) {           // run to end of line
+                    if (runcnt > 0) bw.put(1, 1);
+                    x = end;
+                    continue;
+                }
+                bw.put(0, 1);
+                if (kLsJ[runindex])
+                    bw.put((uint32_t)runcnt, kLsJ[runindex]);
+                x = end;
+
+                // ------- run interruption sample (ctx 365/366)
+                const int Ix = (int)row[x * stride];
+                const int Ra2 = cur[x], Rb2 = prev[x + 1];
+                const int ad = Ra2 > Rb2 ? Ra2 - Rb2 : Rb2 - Ra2;
+                const int ritype = ad <= near ? 1 : 0;
+                const int Px = ritype ? Ra2 : Rb2;
+                const int sign = (!ritype && Ra2 > Rb2) ? -1 : 1;
+                int64_t e = (int64_t)(Ix - Px) * sign;
+                if (near)
+                    e = e > 0 ? (near + e) / twon1
+                              : -((near - e) / twon1);
+                if (e < 0) e += range;
+                if (e >= half_rng) e -= range;
+                int64_t Rx = Px + sign * e * twon1;
+                if (Rx < -near) Rx += full;
+                else if (Rx > maxval + near) Rx -= full;
+                if (Rx < 0) Rx = 0;
+                if (Rx > maxval) Rx = maxval;
+                cur[x + 1] = (int32_t)Rx;
+                const int Q = 365 + ritype;
+                const int64_t temp =
+                    ritype ? A[366] + (N[366] >> 1) : A[365];
+                int k = 0;
+                while ((N[Q] << k) < temp) k++;
+                int emap;
+                if (k == 0 && e > 0 && 2 * Nn[ritype] < N[Q]) emap = 1;
+                else if (e < 0 && 2 * Nn[ritype] >= N[Q]) emap = 1;
+                else if (e < 0 && k != 0) emap = 1;
+                else emap = 0;
+                const int64_t emerr =
+                    2 * (e < 0 ? -e : e) - ritype - emap;
+                ls_put_limited(bw, emerr, k,
+                               limit - kLsJ[runindex] - 1, qbpp);
+                if (e < 0) Nn[ritype]++;
+                A[Q] += (emerr + 1 - ritype) >> 1;
+                if (N[Q] == RESET) {
+                    A[Q] >>= 1;
+                    N[Q] >>= 1;
+                    Nn[ritype] >>= 1;
+                }
+                N[Q]++;
+                if (runindex > 0) runindex--;
+                x++;
+                continue;
+            }
+
+            // ---------------- regular mode ----------------
+            int q1 = qlut[D1], q2 = qlut[D2], q3 = qlut[D3];
+            int sign = 1;
+            if (q1 < 0 || (q1 == 0 && (q2 < 0 || (q2 == 0 && q3 < 0)))) {
+                sign = -1;
+                q1 = -q1; q2 = -q2; q3 = -q3;
+            }
+            const int Q = q1 * 81 + q2 * 9 + q3;
+
+            const int mn = Ra < Rb ? Ra : Rb, mx = Ra < Rb ? Rb : Ra;
+            int Px;
+            if (Rc >= mx) Px = mn;
+            else if (Rc <= mn) Px = mx;
+            else Px = Ra + Rb - Rc;
+            Px += sign * C[Q];
+            if (Px < 0) Px = 0;
+            if (Px > maxval) Px = maxval;
+
+            const int Ix = (int)row[x * stride];
+            int64_t e = (int64_t)(Ix - Px) * sign;
+            if (near)
+                e = e > 0 ? (near + e) / twon1 : -((near - e) / twon1);
+            if (e < 0) e += range;
+            if (e >= half_rng) e -= range;
+            int64_t Rx = Px + sign * e * twon1;
+            if (Rx < -near) Rx += full;
+            else if (Rx > maxval + near) Rx -= full;
+            if (Rx < 0) Rx = 0;
+            if (Rx > maxval) Rx = maxval;
+            cur[x + 1] = (int32_t)Rx;
+
+            int k = 0;
+            while ((N[Q] << k) < A[Q]) k++;
+            int64_t merr;
+            if (near == 0 && k == 0 && 2 * B[Q] <= -N[Q])
+                merr = e >= 0 ? 2 * e + 1 : -2 * (e + 1);
+            else
+                merr = e >= 0 ? 2 * e : -2 * e - 1;
+            ls_put_limited(bw, merr, k, limit, qbpp);
+
+            B[Q] += e * twon1;
+            A[Q] += e < 0 ? -e : e;
+            if (N[Q] == RESET) {
+                A[Q] >>= 1;
+                B[Q] = B[Q] >= 0 ? B[Q] >> 1 : -((1 - B[Q]) >> 1);
+                N[Q] >>= 1;
+            }
+            N[Q]++;
+            if (B[Q] <= -N[Q]) {
+                if (C[Q] > -128) C[Q]--;
+                B[Q] += N[Q];
+                if (B[Q] <= -N[Q]) B[Q] = -N[Q] + 1;
+            } else if (B[Q] > 0) {
+                if (C[Q] < 127) C[Q]++;
+                B[Q] -= N[Q];
+                if (B[Q] > 0) B[Q] = 0;
+            }
+            x++;
+        }
+        std::swap(prev, cur);
+    }
+}
+
+// img: (H, W, ncomp) interleaved int32, values in [0, 2^precision).
+// Writes a full codestream (SOI..EOI); returns byte count or negative.
+int64_t mia_jpegls_encode(const int32_t* img, int W, int H, int ncomp,
+                          int precision, int near, uint8_t* out,
+                          int64_t out_capacity) {
+    if (W < 1 || W > 65535 || H < 1 || H > 65535) return -1;
+    if (ncomp < 1 || ncomp > 4) return -1;
+    if (precision < 2 || precision > 16) return -1;
+    const int maxval = (1 << precision) - 1;
+    if (near < 0 || near > (maxval < 255 ? maxval / 2 : 255)) return -1;
+    for (int64_t i = 0; i < (int64_t)W * H * ncomp; i++)
+        if (img[i] < 0 || img[i] > maxval) return -2;
+
+    // defaults with CLAMP_1 (identical to the decoder / Python)
+    int t1, t2, t3;
+    {
+        int dT1, dT2, dT3;
+        if (maxval >= 128) {
+            int factor = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
+            dT1 = factor * (3 - 2) + 2 + 3 * near;
+            dT2 = factor * (7 - 3) + 3 + 5 * near;
+            dT3 = factor * (21 - 4) + 4 + 7 * near;
+        } else {
+            int factor = 256 / (maxval + 1);
+            dT1 = 3 / factor + 3 * near;
+            if (dT1 < 2) dT1 = 2;
+            dT2 = 7 / factor + 5 * near;
+            if (dT2 < 3) dT2 = 3;
+            dT3 = 21 / factor + 7 * near;
+            if (dT3 < 4) dT3 = 4;
+        }
+        t1 = (dT1 > maxval || dT1 < near + 1) ? near + 1 : dT1;
+        t2 = (dT2 > maxval || dT2 < t1) ? t1 : dT2;
+        t3 = (dT3 > maxval || dT3 < t2) ? t2 : dT3;
+    }
+
+    LsBitWriter bw;
+    bw.out.reserve((size_t)W * H * 2 + 64);
+    bw.out.push_back(0xFF); bw.out.push_back(0xD8);        // SOI
+    // SOF55
+    const int sof_len = 8 + 3 * ncomp;
+    bw.out.push_back(0xFF); bw.out.push_back(0xF7);
+    bw.out.push_back((uint8_t)(sof_len >> 8));
+    bw.out.push_back((uint8_t)sof_len);
+    bw.out.push_back((uint8_t)precision);
+    bw.out.push_back((uint8_t)(H >> 8)); bw.out.push_back((uint8_t)H);
+    bw.out.push_back((uint8_t)(W >> 8)); bw.out.push_back((uint8_t)W);
+    bw.out.push_back((uint8_t)ncomp);
+    for (int c = 0; c < ncomp; c++) {
+        bw.out.push_back((uint8_t)(c + 1));
+        bw.out.push_back(0x11);
+        bw.out.push_back(0);
+    }
+    for (int c = 0; c < ncomp; c++) {
+        // SOS (Cs = c+1, Tm 0, NEAR, ILV 0, Al 0)
+        bw.out.push_back(0xFF); bw.out.push_back(0xDA);
+        bw.out.push_back(0); bw.out.push_back(8);
+        bw.out.push_back(1);
+        bw.out.push_back((uint8_t)(c + 1));
+        bw.out.push_back(0);
+        bw.out.push_back((uint8_t)near);
+        bw.out.push_back(0);
+        bw.out.push_back(0);
+        ls_encode_scan(img + c, ncomp, W, H, maxval, near, t1, t2, t3,
+                       64, bw);
+        bw.flush();
+    }
+    bw.out.push_back(0xFF); bw.out.push_back(0xD9);        // EOI
+    if ((int64_t)bw.out.size() > out_capacity) return -3;
+    memcpy(out, bw.out.data(), bw.out.size());
+    return (int64_t)bw.out.size();
+}
+
+// ---------------------------------------------------------------------
 // 12-bit pixel packing for host->device staging (ops/bitpack.py): 8
 // int16 values (offset by lo, range-checked by the caller) -> 3 uint32
 // words. Threaded; the numpy chain costs ~0.24 s on a bench cohort,

@@ -664,3 +664,48 @@ def test_jpeg_dct_multiscan_two_components(rng):
     assert out.shape == (16, 16, 2)
     assert np.abs(out[..., 0].astype(int) - a.astype(int)).max() <= 24
     assert np.abs(out[..., 1].astype(int) - b.astype(int)).max() <= 24
+
+
+def test_native_jpegls_encoder_bit_identical(rng):
+    """The C++ JPEG-LS encoder must produce BYTE-IDENTICAL streams to
+    the Python conformance encoder (same algorithm, two
+    implementations) across precisions, content, NEAR, components."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    from medicalimageanalysis_tpu.native import jpegls_t87_encode
+
+    cases = [
+        (rng.integers(0, 256, (48, 64)), 8, 0),
+        (rng.integers(0, 4096, (48, 64)), 12, 0),
+        (rng.integers(0, 65536, (32, 40)), 16, 0),
+        (rng.integers(0, 4096, (30, 40)), 12, 2),
+        (rng.integers(0, 256, (24, 32, 3)), 8, 0),
+        (np.zeros((16, 16), np.int64), 8, 0),
+    ]
+    for i, (img, prec, near) in enumerate(cases):
+        py = encode_jpegls(img, precision=prec, near=near)
+        cc = jpegls_t87_encode(np.asarray(img), precision=prec,
+                               near=near)
+        assert cc == py, f"case {i}"
+
+
+def test_dcmwrite_auto_encode_compressed(tmp_path, rng):
+    """dcmwrite with a compressed target syntax and RAW PixelData
+    auto-encodes per frame (capability the reference lacks): exact
+    round trips for RLE and JPEG-LS, including SIGNED data."""
+    arr = rng.integers(0, 4000, size=(32, 32)).astype(np.uint16)
+    for ts in (uids.RLELossless, uids.JPEGLSLossless):
+        ds = make_ct_slice(arr)      # raw little-endian PixelData bytes
+        ds.BitsStored, ds.HighBit = 12, 11
+        dcmwrite(tmp_path / "auto.dcm", ds, transfer_syntax=ts)
+        out = dcmread(tmp_path / "auto.dcm")
+        assert out.file_meta.TransferSyntaxUID == ts
+        np.testing.assert_array_equal(out.pixel_array, arr)
+
+    signed = rng.integers(-1024, 3000, size=(32, 32)).astype(np.int16)
+    ds = make_ct_slice(signed.astype(np.uint16))
+    ds.PixelRepresentation = 1
+    ds.PixelData = signed.tobytes()
+    dcmwrite(tmp_path / "s.dcm", ds,
+             transfer_syntax=uids.JPEGLSLossless)
+    out = dcmread(tmp_path / "s.dcm")
+    np.testing.assert_array_equal(out.pixel_array, signed)
