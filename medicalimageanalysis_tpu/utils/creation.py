@@ -27,7 +27,8 @@ class CreateDicomImage(object):
     (reference utils/creation.py:30-229)."""
 
     def __init__(self, output_dir, data, study=None, series=None, frame=None,
-                 origin=None, spacing=None, thickness=None):
+                 origin=None, spacing=None, thickness=None,
+                 transfer_syntax=None):
         self.output_dir = output_dir
         self.data = data
         self.study = study
@@ -36,6 +37,9 @@ class CreateDicomImage(object):
         self.origin = origin
         self.spacing = spacing
         self.thickness = thickness
+        # beyond-parity: a compressed target (RLELossless /
+        # JPEGLSLossless) auto-encodes each slice via dcmwrite
+        self.transfer_syntax = transfer_syntax
 
         self.orientation = [1, 0, 0, 0, 1, 0]
 
@@ -135,7 +139,8 @@ class CreateDicomImage(object):
 
             export_file = os.path.join(str(self.output_dir),
                                        str(ii) + ".dcm")
-            dcmwrite(export_file, ds)
+            dcmwrite(export_file, ds,
+                     transfer_syntax=self.transfer_syntax)
 
 
 class CreateImageFromMask(object):

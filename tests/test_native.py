@@ -709,3 +709,26 @@ def test_dcmwrite_auto_encode_compressed(tmp_path, rng):
              transfer_syntax=uids.JPEGLSLossless)
     out = dcmread(tmp_path / "s.dcm")
     np.testing.assert_array_equal(out.pixel_array, signed)
+
+
+def test_create_dicom_image_compressed_series(tmp_path, rng):
+    """CreateDicomImage(transfer_syntax=...) writes a compressed
+    series that round-trips exactly through read_dicoms."""
+    from medicalimageanalysis_tpu.data import Data
+    from medicalimageanalysis_tpu.reader import read_dicoms
+    from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+    arr = rng.integers(0, 3000, size=(4, 32, 32)).astype(np.int16)
+    for sub, ts in (("ls", uids.JPEGLSLossless),
+                    ("rle", uids.RLELossless)):
+        d = tmp_path / sub
+        d.mkdir()
+        CreateDicomImage(str(d), arr, spacing=[1, 1], thickness=2.5,
+                         transfer_syntax=ts).run()
+        out = dcmread(sorted(d.iterdir())[0])
+        assert out.file_meta.TransferSyntaxUID == ts
+        Data.clear()
+        read_dicoms(folder_path=str(d))
+        vol = np.asarray(Data.image[Data.image_list[0]].array)
+        np.testing.assert_array_equal(vol, arr)
+        Data.clear()
