@@ -343,7 +343,7 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
             m_now = np.asarray(pose_to_matrix(ps[p], centers[p]))
             P_now = (np.asarray(mov_pos2pix[p]) @ m_now
                      @ np.asarray(ref_pix2pos[p]))
-            if not fits_warp_caps(P_now):
+            if not fits_warp_caps(P_now, vol_x=movs.shape[-1]):
                 return False
         return True
 
@@ -461,7 +461,7 @@ def register_rigid_intensity(reference_image, moving_image, pose0=None,
     def _fits(p):
         m_now = np.asarray(pose_to_matrix(p, jnp.asarray(center)))
         P_now = np.asarray(mov_pos2pix) @ m_now @ np.asarray(ref_pix2pos)
-        return bool(fits_warp_caps(P_now))
+        return bool(fits_warp_caps(P_now, vol_x=mov.shape[-1]))
 
     for stride, steps, lr in levels:
         # capture-range guard: if the level's STARTING pose maps a tile

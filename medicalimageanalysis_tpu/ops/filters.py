@@ -22,13 +22,24 @@ __all__ = ["gaussian_filter", "binary_erode", "binary_dilate",
            "largest_component", "largest_component_batch", "fill_holes_2d"]
 
 
-def _gauss_kernel_matrix(n, sigma_vox, dtype=np.float32):
-    """(n, n) Toeplitz Gaussian matrix: out = G @ x along one axis.
-    Dense so XLA runs it on the MXU; truncated at 4 sigma."""
+def gauss_taps(sigma_vox, dtype=np.float32):
+    """Normalized 1-D Gaussian taps truncated at 4 sigma ->
+    (taps (2r+1,), radius). The SINGLE source of the tap formula: the
+    dense Toeplitz matrix below and the z-sharded halo pass
+    (parallel/halo.py) both build from it, which is what makes
+    sharded-vs-single-device smoothing bit-equivalent."""
     radius = max(1, int(np.ceil(4 * sigma_vox)))
     offsets = np.arange(-radius, radius + 1)
     k = np.exp(-0.5 * (offsets / sigma_vox) ** 2)
-    k /= k.sum()
+    return (k / k.sum()).astype(dtype), radius
+
+
+def _gauss_kernel_matrix(n, sigma_vox, dtype=np.float32):
+    """(n, n) Toeplitz Gaussian matrix: out = G @ x along one axis.
+    Dense so XLA runs it on the MXU; truncated at 4 sigma."""
+    k64, radius = gauss_taps(sigma_vox, dtype=np.float64)
+    offsets = np.arange(-radius, radius + 1)
+    k = k64
     m = np.zeros((n, n), dtype=np.float64)
     idx = np.arange(n)
     for off, w in zip(offsets, k):

@@ -122,17 +122,33 @@ def predicted_spread(pixel_matrix):
     return sz, sy
 
 
-def fits_warp_caps(pixel_matrix, window=None):
+def fits_warp_caps(pixel_matrix, window=None, vol_x=None):
     """True when an affine's per-tile footprint fits the kernel's slab
     windows (derived from _pick_config, NOT hardcoded): beyond this the
     kernel would background-overflow and callers should take the exact
-    gather or a bigger window."""
+    gather or a bigger window.
+
+    vol_x (the input volume's X extent) additionally checks the x-slab
+    footprint that exists once X > 512 (SX becomes a 384-lane window):
+    without it, wide-volume downsampling affines pass the prediction,
+    then overflow at runtime and pay the wasted dispatch + eager sync
+    this predicate exists to avoid (review finding)."""
     cfg = _pick_config((1 << 14, 1 << 14, 1 << 14), window)
     ZW = cfg["ZS"] - cfg["TZ"]
     YW = cfg["YS"] - cfg["TY"] - 8
     sz, sy = predicted_spread(pixel_matrix)
-    # -1 loop slack; -7 on y for the 8-aligned slab-base residual
-    return sz <= ZW - 1 and sy <= YW - 8
+    if not (sz <= ZW - 1 and sy <= YW - 8):
+        return False
+    if vol_x is not None:
+        cfg_x = _pick_config((1, 1, int(vol_x)), window)
+        if cfg_x["SX"] < _round_up(int(vol_x), 128):
+            A = np.asarray(pixel_matrix, np.float64)
+            TZ, TY, TX = cfg["TZ"], cfg["TY"], cfg["TX"]
+            sx = (abs(A[0, 0] - 1) * TX + abs(A[0, 1]) * TY
+                  + abs(A[0, 2]) * TZ)
+            if sx + TX + 3 > cfg_x["SX"] - 128:
+                return False
+    return True
 
 
 def _gather_rows(rows, idx, SX):
@@ -592,8 +608,10 @@ def field_warp(vol, cz, cy, cx, background=0.0, want_grad=False,
 
     # off-TPU the XLA twin beats interpret-mode kernel emulation (the
     # gather pathology is TPU-specific); interpret=True explicitly
-    # still exercises the kernel (the CPU test path)
-    if backend != "tpu" and not explicit_interpret:
+    # still exercises the kernel (the CPU test path). An explicit
+    # interpret=False off-TPU ALSO takes the twin — a Mosaic kernel
+    # cannot lower there (review finding, matching warp_disp_jit)
+    if backend != "tpu" and not (explicit_interpret and interpret):
         out = field_warp_xla(vol, cz, cy, cx, background)
         out = out[0] if squeeze else out
         if want_grad:
@@ -647,10 +665,38 @@ def make_warp_sampler(vol, background=0.0, window=None, interpret=None):
 
     This is the registration hot path: under ``lax.scan`` the whole
     multi-resolution descent keeps one kernel dispatch per step.
+
+    Off-TPU (unless interpret=True explicitly exercises the kernel)
+    the sampler is built on the exact XLA twin instead of interpret-
+    mode kernel emulation, which is orders of magnitude slower for the
+    same result (review finding).
     """
     vol = jnp.asarray(vol, jnp.float32)
     squeeze = vol.ndim == 3
     volb = vol[None] if squeeze else vol
+
+    def bwd(res, g):
+        gz, gy, gx = res
+        if not squeeze:
+            return (jnp.sum(g * gz, axis=0), jnp.sum(g * gy, axis=0),
+                    jnp.sum(g * gx, axis=0))
+        return (g * gz, g * gy, g * gx)
+
+    if jax.default_backend() != "tpu" and interpret is not True:
+        @jax.custom_vjp
+        def sample(cz, cy, cx):
+            out = field_warp_xla(volb, cz, cy, cx, background)
+            return out[0] if squeeze else out
+
+        def fwd(cz, cy, cx):
+            out = field_warp_xla(volb, cz, cy, cx, background)
+            gz, gy, gx = _xla_coord_grads(volb, cz, cy, cx, False)
+            if squeeze:
+                out, gz, gy, gx = out[0], gz[0], gy[0], gx[0]
+            return out, (gz, gy, gx)
+
+        sample.defvjp(fwd, bwd)
+        return sample
 
     @jax.custom_vjp
     def sample(cz, cy, cx):
@@ -667,13 +713,6 @@ def make_warp_sampler(vol, background=0.0, window=None, interpret=None):
         if squeeze:
             out, gz, gy, gx = out[0], gz[0], gy[0], gx[0]
         return out, (gz, gy, gx)
-
-    def bwd(res, g):
-        gz, gy, gx = res
-        if not squeeze:
-            return (jnp.sum(g * gz, axis=0), jnp.sum(g * gy, axis=0),
-                    jnp.sum(g * gx, axis=0))
-        return (g * gz, g * gy, g * gx)
 
     sample.defvjp(fwd, bwd)
     return sample
@@ -695,10 +734,48 @@ def make_disp_sampler(vol, background=0.0, window=None, interpret=None,
     ovf is the f32 slab-overflow element count (zero cotangent), so an
     optimizer scan can accumulate overflow across EVERY iterate instead
     of only inspecting the final field (ADVICE r2: a transiently
-    overflowing fit silently degrades convergence)."""
+    overflowing fit silently degrades convergence).
+
+    Off-TPU (unless interpret=True) the sampler is built on the exact
+    XLA twin — overflow is then always 0.0 (the twin has no slab
+    caps)."""
     vol = jnp.asarray(vol, jnp.float32)
     squeeze = vol.ndim == 3
     volb = vol[None] if squeeze else vol
+
+    def bwd(res, g):
+        gz, gy, gx = res
+        if with_overflow:
+            g = g[0]
+        if not squeeze:
+            return (jnp.stack([jnp.sum(g * gx, axis=0),
+                               jnp.sum(g * gy, axis=0),
+                               jnp.sum(g * gz, axis=0)]),)
+        return (jnp.stack([g * gx, g * gy, g * gz]),)
+
+    if jax.default_backend() != "tpu" and interpret is not True:
+        def _disp_coords(disp):
+            zz, yy, xx = _base_grid(disp.shape[1:])
+            return (zz + disp[2], yy + disp[1], xx + disp[0])
+
+        @jax.custom_vjp
+        def sample(disp):
+            cz, cy, cx = _disp_coords(disp)
+            out = field_warp_xla(volb, cz, cy, cx, background)
+            out = out[0] if squeeze else out
+            return (out, jnp.float32(0.0)) if with_overflow else out
+
+        def fwd(disp):
+            cz, cy, cx = _disp_coords(disp)
+            out = field_warp_xla(volb, cz, cy, cx, background)
+            gz, gy, gx = _xla_coord_grads(volb, cz, cy, cx, False)
+            if squeeze:
+                out, gz, gy, gx = out[0], gz[0], gy[0], gx[0]
+            return (((out, jnp.float32(0.0)) if with_overflow else out),
+                    (gz, gy, gx))
+
+        sample.defvjp(fwd, bwd)
+        return sample
 
     @jax.custom_vjp
     def sample(disp):
@@ -717,16 +794,6 @@ def make_disp_sampler(vol, background=0.0, window=None, interpret=None,
         if squeeze:
             out, gz, gy, gx = out[0], gz[0], gy[0], gx[0]
         return ((out, ovf) if with_overflow else out), (gz, gy, gx)
-
-    def bwd(res, g):
-        gz, gy, gx = res
-        if with_overflow:
-            g = g[0]
-        if not squeeze:
-            return (jnp.stack([jnp.sum(g * gx, axis=0),
-                               jnp.sum(g * gy, axis=0),
-                               jnp.sum(g * gz, axis=0)]),)
-        return (jnp.stack([g * gx, g * gy, g * gz]),)
 
     sample.defvjp(fwd, bwd)
     return sample
@@ -882,9 +949,7 @@ def affine_coords(pixel_matrix, out_shape):
     :func:`ops.resample.affine_resample`. Differentiable in the matrix."""
     A = jnp.asarray(pixel_matrix, jnp.float32)
     Zo, Yo, Xo = (int(s) for s in out_shape)
-    zz = jnp.arange(Zo, dtype=jnp.float32)[:, None, None]
-    yy = jnp.arange(Yo, dtype=jnp.float32)[None, :, None]
-    xx = jnp.arange(Xo, dtype=jnp.float32)[None, None, :]
+    zz, yy, xx = _base_grid((Zo, Yo, Xo))
     cx = A[0, 0] * xx + A[0, 1] * yy + A[0, 2] * zz + A[0, 3]
     cy = A[1, 0] * xx + A[1, 1] * yy + A[1, 2] * zz + A[1, 3]
     cz = A[2, 0] * xx + A[2, 1] * yy + A[2, 2] * zz + A[2, 3]

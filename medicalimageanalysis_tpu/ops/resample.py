@@ -266,13 +266,14 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
         osh = tuple(int(s) for s in out_shape)
         fused_args = None
         al = None
-        if fits_warp_caps(A):
+        if fits_warp_caps(A, vol_x=vol.shape[-1]):
             fused_args = (A, None, ())
         else:
             # large rotation: exact transpose/flip pre-pass (90-ish
             # degree orientation reslices become near-identity residuals)
             al = _axis_align_input(A, vol.shape)
-            if al is not None and fits_warp_caps(al[2]):
+            if al is not None and fits_warp_caps(
+                    al[2], vol_x=vol.shape[al[0][2]]):
                 perm, flips, A2 = al
                 fused_args = (A2, perm, flips)
         if fused_args is not None:

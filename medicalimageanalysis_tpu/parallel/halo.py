@@ -27,10 +27,11 @@ __all__ = ["gaussian_z_sharded", "demons_z_sharded",
 
 
 def _gauss_taps(sigma_vox):
-    radius = max(1, int(np.ceil(4 * sigma_vox)))
-    offsets = np.arange(-radius, radius + 1)
-    k = np.exp(-0.5 * (offsets / sigma_vox) ** 2)
-    return (k / k.sum()).astype(np.float32), radius
+    """Shared tap formula: delegating to ops.filters.gauss_taps is
+    what guarantees the sharded z-pass matches the dense Toeplitz
+    matrix bit-for-bit (the parity the halo demons loop relies on)."""
+    from ..ops.filters import gauss_taps
+    return gauss_taps(sigma_vox, dtype=np.float32)
 
 
 def gaussian_z_sharded(volume, sigma_vox, mesh, axis_name="space"):
@@ -46,32 +47,20 @@ def gaussian_z_sharded(volume, sigma_vox, mesh, axis_name="space"):
     Z = volume.shape[0]
     if Z % n_shards != 0:
         raise ValueError(f"z={Z} not divisible by {n_shards} shards")
+    if radius > Z // n_shards:
+        # the single-hop ring exchange can only serve one shard of
+        # halo; without this guard the failure is an opaque broadcast
+        # error deep inside shard_map tracing (review finding)
+        raise ValueError(
+            f"gaussian_z_sharded: smoothing radius {radius} exceeds "
+            f"the {Z // n_shards}-slice shard depth; reduce sigma or "
+            "use fewer z-shards")
 
     taps_j = jnp.asarray(taps)
 
     def local_fn(block):
-        # block: (Z/n, Y, X) local shard
-        idx = lax.axis_index(axis_name)
-        top = block[:radius]          # lowest-z slices of this shard
-        bot = block[-radius:]         # highest-z slices
-
-        # receive the neighbor-below's bottom slices and the
-        # neighbor-above's top slices (ring permute; wrap masked below)
-        from_below = lax.ppermute(
-            bot, axis_name,
-            [(i, (i + 1) % n_shards) for i in range(n_shards)])
-        from_above = lax.ppermute(
-            top, axis_name,
-            [(i, (i - 1) % n_shards) for i in range(n_shards)])
-
-        # global edges: replicate the shard's own edge slice instead of
-        # the wrapped-around data
-        edge_low = jnp.repeat(block[:1], radius, axis=0)
-        edge_high = jnp.repeat(block[-1:], radius, axis=0)
-        below = jnp.where(idx == 0, edge_low, from_below)
-        above = jnp.where(idx == n_shards - 1, edge_high, from_above)
-
-        slab = jnp.concatenate([below, block, above], axis=0)
+        # block: (Z/n, Y, X) local shard, halo-extended by `radius`
+        slab = _exchange_z(block, radius, n_shards, axis_name, 0)
         out = jnp.zeros_like(block)
         for t in range(2 * radius + 1):
             out = out + taps_j[t] * lax.dynamic_slice_in_dim(
@@ -406,6 +395,12 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
         f = jax.device_put(fixed, vol_sh)
         m = jax.device_put(moving, vol_sh)
     u, ovf = run(f, m)
+    if multiproc:
+        # ovf is P(data)-sharded; device_get on an array spanning
+        # non-addressable devices raises — reduce to a replicated
+        # scalar first (review finding)
+        ovf = jax.jit(jnp.sum,
+                      out_shardings=NamedSharding(mesh, P()))(ovf)
     if float(np.sum(jax.device_get(ovf))) > 0:
         import warnings
         warnings.warn(
