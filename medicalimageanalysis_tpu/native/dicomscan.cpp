@@ -1081,11 +1081,13 @@ int mia_jpegdct_decode(const uint8_t* buf, uint64_t len, int32_t* out,
 // 1.2.840.10008.1.2.4.80 (lossless) and .81 (near-lossless). The
 // reference decodes these through GDCM/CharLS (requirements.txt:~1-86,
 // gdcm import at reference read/dicom.py:52); cv2 ships no JPEG-LS
-// codec. Scope: 1..4 plane-separated components (ILV 0, one scan per
-// component — the DICOM CT/MR/PT case plus RGB secondary capture)
-// with LSE preset-parameter support, NEAR >= 0, 2..16-bit precision.
-// Line/sample interleaves (ILV 1/2), mapping tables, and restart
-// intervals return typed errors (negative rc -> ValueError in Python).
+// codec. Scope: 1..4 components in all three T.87 scan layouts —
+// plane-separated (ILV 0, one scan per component — the DICOM
+// CT/MR/PT case), line-interleaved (ILV 1) and sample-interleaved
+// (ILV 2) color streams (the CharLS-encoded RGB case) — with LSE
+// preset-parameter support, NEAR >= 0, 2..16-bit precision. Mapping
+// tables, restart intervals, and subsampled multi-component frames
+// return typed errors (negative rc -> ValueError in Python).
 //
 // LOCO-I essentials implemented exactly per the T.87 pseudo-code:
 // gradient quantization with T1/T2/T3, 365 regular contexts + 2 run
@@ -1204,215 +1206,402 @@ static uint64_t ls_find_marker(const uint8_t* s, uint64_t n) {
     return n;
 }
 
+// Shared per-scan decoder state: context counters + derived coding
+// parameters + the bit reader. One instance per SOS scan (T.87
+// restarts the modeller per scan); all three scan layouts — single-
+// component (ILV 0), line-interleaved (ILV 1), sample-interleaved
+// (ILV 2) — decode through the same sample helpers below so the
+// LOCO-I arithmetic exists exactly once. Multi-component scans share
+// ALL statistics (A/B/C/N/Nn) per T.87 8.3; only RUNindex is
+// per-component in ILV 1 and shared in ILV 2 (CharLS rgRUNindex).
+struct LsState {
+    // context state (int64 so hostile streams cannot overflow updates)
+    int64_t A[367], B[365], N[367];
+    int C[365];
+    int64_t Nn[2];
+    int maxval, near_, RESET;
+    int qbpp, limit;
+    int64_t full;
+    std::vector<int8_t> qlutv;
+    const int8_t* qlut;   // centered: qlut[d], d in [-maxval, maxval]
+    LsBitReader br;
+
+    void init(const uint8_t* scan, uint64_t scan_len, int mv, int nr,
+              int T1, int T2, int T3, int RST) {
+        maxval = mv;
+        near_ = nr;
+        RESET = RST;
+        const int range = (mv + 2 * nr) / (2 * nr + 1) + 1;
+        qbpp = ls_ceil_log2(range);
+        const int bpp_ = ls_ceil_log2(mv + 1) < 2
+                             ? 2 : ls_ceil_log2(mv + 1);
+        limit = 2 * (bpp_ + (bpp_ > 8 ? bpp_ : 8));
+        full = (int64_t)range * (2 * nr + 1);
+        int64_t ainit = (range + 32) / 64;
+        if (ainit < 2) ainit = 2;
+        for (int q = 0; q < 367; q++) { A[q] = ainit; N[q] = 1; }
+        for (int q = 0; q < 365; q++) { B[q] = 0; C[q] = 0; }
+        Nn[0] = Nn[1] = 0;
+        // gradient-quantizer LUT over the full difference range
+        // [-maxval, maxval] (<= 131071 entries at 16-bit): three
+        // lookups per sample instead of up to 24 compares
+        qlutv.assign((size_t)(2 * mv + 1), 0);
+        for (int d = -mv; d <= mv; d++) {
+            int q;
+            if (d <= -T3) q = -4;
+            else if (d <= -T2) q = -3;
+            else if (d <= -T1) q = -2;
+            else if (d < -nr) q = -1;
+            else if (d <= nr) q = 0;
+            else if (d < T1) q = 1;
+            else if (d < T2) q = 2;
+            else if (d < T3) q = 3;
+            else q = 4;
+            qlutv[(size_t)(d + mv)] = (int8_t)q;
+        }
+        qlut = qlutv.data() + mv;
+        br = LsBitReader{scan, scan_len, 0, 0, 0, false, true};
+    }
+};
+
+// one regular-mode sample (T.87 A.3-A.7 with the shared qlut):
+// returns Rx >= 0, or -1 on hostile/starved input
+static inline int ls_regular_sample(LsState& S, int Ra, int Rb, int Rc,
+                                    int D1, int D2, int D3) {
+    int q1 = S.qlut[D1], q2 = S.qlut[D2], q3 = S.qlut[D3];
+    int sign = 1;
+    if (q1 < 0 || (q1 == 0 && (q2 < 0 || (q2 == 0 && q3 < 0)))) {
+        sign = -1;
+        q1 = -q1; q2 = -q2; q3 = -q3;
+    }
+    const int Q = q1 * 81 + q2 * 9 + q3;   // 1..364
+
+    // median-edge predictor + bias correction
+    const int mn = Ra < Rb ? Ra : Rb, mx = Ra < Rb ? Rb : Ra;
+    int Px;
+    if (Rc >= mx) Px = mn;
+    else if (Rc <= mn) Px = mx;
+    else Px = Ra + Rb - Rc;
+    Px += sign * S.C[Q];
+    if (Px < 0) Px = 0;
+    if (Px > S.maxval) Px = S.maxval;
+
+    int k = 0;
+    while ((S.N[Q] << k) < S.A[Q]) {
+        k++;
+        if (k > 24) return -1;   // hostile state blow-up
+    }
+    const int merr = ls_decode_limited(S.br, k, S.limit, S.qbpp);
+    if (merr < 0) return -1;
+
+    int64_t errval;
+    if (S.near_ == 0 && k == 0 && 2 * S.B[Q] <= -S.N[Q]) {
+        // inverted mapping: m = 2e+1 (e >= 0), m = -2(e+1) (e < 0)
+        errval = (merr & 1) ? (merr - 1) / 2
+                            : -(int64_t)merr / 2 - 1;
+    } else {
+        errval = (merr & 1) ? -((int64_t)merr + 1) / 2
+                            : (int64_t)merr / 2;
+    }
+
+    S.B[Q] += errval * (2 * S.near_ + 1);
+    S.A[Q] += errval < 0 ? -errval : errval;
+    if (S.N[Q] == S.RESET) {
+        S.A[Q] >>= 1;
+        S.B[Q] = S.B[Q] >= 0 ? S.B[Q] >> 1 : -((1 - S.B[Q]) >> 1);
+        S.N[Q] >>= 1;
+    }
+    S.N[Q]++;
+    if (S.B[Q] <= -S.N[Q]) {
+        if (S.C[Q] > -128) S.C[Q]--;
+        S.B[Q] += S.N[Q];
+        if (S.B[Q] <= -S.N[Q]) S.B[Q] = -S.N[Q] + 1;
+    } else if (S.B[Q] > 0) {
+        if (S.C[Q] < 127) S.C[Q]++;
+        S.B[Q] -= S.N[Q];
+        if (S.B[Q] > 0) S.B[Q] = 0;
+    }
+
+    int64_t Rx = Px + sign * errval * (2 * S.near_ + 1);
+    if (Rx < -S.near_) Rx += S.full;
+    else if (Rx > S.maxval + S.near_) Rx -= S.full;
+    if (Rx < 0) Rx = 0;
+    if (Rx > S.maxval) Rx = S.maxval;
+    return (int)Rx;
+}
+
+// one run-interruption sample (contexts 365/366, T.87 A.7.2):
+// force_ri0 selects the sample-interleaved rule — context 365
+// regardless of |Ra - Rb| (T.87 8.3.3, CharLS DecodeRIPixel<Triplet>)
+static inline int ls_run_interrupt_sample(LsState& S, int Ra, int Rb,
+                                          int runindex,
+                                          bool force_ri0) {
+    const int ad = Ra > Rb ? Ra - Rb : Rb - Ra;
+    const int ritype = (!force_ri0 && ad <= S.near_) ? 1 : 0;
+    const int Px = ritype ? Ra : Rb;
+    const int sign = (!ritype && Ra > Rb) ? -1 : 1;
+    const int Q = 365 + ritype;
+    const int64_t temp = ritype ? S.A[366] + (S.N[366] >> 1) : S.A[365];
+    int k = 0;
+    while ((S.N[Q] << k) < temp) {
+        k++;
+        if (k > 24) return -1;   // hostile state blow-up
+    }
+    // glimit > qbpp always holds here: limit >= 2*(bpp+8), J <= 15,
+    // qbpp <= bpp for any NEAR >= 0
+    const int glimit = S.limit - kLsJ[runindex] - 1;
+    int emerr = ls_decode_limited(S.br, k, glimit, S.qbpp);
+    if (emerr < 0) return -1;
+    const int tmpv = emerr + ritype;   // == 2|e| - map
+    const int map = tmpv & 1;
+    const int64_t eabs = ((int64_t)tmpv + map) / 2;
+    const bool cond = (k != 0) || (2 * S.Nn[ritype] >= S.N[Q]);
+    int64_t errval = (map == (int)cond) ? -eabs : eabs;
+
+    if (errval < 0) S.Nn[ritype]++;
+    S.A[Q] += (emerr + 1 - ritype) >> 1;
+    if (S.N[Q] == S.RESET) {
+        S.A[Q] >>= 1;
+        S.N[Q] >>= 1;
+        S.Nn[ritype] >>= 1;
+    }
+    S.N[Q]++;
+
+    int64_t Rx = Px + sign * errval * (2 * S.near_ + 1);
+    if (Rx < -S.near_) Rx += S.full;
+    else if (Rx > S.maxval + S.near_) Rx -= S.full;
+    if (Rx < 0) Rx = 0;
+    if (Rx > S.maxval) Rx = S.maxval;
+    return (int)Rx;
+}
+
+}  // extern "C" — a template cannot carry C linkage; the ladder is
+   // internal (static) and only the mia_* exports below need it
+
+// run-length ladder (T.87 A.7.1): decodes run bits, invoking
+// fill(x, n) for each n-sample stretch. interrupted=false means the
+// run reached end of line (no 0 bit); true means a 0-bit occurred and
+// the caller decodes the interruption sample(s). -8 on hostile input.
+template <class FillFn>
+static inline int ls_run_ladder(LsState& S, int& runindex, int64_t& x,
+                                int64_t W, bool& interrupted,
+                                FillFn fill) {
+    interrupted = false;
+    for (;;) {
+        int bit = S.br.next_bit();
+        if (!S.br.ok) return -8;
+        if (bit == 1) {
+            int64_t cnt = (int64_t)1 << kLsJ[runindex];
+            int64_t rem = W - x;
+            int64_t f = cnt < rem ? cnt : rem;
+            fill(x, f);
+            x += f;
+            if (cnt <= rem && runindex < 31) runindex++;
+            if (x >= W) return 0;    // end of line, no 0 bit
+        } else {
+            int jj = kLsJ[runindex];
+            int cnt = jj ? S.br.receive(jj) : 0;
+            if (!S.br.ok) return -8;
+            if (cnt > W - x - 1) return -8;   // hostile count
+            fill(x, cnt);
+            x += cnt;
+            interrupted = true;
+            return 0;
+        }
+    }
+}
+
+extern "C" {
+
+// one line of one component (ILV 0 scans, and per-component lines of
+// ILV 1 scans). prev/cur carry one-sample margins: index x+1 =
+// column x; prev[0] retains what cur[0] held one line earlier, which
+// is exactly the T.87 Rc rule for column 0.
+static int ls_decode_line(LsState& S, int& runindex, int32_t* prev,
+                          int32_t* cur, int32_t* orow, int stride,
+                          int W) {
+    prev[W + 1] = prev[W];   // Rd at the last column = Rb
+    cur[0] = prev[1];        // Ra at column 0 = Rb
+    int64_t x = 0;
+    while (x < W) {
+        const int Ra = cur[x], Rb = prev[x + 1], Rc = prev[x],
+                  Rd = prev[x + 2];
+        const int D1 = Rd - Rb, D2 = Rb - Rc, D3 = Rc - Ra;
+        const int aD1 = D1 < 0 ? -D1 : D1, aD2 = D2 < 0 ? -D2 : D2,
+                  aD3 = D3 < 0 ? -D3 : D3;
+
+        if (aD1 <= S.near_ && aD2 <= S.near_ && aD3 <= S.near_) {
+            // ---------------- run mode ----------------
+            bool interrupted;
+            int rc = ls_run_ladder(
+                S, runindex, x, W, interrupted,
+                [&](int64_t xs, int64_t n) {
+                    for (int64_t i = 0; i < n; i++) {
+                        cur[xs + 1 + i] = Ra;
+                        orow[(xs + i) * stride] = Ra;
+                    }
+                });
+            if (rc) return rc;
+            if (!interrupted) continue;   // line ended inside run
+
+            int Rx = ls_run_interrupt_sample(S, cur[x], prev[x + 1],
+                                             runindex, false);
+            if (Rx < 0) return -8;
+            cur[x + 1] = Rx;
+            orow[x * stride] = Rx;
+            x++;
+            if (runindex > 0) runindex--;
+            continue;
+        }
+
+        // ---------------- regular mode ----------------
+        int Rx = ls_regular_sample(S, Ra, Rb, Rc, D1, D2, D3);
+        if (Rx < 0) return -8;
+        cur[x + 1] = Rx;
+        orow[x * stride] = Rx;
+        x++;
+    }
+    return 0;
+}
+
 // one JPEG-LS scan (single component, ILV 0) into a strided output
 // plane: out[(y*W + x) * stride]
 static int ls_decode_scan(const uint8_t* scan, uint64_t scan_len,
                           int32_t* out, int stride, int W, int H,
                           int maxval, int near, int T1, int T2, int T3,
                           int RESET) {
-    const int range = (maxval + 2 * near) / (2 * near + 1) + 1;
-    const int qbpp = ls_ceil_log2(range);
-    const int bpp_ = ls_ceil_log2(maxval + 1) < 2
-                         ? 2 : ls_ceil_log2(maxval + 1);
-    const int limit = 2 * (bpp_ + (bpp_ > 8 ? bpp_ : 8));
-    const int64_t full = (int64_t)range * (2 * near + 1);
-
-    // context state (int64 so hostile streams cannot overflow updates)
-    int64_t A[367], B[365], N[367];
-    int C[365];
-    int64_t Nn[2] = {0, 0};
-    {
-        int64_t ainit = (range + 32) / 64;
-        if (ainit < 2) ainit = 2;
-        for (int q = 0; q < 367; q++) { A[q] = ainit; N[q] = 1; }
-        for (int q = 0; q < 365; q++) { B[q] = 0; C[q] = 0; }
-    }
-
-    LsBitReader br{scan, scan_len, 0, 0, 0, false, true};
-    // line buffers with one-sample margins (index x+1 = column x);
-    // prev[0] retains what cur[0] held one line earlier, which is
-    // exactly the T.87 Rc rule for column 0
+    LsState S;
+    S.init(scan, scan_len, maxval, near, T1, T2, T3, RESET);
     std::vector<int32_t> prevv((size_t)W + 2, 0), curv((size_t)W + 2, 0);
     int32_t* prev = prevv.data();
     int32_t* cur = curv.data();
     int runindex = 0;
-
-    // gradient-quantizer LUT over the full difference range
-    // [-maxval, maxval] (<= 131071 entries at 16-bit): three lookups
-    // per sample instead of up to 24 compares
-    std::vector<int8_t> qlutv((size_t)(2 * maxval + 1));
-    for (int d = -maxval; d <= maxval; d++) {
-        int q;
-        if (d <= -T3) q = -4;
-        else if (d <= -T2) q = -3;
-        else if (d <= -T1) q = -2;
-        else if (d < -near) q = -1;
-        else if (d <= near) q = 0;
-        else if (d < T1) q = 1;
-        else if (d < T2) q = 2;
-        else if (d < T3) q = 3;
-        else q = 4;
-        qlutv[(size_t)(d + maxval)] = (int8_t)q;
-    }
-    const int8_t* qlut = qlutv.data() + maxval;
-    auto quantize = [&](int d) -> int { return qlut[d]; };
-
     for (int64_t y = 0; y < H; y++) {
-        prev[W + 1] = prev[W];   // Rd at the last column = Rb
-        cur[0] = prev[1];        // Ra at column 0 = Rb
-        int64_t x = 0;
-        int32_t* orow = out + y * W * stride;
-        while (x < W) {
-            const int Ra = cur[x], Rb = prev[x + 1], Rc = prev[x],
-                      Rd = prev[x + 2];
-            const int D1 = Rd - Rb, D2 = Rb - Rc, D3 = Rc - Ra;
-            const int aD1 = D1 < 0 ? -D1 : D1, aD2 = D2 < 0 ? -D2 : D2,
-                      aD3 = D3 < 0 ? -D3 : D3;
+        int rc = ls_decode_line(S, runindex, prev, cur,
+                                out + y * W * stride, stride, W);
+        if (rc) return rc;
+        std::swap(prev, cur);
+    }
+    return 0;
+}
 
-            if (aD1 <= near && aD2 <= near && aD3 <= near) {
-                // ---------------- run mode ----------------
-                bool interrupted = false;
-                while (true) {
-                    int bit = br.next_bit();
-                    if (!br.ok) return -8;
-                    if (bit == 1) {
-                        int64_t cnt = (int64_t)1 << kLsJ[runindex];
-                        int64_t rem = W - x;
-                        int64_t fill = cnt < rem ? cnt : rem;
-                        for (int64_t i = 0; i < fill; i++) {
-                            cur[x + 1] = Ra;
-                            orow[x * stride] = Ra;
-                            x++;
+// line-interleaved scan (ILV 1): each image line carries one full
+// line of every component in scan order. Statistics shared, RUNindex
+// per component (T.87 8.3.2). cmap[c] = frame-component offset of
+// scan component c in the interleaved (H, W, ncomp) output.
+static int ls_decode_scan_ilv1(const uint8_t* scan, uint64_t scan_len,
+                               int32_t* out, int ncomp, const int* cmap,
+                               int W, int H, int maxval, int near,
+                               int T1, int T2, int T3, int RESET) {
+    LsState S;
+    S.init(scan, scan_len, maxval, near, T1, T2, T3, RESET);
+    std::vector<std::vector<int32_t>> prevs(ncomp), curs(ncomp);
+    for (int c = 0; c < ncomp; c++) {
+        prevs[c].assign((size_t)W + 2, 0);
+        curs[c].assign((size_t)W + 2, 0);
+    }
+    int runindex[4] = {0, 0, 0, 0};
+    for (int64_t y = 0; y < H; y++) {
+        for (int c = 0; c < ncomp; c++) {
+            int rc = ls_decode_line(S, runindex[c], prevs[c].data(),
+                                    curs[c].data(),
+                                    out + y * W * ncomp + cmap[c],
+                                    ncomp, W);
+            if (rc) return rc;
+            prevs[c].swap(curs[c]);
+        }
+    }
+    return 0;
+}
+
+// sample-interleaved scan (ILV 2): one sample of each component per
+// position. Run mode requires the run condition in ALL components,
+// codes the run length ONCE, and codes the interruption samples per
+// component with RItype = 0 and a single RUNindex decrement
+// (T.87 8.3.3).
+static int ls_decode_scan_ilv2(const uint8_t* scan, uint64_t scan_len,
+                               int32_t* out, int ncomp, const int* cmap,
+                               int W, int H, int maxval, int near,
+                               int T1, int T2, int T3, int RESET) {
+    LsState S;
+    S.init(scan, scan_len, maxval, near, T1, T2, T3, RESET);
+    std::vector<std::vector<int32_t>> prevs(ncomp), curs(ncomp);
+    for (int c = 0; c < ncomp; c++) {
+        prevs[c].assign((size_t)W + 2, 0);
+        curs[c].assign((size_t)W + 2, 0);
+    }
+    int runindex = 0;
+    for (int64_t y = 0; y < H; y++) {
+        for (int c = 0; c < ncomp; c++) {
+            int32_t* prev = prevs[c].data();
+            int32_t* cur = curs[c].data();
+            prev[W + 1] = prev[W];
+            cur[0] = prev[1];
+        }
+        int32_t* orow = out + y * W * ncomp;
+        int64_t x = 0;
+        while (x < W) {
+            bool runmode = true;
+            int Dv[4][3];
+            for (int c = 0; c < ncomp; c++) {
+                const int32_t* prev = prevs[c].data();
+                const int32_t* cur = curs[c].data();
+                const int Ra = cur[x], Rb = prev[x + 1],
+                          Rc = prev[x], Rd = prev[x + 2];
+                const int D1 = Rd - Rb, D2 = Rb - Rc, D3 = Rc - Ra;
+                Dv[c][0] = D1; Dv[c][1] = D2; Dv[c][2] = D3;
+                const int aD1 = D1 < 0 ? -D1 : D1,
+                          aD2 = D2 < 0 ? -D2 : D2,
+                          aD3 = D3 < 0 ? -D3 : D3;
+                if (aD1 > S.near_ || aD2 > S.near_ || aD3 > S.near_)
+                    runmode = false;
+            }
+
+            if (runmode) {
+                int32_t Rav[4];
+                for (int c = 0; c < ncomp; c++) Rav[c] = curs[c][x];
+                bool interrupted;
+                int rc = ls_run_ladder(
+                    S, runindex, x, W, interrupted,
+                    [&](int64_t xs, int64_t n) {
+                        for (int c = 0; c < ncomp; c++) {
+                            int32_t* cur = curs[c].data();
+                            const int32_t v = Rav[c];
+                            for (int64_t i = 0; i < n; i++) {
+                                cur[xs + 1 + i] = v;
+                                orow[(xs + i) * ncomp + cmap[c]] = v;
+                            }
                         }
-                        if (cnt <= rem && runindex < 31) runindex++;
-                        if (x >= W) break;      // end of line, no 0 bit
-                    } else {
-                        int jj = kLsJ[runindex];
-                        int cnt = jj ? br.receive(jj) : 0;
-                        if (!br.ok) return -8;
-                        if (cnt > W - x - 1) return -8;  // hostile count
-                        for (int i = 0; i < cnt; i++) {
-                            cur[x + 1] = Ra;
-                            orow[x * stride] = Ra;
-                            x++;
-                        }
-                        interrupted = true;
-                        break;
-                    }
-                }
+                    });
+                if (rc) return rc;
                 if (!interrupted) continue;   // line ended inside run
 
-                // ------- run interruption sample (contexts 365/366)
-                const int Ra2 = cur[x], Rb2 = prev[x + 1];
-                const int ad = Ra2 > Rb2 ? Ra2 - Rb2 : Rb2 - Ra2;
-                const int ritype = ad <= near ? 1 : 0;
-                const int Px = ritype ? Ra2 : Rb2;
-                const int sign = (!ritype && Ra2 > Rb2) ? -1 : 1;
-                const int Q = 365 + ritype;
-                const int64_t temp =
-                    ritype ? A[366] + (N[366] >> 1) : A[365];
-                int k = 0;
-                while ((N[Q] << k) < temp) {
-                    k++;
-                    if (k > 24) return -8;   // hostile state blow-up
+                for (int c = 0; c < ncomp; c++) {
+                    int Rx = ls_run_interrupt_sample(
+                        S, curs[c][x], prevs[c][x + 1], runindex,
+                        true);
+                    if (Rx < 0) return -8;
+                    curs[c][x + 1] = Rx;
+                    orow[x * ncomp + cmap[c]] = Rx;
                 }
-                // glimit > qbpp always holds here: limit >= 2*(bpp+8),
-                // J <= 15, qbpp <= bpp for any NEAR >= 0
-                const int glimit = limit - kLsJ[runindex] - 1;
-                int emerr = ls_decode_limited(br, k, glimit, qbpp);
-                if (emerr < 0) return -8;
-                const int tmpv = emerr + ritype;   // == 2|e| - map
-                const int map = tmpv & 1;
-                const int64_t eabs = ((int64_t)tmpv + map) / 2;
-                const bool cond = (k != 0) || (2 * Nn[ritype] >= N[Q]);
-                int64_t errval = (map == (int)cond) ? -eabs : eabs;
-
-                if (errval < 0) Nn[ritype]++;
-                A[Q] += (emerr + 1 - ritype) >> 1;
-                if (N[Q] == RESET) {
-                    A[Q] >>= 1;
-                    N[Q] >>= 1;
-                    Nn[ritype] >>= 1;
-                }
-                N[Q]++;
-
-                int64_t Rx = Px + sign * errval * (2 * near + 1);
-                if (Rx < -near) Rx += full;
-                else if (Rx > maxval + near) Rx -= full;
-                if (Rx < 0) Rx = 0;
-                if (Rx > maxval) Rx = maxval;
-                cur[x + 1] = (int32_t)Rx;
-                orow[x * stride] = (int32_t)Rx;
                 x++;
                 if (runindex > 0) runindex--;
                 continue;
             }
 
-            // ---------------- regular mode ----------------
-            int q1 = quantize(D1), q2 = quantize(D2), q3 = quantize(D3);
-            int sign = 1;
-            if (q1 < 0 || (q1 == 0 && (q2 < 0 || (q2 == 0 && q3 < 0)))) {
-                sign = -1;
-                q1 = -q1; q2 = -q2; q3 = -q3;
+            for (int c = 0; c < ncomp; c++) {
+                const int32_t* prev = prevs[c].data();
+                int32_t* cur = curs[c].data();
+                int Rx = ls_regular_sample(S, cur[x], prev[x + 1],
+                                           prev[x], Dv[c][0],
+                                           Dv[c][1], Dv[c][2]);
+                if (Rx < 0) return -8;
+                cur[x + 1] = Rx;
+                orow[x * ncomp + cmap[c]] = Rx;
             }
-            const int Q = q1 * 81 + q2 * 9 + q3;   // 1..364
-
-            // median-edge predictor + bias correction
-            const int mn = Ra < Rb ? Ra : Rb, mx = Ra < Rb ? Rb : Ra;
-            int Px;
-            if (Rc >= mx) Px = mn;
-            else if (Rc <= mn) Px = mx;
-            else Px = Ra + Rb - Rc;
-            Px += sign * C[Q];
-            if (Px < 0) Px = 0;
-            if (Px > maxval) Px = maxval;
-
-            int k = 0;
-            while ((N[Q] << k) < A[Q]) {
-                k++;
-                if (k > 24) return -8;
-            }
-            const int merr = ls_decode_limited(br, k, limit, qbpp);
-            if (merr < 0) return -8;
-
-            int64_t errval;
-            if (near == 0 && k == 0 && 2 * B[Q] <= -N[Q]) {
-                // inverted mapping: m = 2e+1 (e >= 0), m = -2(e+1) (e<0)
-                errval = (merr & 1) ? (merr - 1) / 2
-                                    : -(int64_t)merr / 2 - 1;
-            } else {
-                errval = (merr & 1) ? -((int64_t)merr + 1) / 2
-                                    : (int64_t)merr / 2;
-            }
-
-            B[Q] += errval * (2 * near + 1);
-            A[Q] += errval < 0 ? -errval : errval;
-            if (N[Q] == RESET) {
-                A[Q] >>= 1;
-                B[Q] = B[Q] >= 0 ? B[Q] >> 1 : -((1 - B[Q]) >> 1);
-                N[Q] >>= 1;
-            }
-            N[Q]++;
-            if (B[Q] <= -N[Q]) {
-                if (C[Q] > -128) C[Q]--;
-                B[Q] += N[Q];
-                if (B[Q] <= -N[Q]) B[Q] = -N[Q] + 1;
-            } else if (B[Q] > 0) {
-                if (C[Q] < 127) C[Q]++;
-                B[Q] -= N[Q];
-                if (B[Q] > 0) B[Q] = 0;
-            }
-
-            int64_t Rx = Px + sign * errval * (2 * near + 1);
-            if (Rx < -near) Rx += full;
-            else if (Rx > maxval + near) Rx -= full;
-            if (Rx < 0) Rx = 0;
-            if (Rx > maxval) Rx = maxval;
-            cur[x + 1] = (int32_t)Rx;
-            orow[x * stride] = (int32_t)Rx;
             x++;
         }
-        std::swap(prev, cur);
+        for (int c = 0; c < ncomp; c++) prevs[c].swap(curs[c]);
     }
     return 0;
 }
@@ -1450,12 +1639,15 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
             H = (buf[p + 3] << 8) | buf[p + 4];
             W = (buf[p + 5] << 8) | buf[p + 6];
             ncomp = buf[p + 7];
-            // scope: up to 4 plane-separated (ILV 0) components —
-            // line/sample interleaves (ILV 1/2) return typed errors
             if (ncomp < 1 || ncomp > 4) return -3;
             if (p + 8 + 3 * (uint64_t)ncomp > seg_end) return -2;
-            for (int i = 0; i < ncomp; i++)
+            for (int i = 0; i < ncomp; i++) {
                 comp_id[i] = buf[p + 8 + 3 * i];
+                // multi-component decode assumes co-sited 1x1
+                // sampling (the DICOM case); subsampled frames would
+                // silently mis-decode
+                if (ncomp > 1 && buf[p + 9 + 3 * i] != 0x11) return -3;
+            }
         } else if (marker == 0xF8) {     // LSE preset parameters
             if (p + 3 > seg_end) return -2;
             int id = buf[p + 2];
@@ -1478,21 +1670,31 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
             if (precision < 2 || precision > 16) return -5;
             if (p + 3 > seg_end) return -2;
             int ns = buf[p + 2];
-            if (ns != 1) return -3;      // ILV 0: one component per scan
-            if (p + 8 > seg_end) return -2;
-            int cs = buf[p + 3];
-            int tm = buf[p + 4];         // mapping table selector
-            if (tm != 0) return -3;
-            int near = buf[p + 5];
-            int ilv = buf[p + 6];
-            if (ilv != 0) return -3;
+            // one component per scan (ILV 0) or ALL components in one
+            // scan (ILV 1 line / ILV 2 sample interleaved, T.87 8.3)
+            if (ns != 1 && ns != ncomp) return -3;
+            if (p + 6 + 2 * (uint64_t)ns > seg_end) return -2;
+            int cmap[4] = {0, 0, 0, 0};
+            for (int s = 0; s < ns; s++) {
+                int cs = buf[p + 3 + 2 * s];
+                int tm = buf[p + 4 + 2 * s];   // mapping table selector
+                if (tm != 0) return -3;
+                int ci = -1;
+                for (int i = 0; i < ncomp; i++)
+                    if (comp_id[i] == cs) ci = i;
+                if (ci < 0 || comp_done[ci]) return -5;
+                for (int s2 = 0; s2 < s; s2++)
+                    if (cmap[s2] == ci) return -5;   // duplicate Cs
+                cmap[s] = ci;
+            }
+            const uint64_t q = p + 3 + 2 * (uint64_t)ns;
+            int near = buf[q];
+            int ilv = buf[q + 1];
+            if (ns == 1 ? (ilv != 0) : (ilv != 1 && ilv != 2))
+                return -3;
             // Ah/Al byte: a nonzero point transform (Al) shifts every
             // sample; decoding it as 0 would be silently wrong
-            if ((buf[p + 7] & 0x0F) != 0) return -3;
-            int ci = -1;
-            for (int i = 0; i < ncomp; i++)
-                if (comp_id[i] == cs) ci = i;
-            if (ci < 0 || comp_done[ci]) return -5;
+            if ((buf[q + 2] & 0x0F) != 0) return -3;
 
             int mv = maxval ? maxval : (1 << precision) - 1;
             if (mv < 1 || mv > (1 << precision) - 1 || mv > 65535)
@@ -1534,12 +1736,23 @@ int mia_jpegls_decode(const uint8_t* buf, uint64_t len, int32_t* out,
             }
 
             if (seg_end >= len) return -5;
-            int rc = ls_decode_scan(buf + seg_end, len - seg_end,
-                                    out + ci, ncomp, W, H, mv, near,
-                                    t1, t2, t3, rst);
+            int rc;
+            if (ns == 1) {
+                rc = ls_decode_scan(buf + seg_end, len - seg_end,
+                                    out + cmap[0], ncomp, W, H, mv,
+                                    near, t1, t2, t3, rst);
+            } else if (ilv == 1) {
+                rc = ls_decode_scan_ilv1(buf + seg_end, len - seg_end,
+                                         out, ncomp, cmap, W, H, mv,
+                                         near, t1, t2, t3, rst);
+            } else {
+                rc = ls_decode_scan_ilv2(buf + seg_end, len - seg_end,
+                                         out, ncomp, cmap, W, H, mv,
+                                         near, t1, t2, t3, rst);
+            }
             if (rc != 0) return rc;
-            comp_done[ci] = true;
-            n_done++;
+            for (int s = 0; s < ns; s++) comp_done[cmap[s]] = true;
+            n_done += ns;
             *w_out = W; *h_out = H; *ncomp_out = ncomp;
             *prec_out = precision;
             if (n_done == ncomp) return 0;

@@ -83,6 +83,10 @@ def main():
                           reset=32),
             encode_jpegls(rng.integers(0, 256, (16, 16, 3)),
                           precision=8),   # multi-scan (ILV 0) path
+            encode_jpegls(rng.integers(0, 256, (16, 16, 3)),
+                          precision=8, ilv=1),   # line-interleaved
+            encode_jpegls(rng.integers(0, 256, (16, 16, 3)),
+                          precision=8, ilv=2),   # sample-interleaved
         ],
         "mia_jpegls14_decode": [
             encode_jpeg_lossless(img8, precision=8),

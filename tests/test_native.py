@@ -622,6 +622,114 @@ def test_jpegls_multicomponent_rgb(tmp_path, rng):
     np.testing.assert_array_equal(out.pixel_array, rgb)
 
 
+def test_jpegls_interleaved_roundtrip(rng):
+    """Line- (ILV 1) and sample- (ILV 2) interleaved scans — the
+    CharLS color layouts (T.87 8.3.2/8.3.3: shared statistics,
+    per-component RUNindex in ILV 1, RItype-0 interruptions in
+    ILV 2) — round-trip against the native decoder across component
+    counts, precisions, and NEAR."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    _, dec = _jpegls_pair()
+
+    for (h, w, c, prec) in [(47, 63, 3, 8), (32, 51, 3, 12),
+                            (21, 17, 2, 8), (16, 16, 4, 10)]:
+        maxv = (1 << prec) - 1
+        img = (np.linspace(0, maxv, w)[None, :, None]
+               + rng.integers(0, max(2, maxv // 8), (h, w, c))
+               ).astype(np.int64) % (maxv + 1)
+        img[h // 4:h // 2, :w // 2] = maxv // 2   # flat -> triplet runs
+        img[:2] = 0
+        for ilv in (1, 2):
+            for near in (0, 2):
+                out = dec(encode_jpegls(img, precision=prec, near=near,
+                                        ilv=ilv))
+                assert out is not None, (h, w, c, prec, ilv, near)
+                assert out.shape == (h, w, c)
+                err = np.abs(out.astype(np.int64) - img).max()
+                assert err <= near, (ilv, near, err)
+
+
+def test_jpegls_interleaved_edge_shapes(rng):
+    """ILV 1/2 degenerate geometries: single row (pure multi-component
+    run to end of line), single column, all-flat, max-contrast."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    _, dec = _jpegls_pair()
+    cases = [
+        np.full((1, 64, 3), 100, np.int64),
+        rng.integers(0, 256, (64, 1, 3)),
+        np.zeros((16, 16, 2), np.int64),
+        np.full((16, 16, 4), 255, np.int64),
+        np.tile(np.array([0, 255])[None, :, None], (8, 8, 3)),
+        # components diverging inside a shared run (interruption in
+        # one component only)
+        np.stack([np.full((9, 33), 7), np.full((9, 33), 7),
+                  np.pad(np.full((9, 23), 7), ((0, 0), (0, 10)),
+                         constant_values=200)], axis=-1),
+    ]
+    for img in cases:
+        for ilv in (1, 2):
+            out = dec(encode_jpegls(img.astype(np.int64), precision=8,
+                                    ilv=ilv))
+            assert out is not None, (img.shape, ilv)
+            np.testing.assert_array_equal(out, img)
+
+
+def test_jpegls_interleaved_dicom_end_to_end(tmp_path, rng):
+    """An RGB DICOM whose frame is a line-interleaved (ILV 1) JPEG-LS
+    stream — the layout CharLS-based writers commonly emit for color —
+    decodes through dcmread with exact pixels; same for ILV 2."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+
+    rgb = rng.integers(0, 256, (32, 48, 3)).astype(np.int64)
+    for ilv in (1, 2):
+        ds = make_ct_slice(np.zeros((32, 48), np.uint16))
+        ds.Rows, ds.Columns = 32, 48
+        ds.SamplesPerPixel = 3
+        ds.PhotometricInterpretation = "RGB"
+        ds.PlanarConfiguration = 0
+        ds.BitsAllocated = 8
+        ds.BitsStored = 8
+        ds.HighBit = 7
+        ds.PixelData = [encode_jpegls(rgb, precision=8, ilv=ilv)]
+        dcmwrite(tmp_path / f"ilv{ilv}.dcm", ds,
+                 transfer_syntax=uids.JPEGLSLossless)
+        out = dcmread(tmp_path / f"ilv{ilv}.dcm")
+        np.testing.assert_array_equal(out.pixel_array, rgb)
+
+
+def test_jpegls_interleaved_hostile_streams(rng):
+    """Byte-flip fuzz + truncations over valid ILV 1/2 streams: the
+    multi-component decode paths must fail typed (None), never crash
+    or write outside the claimed dimensions."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    _, dec = _jpegls_pair()
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.int64)
+    for ilv in (1, 2):
+        good = encode_jpegls(img, precision=8, ilv=ilv)
+        for _ in range(200):
+            blob = bytearray(good)
+            for _ in range(int(rng.integers(1, 8))):
+                blob[int(rng.integers(0, len(blob)))] = int(
+                    rng.integers(0, 256))
+            dec(bytes(blob))           # must not crash
+        for cut in rng.integers(2, len(good), 40):
+            dec(good[:int(cut)])       # truncations must not crash
+
+
+def test_jpegls_subsampled_multicomponent_rejected(rng):
+    """Multi-component frames with non-1x1 sampling factors would
+    silently mis-decode; the SOF parse must reject them typed."""
+    from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
+    _, dec = _jpegls_pair()
+    good = bytearray(encode_jpegls(
+        rng.integers(0, 256, (8, 8, 3)).astype(np.int64), precision=8,
+        ilv=1))
+    i = good.index(b"\xFF\xF7")
+    # component 0 sampling byte: marker+len+P(1)+H(2)+W(2)+Nf(1)+Ci(1)
+    good[i + 2 + 2 + 6 + 1] = 0x21
+    assert dec(bytes(good)) is None
+
+
 def test_jpeg_dct_multiscan_two_components(rng):
     """One-component-per-scan multi-component DCT streams must resume
     the marker scan at the 0xFF of the pending marker (the cached
