@@ -191,22 +191,23 @@ def decode_jpeg_lossless(ds):
                                "JPEG-Lossless")
 
 
-def _group_jpeg_fragments(frags, frames):
+def _group_jpeg_fragments(frags, frames, start=b"\xFF\xD8"):
     """Encapsulated fragments -> one byte stream per frame.
 
     DICOM allows any number of fragments per frame; each frame's first
-    fragment begins with the JPEG SOI marker (FF D8), so fragments
-    merge into the current frame until the next SOI-initial fragment.
-    A mismatch between the grouped count and the declared frame count
-    raises (silently returning fewer frames than the header declares
-    lost 9 of 10 frames unreported — review finding)."""
+    fragment begins with the codec's start marker (JPEG SOI FF D8;
+    JPEG 2000 SOC FF 4F), so fragments merge into the current frame
+    until the next start-initial fragment. A mismatch between the
+    grouped count and the declared frame count raises (silently
+    returning fewer frames than the header declares lost 9 of 10
+    frames unreported — review finding)."""
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
     frags = [bytes(f) for f in frags if len(f) > 0]
-    # a leading non-SOI fragment ahead of an SOI one is the Basic
-    # Offset Table item the parser surfaces as fragment 0
-    if len(frags) > 1 and frags[0][:2] != b"\xFF\xD8" \
-            and frags[1][:2] == b"\xFF\xD8":
+    # a leading non-start fragment ahead of a start-initial one is the
+    # Basic Offset Table item the parser surfaces as fragment 0
+    if len(frags) > 1 and frags[0][:2] != start \
+            and frags[1][:2] == start:
         frags = frags[1:]
     frames = max(int(frames), 1)
     if len(frags) == frames:
@@ -214,13 +215,13 @@ def _group_jpeg_fragments(frags, frames):
     groups = []
     for f in frags:
         f = bytes(f)
-        if f[:2] == b"\xFF\xD8" or not groups:
+        if f[:2] == start or not groups:
             groups.append(f)
         else:
             groups[-1] += f
     if len(groups) != frames:
         raise ValueError(
-            f"encapsulated JPEG: {len(groups)} SOI-delimited frame "
+            f"encapsulated JPEG: {len(groups)} start-delimited frame "
             f"streams from {len(frags)} fragments, but the header "
             f"declares {frames} frames")
     return groups
@@ -264,6 +265,41 @@ def decode_jpeg_dct_native(ds):
 
     return _decode_jpeg_frames(ds, jpeg_dct_decode,
                                "JPEG sequential-DCT")
+
+
+def decode_jpeg2000(ds):
+    """JPEG 2000 Part 1 (.4.90 lossless / .4.91) via the own codec
+    (dicom/jpeg2k.py; native fast path when available) — the path
+    GDCM/OpenJPEG covers for the reference (read/dicom.py:52). The
+    cv2 route is NOT used here: its OpenJPEG wrapper rescales
+    non-8/16-bit precisions and cannot represent signed components,
+    both routine in medical J2K (12..16-bit signed CT)."""
+    frames, rows, cols, samples = _target_shape(ds)
+    # JP2-wrapped frames start with the JP2 signature box, raw
+    # codestreams with SOC (FF 4F); group on whichever applies
+    frags = ds.PixelData
+    if isinstance(frags, (bytes, bytearray)):
+        frags = [bytes(frags)]
+    start = b"\xFF\x4F"
+    if any(bytes(f[:4]) == b"\x00\x00\x00\x0C" for f in frags[:2]):
+        start = b"\x00\x00"
+    streams = _group_jpeg_fragments(frags, frames, start=start)
+    try:
+        from ..native import j2k_decode as _native_j2k
+    except Exception:
+        _native_j2k = None
+    from .jpeg2k import decode_j2k
+    out = []
+    for frag in streams:
+        arr = _native_j2k(frag) if _native_j2k is not None else None
+        if arr is None:
+            arr = decode_j2k(frag)
+        out.append(arr)
+    dtype = _native_dtype(ds).newbyteorder("=")
+    arr = np.stack(out).astype(dtype)
+    if frames == 1:
+        arr = arr[0]
+    return arr
 
 
 def decode_jpeg_cv2(ds):
@@ -323,6 +359,8 @@ def decode_pixel_data(ds):
             return decode_jpeg_cv2(ds)
         except ValueError:
             return decode_jpeg_dct_native(ds)
+    if ts in (uids.JPEG2000Lossless, uids.JPEG2000):
+        return decode_jpeg2000(ds)
     if ts in uids.ENCAPSULATED_SYNTAXES:
         return decode_jpeg_cv2(ds)
     # unknown syntax: try native

@@ -217,6 +217,28 @@ def _auto_encode_frames(ds, raw, transfer_syntax):
             out.append(enc)
         return out
 
+    if transfer_syntax == uids.JPEG2000Lossless:
+        from .jpeg2k_enc import encode_j2k
+
+        bits_alloc = int(ds.get("BitsAllocated", 16))
+        signed = int(ds.get("PixelRepresentation", 0)) == 1
+        precision = int(ds.get("BitsStored", bits_alloc) or bits_alloc)
+        data = arr.astype(np.int64)
+        if data.size:
+            need = int(np.abs(data).max()).bit_length() + (1 if signed
+                                                           else 0)
+            if need > precision:
+                precision = bits_alloc
+        out = []
+        for f in data:
+            if samples == 1:
+                frame = f.reshape(rows, cols)
+            else:
+                frame = f.reshape(rows, cols, samples)
+            out.append(encode_j2k(frame, precision=precision,
+                                  signed=signed, levels=5))
+        return out
+
     raise ValueError(
         f"dcmwrite: cannot auto-encode pixels for {transfer_syntax}; "
         "pass PixelData as a list of pre-encoded frame fragments")

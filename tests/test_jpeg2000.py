@@ -1,0 +1,299 @@
+"""JPEG 2000 Part-1 codec tests (dicom/jpeg2k.py + jpeg2k_enc.py).
+
+Validation strategy mirrors the JPEG-LS program: the decoder is
+checked against OpenJPEG-encoded streams (cv2.imencode -> lossless
+reversible codestreams), the encoder is checked by decoding its
+output with OpenJPEG (cv2.imdecode) — two independent external
+cross-checks — plus exhaustive own round trips over the feature
+matrix cv2 cannot produce (signed, 12-bit, tile grids, precincts,
+SOP/EPH, all five progression orders, layers, the six code-block
+style bits, 9/7).
+"""
+
+import struct as _struct
+
+import numpy as np
+import pytest
+
+from medicalimageanalysis_tpu.dicom.jpeg2k import (
+    CB_LAZY, CB_RESET, CB_SEGSYM, CB_TERMALL, CB_VSC, decode_j2k,
+)
+from medicalimageanalysis_tpu.dicom.jpeg2k_enc import encode_j2k
+
+cv2 = pytest.importorskip("cv2")
+
+LOSSLESS = [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000]
+
+
+def _cv2_jp2(img, params=LOSSLESS):
+    ok, buf = cv2.imencode(".jp2", img, params)
+    assert ok
+    return buf.tobytes()
+
+
+def _cv2_dec(cs):
+    return cv2.imdecode(np.frombuffer(cs, np.uint8), cv2.IMREAD_UNCHANGED)
+
+
+# ---------------------------------------------------------------------------
+# decoder vs OpenJPEG-encoded streams
+# ---------------------------------------------------------------------------
+
+def test_decode_openjpeg_u8_random():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (37, 41)).astype(np.uint8)
+    assert np.array_equal(decode_j2k(_cv2_jp2(img)), img)
+
+
+def test_decode_openjpeg_u16_random():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 65536, (70, 90)).astype(np.uint16)
+    assert np.array_equal(decode_j2k(_cv2_jp2(img)), img)
+
+
+def test_decode_openjpeg_u16_smooth_multires():
+    yy, xx = np.mgrid[0:128, 0:160]
+    img = ((np.sin(yy / 9.0) * np.cos(xx / 13.0) + 1) * 2000
+           + 100).astype(np.uint16)
+    assert np.array_equal(decode_j2k(_cv2_jp2(img)), img)
+
+
+def test_decode_openjpeg_rgb_codestream_order():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (45, 53, 3)).astype(np.uint8)
+    dec = decode_j2k(_cv2_jp2(img))
+    # we return codestream component order (R, G, B); cv2 feeds BGR
+    assert np.array_equal(dec[..., ::-1], img)
+
+
+def test_decode_openjpeg_truncated_rate_controlled():
+    # rate-controlled OpenJPEG streams truncate coding passes; the
+    # in-interval reconstruction choice is encoder freedom (T.800
+    # E.1), so require closeness to OpenJPEG's decode, not equality
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    cs = _cv2_jp2(img, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 50])
+    ours = decode_j2k(cs).astype(int)
+    ref = _cv2_dec(cs).astype(int)
+    assert np.abs(ours - ref).mean() < 8.0
+
+
+# ---------------------------------------------------------------------------
+# own encoder round trips + OpenJPEG cross-decode
+# ---------------------------------------------------------------------------
+
+def _roundtrip(img, cv2check=True, tol=0, **kw):
+    cs = encode_j2k(img, **kw)
+    dec = decode_j2k(cs)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+    assert err <= tol, f"round-trip max err {err} > {tol}"
+    if cv2check:
+        ref = _cv2_dec(cs)
+        assert ref is not None, "OpenJPEG could not decode our stream"
+        if ref.ndim == 3:
+            ref = ref[..., ::-1]
+        cerr = np.abs(ref.astype(np.int64) - dec.astype(np.int64)).max()
+        assert cerr <= max(tol, 1), f"OpenJPEG disagrees by {cerr}"
+    return cs
+
+
+def test_roundtrip_u8():
+    rng = np.random.RandomState(4)
+    _roundtrip(rng.randint(0, 256, (50, 61)).astype(np.uint8), levels=3)
+
+
+def test_roundtrip_u12():
+    rng = np.random.RandomState(5)
+    _roundtrip(rng.randint(0, 4096, (47, 52)).astype(np.uint16),
+               levels=4)
+
+
+def test_roundtrip_s16_signed():
+    # the case cv2/OpenJPEG-via-imencode cannot represent at all
+    rng = np.random.RandomState(6)
+    img = rng.randint(-1024, 3072, (45, 63)).astype(np.int16)
+    _roundtrip(img, cv2check=False, levels=5)
+
+
+def test_roundtrip_rgb_rct():
+    rng = np.random.RandomState(7)
+    _roundtrip(rng.randint(0, 256, (33, 39, 3)).astype(np.uint8),
+               levels=2)
+
+
+def test_roundtrip_multitile():
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 4096, (50, 61)).astype(np.uint16)
+    _roundtrip(img, levels=2, tile_size=(25, 20))
+
+
+def test_roundtrip_precincts_sop_eph():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 4096, (47, 52)).astype(np.uint16)
+    _roundtrip(img, levels=3, sop=True, eph=True,
+               precincts=[(4, 4), (5, 5), (6, 6), (7, 7)])
+
+
+@pytest.mark.parametrize("prog", ["RLCP", "RPCL", "PCRL", "CPRL"])
+def test_roundtrip_progressions(prog):
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 4096, (47, 52)).astype(np.uint16)
+    _roundtrip(img, levels=3, prog=prog,
+               precincts=[(4, 4), (5, 5), (6, 6), (7, 7)])
+
+
+def test_roundtrip_layers():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 4096, (47, 52)).astype(np.uint16)
+    _roundtrip(img, levels=3, layers=4)
+
+
+@pytest.mark.parametrize("style", [
+    CB_LAZY, CB_RESET, CB_TERMALL, CB_VSC, CB_SEGSYM,
+    CB_LAZY | CB_TERMALL,
+    CB_LAZY | CB_RESET | CB_TERMALL | CB_VSC | CB_SEGSYM,
+])
+def test_roundtrip_cbstyles(style):
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 4096, (47, 52)).astype(np.uint16)
+    _roundtrip(img, levels=3, cbstyle=style)
+
+
+def test_roundtrip_97_gray():
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = ((np.sin(yy / 7.0) * np.cos(xx / 9.0) + 1.2)
+           * 1500).astype(np.uint16)
+    _roundtrip(img, tol=4, levels=4, irreversible=True)
+
+
+def test_roundtrip_97_signed():
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = (((np.sin(yy / 7.0) * np.cos(xx / 9.0) + 1.2) * 1500)
+           .astype(np.int32) - 2000).astype(np.int16)
+    _roundtrip(img, cv2check=False, tol=4, levels=3, irreversible=True)
+
+
+def test_roundtrip_97_ict_rgb():
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (33, 39, 3)).astype(np.uint8)
+    _roundtrip(img, tol=6, levels=2, irreversible=True)
+
+
+def test_roundtrip_97_derived_quant():
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = ((np.sin(yy / 7.0) * np.cos(xx / 9.0) + 1.2)
+           * 1500).astype(np.uint16)
+    _roundtrip(img, tol=32, levels=4, irreversible=True,
+               quant="derived")
+
+
+def test_roundtrip_tiny_and_odd_shapes():
+    rng = np.random.RandomState(14)
+    for shape in [(1, 1), (1, 7), (5, 1), (3, 3), (4, 66), (65, 2)]:
+        img = rng.randint(0, 4096, shape).astype(np.uint16)
+        _roundtrip(img, cv2check=False, levels=3)
+
+
+# ---------------------------------------------------------------------------
+# DICOM integration (.4.90 write -> read)
+# ---------------------------------------------------------------------------
+
+def test_dicom_j2k_write_read_signed(tmp_path):
+    from medicalimageanalysis_tpu.dicom import uids
+    from medicalimageanalysis_tpu.dicom.dataset import Dataset
+    from medicalimageanalysis_tpu.dicom.parser import dcmread
+    from medicalimageanalysis_tpu.dicom.pixels import decode_pixel_data
+    from medicalimageanalysis_tpu.dicom.writer import dcmwrite
+
+    rng = np.random.RandomState(15)
+    arr = rng.randint(-1024, 3072, (40, 50)).astype(np.int16)
+    ds = Dataset()
+    ds.add(0x00280010, "US", 40)
+    ds.add(0x00280011, "US", 50)
+    ds.add(0x00280100, "US", 16)
+    ds.add(0x00280101, "US", 16)
+    ds.add(0x00280102, "US", 15)
+    ds.add(0x00280103, "US", 1)
+    ds.add(0x00280002, "US", 1)
+    ds.add(0x7FE00010, "OW", arr.tobytes())
+    f = str(tmp_path / "t.dcm")
+    dcmwrite(f, ds, transfer_syntax=uids.JPEG2000Lossless)
+    ds2 = dcmread(f)
+    assert ds2.file_meta.get("TransferSyntaxUID") == uids.JPEG2000Lossless
+    out = decode_pixel_data(ds2)
+    assert out.dtype == np.int16
+    assert np.array_equal(out, arr)
+
+
+def test_dicom_j2k_multiframe(tmp_path):
+    from medicalimageanalysis_tpu.dicom import uids
+    from medicalimageanalysis_tpu.dicom.dataset import Dataset
+    from medicalimageanalysis_tpu.dicom.parser import dcmread
+    from medicalimageanalysis_tpu.dicom.pixels import decode_pixel_data
+    from medicalimageanalysis_tpu.dicom.writer import dcmwrite
+
+    rng = np.random.RandomState(16)
+    arr = rng.randint(0, 4096, (3, 30, 40)).astype(np.uint16)
+    ds = Dataset()
+    ds.add(0x00280010, "US", 30)
+    ds.add(0x00280011, "US", 40)
+    ds.add(0x00280008, "IS", "3")
+    ds.add(0x00280100, "US", 16)
+    ds.add(0x00280101, "US", 12)
+    ds.add(0x00280102, "US", 11)
+    ds.add(0x00280103, "US", 0)
+    ds.add(0x00280002, "US", 1)
+    ds.add(0x7FE00010, "OW", arr.tobytes())
+    f = str(tmp_path / "mf.dcm")
+    dcmwrite(f, ds, transfer_syntax=uids.JPEG2000Lossless)
+    out = decode_pixel_data(dcmread(f))
+    assert out.shape == (3, 30, 40)
+    assert np.array_equal(out, arr)
+
+
+# ---------------------------------------------------------------------------
+# hostile inputs: typed errors, no crashes
+# ---------------------------------------------------------------------------
+
+def test_unsupported_features_raise_typed():
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    cs = bytearray(encode_j2k(img, levels=1))
+    # splice a POC marker into the main header (before SOT)
+    sot = bytes(cs).find(b"\xFF\x90")
+    poc = b"\xFF\x5F" + b"\x00\x09" + b"\x00" * 7
+    hostile = bytes(cs[:sot]) + poc + bytes(cs[sot:])
+    with pytest.raises(ValueError):
+        decode_j2k(hostile)
+
+
+def test_byte_flip_fuzz_no_crashes():
+    rng = np.random.RandomState(18)
+    img = rng.randint(0, 4096, (24, 28)).astype(np.uint16)
+    cs = bytearray(encode_j2k(img, levels=2))
+    crashes = 0
+    for t in range(120):
+        buf = bytearray(cs)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            out = decode_j2k(bytes(buf))
+            assert out.shape[0] <= 1 << 16 and out.shape[1] <= 1 << 16
+        except (ValueError, _struct.error):
+            pass
+        except Exception as e:                      # noqa: BLE001
+            crashes += 1
+    assert crashes == 0
+
+
+def test_truncation_fuzz_no_crashes():
+    rng = np.random.RandomState(19)
+    img = rng.randint(0, 4096, (24, 28)).astype(np.uint16)
+    cs = encode_j2k(img, levels=2)
+    for n in range(0, len(cs), max(len(cs) // 60, 1)):
+        try:
+            decode_j2k(cs[:n])
+        except ValueError:
+            pass
+
