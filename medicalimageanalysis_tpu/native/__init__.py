@@ -112,6 +112,13 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
 
+    lib.mia_j2k_decode.restype = ctypes.c_int
+    lib.mia_j2k_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
     lib.mia_pack12.restype = ctypes.c_int
     lib.mia_pack12.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32,
@@ -290,6 +297,15 @@ def jpegls_t87_encode(arr, precision, near=0):
         raise ValueError(f"jpegls_t87_encode: rc={n} (out-of-range "
                          "samples or bad parameters)")
     return out[:n].tobytes()
+
+
+def j2k_decode(frag):
+    """Native JPEG 2000 Part-1 decode (DICOM .4.90/.91, raw codestream
+    or JP2 container) -> array (H, W) or (H, W, C) int32, or None.
+    Values are DC-shifted/clipped to the component precision; signed
+    components carry their sign. Validated block-for-block against the
+    Python golden decoder (dicom/jpeg2k.py) and OpenJPEG."""
+    return _jpeg_decode_via("mia_j2k_decode", frag)
 
 
 def jpeg_dct_decode(frag):

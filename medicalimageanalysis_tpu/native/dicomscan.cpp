@@ -2496,3 +2496,1494 @@ int mia_mc_fetch(void* h, float* pts_out, int32_t* faces_out) {
 void mia_mc_free(void* h) { delete (MiaMcState*)h; }
 
 }  // extern "C"
+
+// ======================= JPEG 2000 Part 1 decoder =======================
+//
+// Native port of the Python golden decoder (dicom/jpeg2k.py) for DICOM
+// transfer syntaxes 1.2.840.10008.1.2.4.90/.91 — the codec the reference
+// obtains through GDCM/OpenJPEG (reference read/dicom.py:52). Feature
+// coverage and the typed-error contract match the Python implementation;
+// parity is asserted codestream-by-codestream in tests/test_jpeg2000.py.
+// Unsupported (clean negative return): subsampling != 1, POC, PPM/PPT,
+// RGN.
+
+namespace j2k {
+
+struct Err {};                       // parse failure -> longjmp-free throw
+
+static inline int64_t ceil_div_i64(int64_t a, int64_t b) {
+    return (a + b - 1) / b;          // callers guarantee a >= 0, b > 0
+}
+
+// ---- MQ decoder (T.800 Annex C software conventions) ----
+
+struct MqTabEntry { uint16_t qe; uint8_t nmps, nlps, sw; };
+static const MqTabEntry kMqTab[47] = {
+    {0x5601,1,1,1},{0x3401,2,6,0},{0x1801,3,9,0},{0x0AC1,4,12,0},
+    {0x0521,5,29,0},{0x0221,38,33,0},{0x5601,7,6,1},{0x5401,8,14,0},
+    {0x4801,9,14,0},{0x3801,10,14,0},{0x3001,11,17,0},{0x2401,12,18,0},
+    {0x1C01,13,20,0},{0x1601,29,21,0},{0x5601,15,14,1},{0x5401,16,14,0},
+    {0x5101,17,15,0},{0x4801,18,16,0},{0x3801,19,17,0},{0x3401,20,18,0},
+    {0x3001,21,19,0},{0x2801,22,19,0},{0x2401,23,20,0},{0x2201,24,21,0},
+    {0x1C01,25,22,0},{0x1801,26,23,0},{0x1601,27,24,0},{0x1401,28,25,0},
+    {0x1201,29,26,0},{0x1101,30,27,0},{0x0AC1,31,28,0},{0x09C1,32,29,0},
+    {0x08A1,33,30,0},{0x0521,34,31,0},{0x0441,35,32,0},{0x02A1,36,33,0},
+    {0x0221,37,34,0},{0x0141,38,35,0},{0x0111,39,36,0},{0x0085,40,37,0},
+    {0x0049,41,38,0},{0x0025,42,39,0},{0x0015,43,40,0},{0x0009,44,41,0},
+    {0x0005,45,42,0},{0x0001,45,43,0},{0x5601,46,46,0},
+};
+
+static const int kNCtx = 19, kCtxRL = 17, kCtxUni = 18;
+
+struct Ctx {
+    uint8_t idx[kNCtx];
+    uint8_t mps[kNCtx];
+    void init() {
+        memset(idx, 0, sizeof(idx));
+        memset(mps, 0, sizeof(mps));
+        idx[0] = 4; idx[kCtxRL] = 3; idx[kCtxUni] = 46;
+    }
+};
+
+struct Mq {
+    const uint8_t* d;
+    size_t n, bp;
+    uint32_t c, a;
+    int ct;
+    Ctx* cx;
+
+    inline uint8_t byte_at(size_t i) const { return i < n ? d[i] : 0xFF; }
+
+    void init(const uint8_t* data, size_t len, Ctx* ctx) {
+        d = data; n = len; bp = 0; cx = ctx;
+        c = (uint32_t)byte_at(0) << 16;
+        bytein();
+        c <<= 7;
+        ct -= 7;
+        a = 0x8000;
+    }
+
+    inline void bytein() {
+        if (byte_at(bp) == 0xFF) {
+            if (byte_at(bp + 1) > 0x8F) { c += 0xFF00; ct = 8; }
+            else { bp += 1; c += (uint32_t)byte_at(bp) << 9; ct = 7; }
+        } else {
+            bp += 1; c += (uint32_t)byte_at(bp) << 8; ct = 8;
+        }
+    }
+
+    inline int decode(int k) {
+        const MqTabEntry& e = kMqTab[cx->idx[k]];
+        uint32_t qe = e.qe;
+        int d_;
+        a -= qe;
+        if (((c >> 16) & 0xFFFF) < qe) {
+            if (a < qe) { d_ = cx->mps[k]; cx->idx[k] = e.nmps; }
+            else {
+                d_ = 1 - cx->mps[k];
+                if (e.sw) cx->mps[k] ^= 1;
+                cx->idx[k] = e.nlps;
+            }
+            a = qe;
+        } else {
+            c -= qe << 16;
+            if (a & 0x8000) return cx->mps[k];
+            if (a < qe) {
+                d_ = 1 - cx->mps[k];
+                if (e.sw) cx->mps[k] ^= 1;
+                cx->idx[k] = e.nlps;
+            } else { d_ = cx->mps[k]; cx->idx[k] = e.nmps; }
+        }
+        do {
+            if (ct == 0) bytein();
+            a <<= 1; c <<= 1; ct -= 1;
+        } while (!(a & 0x8000));
+        return d_;
+    }
+};
+
+// ---- raw (bypass) bit reader with 0xFF stuffing ----
+
+struct RawBits {
+    const uint8_t* d;
+    size_t n, pos;
+    int cur, nbits;
+    void init(const uint8_t* data, size_t len) {
+        d = data; n = len; pos = 0; cur = 0; nbits = 0;
+    }
+    inline int bit() {
+        if (nbits == 0) {
+            int prev = cur;
+            cur = pos < n ? d[pos++] : 0;
+            nbits = (prev == 0xFF) ? 7 : 8;
+        }
+        nbits -= 1;
+        return (cur >> nbits) & 1;
+    }
+};
+
+// ---- packet-header bit reader ----
+
+struct HdrBits {
+    const uint8_t* d;
+    size_t n, pos;
+    int cur, nbits;
+    void init(const uint8_t* data, size_t len, size_t p) {
+        d = data; n = len; pos = p; cur = 0; nbits = 0;
+    }
+    inline int bit() {
+        if (nbits == 0) {
+            int prev = cur;
+            if (pos >= n) throw Err();
+            cur = d[pos++];
+            nbits = (prev == 0xFF) ? 7 : 8;
+        }
+        nbits -= 1;
+        return (cur >> nbits) & 1;
+    }
+    inline uint64_t bits(int k) {
+        uint64_t v = 0;
+        for (int i = 0; i < k; i++) v = (v << 1) | (uint64_t)bit();
+        return v;
+    }
+    size_t align() {
+        if (nbits == 0 && cur == 0xFF) {
+            if (pos >= n) throw Err();
+            pos += 1;
+        }
+        nbits = 0; cur = 0;
+        return pos;
+    }
+};
+
+// ---- tag tree ----
+
+struct TagTree {
+    int w = 0, h = 0, nlev = 0;
+    std::vector<int> lw, lh;
+    std::vector<std::vector<int32_t>> low;
+    std::vector<std::vector<uint8_t>> known;
+
+    void init(int w_, int h_) {
+        w = w_; h = h_;
+        lw.clear(); lh.clear(); low.clear(); known.clear();
+        int a = w, b = h;
+        for (;;) {
+            lw.push_back(a); lh.push_back(b);
+            low.emplace_back((size_t)a * b, 0);
+            known.emplace_back((size_t)a * b, 0);
+            if (a == 1 && b == 1) break;
+            a = (a + 1) / 2; b = (b + 1) / 2;
+        }
+        nlev = (int)lw.size();
+    }
+
+    bool decode(HdrBits& r, int x, int y, int threshold) {
+        int path[24][2];
+        int lx = x, ly = y, np = 0;
+        for (int lev = 0; lev < nlev; lev++) {
+            path[np][0] = lev;
+            path[np][1] = ly * lw[lev] + lx;
+            np++;
+            lx >>= 1; ly >>= 1;
+        }
+        int lowv = 0;
+        for (int i = np - 1; i >= 0; i--) {
+            int lev = path[i][0], idx = path[i][1];
+            if (low[lev][idx] < lowv) low[lev][idx] = lowv;
+            while (!known[lev][idx] && low[lev][idx] < threshold) {
+                if (r.bit()) known[lev][idx] = 1;
+                else low[lev][idx] += 1;
+            }
+            lowv = low[lev][idx];
+            if (!known[lev][idx]) return false;
+        }
+        return lowv < threshold;
+    }
+
+    int value(HdrBits& r, int x, int y) {
+        int t = 1;
+        while (!decode(r, x, y, t)) {
+            t += 1;
+            if (t > 1 << 20) throw Err();
+        }
+        return low[0][(size_t)y * lw[0] + x];
+    }
+};
+
+// ---- significance/sign context tables (T.800 D.1/D.2) ----
+
+static uint8_t kSigLut[4][3][3][5];
+static uint8_t kSignLut[3][3][2];
+static bool kLutsReady = false;
+
+static void build_luts() {
+    if (kLutsReady) return;
+    auto ll_lh = [](int hh, int vv, int dd) -> int {
+        if (hh == 2) return 8;
+        if (hh == 1) return vv >= 1 ? 7 : (dd >= 1 ? 6 : 5);
+        if (vv == 2) return 4;
+        if (vv == 1) return 3;
+        if (dd >= 2) return 2;
+        return dd;
+    };
+    auto hhb = [](int hh, int vv, int dd) -> int {
+        int hv = hh + vv;
+        if (dd >= 3) return 8;
+        if (dd == 2) return hv >= 1 ? 7 : 6;
+        if (dd == 1) return hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+        return hv >= 2 ? 2 : hv;
+    };
+    for (int hh = 0; hh < 3; hh++)
+        for (int vv = 0; vv < 3; vv++)
+            for (int dd = 0; dd < 5; dd++) {
+                kSigLut[0][hh][vv][dd] = (uint8_t)ll_lh(hh, vv, dd);
+                kSigLut[2][hh][vv][dd] = (uint8_t)ll_lh(hh, vv, dd);
+                kSigLut[1][hh][vv][dd] = (uint8_t)ll_lh(vv, hh, dd);
+                kSigLut[3][hh][vv][dd] = (uint8_t)hhb(hh, vv, dd);
+            }
+    // (hc+1, vc+1) -> {context, xor}
+    static const int tbl[3][3][2] = {
+        {{13, 1}, {12, 1}, {11, 1}},   // hc = -1: vc = -1, 0, +1
+        {{10, 1}, {9, 0}, {10, 0}},    // hc = 0
+        {{11, 0}, {12, 0}, {13, 0}},   // hc = +1
+    };
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++) {
+            kSignLut[i][j][0] = (uint8_t)tbl[i][j][0];
+            kSignLut[i][j][1] = (uint8_t)tbl[i][j][1];
+        }
+    kLutsReady = true;
+}
+
+// ---- codestream structures ----
+
+enum : uint16_t {
+    M_SOC = 0xFF4F, M_SOT = 0xFF90, M_SOD = 0xFF93, M_EOC = 0xFFD9,
+    M_SIZ = 0xFF51, M_COD = 0xFF52, M_COC = 0xFF53, M_QCD = 0xFF5C,
+    M_QCC = 0xFF5D, M_RGN = 0xFF5E, M_POC = 0xFF5F, M_PPM = 0xFF60,
+    M_PPT = 0xFF61, M_SOP = 0xFF91, M_EPH = 0xFF92,
+};
+
+enum : int {
+    CB_LAZY = 0x01, CB_RESET = 0x02, CB_TERMALL = 0x04,
+    CB_VSC = 0x08, CB_SEGSYM = 0x20,
+};
+
+struct CodStyle {
+    int nl = 0, xcb = 0, ycb = 0, cbstyle = 0, transform = 0;
+    std::vector<std::pair<int, int>> prec;     // (ppx, ppy) per res
+};
+
+struct QuantInfo {
+    int style = 0, guard = 0;
+    std::vector<std::pair<int, int>> steps;    // (eps, mant)
+};
+
+struct CodeBlk {
+    int x0, y0, x1, y1;
+    bool included = false;
+    int zbp = 0, npasses = 0, lblock = 3;
+    std::vector<std::vector<uint8_t>> segs;
+};
+
+struct PrecBand {
+    int ncbw = 0, ncbh = 0;
+    std::vector<CodeBlk> cbs;
+    TagTree incl, zbpt;
+};
+
+struct BandT {
+    int orient, x0, y0, x1, y1, eps, mant, gain;
+    std::vector<int32_t> icoef;     // reversible
+    std::vector<double> fcoef;      // irreversible
+};
+
+struct ResT {
+    int r, x0, y0, x1, y1, ppx, ppy, npw = 0, nph = 0;
+    std::vector<BandT> bands;
+    std::vector<std::vector<PrecBand>> precincts;
+};
+
+struct TileCompT {
+    int c;
+    CodStyle cs;
+    QuantInfo qi;
+    int x0, y0, x1, y1;
+    std::vector<ResT> res;
+};
+
+struct MainHdr {
+    int64_t xs, ys, xo, yo, xts, yts, xto, yto;
+    int csiz = 0;
+    std::vector<int> prec;
+    std::vector<uint8_t> sgnd;
+    int prog = 0, layers = 1, mct = 0;
+    int scod = 0;
+    CodStyle cod;
+    QuantInfo qcd;
+    std::vector<CodStyle> coc;        // per component (valid flag below)
+    std::vector<uint8_t> has_coc;
+    std::vector<QuantInfo> qcc;
+    std::vector<uint8_t> has_qcc;
+};
+
+struct Rd {
+    const uint8_t* d;
+    size_t n, pos = 0;
+    inline uint16_t u16() {
+        if (pos + 2 > n) throw Err();
+        uint16_t v = ((uint16_t)d[pos] << 8) | d[pos + 1];
+        pos += 2;
+        return v;
+    }
+    inline uint32_t u32() {
+        if (pos + 4 > n) throw Err();
+        uint32_t v = ((uint32_t)d[pos] << 24) | ((uint32_t)d[pos+1] << 16)
+                   | ((uint32_t)d[pos+2] << 8) | d[pos+3];
+        pos += 4;
+        return v;
+    }
+    inline uint8_t u8() {
+        if (pos >= n) throw Err();
+        return d[pos++];
+    }
+};
+
+static CodStyle parse_spcod(Rd& r, size_t end, bool has_prec) {
+    CodStyle cs;
+    cs.nl = r.u8();
+    cs.xcb = (r.u8() & 0x0F) + 2;
+    cs.ycb = (r.u8() & 0x0F) + 2;
+    if (cs.nl > 32 || cs.xcb > 10 || cs.ycb > 10 || cs.xcb + cs.ycb > 12)
+        throw Err();
+    cs.cbstyle = r.u8();
+    cs.transform = r.u8();
+    if (has_prec) {
+        for (int i = 0; i <= cs.nl; i++) {
+            if (r.pos >= end) throw Err();
+            uint8_t b = r.u8();
+            cs.prec.push_back({b & 0x0F, (b >> 4) & 0x0F});
+        }
+    } else {
+        cs.prec.assign(cs.nl + 1, {15, 15});
+    }
+    return cs;
+}
+
+static QuantInfo parse_sqcx(Rd& r, size_t end) {
+    QuantInfo q;
+    uint8_t sq = r.u8();
+    q.style = sq & 0x1F;
+    q.guard = (sq >> 5) & 7;
+    if (q.style == 0) {
+        while (r.pos < end) q.steps.push_back({r.u8() >> 3, 0});
+    } else if (q.style == 1) {
+        uint16_t v = r.u16();
+        q.steps.push_back({v >> 11, v & 0x7FF});
+    } else if (q.style == 2) {
+        while (r.pos + 1 < end) {
+            uint16_t v = r.u16();
+            q.steps.push_back({v >> 11, v & 0x7FF});
+        }
+    } else {
+        throw Err();
+    }
+    return q;
+}
+
+struct TileData {
+    std::vector<uint8_t> data;      // concatenated tile-part payloads
+};
+
+// parse marker segments until SOD (in tile-part) / SOT / EOC (main)
+static uint16_t parse_headers(Rd& r, size_t end, MainHdr& m, int tile_idx,
+                              CodStyle* tcod, QuantInfo* tqcd,
+                              int* tscod, int* tprog, int* tlayers,
+                              int* tmct, bool* has_tcod, bool* has_tqcd,
+                              std::vector<CodStyle>* tcoc,
+                              std::vector<uint8_t>* has_tcoc,
+                              std::vector<QuantInfo>* tqcc,
+                              std::vector<uint8_t>* has_tqcc) {
+    for (;;) {
+        if (r.pos + 2 > end) throw Err();
+        uint16_t mk = r.u16();
+        if (mk == M_SOT || mk == M_EOC) { r.pos -= 2; return mk; }
+        if (mk == M_SOD) return mk;
+        if (mk < 0xFF30) throw Err();
+        uint16_t ln = r.u16();
+        if (ln < 2 || r.pos + ln - 2 > end) throw Err();
+        size_t seg_end = r.pos + ln - 2;
+        switch (mk) {
+        case M_SIZ: {
+            r.u16();                           // Rsiz
+            m.xs = r.u32(); m.ys = r.u32();
+            m.xo = r.u32(); m.yo = r.u32();
+            m.xts = r.u32(); m.yts = r.u32();
+            m.xto = r.u32(); m.yto = r.u32();
+            m.csiz = r.u16();
+            if (m.csiz < 1 || m.csiz > 16384) throw Err();
+            if (m.xts <= 0 || m.yts <= 0) throw Err();
+            if (m.xs <= m.xo || m.ys <= m.yo) throw Err();
+            if (m.xto > m.xo || m.yto > m.yo) throw Err();
+            for (int c = 0; c < m.csiz; c++) {
+                uint8_t ssiz = r.u8();
+                uint8_t xr = r.u8(), yr = r.u8();
+                if (xr != 1 || yr != 1) throw Err();   // no subsampling
+                m.prec.push_back((ssiz & 0x7F) + 1);
+                m.sgnd.push_back((ssiz & 0x80) ? 1 : 0);
+                if (m.prec.back() > 31) throw Err();
+            }
+            m.coc.resize(m.csiz);
+            m.has_coc.assign(m.csiz, 0);
+            m.qcc.resize(m.csiz);
+            m.has_qcc.assign(m.csiz, 0);
+            break;
+        }
+        case M_COD: {
+            int scod = r.u8();
+            int prog = r.u8();
+            int layers = r.u16();
+            int mct = r.u8();
+            if (layers < 1 || layers > 65535) throw Err();
+            CodStyle cs = parse_spcod(r, seg_end, scod & 1);
+            if (tile_idx < 0) {
+                m.scod = scod; m.prog = prog; m.layers = layers;
+                m.mct = mct; m.cod = cs;
+            } else {
+                *tscod = scod; *tprog = prog; *tlayers = layers;
+                *tmct = mct; *tcod = cs; *has_tcod = true;
+            }
+            break;
+        }
+        case M_COC: {
+            int ci = (m.csiz < 257) ? r.u8() : r.u16();
+            if (ci >= m.csiz) throw Err();
+            int scoc = r.u8();
+            CodStyle cs = parse_spcod(r, seg_end, scoc & 1);
+            if (tile_idx < 0) { m.coc[ci] = cs; m.has_coc[ci] = 1; }
+            else { (*tcoc)[ci] = cs; (*has_tcoc)[ci] = 1; }
+            break;
+        }
+        case M_QCD: {
+            QuantInfo q = parse_sqcx(r, seg_end);
+            if (tile_idx < 0) m.qcd = q;
+            else { *tqcd = q; *has_tqcd = true; }
+            break;
+        }
+        case M_QCC: {
+            int ci = (m.csiz < 257) ? r.u8() : r.u16();
+            if (ci >= m.csiz) throw Err();
+            QuantInfo q = parse_sqcx(r, seg_end);
+            if (tile_idx < 0) { m.qcc[ci] = q; m.has_qcc[ci] = 1; }
+            else { (*tqcc)[ci] = q; (*has_tqcc)[ci] = 1; }
+            break;
+        }
+        case M_POC: case M_PPM: case M_PPT: case M_RGN:
+            throw Err();                        // unsupported features
+        default:
+            break;                              // skippable segment
+        }
+        r.pos = seg_end;
+    }
+}
+
+// ---- tile-component geometry (T.800 Annex B) ----
+
+static const int kGain[4] = {0, 1, 1, 2};
+
+static void band_quant(const QuantInfo& q, int r, int orient, int nl,
+                       int* eps, int* mant) {
+    int lev = (r == 0) ? nl : nl - r + 1;
+    if (q.style == 1) {
+        *eps = q.steps[0].first - nl + lev;
+        *mant = q.steps[0].second;
+        return;
+    }
+    size_t bi = (r == 0) ? 0 : (size_t)(3 * (r - 1) + orient);
+    if (bi >= q.steps.size()) throw Err();
+    *eps = q.steps[bi].first;
+    *mant = q.steps[bi].second;
+}
+
+static void build_tilecomp(TileCompT& tc, const MainHdr& m, int c,
+                           const CodStyle& cs, const QuantInfo& qi,
+                           int64_t tx0, int64_t ty0, int64_t tx1,
+                           int64_t ty1) {
+    tc.c = c;
+    tc.cs = cs;
+    tc.qi = qi;
+    tc.x0 = (int)tx0; tc.y0 = (int)ty0;
+    tc.x1 = (int)tx1; tc.y1 = (int)ty1;
+    int nl = cs.nl;
+    tc.res.resize(nl + 1);
+    for (int r = 0; r <= nl; r++) {
+        ResT& res = tc.res[r];
+        res.r = r;
+        int sh = nl - r;
+        res.x0 = (int)ceil_div_i64(tx0, 1LL << sh);
+        res.y0 = (int)ceil_div_i64(ty0, 1LL << sh);
+        res.x1 = (int)ceil_div_i64(tx1, 1LL << sh);
+        res.y1 = (int)ceil_div_i64(ty1, 1LL << sh);
+        res.ppx = cs.prec[r].first;
+        res.ppy = cs.prec[r].second;
+        if (r > 0 && (res.ppx < 1 || res.ppy < 1)) throw Err();
+        struct BG { int o, x0, y0, x1, y1; };
+        std::vector<BG> geo;
+        if (r == 0) {
+            geo.push_back({0, res.x0, res.y0, res.x1, res.y1});
+        } else {
+            int lev = nl - r + 1;
+            const int ob[3][2] = {{1, 0}, {0, 1}, {1, 1}};
+            for (int k = 0; k < 3; k++) {
+                int xob = ob[k][0], yob = ob[k][1];
+                int64_t half = 1LL << (lev - 1), full = 1LL << lev;
+                auto cdiv = [](int64_t a, int64_t b) {
+                    // floor-safe ceil for possibly negative numerators
+                    return (a >= 0) ? (a + b - 1) / b : -((-a) / b);
+                };
+                geo.push_back({k + 1,
+                               (int)cdiv(tx0 - half * xob, full),
+                               (int)cdiv(ty0 - half * yob, full),
+                               (int)cdiv(tx1 - half * xob, full),
+                               (int)cdiv(ty1 - half * yob, full)});
+            }
+        }
+        for (auto& g : geo) {
+            BandT b;
+            b.orient = g.o;
+            b.x0 = g.x0; b.y0 = g.y0; b.x1 = g.x1; b.y1 = g.y1;
+            band_quant(qi, r, g.o, nl, &b.eps, &b.mant);
+            b.gain = kGain[g.o];
+            size_t w = (size_t)std::max(g.x1 - g.x0, 0);
+            size_t h = (size_t)std::max(g.y1 - g.y0, 0);
+            if (cs.transform == 1) b.icoef.assign(w * h, 0);
+            else b.fcoef.assign(w * h, 0.0);
+            res.bands.push_back(std::move(b));
+        }
+        if (res.x1 > res.x0 && res.y1 > res.y0) {
+            res.npw = (int)(ceil_div_i64(res.x1, 1LL << res.ppx)
+                            - (res.x0 >> res.ppx));
+            res.nph = (int)(ceil_div_i64(res.y1, 1LL << res.ppy)
+                            - (res.y0 >> res.ppy));
+        }
+        if ((int64_t)res.npw * res.nph > (1 << 22)) throw Err();
+        int shift = (r == 0) ? 0 : 1;
+        int xcb_eff = std::min(cs.xcb,
+                               r == 0 ? res.ppx : std::max(res.ppx - 1, 0));
+        int ycb_eff = std::min(cs.ycb,
+                               r == 0 ? res.ppy : std::max(res.ppy - 1, 0));
+        res.precincts.resize((size_t)res.npw * res.nph);
+        for (int pj = 0; pj < res.nph; pj++)
+            for (int pi = 0; pi < res.npw; pi++) {
+                int64_t ax0 = ((int64_t)(res.x0 >> res.ppx) + pi)
+                              << res.ppx;
+                int64_t ay0 = ((int64_t)(res.y0 >> res.ppy) + pj)
+                              << res.ppy;
+                int64_t ax1 = ax0 + (1LL << res.ppx);
+                int64_t ay1 = ay0 + (1LL << res.ppy);
+                auto& pbs = res.precincts[(size_t)pj * res.npw + pi];
+                pbs.resize(res.bands.size());
+                for (size_t bi = 0; bi < res.bands.size(); bi++) {
+                    BandT& b = res.bands[bi];
+                    PrecBand& pb = pbs[bi];
+                    int gx0 = std::max(b.x0, (int)(ax0 >> shift));
+                    int gy0 = std::max(b.y0, (int)(ay0 >> shift));
+                    int gx1 = std::min(b.x1, (int)(ax1 >> shift));
+                    int gy1 = std::min(b.y1, (int)(ay1 >> shift));
+                    if (gx1 <= gx0 || gy1 <= gy0) continue;
+                    int cw = 1 << xcb_eff, ch = 1 << ycb_eff;
+                    int ci0 = gx0 / cw, cj0 = gy0 / ch;
+                    pb.ncbw = (int)(ceil_div_i64(gx1, cw) - ci0);
+                    pb.ncbh = (int)(ceil_div_i64(gy1, ch) - cj0);
+                    if ((int64_t)pb.ncbw * pb.ncbh > (1 << 20)) throw Err();
+                    pb.cbs.reserve((size_t)pb.ncbw * pb.ncbh);
+                    for (int cj = 0; cj < pb.ncbh; cj++)
+                        for (int ci = 0; ci < pb.ncbw; ci++) {
+                            CodeBlk cb;
+                            cb.x0 = std::max(gx0, (ci0 + ci) * cw);
+                            cb.y0 = std::max(gy0, (cj0 + cj) * ch);
+                            cb.x1 = std::min(gx1, (ci0 + ci + 1) * cw);
+                            cb.y1 = std::min(gy1, (cj0 + cj + 1) * ch);
+                            pb.cbs.push_back(std::move(cb));
+                        }
+                    pb.incl.init(pb.ncbw, pb.ncbh);
+                    pb.zbpt.init(pb.ncbw, pb.ncbh);
+                }
+            }
+    }
+}
+
+// ---- coding-pass / segment mapping ----
+
+static inline int pass_type(int idx) {
+    return idx == 0 ? 2 : (idx - 1) % 3;
+}
+
+static inline int seg_of_pass(int idx, int cbstyle) {
+    if (cbstyle & CB_TERMALL) return idx;
+    if (cbstyle & CB_LAZY) {
+        if (idx < 10) return 0;
+        int k = idx - 10;
+        return 1 + 2 * (k / 3) + ((k % 3 == 2) ? 1 : 0);
+    }
+    return 0;
+}
+
+static inline int seg_last_pass(int idx, int cbstyle) {
+    if (cbstyle & CB_TERMALL) return idx;
+    if (cbstyle & CB_LAZY) {
+        if (idx < 10) return 9;
+        int k = idx - 10;
+        if (k % 3 == 2) return idx;
+        return 10 + 3 * (k / 3) + 1;
+    }
+    return INT32_MAX;
+}
+
+// ---- Tier-1 code-block decode (T.800 Annex D) ----
+
+struct T1 {
+    int w = 0, h = 0;
+    std::vector<uint8_t> sig, vis, refd, sgn, lastp;
+    std::vector<int32_t> mag;
+
+    inline int sig_at(int x, int y, int ystripe, bool vsc) const {
+        if (x < 0 || x >= w || y < 0 || y >= h) return 0;
+        if (vsc && (y >> 2) > ystripe) return 0;
+        return sig[(size_t)y * w + x];
+    }
+
+    inline int sig_ctx(int x, int y, int orient, bool vsc) const {
+        int ys = y >> 2;
+        int hh = sig_at(x - 1, y, ys, vsc) + sig_at(x + 1, y, ys, vsc);
+        int vv = sig_at(x, y - 1, ys, vsc) + sig_at(x, y + 1, ys, vsc);
+        int dd = sig_at(x - 1, y - 1, ys, vsc)
+               + sig_at(x + 1, y - 1, ys, vsc)
+               + sig_at(x - 1, y + 1, ys, vsc)
+               + sig_at(x + 1, y + 1, ys, vsc);
+        return kSigLut[orient][hh][vv][dd];
+    }
+
+    inline int contrib(int x, int y, int ystripe, bool vsc) const {
+        if (x < 0 || x >= w || y < 0 || y >= h) return 0;
+        if (vsc && (y >> 2) > ystripe) return 0;
+        size_t i = (size_t)y * w + x;
+        if (!sig[i]) return 0;
+        return sgn[i] ? -1 : 1;
+    }
+
+    inline void sign_ctx(int x, int y, bool vsc, int* cx, int* xr) const {
+        int ys = y >> 2;
+        int hc = contrib(x - 1, y, ys, vsc) + contrib(x + 1, y, ys, vsc);
+        hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+        int vc = contrib(x, y - 1, ys, vsc) + contrib(x, y + 1, ys, vsc);
+        vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+        *cx = kSignLut[hc + 1][vc + 1][0];
+        *xr = kSignLut[hc + 1][vc + 1][1];
+    }
+};
+
+// decode one code block into mag/sgn arrays of the T1 scratch
+static void t1_decode(T1& t, CodeBlk& cb, int orient, int mb,
+                      int cbstyle) {
+    int w = cb.x1 - cb.x0, h = cb.y1 - cb.y0;
+    t.w = w; t.h = h;
+    size_t size = (size_t)w * h;
+    t.sig.assign(size, 0);
+    t.vis.assign(size, 0);
+    t.refd.assign(size, 0);
+    t.sgn.assign(size, 0);
+    t.lastp.assign(size, 0);
+    t.mag.assign(size, 0);
+    int numbps = mb - cb.zbp;
+    if (cb.npasses == 0 || numbps <= 0 || w <= 0 || h <= 0) return;
+    if (numbps > 31) throw Err();
+    bool vsc = (cbstyle & CB_VSC) != 0;
+    bool lazy = (cbstyle & CB_LAZY) != 0;
+
+    Ctx ctx;
+    ctx.init();
+    Mq mq;
+    RawBits raw;
+    int cur_seg = -1;
+    bool cur_raw = false;
+    int plane = numbps - 1;
+    static const std::vector<uint8_t> kEmpty;
+
+    for (int pidx = 0; pidx < cb.npasses; pidx++) {
+        if (plane < 0) throw Err();   // more passes than bitplanes
+        int pt = pass_type(pidx);
+        bool is_raw = lazy && pidx >= 10 && pt != 2;
+        int sid = seg_of_pass(pidx, cbstyle);
+        if (sid != cur_seg) {
+            const std::vector<uint8_t>& seg =
+                (size_t)sid < cb.segs.size() ? cb.segs[sid] : kEmpty;
+            if (is_raw) raw.init(seg.data(), seg.size());
+            else mq.init(seg.data(), seg.size(), &ctx);
+            cur_seg = sid;
+            cur_raw = is_raw;
+        }
+        if ((cbstyle & CB_RESET) && !is_raw) ctx.init();
+        (void)cur_raw;
+        int32_t bit = 1 << plane;
+
+        if (pt == 0) {                 // significance propagation
+            for (int y0 = 0; y0 < h; y0 += 4) {
+                int ylim = std::min(y0 + 4, h);
+                for (int x = 0; x < w; x++)
+                    for (int y = y0; y < ylim; y++) {
+                        size_t i = (size_t)y * w + x;
+                        if (t.sig[i]) continue;
+                        int cx = t.sig_ctx(x, y, orient, vsc);
+                        if (cx == 0) continue;
+                        t.vis[i] = 1;
+                        int d = is_raw ? raw.bit() : mq.decode(cx);
+                        if (d) {
+                            int s;
+                            if (is_raw) s = raw.bit();
+                            else {
+                                int sc, xr;
+                                t.sign_ctx(x, y, vsc, &sc, &xr);
+                                s = mq.decode(sc) ^ xr;
+                            }
+                            t.sig[i] = 1;
+                            t.sgn[i] = (uint8_t)s;
+                            t.mag[i] |= bit;
+                            t.lastp[i] = (uint8_t)plane;
+                        }
+                    }
+            }
+        } else if (pt == 1) {          // magnitude refinement
+            for (int y0 = 0; y0 < h; y0 += 4) {
+                int ylim = std::min(y0 + 4, h);
+                for (int x = 0; x < w; x++)
+                    for (int y = y0; y < ylim; y++) {
+                        size_t i = (size_t)y * w + x;
+                        if (!t.sig[i] || t.vis[i]) continue;
+                        int d;
+                        if (is_raw) d = raw.bit();
+                        else {
+                            int cx;
+                            if (t.refd[i]) cx = 16;
+                            else {
+                                int ys = y >> 2;
+                                int any =
+                                    t.sig_at(x-1, y, ys, vsc)
+                                  + t.sig_at(x+1, y, ys, vsc)
+                                  + t.sig_at(x, y-1, ys, vsc)
+                                  + t.sig_at(x, y+1, ys, vsc)
+                                  + t.sig_at(x-1, y-1, ys, vsc)
+                                  + t.sig_at(x+1, y-1, ys, vsc)
+                                  + t.sig_at(x-1, y+1, ys, vsc)
+                                  + t.sig_at(x+1, y+1, ys, vsc);
+                                cx = any ? 15 : 14;
+                            }
+                            d = mq.decode(cx);
+                        }
+                        if (d) t.mag[i] |= bit;
+                        t.lastp[i] = (uint8_t)plane;
+                        t.refd[i] = 1;
+                    }
+            }
+        } else {                       // cleanup
+            for (int y0 = 0; y0 < h; y0 += 4) {
+                int ylim = std::min(y0 + 4, h);
+                for (int x = 0; x < w; x++) {
+                    int y = y0;
+                    if (ylim - y0 == 4) {
+                        bool rl = true;
+                        for (int yy = y0; yy < ylim; yy++) {
+                            size_t i = (size_t)yy * w + x;
+                            if (t.sig[i] || t.vis[i]
+                                || t.sig_ctx(x, yy, orient, vsc) != 0) {
+                                rl = false;
+                                break;
+                            }
+                        }
+                        if (rl) {
+                            if (mq.decode(kCtxRL) == 0) continue;
+                            int rr = (mq.decode(kCtxUni) << 1)
+                                   | mq.decode(kCtxUni);
+                            y = y0 + rr;
+                            size_t i = (size_t)y * w + x;
+                            int sc, xr;
+                            t.sign_ctx(x, y, vsc, &sc, &xr);
+                            int s = mq.decode(sc) ^ xr;
+                            t.sig[i] = 1;
+                            t.sgn[i] = (uint8_t)s;
+                            t.mag[i] |= bit;
+                            t.lastp[i] = (uint8_t)plane;
+                            y += 1;
+                        }
+                    }
+                    for (; y < ylim; y++) {
+                        size_t i = (size_t)y * w + x;
+                        if (!t.sig[i] && !t.vis[i]) {
+                            int cx = t.sig_ctx(x, y, orient, vsc);
+                            if (mq.decode(cx)) {
+                                int sc, xr;
+                                t.sign_ctx(x, y, vsc, &sc, &xr);
+                                int s = mq.decode(sc) ^ xr;
+                                t.sig[i] = 1;
+                                t.sgn[i] = (uint8_t)s;
+                                t.mag[i] |= bit;
+                                t.lastp[i] = (uint8_t)plane;
+                            }
+                        }
+                    }
+                }
+            }
+            if (cbstyle & CB_SEGSYM) {
+                int v = 0;
+                for (int k = 0; k < 4; k++)
+                    v = (v << 1) | mq.decode(kCtxUni);
+                if (v != 0xA) throw Err();
+            }
+            std::fill(t.vis.begin(), t.vis.end(), 0);
+            plane -= 1;
+        }
+    }
+    // per-coefficient midpoint reconstruction (matches the Python
+    // golden decoder: half the last coded plane's LSB)
+    for (size_t i = 0; i < size; i++)
+        if (t.mag[i] && t.lastp[i] > 0)
+            t.mag[i] += 1 << (t.lastp[i] - 1);
+}
+
+// ---- packet decoding ----
+
+struct TileStream {
+    const uint8_t* d;
+    size_t n, pos = 0;
+};
+
+static void read_packet(TileStream& ts, ResT& res, int pidx, int layer,
+                        int scod, int cbstyle) {
+    if (ts.pos >= ts.n) throw Err();
+    size_t pos = ts.pos;
+    if ((scod & 2) && pos + 2 <= ts.n && ts.d[pos] == 0xFF
+        && ts.d[pos + 1] == 0x91) {
+        pos += 6;
+        if (pos > ts.n) throw Err();
+    }
+    HdrBits rdr;
+    rdr.init(ts.d, ts.n, pos);
+    struct Portion { int sid; int64_t nbytes; };
+    struct Contrib { CodeBlk* cb; std::vector<Portion> lens; };
+    std::vector<Contrib> contribs;
+    if (rdr.bit()) {
+        auto& pbs = res.precincts[pidx];
+        for (auto& pb : pbs) {
+            if (pb.ncbw == 0) continue;
+            for (size_t ci = 0; ci < pb.cbs.size(); ci++) {
+                CodeBlk& cb = pb.cbs[ci];
+                int x = (int)(ci % pb.ncbw);
+                int y = (int)(ci / pb.ncbw);
+                bool inc;
+                if (!cb.included) inc = pb.incl.decode(rdr, x, y, layer + 1);
+                else inc = rdr.bit() != 0;
+                if (!inc) continue;
+                if (!cb.included) {
+                    cb.included = true;
+                    cb.zbp = pb.zbpt.value(rdr, x, y);
+                }
+                int n;
+                if (rdr.bit() == 0) n = 1;
+                else if (rdr.bit() == 0) n = 2;
+                else {
+                    int v = (int)rdr.bits(2);
+                    if (v < 3) n = 3 + v;
+                    else {
+                        v = (int)rdr.bits(5);
+                        if (v < 31) n = 6 + v;
+                        else n = 37 + (int)rdr.bits(7);
+                    }
+                }
+                while (rdr.bit()) {
+                    cb.lblock += 1;
+                    if (cb.lblock > 64) throw Err();
+                }
+                Contrib con;
+                con.cb = &cb;
+                int p = cb.npasses, rem = n;
+                while (rem > 0) {
+                    int sid = seg_of_pass(p, cbstyle);
+                    int last = seg_last_pass(p, cbstyle);
+                    int take = (int)std::min((int64_t)rem,
+                                             (int64_t)last - p + 1);
+                    int lg = 0;
+                    while ((1 << (lg + 1)) <= take) lg++;
+                    int nbits = cb.lblock + lg;
+                    if (nbits > 62) throw Err();
+                    int64_t nbytes = (int64_t)rdr.bits(nbits);
+                    con.lens.push_back({sid, nbytes});
+                    p += take;
+                    rem -= take;
+                }
+                cb.npasses += n;
+                if (cb.npasses > 3 * 31 + 1) throw Err();
+                contribs.push_back(std::move(con));
+            }
+        }
+    }
+    pos = rdr.align();
+    if (scod & 4) {
+        if (pos + 2 > ts.n || ts.d[pos] != 0xFF || ts.d[pos + 1] != 0x92)
+            throw Err();
+        pos += 2;
+    }
+    for (auto& con : contribs) {
+        for (auto& pr : con.lens) {
+            if (pos + (size_t)pr.nbytes > ts.n) throw Err();
+            if ((size_t)pr.sid >= con.cb->segs.size())
+                con.cb->segs.resize(pr.sid + 1);
+            auto& seg = con.cb->segs[pr.sid];
+            seg.insert(seg.end(), ts.d + pos, ts.d + pos + pr.nbytes);
+            pos += (size_t)pr.nbytes;
+        }
+    }
+    ts.pos = pos;
+}
+
+// ---- progression iteration ----
+
+struct PktRef { int l, r, c, p; };
+
+static void packet_sequence(const MainHdr& m, int prog, int layers,
+                            std::vector<TileCompT>& tcs,
+                            int64_t tx0, int64_t ty0,
+                            std::vector<PktRef>& out) {
+    int ncomp = (int)tcs.size();
+    int maxres = 0;
+    for (auto& tc : tcs) maxres = std::max(maxres, tc.cs.nl + 1);
+    if (prog == 0) {                               // LRCP
+        for (int l = 0; l < layers; l++)
+            for (int r = 0; r < maxres; r++)
+                for (int c = 0; c < ncomp; c++) {
+                    if (r > tcs[c].cs.nl) continue;
+                    ResT& res = tcs[c].res[r];
+                    for (int p = 0; p < res.npw * res.nph; p++)
+                        out.push_back({l, r, c, p});
+                }
+        return;
+    }
+    if (prog == 1) {                               // RLCP
+        for (int r = 0; r < maxres; r++)
+            for (int l = 0; l < layers; l++)
+                for (int c = 0; c < ncomp; c++) {
+                    if (r > tcs[c].cs.nl) continue;
+                    ResT& res = tcs[c].res[r];
+                    for (int p = 0; p < res.npw * res.nph; p++)
+                        out.push_back({l, r, c, p});
+                }
+        return;
+    }
+    if (prog < 2 || prog > 4) throw Err();
+    struct Ev { int c, r, p; int64_t x, y; };
+    std::vector<Ev> events;
+    for (int c = 0; c < ncomp; c++) {
+        int nl = tcs[c].cs.nl;
+        for (int r = 0; r <= nl; r++) {
+            ResT& res = tcs[c].res[r];
+            int sh = nl - r;
+            for (int pj = 0; pj < res.nph; pj++) {
+                int64_t ay = ((((int64_t)res.y0 >> res.ppy) + pj)
+                              << res.ppy) << sh;
+                int64_t y = std::max(ay, ty0);
+                for (int pi = 0; pi < res.npw; pi++) {
+                    int64_t ax = ((((int64_t)res.x0 >> res.ppx) + pi)
+                                  << res.ppx) << sh;
+                    int64_t x = std::max(ax, tx0);
+                    events.push_back({c, r, pj * res.npw + pi, x, y});
+                }
+            }
+        }
+    }
+    auto key_rpcl = [](const Ev& a, const Ev& b) {
+        if (a.r != b.r) return a.r < b.r;
+        if (a.y != b.y) return a.y < b.y;
+        if (a.x != b.x) return a.x < b.x;
+        return a.c < b.c;
+    };
+    auto key_pcrl = [](const Ev& a, const Ev& b) {
+        if (a.y != b.y) return a.y < b.y;
+        if (a.x != b.x) return a.x < b.x;
+        if (a.c != b.c) return a.c < b.c;
+        return a.r < b.r;
+    };
+    auto key_cprl = [](const Ev& a, const Ev& b) {
+        if (a.c != b.c) return a.c < b.c;
+        if (a.y != b.y) return a.y < b.y;
+        if (a.x != b.x) return a.x < b.x;
+        return a.r < b.r;
+    };
+    if (prog == 2) std::stable_sort(events.begin(), events.end(), key_rpcl);
+    else if (prog == 3) std::stable_sort(events.begin(), events.end(),
+                                         key_pcrl);
+    else std::stable_sort(events.begin(), events.end(), key_cprl);
+    for (auto& e : events)
+        for (int l = 0; l < layers; l++)
+            out.push_back({l, e.r, e.c, e.p});
+}
+
+// ---- inverse DWT (T.800 Annex F) ----
+
+static const double kK97 = 1.230174104914001;
+static const double kA97 = 1.586134342059924;
+static const double kB97 = 0.052980118572961;
+static const double kG97 = 0.882911075530934;
+static const double kD97 = 0.443506852043971;
+
+static inline int reflect_idx(int64_t k, int64_t n) {
+    if (n == 1) return 0;
+    int64_t period = 2 * (n - 1);
+    k %= period;
+    if (k < 0) k += period;
+    return (int)(k < n ? k : period - k);
+}
+
+// 1D synthesis in place on a line of length n at coords [i0, i0+n);
+// scratch must hold n + 4 elements
+template <typename T>
+static void sr1d_line(T* line, int64_t i0, int64_t n, bool irr,
+                      T* ext) {
+    if (n == 1) {
+        if (i0 & 1) {
+            if (irr) line[0] = (T)(line[0] * kK97);
+            else line[0] = (T)(((int64_t)line[0]) >> 1);
+        }
+        return;
+    }
+    memcpy(ext + 2, line, (size_t)n * sizeof(T));
+    auto refresh = [&]() {
+        ext[1] = ext[2 + reflect_idx(-1, n)];
+        ext[0] = ext[2 + reflect_idx(-2, n)];
+        ext[2 + n] = ext[2 + reflect_idx(n, n)];
+        ext[3 + n] = ext[2 + reflect_idx(n + 1, n)];
+    };
+    refresh();
+    int64_t ev0 = (i0 & 1) ? 1 : 0;   // local index of first even coord
+    int64_t od0 = 1 - ev0;
+    if (!irr) {
+        int32_t* e = (int32_t*)ext;
+        for (int64_t k = ev0; k < n; k += 2)
+            e[2 + k] -= (e[1 + k] + e[3 + k] + 2) >> 2;
+        refresh();
+        for (int64_t k = od0; k < n; k += 2)
+            e[2 + k] += (e[1 + k] + e[3 + k]) >> 1;
+    } else {
+        double* e = (double*)ext;
+        for (int64_t k = ev0; k < n; k += 2) e[2 + k] *= kK97;
+        for (int64_t k = od0; k < n; k += 2) e[2 + k] *= 1.0 / kK97;
+        refresh();
+        for (int64_t k = ev0; k < n; k += 2)
+            e[2 + k] -= kD97 * (e[1 + k] + e[3 + k]);
+        refresh();
+        for (int64_t k = od0; k < n; k += 2)
+            e[2 + k] -= kG97 * (e[1 + k] + e[3 + k]);
+        refresh();
+        for (int64_t k = ev0; k < n; k += 2)
+            e[2 + k] += kB97 * (e[1 + k] + e[3 + k]);
+        refresh();
+        for (int64_t k = od0; k < n; k += 2)
+            e[2 + k] += kA97 * (e[1 + k] + e[3 + k]);
+    }
+    memcpy(line, ext + 2, (size_t)n * sizeof(T));
+}
+
+// one 2D synthesis level: interleave LL/HL/LH/HH into out, then
+// horizontal and vertical 1D passes
+template <typename T>
+static void idwt_level(std::vector<T>& ll, int llw, int llh,
+                       const std::vector<T>& hl, int hlw,
+                       const std::vector<T>& lh, int lhw,
+                       const std::vector<T>& hh, int hhw,
+                       int64_t ox0, int64_t oy0, int64_t ox1, int64_t oy1,
+                       bool irr, std::vector<T>& out) {
+    int64_t ow = ox1 - ox0, oh = oy1 - oy0;
+    out.assign((size_t)ow * oh, (T)0);
+    int ye = (oy0 & 1) ? 1 : 0, xe = (ox0 & 1) ? 1 : 0;
+    int yo = 1 - ye, xo = 1 - xe;
+    for (int64_t j = ye, r = 0; j < oh; j += 2, r++) {
+        for (int64_t i = xe, c = 0; i < ow; i += 2, c++)
+            out[(size_t)j * ow + i] = ll[(size_t)r * llw + c];
+        for (int64_t i = xo, c = 0; i < ow; i += 2, c++)
+            out[(size_t)j * ow + i] = hl[(size_t)r * hlw + c];
+    }
+    for (int64_t j = yo, r = 0; j < oh; j += 2, r++) {
+        for (int64_t i = xe, c = 0; i < ow; i += 2, c++)
+            out[(size_t)j * ow + i] = lh[(size_t)r * lhw + c];
+        for (int64_t i = xo, c = 0; i < ow; i += 2, c++)
+            out[(size_t)j * ow + i] = hh[(size_t)r * hhw + c];
+    }
+    std::vector<T> ext((size_t)std::max(ow, oh) + 4);
+    for (int64_t j = 0; j < oh; j++)
+        sr1d_line(out.data() + (size_t)j * ow, ox0, ow, irr, ext.data());
+    std::vector<T> col((size_t)oh);
+    for (int64_t i = 0; i < ow; i++) {
+        for (int64_t j = 0; j < oh; j++) col[j] = out[(size_t)j * ow + i];
+        sr1d_line(col.data(), oy0, oh, irr, ext.data());
+        for (int64_t j = 0; j < oh; j++) out[(size_t)j * ow + i] = col[j];
+    }
+}
+
+// ---- tile decode ----
+
+static void decode_tile(const MainHdr& m, const TileData& td, int tidx,
+                        int64_t ntx, int32_t* out, int64_t out_w,
+                        int64_t out_h) {
+    int64_t p = tidx % ntx, q = tidx / ntx;
+    int64_t tx0 = std::max(m.xto + p * m.xts, m.xo);
+    int64_t ty0 = std::max(m.yto + q * m.yts, m.yo);
+    int64_t tx1 = std::min(m.xto + (p + 1) * m.xts, m.xs);
+    int64_t ty1 = std::min(m.yto + (q + 1) * m.yts, m.ys);
+    if (tx1 <= tx0 || ty1 <= ty0) return;
+
+    // per-tile header overrides were collected during the tile-part
+    // scan; decode_j2k_impl passes them via the MainHdr copy in `m`
+    int scod = m.scod, prog = m.prog, layers = m.layers, mct = m.mct;
+
+    std::vector<TileCompT> tcs((size_t)m.csiz);
+    for (int c = 0; c < m.csiz; c++) {
+        const CodStyle& cs = m.has_coc[c] ? m.coc[c] : m.cod;
+        const QuantInfo& qi = m.has_qcc[c] ? m.qcc[c] : m.qcd;
+        if (cs.transform == 1 && qi.style != 0) throw Err();
+        build_tilecomp(tcs[c], m, c, cs, qi, tx0, ty0, tx1, ty1);
+    }
+
+    std::vector<PktRef> seq;
+    packet_sequence(m, prog, layers, tcs, tx0, ty0, seq);
+    TileStream ts{td.data.data(), td.data.size(), 0};
+    for (auto& pk : seq) {
+        ResT& res = tcs[pk.c].res[pk.r];
+        if (res.npw * res.nph == 0) continue;
+        read_packet(ts, res, pk.p, pk.l,
+                    scod, tcs[pk.c].cs.cbstyle);
+    }
+
+    // Tier-1 + dequant + IDWT per component
+    std::vector<std::vector<int32_t>> iplanes;
+    std::vector<std::vector<double>> fplanes;
+    T1 t1;
+    for (int c = 0; c < m.csiz; c++) {
+        TileCompT& tc = tcs[c];
+        bool irr = tc.cs.transform == 0;
+        int precb = m.prec[c];
+        for (auto& res : tc.res) {
+            for (size_t bi = 0; bi < res.bands.size(); bi++) {
+                BandT& b = res.bands[bi];
+                int bw = std::max(b.x1 - b.x0, 0);
+                int mb = tc.qi.guard + b.eps - 1;
+                if (mb < 0 || mb > 37) throw Err();
+                double delta = 1.0;
+                if (irr) {
+                    int rb = precb + b.gain;
+                    delta = std::pow(2.0, rb - b.eps)
+                            * (1.0 + b.mant / 2048.0);
+                }
+                for (auto& pbs : res.precincts)
+                    for (auto& cb : pbs[bi].cbs) {
+                        t1_decode(t1, cb, b.orient, mb, tc.cs.cbstyle);
+                        int w = cb.x1 - cb.x0, h = cb.y1 - cb.y0;
+                        for (int y = 0; y < h; y++)
+                            for (int x = 0; x < w; x++) {
+                                size_t si = (size_t)y * w + x;
+                                int64_t v = t1.mag[si];
+                                if (t1.sgn[si]) v = -v;
+                                size_t di = (size_t)(cb.y0 - b.y0 + y)
+                                            * bw + (cb.x0 - b.x0 + x);
+                                if (irr) b.fcoef[di] = v * delta;
+                                else b.icoef[di] = (int32_t)v;
+                            }
+                    }
+            }
+        }
+        int nl = tc.cs.nl;
+        if (irr) {
+            std::vector<double> cur = tc.res[0].bands[0].fcoef;
+            int curw = std::max(tc.res[0].x1 - tc.res[0].x0, 0);
+            int curh = std::max(tc.res[0].y1 - tc.res[0].y0, 0);
+            for (int r = 1; r <= nl; r++) {
+                ResT& res = tc.res[r];
+                std::vector<double> nxt;
+                idwt_level(cur, curw, curh,
+                           res.bands[0].fcoef,
+                           std::max(res.bands[0].x1 - res.bands[0].x0, 0),
+                           res.bands[1].fcoef,
+                           std::max(res.bands[1].x1 - res.bands[1].x0, 0),
+                           res.bands[2].fcoef,
+                           std::max(res.bands[2].x1 - res.bands[2].x0, 0),
+                           res.x0, res.y0, res.x1, res.y1, true, nxt);
+                cur = std::move(nxt);
+                curw = res.x1 - res.x0;
+                curh = res.y1 - res.y0;
+            }
+            fplanes.push_back(std::move(cur));
+            iplanes.emplace_back();
+        } else {
+            std::vector<int32_t> cur = tc.res[0].bands[0].icoef;
+            int curw = std::max(tc.res[0].x1 - tc.res[0].x0, 0);
+            int curh = std::max(tc.res[0].y1 - tc.res[0].y0, 0);
+            for (int r = 1; r <= nl; r++) {
+                ResT& res = tc.res[r];
+                std::vector<int32_t> nxt;
+                idwt_level(cur, curw, curh,
+                           res.bands[0].icoef,
+                           std::max(res.bands[0].x1 - res.bands[0].x0, 0),
+                           res.bands[1].icoef,
+                           std::max(res.bands[1].x1 - res.bands[1].x0, 0),
+                           res.bands[2].icoef,
+                           std::max(res.bands[2].x1 - res.bands[2].x0, 0),
+                           res.x0, res.y0, res.x1, res.y1, false, nxt);
+                cur = std::move(nxt);
+                curw = res.x1 - res.x0;
+                curh = res.y1 - res.y0;
+            }
+            iplanes.push_back(std::move(cur));
+            fplanes.emplace_back();
+        }
+        // free coefficient storage early
+        for (auto& res : tc.res)
+            for (auto& b : res.bands) {
+                b.icoef.clear(); b.icoef.shrink_to_fit();
+                b.fcoef.clear(); b.fcoef.shrink_to_fit();
+            }
+    }
+
+    int64_t tw = tx1 - tx0, th = ty1 - ty0;
+    bool rev = tcs[0].cs.transform == 1;
+    // multi-component transform on the first three components
+    if (mct && m.csiz >= 3) {
+        size_t npx = (size_t)tw * th;
+        if (rev) {
+            for (size_t i = 0; i < npx; i++) {
+                int64_t y_ = iplanes[0][i], cb_ = iplanes[1][i],
+                        cr_ = iplanes[2][i];
+                int64_t g = y_ - ((cb_ + cr_) >> 2);
+                iplanes[0][i] = (int32_t)(cr_ + g);
+                iplanes[1][i] = (int32_t)g;
+                iplanes[2][i] = (int32_t)(cb_ + g);
+            }
+        } else {
+            for (size_t i = 0; i < npx; i++) {
+                double y_ = fplanes[0][i], cb_ = fplanes[1][i],
+                       cr_ = fplanes[2][i];
+                fplanes[0][i] = y_ + 1.402 * cr_;
+                fplanes[1][i] = y_ - 0.344136 * cb_ - 0.714136 * cr_;
+                fplanes[2][i] = y_ + 1.772 * cb_;
+            }
+        }
+    }
+
+    for (int c = 0; c < m.csiz; c++) {
+        int precb = m.prec[c];
+        bool sgnd = m.sgnd[c] != 0;
+        bool irr = tcs[c].cs.transform == 0;
+        int64_t lo = sgnd ? -(1LL << (precb - 1)) : 0;
+        int64_t hi = sgnd ? (1LL << (precb - 1)) - 1 : (1LL << precb) - 1;
+        int64_t shift = sgnd ? 0 : (1LL << (precb - 1));
+        for (int64_t y = 0; y < th; y++)
+            for (int64_t x = 0; x < tw; x++) {
+                int64_t v;
+                if (irr) {
+                    double f = fplanes[c][(size_t)y * tw + x];
+                    v = (int64_t)llround(f);
+                } else {
+                    v = iplanes[c][(size_t)y * tw + x];
+                }
+                v += shift;
+                if (v < lo) v = lo;
+                if (v > hi) v = hi;
+                size_t oidx = ((size_t)(ty0 - m.yo + y) * out_w
+                               + (tx0 - m.xo + x)) * m.csiz + c;
+                out[oidx] = (int32_t)v;
+            }
+    }
+    (void)out_h;
+}
+
+// ---- top level ----
+
+struct TileOverride {
+    bool has_cod = false, has_qcd = false;
+    int scod = 0, prog = 0, layers = 1, mct = 0;
+    CodStyle cod;
+    QuantInfo qcd;
+    std::vector<CodStyle> coc;
+    std::vector<uint8_t> has_coc;
+    std::vector<QuantInfo> qcc;
+    std::vector<uint8_t> has_qcc;
+};
+
+static const uint8_t* find_codestream(const uint8_t* buf, size_t len,
+                                      size_t* cs_len) {
+    if (len >= 4 && buf[0] == 0xFF && buf[1] == 0x4F && buf[2] == 0xFF
+        && buf[3] == 0x51) {
+        *cs_len = len;
+        return buf;
+    }
+    static const uint8_t jp2sig[12] = {0, 0, 0, 0x0C, 'j', 'P', ' ', ' ',
+                                       0x0D, 0x0A, 0x87, 0x0A};
+    if (len >= 12 && memcmp(buf, jp2sig, 12) == 0) {
+        size_t pos = 12;
+        while (pos + 8 <= len) {
+            uint64_t lbox = ((uint64_t)buf[pos] << 24)
+                          | ((uint64_t)buf[pos+1] << 16)
+                          | ((uint64_t)buf[pos+2] << 8) | buf[pos+3];
+            const uint8_t* tbox = buf + pos + 4;
+            size_t hdr = 8;
+            if (lbox == 1) {
+                if (pos + 16 > len) throw Err();
+                lbox = 0;
+                for (int k = 0; k < 8; k++)
+                    lbox = (lbox << 8) | buf[pos + 8 + k];
+                hdr = 16;
+            }
+            if (memcmp(tbox, "jp2c", 4) == 0) {
+                size_t end = lbox == 0 ? len : pos + (size_t)lbox;
+                if (end > len || pos + hdr > end) throw Err();
+                *cs_len = end - pos - hdr;
+                return buf + pos + hdr;
+            }
+            if (lbox == 0) break;
+            if (pos + lbox <= pos) throw Err();
+            pos += (size_t)lbox;
+        }
+        throw Err();
+    }
+    // scan for an embedded SOC+SIZ
+    for (size_t i = 0; i + 4 <= len; i++)
+        if (buf[i] == 0xFF && buf[i+1] == 0x4F && buf[i+2] == 0xFF
+            && buf[i+3] == 0x51) {
+            *cs_len = len - i;
+            return buf + i;
+        }
+    throw Err();
+}
+
+static int decode_j2k_impl(const uint8_t* inbuf, size_t inlen,
+                           int32_t* out, int64_t cap,
+                           int* w_out, int* h_out, int* nc_out,
+                           int* prec_out) {
+    build_luts();
+    size_t len = 0;
+    const uint8_t* buf = find_codestream(inbuf, inlen, &len);
+    Rd r{buf, len, 0};
+    if (r.u16() != M_SOC) throw Err();
+    MainHdr m;
+    bool dummyb = false;
+    int dummyi = 0;
+    uint16_t mk = parse_headers(r, len, m, -1, nullptr, nullptr,
+                                &dummyi, &dummyi, &dummyi, &dummyi,
+                                &dummyb, &dummyb, nullptr, nullptr,
+                                nullptr, nullptr);
+    if (m.csiz == 0) throw Err();
+    if (m.cod.prec.empty() || m.qcd.steps.empty()) throw Err();
+
+    int64_t w = m.xs - m.xo, h = m.ys - m.yo;
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) throw Err();
+    if (w * h > (1LL << 28) || w * h * m.csiz > (1LL << 29)) throw Err();
+    *w_out = (int)w;
+    *h_out = (int)h;
+    *nc_out = m.csiz;
+    int maxprec = 0;
+    for (int c = 0; c < m.csiz; c++) maxprec = std::max(maxprec, m.prec[c]);
+    *prec_out = maxprec;
+    if (w * h * m.csiz > cap) return -6;
+
+    int64_t ntx = ceil_div_i64(m.xs - m.xto, m.xts);
+    int64_t nty = ceil_div_i64(m.ys - m.yto, m.yts);
+    if (ntx * nty > (1 << 20)) throw Err();
+
+    std::vector<TileData> tiles((size_t)(ntx * nty));
+    std::vector<TileOverride> ovr((size_t)(ntx * nty));
+    std::vector<uint8_t> seen((size_t)(ntx * nty), 0);
+
+    while (mk != M_EOC && r.pos < len) {
+        // SOT
+        if (r.u16() != M_SOT) throw Err();
+        uint16_t lsot = r.u16();
+        if (lsot != 10) throw Err();
+        uint16_t isot = r.u16();
+        uint32_t psot = r.u32();
+        r.u8();                                    // TPsot
+        r.u8();                                    // TNsot
+        if (isot >= ntx * nty) throw Err();
+        size_t tp_start = r.pos - 12;
+        size_t tp_end = psot ? tp_start + psot : len;
+        if (tp_end > len || tp_end < r.pos) throw Err();
+        TileOverride& o = ovr[isot];
+        if (!seen[isot]) {
+            o.coc.resize(m.csiz);
+            o.has_coc.assign(m.csiz, 0);
+            o.qcc.resize(m.csiz);
+            o.has_qcc.assign(m.csiz, 0);
+            seen[isot] = 1;
+        }
+        uint16_t hmk = parse_headers(r, tp_end, m, isot, &o.cod, &o.qcd,
+                                     &o.scod, &o.prog, &o.layers, &o.mct,
+                                     &o.has_cod, &o.has_qcd, &o.coc,
+                                     &o.has_coc, &o.qcc, &o.has_qcc);
+        if (hmk != M_SOD) throw Err();
+        tiles[isot].data.insert(tiles[isot].data.end(), buf + r.pos,
+                                buf + tp_end);
+        r.pos = tp_end;
+        if (r.pos + 2 <= len) {
+            uint16_t nxt = ((uint16_t)buf[r.pos] << 8) | buf[r.pos + 1];
+            if (nxt == M_EOC) break;
+            if (nxt != M_SOT) throw Err();
+        } else {
+            break;
+        }
+    }
+
+    for (int64_t t = 0; t < ntx * nty; t++) {
+        if (tiles[t].data.empty()) continue;
+        MainHdr mt = m;
+        TileOverride& o = ovr[t];
+        if (o.has_cod) {
+            mt.scod = o.scod; mt.prog = o.prog;
+            mt.layers = o.layers; mt.mct = o.mct;
+            mt.cod = o.cod;
+        }
+        if (o.has_qcd) mt.qcd = o.qcd;
+        for (int c = 0; c < m.csiz; c++) {
+            if (!o.has_coc.empty() && o.has_coc[c]) {
+                mt.coc[c] = o.coc[c];
+                mt.has_coc[c] = 1;
+            }
+            if (!o.has_qcc.empty() && o.has_qcc[c]) {
+                mt.qcc[c] = o.qcc[c];
+                mt.has_qcc[c] = 1;
+            }
+        }
+        decode_tile(mt, tiles[t], (int)t, ntx, out, w, h);
+    }
+    return 0;
+}
+
+}  // namespace j2k
+
+extern "C" {
+
+// JPEG 2000 Part-1 decode (DICOM .4.90/.91): raw codestream or JP2.
+// Output int32 interleaved (h, w, ncomp), DC-shifted/clipped to the
+// component precision (signed components carry their sign). Returns
+// 0 ok, -6 capacity too small (retry with a larger buffer), -1 on any
+// malformed/unsupported stream.
+int mia_j2k_decode(const uint8_t* buf, uint64_t len, int32_t* out,
+                   int64_t cap, int* w, int* h, int* nc, int* prec) {
+    try {
+        return j2k::decode_j2k_impl(buf, (size_t)len, out, cap,
+                                    w, h, nc, prec);
+    } catch (j2k::Err&) {
+        return -1;
+    } catch (std::bad_alloc&) {
+        return -2;
+    } catch (...) {
+        return -3;
+    }
+}
+
+}  // extern "C"

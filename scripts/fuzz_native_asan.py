@@ -37,11 +37,17 @@ def load():
     # the ASan runtime must be first in the process: re-exec under
     # LD_PRELOAD when not already set
     if "libasan" not in os.environ.get("LD_PRELOAD", ""):
-        out = subprocess.run(
+        asan = subprocess.run(
             ["g++", "-print-file-name=libasan.so"],
             capture_output=True, text=True).stdout.strip()
+        # libstdc++ must be resident when ASan initialises or its
+        # __cxa_throw interceptor cannot resolve the real symbol (the
+        # J2K decoder is the first native component that throws)
+        stdcxx = subprocess.run(
+            ["g++", "-print-file-name=libstdc++.so"],
+            capture_output=True, text=True).stdout.strip()
         env = dict(os.environ)
-        env["LD_PRELOAD"] = out
+        env["LD_PRELOAD"] = asan + " " + stdcxx
         env["ASAN_OPTIONS"] = "abort_on_error=1:detect_leaks=0"
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
     return ctypes.CDLL(SO)
@@ -52,7 +58,7 @@ def main():
     build()
     lib = load()
     for fn in ("mia_jpegls_decode", "mia_jpegls14_decode",
-               "mia_jpegdct_decode"):
+               "mia_jpegdct_decode", "mia_j2k_decode"):
         f = getattr(lib, fn)
         f.restype = ctypes.c_int
         f.argtypes = [
@@ -69,6 +75,7 @@ def main():
     img12 = rng.integers(0, 4096, (24, 24)).astype(np.int64)
     img8 = rng.integers(0, 256, (24, 24)).astype(np.uint16)
 
+    from medicalimageanalysis_tpu.dicom.jpeg2k_enc import encode_j2k
     from medicalimageanalysis_tpu.dicom.jpegdct import encode_jpeg_dct
     from medicalimageanalysis_tpu.dicom.jpegls import encode_jpeg_lossless
     from medicalimageanalysis_tpu.dicom.jpegls_t87 import encode_jpegls
@@ -97,6 +104,20 @@ def main():
             encode_jpeg_dct(img12.astype(np.uint16), precision=12,
                             quant=1),
         ],
+        "mia_j2k_decode": [
+            encode_j2k(img12.astype(np.uint16), levels=3),
+            encode_j2k((img12 - 2048).astype(np.int16), levels=2,
+                       tile_size=(12, 12)),
+            encode_j2k(img12.astype(np.uint16), levels=3, sop=True,
+                       eph=True, prog="RPCL",
+                       precincts=[(4, 4), (5, 5), (6, 6), (7, 7)]),
+            encode_j2k(img12.astype(np.uint16), levels=3, layers=3,
+                       cbstyle=0x2F),
+            encode_j2k(img12.astype(np.uint16), levels=3,
+                       irreversible=True),
+            encode_j2k(rng.integers(0, 256, (16, 16, 3))
+                       .astype(np.uint8), levels=2),
+        ],
     }
 
     def run_jpeg(fn, blob):
@@ -116,7 +137,7 @@ def main():
         for good in blobs:
             good = bytearray(good)
             n = len(good)
-            per = max(trials // (3 * len(blobs)), 100)
+            per = max(trials // (4 * len(blobs)), 100)
             for t in range(per):
                 blob = bytearray(good)
                 kind = t % 4
@@ -130,8 +151,10 @@ def main():
                     for _ in range(int(rng.integers(1, 5))):
                         blob[int(rng.integers(0, min(64, n)))] = int(
                             rng.integers(0, 256))
-                else:                # random garbage, valid SOI
-                    blob = bytearray(b"\xFF\xD8") + bytearray(
+                else:                # random garbage, valid start marker
+                    head = (b"\xFF\x4F\xFF\x51"
+                            if fn == "mia_j2k_decode" else b"\xFF\xD8")
+                    blob = bytearray(head) + bytearray(
                         rng.integers(0, 256, int(rng.integers(8, 512)))
                         .astype(np.uint8).tobytes())
                 run_jpeg(fn, blob)

@@ -297,3 +297,65 @@ def test_truncation_fuzz_no_crashes():
         except ValueError:
             pass
 
+
+
+# ---------------------------------------------------------------------------
+# native decoder parity (mia_j2k_decode vs the Python golden)
+# ---------------------------------------------------------------------------
+
+def _native():
+    from medicalimageanalysis_tpu.native import get_lib, j2k_decode
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    return j2k_decode
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(levels=4),
+    dict(levels=2, tile_size=(20, 25)),
+    dict(levels=3, sop=True, eph=True,
+         precincts=[(4, 4), (5, 5), (6, 6), (7, 7)]),
+    dict(levels=3, prog="RPCL",
+         precincts=[(4, 4), (5, 5), (6, 6), (7, 7)]),
+    dict(levels=3, layers=4),
+    dict(levels=3, cbstyle=CB_LAZY | CB_RESET | CB_TERMALL
+                           | CB_VSC | CB_SEGSYM),
+    dict(levels=4, irreversible=True),
+])
+def test_native_parity_configs(cfg):
+    j2k_decode = _native()
+    rng = np.random.RandomState(20)
+    img = rng.randint(-1024, 3072, (47, 52)).astype(np.int16)
+    cs = encode_j2k(img, **cfg)
+    py = decode_j2k(cs)
+    nat = j2k_decode(cs)
+    assert nat is not None
+    assert np.array_equal(np.asarray(py, np.int64),
+                          np.asarray(nat, np.int64))
+
+
+def test_native_parity_rgb_and_openjpeg_stream():
+    j2k_decode = _native()
+    rng = np.random.RandomState(21)
+    rgb = rng.randint(0, 256, (33, 39, 3)).astype(np.uint8)
+    cs = encode_j2k(rgb, levels=2)
+    assert np.array_equal(np.asarray(j2k_decode(cs), np.int64),
+                          np.asarray(decode_j2k(cs), np.int64))
+    big = rng.randint(0, 65536, (64, 80)).astype(np.uint16)
+    jp2 = _cv2_jp2(big)
+    nat = j2k_decode(jp2)
+    assert nat is not None and np.array_equal(nat, big)
+
+
+def test_native_hostile_no_crash():
+    j2k_decode = _native()
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 4096, (24, 28)).astype(np.uint16)
+    cs = bytearray(encode_j2k(img, levels=2))
+    for t in range(150):
+        buf = bytearray(cs)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        j2k_decode(bytes(buf))        # None or an array; never a crash
+    for n in range(0, len(cs), max(len(cs) // 40, 1)):
+        j2k_decode(bytes(cs[:n]))
