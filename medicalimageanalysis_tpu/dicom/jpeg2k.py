@@ -394,6 +394,9 @@ def _parse_spcod(body, off, scod_has_prec):
         raise ValueError("JPEG2000: invalid code-block size exponents")
     cs.cbstyle = body[off + 3]
     cs.transform = body[off + 4]
+    if cs.transform > 1:
+        raise ValueError("JPEG2000: unknown wavelet transform "
+                         f"{cs.transform}")
     off += 5
     if scod_has_prec:
         cs.prec_exps = []

@@ -2859,6 +2859,7 @@ static CodStyle parse_spcod(Rd& r, size_t end, bool has_prec) {
         throw Err();
     cs.cbstyle = r.u8();
     cs.transform = r.u8();
+    if (cs.transform > 1) throw Err();
     if (has_prec) {
         for (int i = 0; i <= cs.nl; i++) {
             if (r.pos >= end) throw Err();

@@ -71,6 +71,19 @@ def main():
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int]
 
+    def _jp2_container_seed():
+        # OpenJPEG-encoded JP2 container: exercises the box parser and
+        # the decoder paths an own-encoder seed cannot reach
+        import cv2
+        # >=32px per side: OpenJPEG rejects smaller images at its
+        # default 6 resolution levels
+        a = np.random.default_rng(7).integers(0, 65535, (64, 64))
+        ok, b = cv2.imencode(".jp2", a.astype(np.uint16),
+                             [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000,
+                              1000])
+        assert ok
+        return b.tobytes()
+
     rng = np.random.default_rng(0)
     img12 = rng.integers(0, 4096, (24, 24)).astype(np.int64)
     img8 = rng.integers(0, 256, (24, 24)).astype(np.uint16)
@@ -117,6 +130,7 @@ def main():
                        irreversible=True),
             encode_j2k(rng.integers(0, 256, (16, 16, 3))
                        .astype(np.uint8), levels=2),
+            _jp2_container_seed(),
         ],
     }
 

@@ -801,7 +801,8 @@ def test_dcmwrite_auto_encode_compressed(tmp_path, rng):
     auto-encodes per frame (capability the reference lacks): exact
     round trips for RLE and JPEG-LS, including SIGNED data."""
     arr = rng.integers(0, 4000, size=(32, 32)).astype(np.uint16)
-    for ts in (uids.RLELossless, uids.JPEGLSLossless):
+    for ts in (uids.RLELossless, uids.JPEGLSLossless,
+               uids.JPEG2000Lossless):
         ds = make_ct_slice(arr)      # raw little-endian PixelData bytes
         ds.BitsStored, ds.HighBit = 12, 11
         dcmwrite(tmp_path / "auto.dcm", ds, transfer_syntax=ts)
@@ -818,6 +819,15 @@ def test_dcmwrite_auto_encode_compressed(tmp_path, rng):
     out = dcmread(tmp_path / "s.dcm")
     np.testing.assert_array_equal(out.pixel_array, signed)
 
+    # JPEG 2000 carries the sign natively in the codestream (Ssiz)
+    ds = make_ct_slice(signed.astype(np.uint16))
+    ds.PixelRepresentation = 1
+    ds.PixelData = signed.tobytes()
+    dcmwrite(tmp_path / "s90.dcm", ds,
+             transfer_syntax=uids.JPEG2000Lossless)
+    out = dcmread(tmp_path / "s90.dcm")
+    np.testing.assert_array_equal(out.pixel_array, signed)
+
 
 def test_create_dicom_image_compressed_series(tmp_path, rng):
     """CreateDicomImage(transfer_syntax=...) writes a compressed
@@ -828,7 +838,8 @@ def test_create_dicom_image_compressed_series(tmp_path, rng):
 
     arr = rng.integers(0, 3000, size=(4, 32, 32)).astype(np.int16)
     for sub, ts in (("ls", uids.JPEGLSLossless),
-                    ("rle", uids.RLELossless)):
+                    ("rle", uids.RLELossless),
+                    ("j2k", uids.JPEG2000Lossless)):
         d = tmp_path / sub
         d.mkdir()
         CreateDicomImage(str(d), arr, spacing=[1, 1], thickness=2.5,
