@@ -1016,15 +1016,16 @@ _SIGN_LUT = {
 
 
 def _t1_decode(cb, orient, mb, cbstyle):
-    """Decode one code block; returns (mag int64 array, sign array,
-    n_undecoded_lsb_planes) in (h, w) layout."""
+    """Decode one code block; returns (mag int64 array, sign array) in
+    (h, w) layout. Truncation midpoint rounding (half-LSB at the last
+    decoded plane, T.800 E.1 r=0.5) is applied here via ``lastp``."""
     w = cb.x1 - cb.x0
     h = cb.y1 - cb.y0
     numbps = mb - cb.zbp
     mag = np.zeros((h, w), dtype=np.int64)
     sgn = np.zeros((h, w), dtype=np.uint8)
     if cb.npasses == 0 or numbps <= 0 or w <= 0 or h <= 0:
-        return mag, sgn, max(numbps, 0)
+        return mag, sgn
     # flat python lists for scalar speed
     size = w * h
     sig = [0] * size
@@ -1174,6 +1175,7 @@ def _t1_decode(cb, orient, mb, cbstyle):
                             sig[i] = 1
                             sg[i] = s
                             mg[i] |= bit
+                            lastp[i] = plane
                             y += 1
                     while y < ylim:
                         i = y * w + x
@@ -1209,7 +1211,7 @@ def _t1_decode(cb, orient, mb, cbstyle):
                 mg[i] += 1 << (lastp[i] - 1)
     mag[:] = np.asarray(mg, dtype=np.int64).reshape(h, w)
     sgn[:] = np.asarray(sg, dtype=np.uint8).reshape(h, w)
-    return mag, sgn, 0
+    return mag, sgn
 
 
 # ---------------------------------------------------------------------------
@@ -1297,7 +1299,7 @@ def _idwt_level(ll, hl, lh, hh, ox0, oy0, ox1, oy1, irreversible):
     return np.ascontiguousarray(a.T)
 
 
-def _dequant_band(band, mag, sgn, undec, prec, guard, irreversible):
+def _dequant_band(band, mag, sgn, prec, irreversible):
     """Sign-magnitude -> coefficient values (T.800 E.1); midpoint
     rounding for truncated code blocks already applied in Tier-1."""
     val = np.where(sgn.astype(bool), -mag, mag)
@@ -1350,11 +1352,9 @@ def _decode_tile(m, tile, p, q):
                     pb = pbs[bi]
                     for cb in pb.cbs:
                         mb = tc.quant.guard + band.eps - 1
-                        mag, sgn, undec = _t1_decode(
+                        mag, sgn = _t1_decode(
                             cb, band.orient, mb, tc.cs.cbstyle)
-                        vals = _dequant_band(
-                            band, mag, sgn, undec, prec,
-                            tc.quant.guard, irr)
+                        vals = _dequant_band(band, mag, sgn, prec, irr)
                         band.coefs[cb.y0 - band.y0:cb.y1 - band.y0,
                                    cb.x0 - band.x0:cb.x1 - band.x0] = vals
         # synthesis
@@ -1370,6 +1370,12 @@ def _decode_tile(m, tile, p, q):
 
     # multi-component transform
     if m.mct and len(planes) >= 3:
+        # T.800: components 0..2 must share the wavelet transform
+        # under MCT (RCT pairs with 5/3, ICT with 9/7)
+        if any(tcs[c].cs.transform != tcs[0].cs.transform
+               for c in (1, 2)):
+            raise ValueError("JPEG2000: MCT with mixed per-component "
+                             "wavelet transforms")
         y0_, cb_, cr_ = planes[0], planes[1], planes[2]
         if tcs[0].cs.transform == 1:        # RCT (reversible)
             g = y0_ - ((cb_ + cr_) >> 2)

@@ -270,8 +270,7 @@ def _t1_encode(vals, orient, mb, cbstyle):
     """Encode one code block. `vals` is an int array (h, w) of
     sign-magnitude coefficients (already quantized for 9/7).
 
-    Returns (zbp, [segment bytes...], pass->segment portions list,
-    total passes)."""
+    Returns (zbp, [segment bytes...], total passes)."""
     h, w = vals.shape
     mag_a = np.abs(vals.astype(np.int64))
     maxmag = int(mag_a.max()) if mag_a.size else 0

@@ -204,10 +204,11 @@ def _group_jpeg_fragments(frags, frames, start=b"\xFF\xD8"):
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
     frags = [bytes(f) for f in frags if len(f) > 0]
+    ns = len(start)
     # a leading non-start fragment ahead of a start-initial one is the
     # Basic Offset Table item the parser surfaces as fragment 0
-    if len(frags) > 1 and frags[0][:2] != start \
-            and frags[1][:2] == start:
+    if len(frags) > 1 and frags[0][:ns] != start \
+            and frags[1][:ns] == start:
         frags = frags[1:]
     frames = max(int(frames), 1)
     if len(frags) == frames:
@@ -215,7 +216,7 @@ def _group_jpeg_fragments(frags, frames, start=b"\xFF\xD8"):
     groups = []
     for f in frags:
         f = bytes(f)
-        if f[:2] == start or not groups:
+        if f[:ns] == start or not groups:
             groups.append(f)
         else:
             groups[-1] += f
@@ -267,6 +268,39 @@ def decode_jpeg_dct_native(ds):
                                "JPEG sequential-DCT")
 
 
+def _decode_j2k_cv2_exact(frag, parse_siz):
+    """cv2/OpenJPEG fast path for the no-native-library environment,
+    gated to the streams it decodes EXACTLY: unsigned components of
+    precision exactly 8 or 16 bits (no rescale) with 1 or 3 components.
+    Everything else (signed CT, 12-bit, 2/4+ components) returns None
+    so the caller falls back to the pure-Python golden decoder — which
+    is exact but documented as seconds per 512^2 frame, far too slow
+    to be the default for a plain 16-bit unsigned series."""
+    try:
+        import cv2
+        w, h, ncomp, comps = parse_siz(frag)
+        if ncomp not in (1, 3):
+            return None
+        if any(signed or prec not in (8, 16) for prec, signed in comps):
+            return None
+        if len({c for c in comps}) != 1:
+            return None
+        img = cv2.imdecode(np.frombuffer(frag, dtype=np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+        if img is None or img.shape[:2] != (h, w):
+            return None
+        want = np.uint8 if comps[0][0] == 8 else np.uint16
+        if img.dtype != want:
+            return None
+        if img.ndim == 3:
+            if img.shape[2] != 3:
+                return None
+            img = img[..., ::-1]            # BGR -> RGB
+        return img
+    except Exception:
+        return None
+
+
 def decode_jpeg2000(ds):
     """JPEG 2000 Part 1 (.4.90 lossless / .4.91) via the own codec
     (dicom/jpeg2k.py; native fast path when available) — the path
@@ -280,18 +314,25 @@ def decode_jpeg2000(ds):
     frags = ds.PixelData
     if isinstance(frags, (bytes, bytearray)):
         frags = [bytes(frags)]
+    # full 8-byte JP2 signature-box prefix: a 2-byte 00 00 prefix
+    # would also match a non-empty Basic Offset Table fragment (whose
+    # first entry is offset 0) and any continuation fragment that
+    # happens to begin 00 00 — review finding
+    jp2_sig = b"\x00\x00\x00\x0C\x6A\x50\x20\x20"
     start = b"\xFF\x4F"
-    if any(bytes(f[:4]) == b"\x00\x00\x00\x0C" for f in frags[:2]):
-        start = b"\x00\x00"
+    if any(bytes(f[:8]) == jp2_sig for f in frags[:2]):
+        start = jp2_sig
     streams = _group_jpeg_fragments(frags, frames, start=start)
     try:
         from ..native import j2k_decode as _native_j2k
     except Exception:
         _native_j2k = None
-    from .jpeg2k import decode_j2k
+    from .jpeg2k import decode_j2k, parse_siz
     out = []
     for frag in streams:
         arr = _native_j2k(frag) if _native_j2k is not None else None
+        if arr is None:
+            arr = _decode_j2k_cv2_exact(frag, parse_siz)
         if arr is None:
             arr = decode_j2k(frag)
         out.append(arr)

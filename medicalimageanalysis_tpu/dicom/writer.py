@@ -225,8 +225,16 @@ def _auto_encode_frames(ds, raw, transfer_syntax):
         precision = int(ds.get("BitsStored", bits_alloc) or bits_alloc)
         data = arr.astype(np.int64)
         if data.size:
-            need = int(np.abs(data).max()).bit_length() + (1 if signed
-                                                           else 0)
+            # two's-complement bit demand: -2^(n-1) needs n bits, so
+            # test the min via (-v-1).bit_length() — abs() would bump
+            # the legal 12-bit value -2048 to a 13-bit demand
+            hi = int(data.max())
+            lo = int(data.min())
+            if signed:
+                need = max(hi.bit_length() + 1 if hi > 0 else 1,
+                           (-lo - 1).bit_length() + 1 if lo < 0 else 1)
+            else:
+                need = max(hi.bit_length(), 1)
             if need > precision:
                 precision = bits_alloc
         out = []

@@ -3567,12 +3567,15 @@ static void sr1d_line(T* line, int64_t i0, int64_t n, bool irr,
     int64_t ev0 = (i0 & 1) ? 1 : 0;   // local index of first even coord
     int64_t od0 = 1 - ev0;
     if (!irr) {
+        // 64-bit intermediates: crafted streams can legally signal
+        // mb up to 31, putting coefficients near INT32_MAX where the
+        // two-term sums would be signed-overflow UB in int32
         int32_t* e = (int32_t*)ext;
         for (int64_t k = ev0; k < n; k += 2)
-            e[2 + k] -= (e[1 + k] + e[3 + k] + 2) >> 2;
+            e[2 + k] -= (int32_t)(((int64_t)e[1 + k] + e[3 + k] + 2) >> 2);
         refresh();
         for (int64_t k = od0; k < n; k += 2)
-            e[2 + k] += (e[1 + k] + e[3 + k]) >> 1;
+            e[2 + k] += (int32_t)(((int64_t)e[1 + k] + e[3 + k]) >> 1);
     } else {
         double* e = (double*)ext;
         for (int64_t k = ev0; k < n; k += 2) e[2 + k] *= kK97;
@@ -3754,8 +3757,13 @@ static void decode_tile(const MainHdr& m, const TileData& td, int tidx,
 
     int64_t tw = tx1 - tx0, th = ty1 - ty0;
     bool rev = tcs[0].cs.transform == 1;
-    // multi-component transform on the first three components
+    // multi-component transform on the first three components.
+    // T.800 requires components 0..2 to share the wavelet transform
+    // when MCT is signalled; a crafted stream mixing them via COC
+    // would otherwise index the wrong (empty) plane storage below.
     if (mct && m.csiz >= 3) {
+        for (int c = 1; c < 3; c++)
+            if (tcs[c].cs.transform != tcs[0].cs.transform) throw Err();
         size_t npx = (size_t)tw * th;
         if (rev) {
             for (size_t i = 0; i < npx; i++) {
@@ -3938,6 +3946,16 @@ static int decode_j2k_impl(const uint8_t* inbuf, size_t inlen,
             break;
         }
     }
+
+    // Python-golden semantics: zero-fill regions whose tiles carry no
+    // data and reject streams with no tile data at all — the caller's
+    // output buffer is np.empty, so skipping a tile without this
+    // would surface uninitialized heap bytes as pixels.
+    bool any_tile = false;
+    for (int64_t t = 0; t < ntx * nty; t++)
+        if (!tiles[t].data.empty()) { any_tile = true; break; }
+    if (!any_tile) throw Err();
+    memset(out, 0, (size_t)(w * h * m.csiz) * sizeof(int32_t));
 
     for (int64_t t = 0; t < ntx * nty; t++) {
         if (tiles[t].data.empty()) continue;

@@ -359,3 +359,177 @@ def test_native_hostile_no_crash():
         j2k_decode(bytes(buf))        # None or an array; never a crash
     for n in range(0, len(cs), max(len(cs) // 40, 1)):
         j2k_decode(bytes(cs[:n]))
+
+
+# ---------------------------------------------------------------------------
+# review-finding regressions (round 3)
+# ---------------------------------------------------------------------------
+
+def _marker_offsets(cs, marker):
+    # FF 90 (SOT) is in the forbidden bitstream range (>0x8F), so a
+    # naive scan finds only genuine marker positions
+    out, i = [], 0
+    while True:
+        i = cs.find(marker, i)
+        if i < 0:
+            return out
+        out.append(i)
+        i += 1
+
+
+def _with_mixed_transform_coc(cs):
+    """Insert a COC for component 1 whose wavelet transform differs
+    from the COD's — T.800 forbids this under MCT."""
+    cod = cs.find(b"\xFF\x52")
+    assert cod > 0
+    lcod = _struct.unpack(">H", cs[cod + 2:cod + 4])[0]
+    spcod = cs[cod + 9:cod + 2 + lcod]           # after Scod+SGcod
+    sp = bytearray(spcod[:5])
+    sp[4] ^= 1                                   # flip 5/3 <-> 9/7
+    coc = b"\xFF\x53" + _struct.pack(">H", 9) + bytes([1, 0]) + bytes(sp)
+    end = cod + 2 + lcod
+    return cs[:end] + coc + cs[end:]
+
+
+def test_mct_mixed_transform_rejected():
+    # crafted stream previously drove an OOB read/write in the native
+    # decoder (empty plane storage indexed by the RCT loop)
+    rng = np.random.RandomState(30)
+    rgb = rng.randint(0, 256, (21, 26, 3)).astype(np.uint8)
+    crafted = _with_mixed_transform_coc(encode_j2k(rgb, levels=2))
+    with pytest.raises(ValueError, match="mixed|malformed"):
+        decode_j2k(crafted)
+
+
+def test_mct_mixed_transform_native_rejected():
+    j2k_decode = _native()
+    rng = np.random.RandomState(30)
+    rgb = rng.randint(0, 256, (21, 26, 3)).astype(np.uint8)
+    crafted = _with_mixed_transform_coc(encode_j2k(rgb, levels=2))
+    assert j2k_decode(crafted) is None
+
+
+def test_headers_only_stream_rejected():
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 4096, (20, 24)).astype(np.uint16)
+    cs = encode_j2k(img, levels=2)
+    headers_only = cs[:cs.find(b"\xFF\x90")] + b"\xFF\xD9"
+    with pytest.raises(ValueError, match="tile|truncated"):
+        decode_j2k(headers_only)
+
+
+def test_headers_only_stream_native_rejected():
+    # previously returned rc=0 with the np.empty output untouched ->
+    # uninitialized heap bytes surfaced as pixels
+    j2k_decode = _native()
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 4096, (20, 24)).astype(np.uint16)
+    cs = encode_j2k(img, levels=2)
+    headers_only = cs[:cs.find(b"\xFF\x90")] + b"\xFF\xD9"
+    assert j2k_decode(headers_only) is None
+
+
+def test_missing_tile_zero_filled_parity():
+    # a stream truncated at a tile boundary decodes: missing tiles are
+    # zero regions, identically in both decoders (native previously
+    # left whatever was in the heap there)
+    j2k_decode = _native()
+    rng = np.random.RandomState(32)
+    img = rng.randint(1, 4096, (50, 61)).astype(np.uint16)
+    cs = encode_j2k(img, levels=2, tile_size=(25, 20))
+    sots = _marker_offsets(cs, b"\xFF\x90")
+    assert len(sots) >= 2
+    crafted = cs[:sots[-1]] + b"\xFF\xD9"
+    py = np.asarray(decode_j2k(crafted), np.int64)
+    nat = j2k_decode(crafted)
+    assert nat is not None
+    assert np.array_equal(py, np.asarray(nat, np.int64))
+    assert py.max() > 0               # decoded tiles are present
+    assert (py == 0).any()            # the dropped tile is zeroed
+
+
+def test_native_python_parity_rate_controlled():
+    # truncated coding passes exercise the half-LSB midpoint paths,
+    # including run-length-primitive significance (lastp fix): the two
+    # decoders must agree exactly on every stream
+    j2k_decode = _native()
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    smooth = ((np.sin(np.arange(64) / 5.0)[:, None]
+               * np.cos(np.arange(64) / 7.0)[None, :] + 1)
+              * 120).astype(np.uint8)
+    for src in (img, smooth):
+        for rate in (30, 60, 120):
+            cs = _cv2_jp2(src, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000,
+                                rate])
+            py = decode_j2k(cs)
+            nat = j2k_decode(cs)
+            assert nat is not None
+            assert np.array_equal(np.asarray(py, np.int64),
+                                  np.asarray(nat, np.int64))
+
+
+def test_jp2_fragment_grouping_bot_and_continuation():
+    from medicalimageanalysis_tpu.dicom.pixels import \
+        _group_jpeg_fragments
+
+    jp2_sig = b"\x00\x00\x00\x0C\x6A\x50\x20\x20"
+    frame = jp2_sig + b"\x0D\x0A\x87\x0A" + b"rest-of-frame-bytes"
+    # non-empty Basic Offset Table: first entry is offset 0, so a
+    # 2-byte 00 00 start prefix also matched the BOT (review finding)
+    bot = b"\x00\x00\x00\x00\x40\x00\x00\x00"
+    assert _group_jpeg_fragments([bot, frame], 1,
+                                 start=jp2_sig) == [frame]
+    # a continuation fragment that happens to begin 00 00 must merge
+    a, b = frame[:10], b"\x00\x00" + frame[10:]
+    assert _group_jpeg_fragments([a, b], 1, start=jp2_sig) == [a + b]
+
+
+def test_cv2_exact_fastpath_gating():
+    from medicalimageanalysis_tpu.dicom.jpeg2k import parse_siz
+    from medicalimageanalysis_tpu.dicom.pixels import \
+        _decode_j2k_cv2_exact
+
+    rng = np.random.RandomState(34)
+    u16 = rng.randint(0, 65536, (40, 44)).astype(np.uint16)
+    got = _decode_j2k_cv2_exact(_cv2_jp2(u16), parse_siz)
+    assert got is not None and np.array_equal(got, u16)
+    # signed and non-8/16-bit precisions are NOT cv2-exact -> None
+    s16 = encode_j2k(rng.randint(-100, 100, (20, 22)).astype(np.int16),
+                     levels=2)
+    assert _decode_j2k_cv2_exact(s16, parse_siz) is None
+    u12 = encode_j2k(rng.randint(0, 4096, (20, 22)).astype(np.uint16),
+                     levels=2, precision=12)
+    assert _decode_j2k_cv2_exact(u12, parse_siz) is None
+
+
+def test_writer_signed_full_range_precision(tmp_path):
+    # -2048 is a legal 12-bit two's-complement value; abs().max()+1
+    # previously bumped Ssiz to 16 (review finding)
+    from medicalimageanalysis_tpu.dicom import uids
+    from medicalimageanalysis_tpu.dicom.dataset import Dataset
+    from medicalimageanalysis_tpu.dicom.jpeg2k import parse_siz
+    from medicalimageanalysis_tpu.dicom.parser import dcmread
+    from medicalimageanalysis_tpu.dicom.pixels import decode_pixel_data
+    from medicalimageanalysis_tpu.dicom.writer import dcmwrite
+
+    arr = np.full((16, 16), -2048, np.int16)
+    arr[0, 0] = 2047
+    ds = Dataset()
+    ds.add(0x00280010, "US", 16)
+    ds.add(0x00280011, "US", 16)
+    ds.add(0x00280100, "US", 16)
+    ds.add(0x00280101, "US", 12)
+    ds.add(0x00280102, "US", 11)
+    ds.add(0x00280103, "US", 1)
+    ds.add(0x00280002, "US", 1)
+    ds.add(0x7FE00010, "OW", arr.tobytes())
+    f = str(tmp_path / "minmax.dcm")
+    dcmwrite(f, ds, transfer_syntax=uids.JPEG2000Lossless)
+    ds2 = dcmread(f)
+    pd = ds2.PixelData
+    frag = next(bytes(f) for f in pd if len(f)) \
+        if isinstance(pd, list) else bytes(pd)
+    _, _, _, comps = parse_siz(frag)
+    assert comps[0] == (12, True)
+    assert np.array_equal(decode_pixel_data(ds2), arr)
