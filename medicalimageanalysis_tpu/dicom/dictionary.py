@@ -104,6 +104,16 @@ TAG_DICT = {
     0x00281052: ("DS", "RescaleIntercept"),
     0x00281053: ("DS", "RescaleSlope"),
     0x00281054: ("LO", "RescaleType"),
+    # PALETTE COLOR lookup tables (PS3.3 C.7.6.3.1.5 / C.7.9)
+    0x00281101: ("US", "RedPaletteColorLookupTableDescriptor"),
+    0x00281102: ("US", "GreenPaletteColorLookupTableDescriptor"),
+    0x00281103: ("US", "BluePaletteColorLookupTableDescriptor"),
+    0x00281201: ("OW", "RedPaletteColorLookupTableData"),
+    0x00281202: ("OW", "GreenPaletteColorLookupTableData"),
+    0x00281203: ("OW", "BluePaletteColorLookupTableData"),
+    0x00281221: ("OW", "SegmentedRedPaletteColorLookupTableData"),
+    0x00281222: ("OW", "SegmentedGreenPaletteColorLookupTableData"),
+    0x00281223: ("OW", "SegmentedBluePaletteColorLookupTableData"),
     0x00282050: ("SQ", "PresentationLUTSequence"),
     0x20500020: ("CS", "PresentationLUTShape"),
     # multi-frame functional groups

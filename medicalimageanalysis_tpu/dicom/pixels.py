@@ -56,15 +56,154 @@ def _reshape(arr, ds):
     return arr
 
 
+def ybr_full_to_rgb(arr):
+    """Full-range BT.601 YCbCr -> RGB on the last axis (uint8).
+
+    Exact on grayscale content: Cb = Cr = 128 maps to R = G = B = Y,
+    so downstream uniform-channel tests (ReadUS overlay removal) see
+    the same pixels as an RGB-native source."""
+    a = arr.astype(np.float64)
+    y, cb, cr = a[..., 0], a[..., 1] - 128.0, a[..., 2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_ybr422(ds, frames, rows, cols):
+    """Uncompressed YBR_FULL_422 (PS3.3 C.7.6.3.1.2): two horizontal
+    neighbours share one Cb/Cr pair, stored Y0 Y1 Cb Cr — only 2
+    stored samples per pixel, which the plain samples=3 reshape cannot
+    represent (pydicom expands these via its own 422 handler; the
+    reference inherits that)."""
+    if int(ds.get("BitsAllocated", 8) or 8) != 8:
+        raise ValueError("YBR_FULL_422 requires BitsAllocated=8")
+    if cols % 2:
+        raise ValueError("YBR_FULL_422 requires even Columns")
+    n = frames * rows * cols * 2
+    raw = np.frombuffer(ds.PixelData, dtype=np.uint8, count=n)
+    quads = raw.reshape(frames, rows, cols // 2, 4)
+    y = quads[..., :2].reshape(frames, rows, cols)
+    cb = np.repeat(quads[..., 2], 2, axis=-1)
+    cr = np.repeat(quads[..., 3], 2, axis=-1)
+    out = ybr_full_to_rgb(np.stack([y, cb, cr], axis=-1))
+    return out[0] if frames == 1 else out
+
+
 def decode_native(ds, little=True):
     frames, rows, cols, samples = _target_shape(ds)
+    pmi = str(ds.get("PhotometricInterpretation", "") or "")
+    if samples == 3 and pmi in ("YBR_FULL_422", "YBR_PARTIAL_422"):
+        return _decode_ybr422(ds, frames, rows, cols)
     n = frames * rows * cols * samples
     dtype = _native_dtype(ds, little)
     raw = ds.PixelData
     arr = np.frombuffer(raw, dtype=dtype, count=n)
     if not little:
         arr = arr.astype(arr.dtype.newbyteorder("<"))
-    return _reshape(arr, ds)
+    out = _reshape(arr, ds)
+    if samples == 3 and pmi == "YBR_FULL":
+        # full-resolution raw YCbCr: convert so every color source
+        # (raw or JPEG-via-cv2) reaches readers in RGB (PARITY.md)
+        out = ybr_full_to_rgb(out)
+    return out
+
+
+def _palette_channel_lut(ds, color, bits_stored):
+    """One palette channel as a uint8/uint16 LUT array + first-mapped
+    value, from the plain (0028,120x) or segmented (0028,122x) form
+    (PS3.3 C.7.6.3.1.5-6, C.7.9)."""
+    desc = ds.get(f"{color}PaletteColorLookupTableDescriptor")
+    if desc is None:
+        raise ValueError(f"PALETTE COLOR: missing {color} descriptor")
+    desc = [int(v) for v in (desc if isinstance(desc, (list, tuple))
+                             else [desc])]
+    if len(desc) != 3:
+        raise ValueError("PALETTE COLOR: descriptor needs 3 values")
+    entries = desc[0] or 65536            # 0 encodes 2^16 entries
+    first, out_bits = desc[1], desc[2]
+    if out_bits not in (8, 16):
+        raise ValueError("PALETTE COLOR: LUT bits must be 8 or 16")
+    data = ds.get(f"{color}PaletteColorLookupTableData")
+    if data is not None:
+        buf = bytes(data)
+        if out_bits == 16:
+            lut = np.frombuffer(buf, "<u2", count=min(len(buf) // 2,
+                                                      entries))
+        else:
+            # 8-bit entries may still be stored one-per-16-bit word
+            if len(buf) >= 2 * entries:
+                lut = np.frombuffer(buf, "<u2", count=entries) \
+                    .astype(np.uint8)
+            else:
+                lut = np.frombuffer(buf, np.uint8, count=entries)
+        if lut.size < entries:
+            raise ValueError("PALETTE COLOR: LUT data shorter than "
+                             "its descriptor")
+        return lut, first
+    seg = ds.get(f"Segmented{color}PaletteColorLookupTableData")
+    if seg is None:
+        raise ValueError(f"PALETTE COLOR: no {color} LUT data")
+    ops = np.frombuffer(bytes(seg), "<u2")
+    out = []
+    i = 0
+    while i < len(ops):
+        if i + 1 >= len(ops):
+            raise ValueError("PALETTE COLOR: truncated segment header")
+        opcode, ln = int(ops[i]), int(ops[i + 1])
+        i += 2
+        if opcode == 0:                   # discrete
+            if i + ln > len(ops):
+                raise ValueError("PALETTE COLOR: truncated discrete "
+                                 "segment")
+            out.extend(int(v) for v in ops[i:i + ln])
+            i += ln
+        elif opcode == 1:                 # linear ramp to y1
+            if i >= len(ops) or not out:
+                raise ValueError("PALETTE COLOR: linear segment "
+                                 "without start value")
+            y1 = int(ops[i])
+            i += 1
+            y0 = out[-1]
+            for k in range(1, ln + 1):
+                out.append(int(round(y0 + (y1 - y0) * k / ln)))
+        elif opcode == 2:                 # indirect: replay earlier ops
+            raise ValueError("PALETTE COLOR: indirect segments are "
+                             "not supported")
+        else:
+            raise ValueError(f"PALETTE COLOR: bad segment opcode "
+                             f"{opcode}")
+        if len(out) > entries:
+            raise ValueError("PALETTE COLOR: segments exceed the "
+                             "descriptor entry count")
+    lut = np.asarray(out, dtype=np.uint16 if out_bits == 16
+                     else np.uint8)
+    if lut.size != entries:
+        raise ValueError("PALETTE COLOR: segments produce "
+                         f"{lut.size} entries, descriptor says "
+                         f"{entries}")
+    return lut, first
+
+
+def apply_palette_color_lut(ds, arr=None):
+    """Expand a PALETTE COLOR index array to (..., 3) color samples
+    using the Red/Green/Blue Palette Color Lookup Tables, including
+    the segmented form (PS3.3 C.7.9). Output dtype follows the LUT
+    bit depth (uint8 or uint16).
+
+    The reference returns the raw index array (pydicom pixel_array
+    semantics) and never expands palettes; this helper is the opt-in
+    equivalent of pydicom's apply_color_lut."""
+    if arr is None:
+        arr = decode_pixel_data(ds)
+    bits_stored = int(ds.get("BitsStored", 8) or 8)
+    idx = np.asarray(arr)
+    chans = []
+    for color in ("Red", "Green", "Blue"):
+        lut, first = _palette_channel_lut(ds, color, bits_stored)
+        j = np.clip(idx.astype(np.int64) - first, 0, lut.size - 1)
+        chans.append(lut[j])
+    return np.stack(chans, axis=-1)
 
 
 def _packbits_decode(data, expected):
@@ -268,6 +407,18 @@ def decode_jpeg_dct_native(ds):
                                "JPEG sequential-DCT")
 
 
+def _maybe_ybr_to_rgb(arr, ds):
+    """Color sources reach the readers in RGB: decoders that return
+    raw YCbCr samples (native DCT fallback, RLE) are converted here
+    when PhotometricInterpretation says YBR; cv2 paths and
+    decode_native convert internally."""
+    pmi = str(ds.get("PhotometricInterpretation", "") or "")
+    if pmi in ("YBR_FULL", "YBR_FULL_422") and arr.ndim >= 3 \
+            and arr.shape[-1] == 3:
+        return ybr_full_to_rgb(arr)
+    return arr
+
+
 def _decode_j2k_cv2_exact(frag, parse_siz):
     """cv2/OpenJPEG fast path for the no-native-library environment,
     gated to the streams it decodes EXACTLY: unsigned components of
@@ -382,7 +533,7 @@ def decode_pixel_data(ds):
     if ts is None or ts in uids.UNCOMPRESSED_SYNTAXES:
         return decode_native(ds, little=(ts != uids.ExplicitVRBigEndian))
     if ts == uids.RLELossless:
-        return decode_rle(ds)
+        return _maybe_ybr_to_rgb(decode_rle(ds), ds)
     if ts in (uids.JPEGLossless, uids.JPEGLosslessSV1):
         return decode_jpeg_lossless(ds)
     if ts in (uids.JPEGLSLossless, uids.JPEGLSNearLossless):
@@ -395,11 +546,11 @@ def decode_pixel_data(ds):
         deep = int(ds.get("BitsAllocated", 8) or 8) > 8 \
             or int(ds.get("BitsStored", 8) or 8) > 8
         if deep:
-            return decode_jpeg_dct_native(ds)
+            return _maybe_ybr_to_rgb(decode_jpeg_dct_native(ds), ds)
         try:
             return decode_jpeg_cv2(ds)
         except ValueError:
-            return decode_jpeg_dct_native(ds)
+            return _maybe_ybr_to_rgb(decode_jpeg_dct_native(ds), ds)
     if ts in (uids.JPEG2000Lossless, uids.JPEG2000):
         return decode_jpeg2000(ds)
     if ts in uids.ENCAPSULATED_SYNTAXES:

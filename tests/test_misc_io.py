@@ -578,3 +578,113 @@ def test_mhd_dose_branch(tmp_path, rng):
                  dose_name="half")
     np.testing.assert_allclose(Data.dose["half"].array,
                                dose_vals * 0.5, rtol=1e-6)
+
+
+def test_ybr422_raw_color_us(tmp_path, rng):
+    """Raw YBR_FULL_422 (2 stored samples/pixel: Y0 Y1 Cb Cr) expands
+    to RGB; the plain samples=3 reshape would demand 50% more bytes
+    than the file carries. End-to-end, ReadUS keeps the gray echo
+    (Cb=Cr=128 -> R=G=B=Y exactly) and zeroes the colored overlay."""
+    from medicalimageanalysis_tpu.dicom import (Dataset, dcmwrite,
+                                                generate_uid, uids)
+    from medicalimageanalysis_tpu.dicom.pixels import decode_pixel_data
+
+    frames, rows, cols = 2, 16, 16
+    y = rng.integers(30, 220, size=(frames, rows, cols)).astype(np.uint8)
+    cb = np.full((frames, rows, cols // 2), 128, np.uint8)
+    cr = np.full_like(cb, 128)
+    cb[:, :4, :2] = 200                       # Doppler-style overlay
+    quads = np.empty((frames, rows, cols // 2, 4), np.uint8)
+    quads[..., 0] = y[..., 0::2]
+    quads[..., 1] = y[..., 1::2]
+    quads[..., 2] = cb
+    quads[..., 3] = cr
+
+    ds = Dataset()
+    ds.SOPClassUID = uids.USImageStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "US"
+    ds.PatientID = "U422"
+    ds.NumberOfFrames = frames
+    ds.Rows, ds.Columns = rows, cols
+    ds.BitsAllocated = 8
+    ds.BitsStored = 8
+    ds.HighBit = 7
+    ds.PixelRepresentation = 0
+    ds.SamplesPerPixel = 3
+    ds.PlanarConfiguration = 0
+    ds.PhotometricInterpretation = "YBR_FULL_422"
+    ds.PixelData = quads.tobytes()
+    (tmp_path / "us").mkdir()
+    dcmwrite(tmp_path / "us" / "c.dcm", ds)
+
+    from medicalimageanalysis_tpu.dicom.parser import dcmread
+    rgb = decode_pixel_data(dcmread(tmp_path / "us" / "c.dcm"))
+    assert rgb.shape == (frames, rows, cols, 3)
+    # neutral-chroma region converts to exact gray
+    np.testing.assert_array_equal(rgb[:, 4:, :, 0], y[:, 4:, :])
+    assert (np.std(rgb[:, 4:, :, :].astype(float), axis=-1) == 0).all()
+    # overlay region is non-uniform color
+    assert (np.std(rgb[:, :4, :4, :].astype(float), axis=-1) > 0).all()
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    arr = Data.image[Data.image_list[0]].array
+    np.testing.assert_array_equal(arr[:, 4:, :], y[:, 4:, :])
+    assert (arr[:, :4, :4] == 0).all()
+
+
+def test_ybr_full_matches_cv2(rng):
+    """ybr_full_to_rgb is full-range BT.601 — cross-check against
+    cv2.cvtColor (YCrCb order there) within rounding."""
+    import cv2
+
+    from medicalimageanalysis_tpu.dicom.pixels import ybr_full_to_rgb
+
+    ybr = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    ours = ybr_full_to_rgb(ybr)
+    ycrcb = ybr[..., [0, 2, 1]]
+    ref = cv2.cvtColor(ycrcb, cv2.COLOR_YCrCb2RGB)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_palette_color_lut(rng):
+    """PALETTE COLOR expansion: plain 16-bit LUTs and the segmented
+    discrete+linear form (PS3.3 C.7.9)."""
+    from medicalimageanalysis_tpu.dicom import Dataset
+    from medicalimageanalysis_tpu.dicom.pixels import \
+        apply_palette_color_lut
+
+    idx = rng.integers(0, 256, size=(10, 12)).astype(np.uint8)
+    luts = {"Red": np.arange(256, dtype=np.uint16) * 257,
+            "Green": (255 - np.arange(256, dtype=np.uint16)) * 257,
+            "Blue": rng.integers(0, 65536, 256).astype(np.uint16)}
+    ds = Dataset()
+    ds.Rows, ds.Columns = idx.shape
+    ds.BitsAllocated = 8
+    ds.BitsStored = 8
+    ds.SamplesPerPixel = 1
+    ds.PhotometricInterpretation = "PALETTE COLOR"
+    ds.RedPaletteColorLookupTableDescriptor = [256, 0, 16]
+    ds.GreenPaletteColorLookupTableDescriptor = [256, 0, 16]
+    ds.BluePaletteColorLookupTableDescriptor = [256, 0, 16]
+    ds.RedPaletteColorLookupTableData = luts["Red"].tobytes()
+    ds.GreenPaletteColorLookupTableData = luts["Green"].tobytes()
+    ds.BluePaletteColorLookupTableData = luts["Blue"].tobytes()
+    out = apply_palette_color_lut(ds, idx)
+    assert out.shape == (10, 12, 3)
+    np.testing.assert_array_equal(out[..., 0], luts["Red"][idx])
+    np.testing.assert_array_equal(out[..., 2], luts["Blue"][idx])
+
+    # segmented: discrete {0} then a 255-long linear ramp to 65535
+    seg = np.array([0, 1, 0, 1, 255, 65535], dtype="<u2").tobytes()
+    ds2 = Dataset()
+    ds2.RedPaletteColorLookupTableDescriptor = [256, 0, 16]
+    ds2.GreenPaletteColorLookupTableDescriptor = [256, 0, 16]
+    ds2.BluePaletteColorLookupTableDescriptor = [256, 0, 16]
+    ds2.SegmentedRedPaletteColorLookupTableData = seg
+    ds2.SegmentedGreenPaletteColorLookupTableData = seg
+    ds2.SegmentedBluePaletteColorLookupTableData = seg
+    ds2.BitsStored = 8
+    out2 = apply_palette_color_lut(ds2, idx)
+    ramp = np.round(np.arange(256) * 65535 / 255).astype(np.uint16)
+    np.testing.assert_array_equal(out2[..., 1], ramp[idx])
