@@ -420,28 +420,31 @@ def _maybe_ybr_to_rgb(arr, ds):
 
 
 def _decode_j2k_cv2_exact(frag, parse_siz):
-    """cv2/OpenJPEG fast path for the no-native-library environment,
-    gated to the streams it decodes EXACTLY: unsigned components of
-    precision exactly 8 or 16 bits (no rescale) with 1 or 3 components.
-    Everything else (signed CT, 12-bit, 2/4+ components) returns None
-    so the caller falls back to the pure-Python golden decoder — which
-    is exact but documented as seconds per 512^2 frame, far too slow
-    to be the default for a plain 16-bit unsigned series."""
+    """cv2/OpenJPEG route, gated to the streams it decodes EXACTLY:
+    uniform UNSIGNED components of any precision <= 16 with 1 or 3
+    components (measured: this build's OpenJPEG wrapper returns
+    unscaled values for 10/12-bit into uint16 and refuses signed
+    outright). Serves two callers: the no-native-library environment
+    (the pure-Python fallback is seconds per 512^2 frame) and HTJ2K
+    codestreams, which OpenJPEG 2.5 decodes but the built-in Part-1
+    codec rejects. A post-decode range check guards against an
+    OpenJPEG build that upshifts sub-byte precisions."""
     try:
         import cv2
         w, h, ncomp, comps = parse_siz(frag)
         if ncomp not in (1, 3):
             return None
-        if any(signed or prec not in (8, 16) for prec, signed in comps):
-            return None
-        if len({c for c in comps}) != 1:
+        prec = comps[0][0]
+        if any(c != (prec, False) for c in comps) or prec > 16:
             return None
         img = cv2.imdecode(np.frombuffer(frag, dtype=np.uint8),
                            cv2.IMREAD_UNCHANGED)
         if img is None or img.shape[:2] != (h, w):
             return None
-        want = np.uint8 if comps[0][0] == 8 else np.uint16
+        want = np.uint8 if prec <= 8 else np.uint16
         if img.dtype != want:
+            return None
+        if int(img.max()) >= (1 << prec):
             return None
         if img.ndim == 3:
             if img.shape[2] != 3:
@@ -453,12 +456,13 @@ def _decode_j2k_cv2_exact(frag, parse_siz):
 
 
 def decode_jpeg2000(ds):
-    """JPEG 2000 Part 1 (.4.90 lossless / .4.91) via the own codec
-    (dicom/jpeg2k.py; native fast path when available) — the path
-    GDCM/OpenJPEG covers for the reference (read/dicom.py:52). The
-    cv2 route is NOT used here: its OpenJPEG wrapper rescales
-    non-8/16-bit precisions and cannot represent signed components,
-    both routine in medical J2K (12..16-bit signed CT)."""
+    """JPEG 2000 (.4.90/.91 Part 1, .4.201-.203 HTJ2K) via the own
+    codec (dicom/jpeg2k.py; native fast path when available) — the
+    path GDCM/OpenJPEG covers for the reference (read/dicom.py:52).
+    The cv2/OpenJPEG route backs two gaps the own codec leaves:
+    unsigned streams when the native library is unavailable, and
+    HTJ2K codestreams (different block coder; OpenJPEG 2.5 decodes
+    them, signed HTJ2K raises a typed error)."""
     frames, rows, cols, samples = _target_shape(ds)
     # JP2-wrapped frames start with the JP2 signature box, raw
     # codestreams with SOC (FF 4F); group on whichever applies
@@ -551,7 +555,11 @@ def decode_pixel_data(ds):
             return decode_jpeg_cv2(ds)
         except ValueError:
             return _maybe_ybr_to_rgb(decode_jpeg_dct_native(ds), ds)
-    if ts in (uids.JPEG2000Lossless, uids.JPEG2000):
+    if ts in (uids.JPEG2000Lossless, uids.JPEG2000, uids.HTJ2KLossless,
+              uids.HTJ2KLosslessRPCL, uids.HTJ2K):
+        # HTJ2K (.4.201-.203) shares the J2K container/grouping; the
+        # built-in Part-1 codec rejects HT codestreams with a typed
+        # error, unsigned HT decodes exactly via the OpenJPEG route
         return decode_jpeg2000(ds)
     if ts in uids.ENCAPSULATED_SYNTAXES:
         return decode_jpeg_cv2(ds)

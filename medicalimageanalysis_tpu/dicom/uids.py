@@ -18,6 +18,9 @@ JPEGLSLossless = "1.2.840.10008.1.2.4.80"
 JPEGLSNearLossless = "1.2.840.10008.1.2.4.81"
 JPEG2000Lossless = "1.2.840.10008.1.2.4.90"
 JPEG2000 = "1.2.840.10008.1.2.4.91"
+HTJ2KLossless = "1.2.840.10008.1.2.4.201"
+HTJ2KLosslessRPCL = "1.2.840.10008.1.2.4.202"
+HTJ2K = "1.2.840.10008.1.2.4.203"
 
 UNCOMPRESSED_SYNTAXES = {
     ImplicitVRLittleEndian,
@@ -35,6 +38,9 @@ ENCAPSULATED_SYNTAXES = {
     JPEGLSNearLossless,
     JPEG2000Lossless,
     JPEG2000,
+    HTJ2KLossless,
+    HTJ2KLosslessRPCL,
+    HTJ2K,
 }
 
 # SOP classes

@@ -494,13 +494,15 @@ def test_cv2_exact_fastpath_gating():
     u16 = rng.randint(0, 65536, (40, 44)).astype(np.uint16)
     got = _decode_j2k_cv2_exact(_cv2_jp2(u16), parse_siz)
     assert got is not None and np.array_equal(got, u16)
-    # signed and non-8/16-bit precisions are NOT cv2-exact -> None
+    # signed components are NOT cv2-exact (OpenJPEG refuses) -> None
     s16 = encode_j2k(rng.randint(-100, 100, (20, 22)).astype(np.int16),
                      levels=2)
     assert _decode_j2k_cv2_exact(s16, parse_siz) is None
-    u12 = encode_j2k(rng.randint(0, 4096, (20, 22)).astype(np.uint16),
-                     levels=2, precision=12)
-    assert _decode_j2k_cv2_exact(u12, parse_siz) is None
+    # unsigned 12-bit IS exact in this build (measured: no upshift)
+    img12 = rng.randint(0, 4096, (20, 22)).astype(np.uint16)
+    u12 = encode_j2k(img12, levels=2, precision=12)
+    got12 = _decode_j2k_cv2_exact(u12, parse_siz)
+    assert got12 is not None and np.array_equal(got12, img12)
 
 
 def test_writer_signed_full_range_precision(tmp_path):
@@ -533,3 +535,59 @@ def test_writer_signed_full_range_precision(tmp_path):
     _, _, _, comps = parse_siz(frag)
     assert comps[0] == (12, True)
     assert np.array_equal(decode_pixel_data(ds2), arr)
+
+
+# ---------------------------------------------------------------------------
+# HTJ2K (.4.201-.203) capability boundary
+# ---------------------------------------------------------------------------
+
+def _ht_signal(cs):
+    """Set Rsiz bit 14 (CAP-marker capabilities = HTJ2K/Part 2) in a
+    raw codestream: SOC(2) SIZ-marker(2) Lsiz(2) then Rsiz."""
+    b = bytearray(cs)
+    assert b[:4] == b"\xFF\x4F\xFF\x51"
+    b[6] |= 0x40
+    return bytes(b)
+
+
+def test_ht_capability_stream_rejected_by_part1_codec():
+    # decoding an HT codestream with the Part-1 block coder would
+    # emit garbage; both decoders must refuse instead
+    rng = np.random.RandomState(50)
+    img = rng.randint(0, 4096, (20, 24)).astype(np.uint16)
+    crafted = _ht_signal(encode_j2k(img, levels=2, precision=12))
+    with pytest.raises(ValueError, match="HTJ2K"):
+        decode_j2k(crafted)
+
+
+def test_ht_capability_stream_native_rejected():
+    j2k_decode = _native()
+    rng = np.random.RandomState(50)
+    img = rng.randint(0, 4096, (20, 24)).astype(np.uint16)
+    crafted = _ht_signal(encode_j2k(img, levels=2, precision=12))
+    assert j2k_decode(crafted) is None
+
+
+def test_htj2k_signed_transfer_syntax_typed_error(tmp_path):
+    """A signed HTJ2K series raises a clean typed error naming the
+    capability boundary (OpenJPEG refuses signed; the built-in codec
+    rejects HT) instead of emitting garbage pixels."""
+    from medicalimageanalysis_tpu.dicom import uids
+    from medicalimageanalysis_tpu.dicom.dataset import Dataset
+    from medicalimageanalysis_tpu.dicom.pixels import decode_pixel_data
+
+    rng = np.random.RandomState(51)
+    signed = rng.randint(-1024, 1024, (16, 18)).astype(np.int16)
+    frag = _ht_signal(encode_j2k(signed, levels=2, precision=12,
+                                 signed=True))
+    ds = Dataset()
+    ds.Rows, ds.Columns = 16, 18
+    ds.BitsAllocated = 16
+    ds.BitsStored = 12
+    ds.HighBit = 11
+    ds.PixelRepresentation = 1
+    ds.SamplesPerPixel = 1
+    ds.PixelData = [frag]
+    ds.file_meta = {"TransferSyntaxUID": uids.HTJ2KLossless}
+    with pytest.raises(ValueError, match="HTJ2K"):
+        decode_pixel_data(ds)
