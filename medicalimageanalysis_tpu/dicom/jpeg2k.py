@@ -529,16 +529,20 @@ def _parse_codestream(buf):
             if mk == SIZ:
                 (m.rsiz, m.xs, m.ys, m.xo, m.yo, m.xts, m.yts, m.xto,
                  m.yto, m.csiz) = struct.unpack(">HIIIIIIIIH", body[:36])
-                if m.rsiz & 0x4000:
-                    # Rsiz bit 14: capabilities in a CAP marker —
-                    # HTJ2K (Part 15, DICOM .4.201-.203) or Part 2.
-                    # The HT block coder is a different algorithm;
-                    # decoding it as Part-1 would emit garbage.
+                if m.rsiz & 0xC000:
+                    # Rsiz bit 14: CAP-marker capabilities — HTJ2K
+                    # (Part 15, DICOM .4.201-.203). Rsiz bit 15:
+                    # Part-2 (T.801) extensions (ATK/DFS/... marker
+                    # segments fall in the silently-skipped
+                    # 0xFF30-0xFFFF range). Either way the block /
+                    # transform machinery differs from Part 1;
+                    # decoding anyway would emit garbage.
+                    kind = ("HTJ2K/extended-capability"
+                            if m.rsiz & 0x4000 else "Part-2 extension")
                     raise ValueError(
-                        "JPEG2000: HTJ2K/extended-capability "
-                        "codestream — not decodable by the built-in "
-                        "Part-1 codec (unsigned HTJ2K decodes via the "
-                        "OpenJPEG route)")
+                        f"JPEG2000: {kind} codestream — not decodable "
+                        "by the built-in Part-1 codec (unsigned HTJ2K "
+                        "decodes via the OpenJPEG route)")
                 if not 1 <= m.csiz <= 16384:
                     raise ValueError("JPEG2000: bad component count")
                 if len(body) < 36 + 3 * m.csiz:

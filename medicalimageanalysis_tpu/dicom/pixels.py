@@ -419,16 +419,47 @@ def _maybe_ybr_to_rgb(arr, ds):
     return arr
 
 
+_CV2_J2K_UNSCALED = {}
+
+
+def _cv2_j2k_precision_exact(prec):
+    """One-time probe per precision: the own exact Part-1 encoder
+    writes a tiny frame holding dark values (0..7) AND the full-scale
+    code, cv2/OpenJPEG decodes it, and the route is accepted only on
+    an exact match. A max-based range check alone cannot catch an
+    upshifting build on dark frames (a 12-bit air-only slice
+    upshifted x16 still fits 16 bits) — review finding. The probe is
+    Part-1 but proxies HT too: precision scaling happens in the same
+    component->Mat conversion layer for both coders."""
+    ok = _CV2_J2K_UNSCALED.get(prec)
+    if ok is None:
+        try:
+            import cv2
+            from .jpeg2k_enc import encode_j2k
+            dt = np.uint8 if prec <= 8 else np.uint16
+            probe = np.arange(16, dtype=dt).reshape(4, 4) % 8
+            probe[3, 0] = (1 << prec) - 1
+            frag = encode_j2k(probe, levels=1, precision=prec)
+            got = cv2.imdecode(np.frombuffer(frag, dtype=np.uint8),
+                               cv2.IMREAD_UNCHANGED)
+            ok = (got is not None and got.dtype == dt
+                  and got.shape == probe.shape
+                  and np.array_equal(got, probe))
+        except Exception:
+            ok = False
+        _CV2_J2K_UNSCALED[prec] = ok
+    return ok
+
+
 def _decode_j2k_cv2_exact(frag, parse_siz):
     """cv2/OpenJPEG route, gated to the streams it decodes EXACTLY:
     uniform UNSIGNED components of any precision <= 16 with 1 or 3
-    components (measured: this build's OpenJPEG wrapper returns
-    unscaled values for 10/12-bit into uint16 and refuses signed
-    outright). Serves two callers: the no-native-library environment
-    (the pure-Python fallback is seconds per 512^2 frame) and HTJ2K
-    codestreams, which OpenJPEG 2.5 decodes but the built-in Part-1
-    codec rejects. A post-decode range check guards against an
-    OpenJPEG build that upshifts sub-byte precisions."""
+    components (OpenJPEG refuses signed outright), where a one-time
+    per-precision round-trip probe against the own exact encoder
+    proves this build returns unscaled values. Serves two callers:
+    the no-native-library environment (the pure-Python fallback is
+    seconds per 512^2 frame) and HTJ2K codestreams, which OpenJPEG
+    2.5 decodes but the built-in Part-1 codec rejects."""
     try:
         import cv2
         w, h, ncomp, comps = parse_siz(frag)
@@ -436,6 +467,8 @@ def _decode_j2k_cv2_exact(frag, parse_siz):
             return None
         prec = comps[0][0]
         if any(c != (prec, False) for c in comps) or prec > 16:
+            return None
+        if not _cv2_j2k_precision_exact(prec):
             return None
         img = cv2.imdecode(np.frombuffer(frag, dtype=np.uint8),
                            cv2.IMREAD_UNCHANGED)

@@ -2917,10 +2917,11 @@ static uint16_t parse_headers(Rd& r, size_t end, MainHdr& m, int tile_idx,
         size_t seg_end = r.pos + ln - 2;
         switch (mk) {
         case M_SIZ: {
-            // Rsiz bit 14 = CAP-marker capabilities (HTJ2K Part 15 /
-            // Part 2): a different block coder; reject rather than
-            // decode garbage (the Python route raises the typed error)
-            if (r.u16() & 0x4000) throw Err();
+            // Rsiz bit 14 = CAP-marker capabilities (HTJ2K Part 15),
+            // bit 15 = Part-2 extensions: different block/transform
+            // machinery; reject rather than decode garbage (the
+            // Python route raises the typed error)
+            if (r.u16() & 0xC000) throw Err();
             m.xs = r.u32(); m.ys = r.u32();
             m.xo = r.u32(); m.yo = r.u32();
             m.xts = r.u32(); m.yts = r.u32();

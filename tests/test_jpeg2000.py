@@ -591,3 +591,64 @@ def test_htj2k_signed_transfer_syntax_typed_error(tmp_path):
     ds.file_meta = {"TransferSyntaxUID": uids.HTJ2KLossless}
     with pytest.raises(ValueError, match="HTJ2K"):
         decode_pixel_data(ds)
+
+
+def test_part2_capability_stream_rejected():
+    # Rsiz bit 15 = Part-2 (T.801) extensions: ATK/DFS/... marker
+    # segments sit in the silently-skipped 0xFF30-0xFFFF range, so a
+    # Part-1 decode would emit wrong pixels with no error — both
+    # decoders must refuse (review finding: bit 14 alone left this open)
+    rng = np.random.RandomState(52)
+    img = rng.randint(0, 4096, (20, 24)).astype(np.uint16)
+    cs = encode_j2k(img, levels=2, precision=12)
+    b = bytearray(cs)
+    assert b[:4] == b"\xFF\x4F\xFF\x51"
+    b[6] |= 0x80
+    crafted = bytes(b)
+    with pytest.raises(ValueError, match="Part-2"):
+        decode_j2k(crafted)
+    assert _native()(crafted) is None
+
+
+def test_cv2_upshift_build_detected(monkeypatch):
+    """The per-precision round-trip probe must catch an OpenJPEG build
+    that upshifts sub-16-bit precisions even on DARK frames, where the
+    old max-based range check passes (12-bit max 200 << 16 = 3200 still
+    fits 12 bits) — review finding."""
+    from medicalimageanalysis_tpu.dicom.jpeg2k import parse_siz
+    from medicalimageanalysis_tpu.dicom import pixels
+
+    rng = np.random.RandomState(53)
+    dark = rng.randint(0, 200, (20, 22)).astype(np.uint16)
+    frag = encode_j2k(dark, levels=2, precision=12)
+
+    real = cv2.imdecode
+
+    def upshifting(buf, flags):
+        img = real(buf, flags)
+        if img is not None and img.dtype == np.uint16:
+            img = (img.astype(np.uint32) << 4).astype(np.uint16)
+        return img
+
+    pixels._CV2_J2K_UNSCALED.clear()
+    try:
+        monkeypatch.setattr(cv2, "imdecode", upshifting)
+        assert pixels._decode_j2k_cv2_exact(frag, parse_siz) is None
+        monkeypatch.setattr(cv2, "imdecode", real)
+        pixels._CV2_J2K_UNSCALED.clear()
+        got = pixels._decode_j2k_cv2_exact(frag, parse_siz)
+        assert got is not None and np.array_equal(got, dark)
+    finally:
+        pixels._CV2_J2K_UNSCALED.clear()
+
+
+def test_cv2_openjpeg_build_capability():
+    """Unsigned HTJ2K decode rides cv2's OpenJPEG; HT decoding needs
+    OpenJPEG >= 2.5. Pin the build expectation so an environment swap
+    that silently downgrades the route fails loudly here rather than
+    as undecodable HTJ2K series."""
+    import re
+    m = re.search(r"JPEG 2000:\s+.*?ver (\d+)\.(\d+)",
+                  cv2.getBuildInformation())
+    assert m is not None, "cv2 built without JPEG 2000 support"
+    assert (int(m.group(1)), int(m.group(2))) >= (2, 5)
