@@ -116,10 +116,32 @@ TAG_DICT = {
     0x00281223: ("OW", "SegmentedBluePaletteColorLookupTableData"),
     0x00282050: ("SQ", "PresentationLUTSequence"),
     0x20500020: ("CS", "PresentationLUTShape"),
+    # code sequences (PS3.3 8.8)
+    0x00080100: ("SH", "CodeValue"),
+    0x00080102: ("SH", "CodingSchemeDesignator"),
+    0x00080104: ("LO", "CodeMeaning"),
     # multi-frame functional groups
     0x52009229: ("SQ", "SharedFunctionalGroupsSequence"),
     0x52009230: ("SQ", "PerFrameFunctionalGroupsSequence"),
+    0x00209111: ("SQ", "FrameContentSequence"),
+    0x00209157: ("UL", "DimensionIndexValues"),
     0x00289110: ("SQ", "PixelMeasuresSequence"),
+    # Segmentation IOD (PS3.3 C.8.20)
+    0x00620001: ("CS", "SegmentationType"),
+    0x00620002: ("SQ", "SegmentSequence"),
+    0x00620003: ("SQ", "SegmentedPropertyCategoryCodeSequence"),
+    0x00620004: ("US", "SegmentNumber"),
+    0x00620005: ("LO", "SegmentLabel"),
+    0x00620006: ("ST", "SegmentDescription"),
+    0x00620008: ("CS", "SegmentAlgorithmType"),
+    0x00620009: ("LO", "SegmentAlgorithmName"),
+    0x0062000A: ("SQ", "SegmentIdentificationSequence"),
+    0x0062000B: ("US", "ReferencedSegmentNumber"),
+    0x0062000C: ("US", "RecommendedDisplayGrayscaleValue"),
+    0x0062000D: ("US", "RecommendedDisplayCIELabValue"),
+    0x0062000E: ("US", "MaximumFractionalValue"),
+    0x0062000F: ("SQ", "SegmentedPropertyTypeCodeSequence"),
+    0x00620010: ("CS", "SegmentationFractionalType"),
     0x00289145: ("SQ", "PixelValueTransformationSequence"),
     0x00189329: ("SQ", "ContributingSourcesSequence"),
     # RTSTRUCT

@@ -56,6 +56,7 @@ RTStructureSetStorage = "1.2.840.10008.5.1.4.1.1.481.3"
 RTDoseStorage = "1.2.840.10008.5.1.4.1.1.481.2"
 SpatialRegistrationStorage = "1.2.840.10008.5.1.4.1.1.66.1"
 DeformableSpatialRegistrationStorage = "1.2.840.10008.5.1.4.1.1.66.3"
+SegmentationStorage = "1.2.840.10008.5.1.4.1.1.66.4"
 
 MODALITY_SOP_CLASS = {
     "CT": CTImageStorage,

@@ -24,7 +24,8 @@ from ..telemetry import IngestReport, trace
 __all__ = ["DicomReader", "thread_process_dicom", "sort_images_by_datetime",
            "create_image_name", "create_dose_name"]
 
-_2D_OR_STRUCT = ["US", "DX", "RF", "CR", "RTSTRUCT", "REG", "RTDOSE"]
+_2D_OR_STRUCT = ["US", "DX", "RF", "CR", "RTSTRUCT", "SEG", "REG",
+                 "RTDOSE"]
 
 
 def sort_images_by_datetime():
@@ -81,7 +82,7 @@ class DicomReader(object):
         self.only_modality = (
             only_modality if only_modality is not None
             else ["CT", "MR", "PT", "US", "DX", "RF", "CR", "RTSTRUCT",
-                  "REG", "RTDOSE"]
+                  "SEG", "REG", "RTDOSE"]
         )
 
         if clear:
@@ -424,6 +425,29 @@ class DicomReader(object):
                     self.report.unmatched_rtstructs.append(
                         read_rtstruct.filepaths)
                     print("dicom: rtstruct has no matching image")
+
+        if self.ds_modality.get("SEG"):
+            # BEYOND-PARITY: DICOM SEG objects (the reference routes
+            # only RTSTRUCT for structures, read/dicom.py:384-425)
+            from .seg import ReadSEG
+            for image_set in self.ds_modality["SEG"]:
+                read_seg = self._build_series(
+                    ReadSEG, image_set, self.only_tags,
+                    only_load_roi_names=self.only_load_roi_names)
+                if read_seg is None:
+                    pass
+                elif read_seg.match_image_name is not None:
+                    if not self.only_tags:
+                        Data.image[read_seg.match_image_name].input_seg(
+                            read_seg)
+                    if read_seg.skipped_frames:
+                        self.report.warn(
+                            f"dicom: SEG skipped "
+                            f"{read_seg.skipped_frames} off-grid "
+                            f"frame(s)")
+                else:
+                    self.report.unmatched_segs.append(read_seg.filepaths)
+                    print("dicom: seg has no matching image")
 
         if self.ds_modality.get("REG"):
             from .reg import ReadREG

@@ -90,7 +90,7 @@ def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
     from .read.dicom import DicomReader
 
     if only_modality is None:
-        only_modality = ["CT", "MR", "PT", "US", "DX", "RF", "CR",
+        only_modality = ["CT", "MR", "PT", "US", "DX", "RF", "CR", "SEG",
                          "RTSTRUCT", "REG", "RTDOSE"]
 
     files = None

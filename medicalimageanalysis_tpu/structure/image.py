@@ -225,6 +225,22 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         Data.match_rois()
         Data.match_pois()
 
+    def input_seg(self, seg):
+        """Populate ROIs from a parsed DICOM SEG (read/seg.py) —
+        BEYOND-PARITY: the reference has no SEG support. Masks route
+        through the same convert_mask path input_mhd uses, so the ROIs
+        behave identically to RTSTRUCT/MHD ones downstream."""
+        for ii, roi_name in enumerate(seg.roi_names):
+            if not (roi_name not in self.rois
+                    or self.rois[roi_name].contour_position is None):
+                continue
+            self.rois[roi_name] = Roi(
+                self, name=roi_name, color=seg.roi_colors[ii],
+                visible=False, filepaths=seg.filepaths)
+            if ii < len(seg.masks):
+                self.rois[roi_name].convert_mask(seg.masks[ii])
+        Data.match_rois()
+
     def add_roi(self, roi_name=None, color=None, visible=False, path=None,
                 contour=None, plane="Axial"):
         self.rois[roi_name] = Roi(self, position=contour, name=roi_name,
@@ -355,6 +371,142 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         ds.StructureSetROISequence = roi_seq
         ds.ROIContourSequence = contour_seq
         ds.RTROIObservationsSequence = obs_seq
+
+        if path is not None:
+            dcmwrite(path, ds)
+        return ds
+
+    def create_seg(self, roi_names=None, path=None, fractional=False,
+                   label="medicalimageanalysis_tpu"):
+        """Build a DICOM SEG (Segmentation Storage) dataset from this
+        image's ROIs — BEYOND-PARITY: the reference has no SEG support
+        (it can only represent structures as RTSTRUCT). BINARY 1-bit
+        packed frames by default; ``fractional=True`` writes 8-bit
+        PROBABILITY frames (mask scaled to MaximumFractionalValue).
+        Only non-empty slices are emitted, one frame per (segment,
+        slice), per PS3.3 C.8.20. Returns the Dataset; writes a
+        Part-10 file when ``path`` is given."""
+        from ..dicom import Dataset, Sequence, dcmwrite, generate_uid
+        from ..dicom import uids
+        from ..read.seg import rgb_to_cielab_uint16
+
+        if roi_names is None:
+            roi_names = [n for n, r in self.rois.items()
+                         if r.contour_position is not None]
+        if not roi_names:
+            raise ValueError("create_seg: no ROIs with contours")
+
+        ds = Dataset()
+        ds.SOPClassUID = uids.SegmentationStorage
+        ds.SOPInstanceUID = generate_uid()
+        ds.Modality = "SEG"
+        ds.SeriesDescription = label
+        ds.ContentDescription = label
+        ds.PatientID = self.mrn if self.mrn != "missing" else ""
+        if isinstance(self.patient_name, list):
+            ds.PatientName = "^".join(self.patient_name)
+        ds.SeriesInstanceUID = generate_uid()
+        ds.StudyInstanceUID = self.get_study_uid()
+        ds.FrameOfReferenceUID = self.frame_ref
+
+        nz, ny, nx = (int(self.dimensions[0]), int(self.dimensions[1]),
+                      int(self.dimensions[2]))
+        ds.Rows, ds.Columns = ny, nx
+        ds.SamplesPerPixel = 1
+        ds.PhotometricInterpretation = "MONOCHROME2"
+        ds.PixelRepresentation = 0
+        if fractional:
+            ds.SegmentationType = "FRACTIONAL"
+            ds.SegmentationFractionalType = "PROBABILITY"
+            ds.MaximumFractionalValue = 255
+            ds.BitsAllocated = ds.BitsStored = 8
+            ds.HighBit = 7
+        else:
+            ds.SegmentationType = "BINARY"
+            ds.BitsAllocated = ds.BitsStored = 1
+            ds.HighBit = 0
+
+        # referenced source series
+        ref_series = Dataset()
+        ref_series.SeriesInstanceUID = self.series_uid
+        insts = Sequence()
+        sop_class = uids.MODALITY_SOP_CLASS.get(self.modality,
+                                                uids.CTImageStorage)
+        for sop in (self.sops or []):
+            r = Dataset()
+            r.ReferencedSOPClassUID = sop_class
+            r.ReferencedSOPInstanceUID = sop
+            insts.append(r)
+        ref_series.ReferencedInstanceSequence = insts
+        ds.ReferencedSeriesSequence = Sequence([ref_series])
+
+        # shared functional groups: grid geometry
+        measures = Dataset()
+        # PixelSpacing is [row spacing, column spacing] = [sy, sx]
+        measures.PixelSpacing = [float(self.spacing[1]),
+                                 float(self.spacing[0])]
+        measures.SliceThickness = float(self.spacing[2])
+        measures.SpacingBetweenSlices = float(self.spacing[2])
+        orient = Dataset()
+        orient.ImageOrientationPatient = [float(v)
+                                          for v in self.orientation]
+        shared = Dataset()
+        shared.PixelMeasuresSequence = Sequence([measures])
+        shared.PlaneOrientationSequence = Sequence([orient])
+        ds.SharedFunctionalGroupsSequence = Sequence([shared])
+
+        m = self.display.compute_matrix_pixel_to_position()
+        seg_seq = Sequence()
+        per_frame = Sequence()
+        frame_payloads = []
+        for number, name in enumerate(roi_names, start=1):
+            roi = self.rois[name]
+            s = Dataset()
+            s.SegmentNumber = number
+            s.SegmentLabel = name
+            s.SegmentAlgorithmType = "MANUAL"
+            s.RecommendedDisplayCIELabValue = rgb_to_cielab_uint16(
+                roi.color or [128, 128, 128])
+            seg_seq.append(s)
+
+            mask = np.asarray(roi.compute_mask()).astype(np.uint8)
+            if mask.shape != (nz, ny, nx):
+                raise ValueError(
+                    f"create_seg: ROI '{name}' mask shape "
+                    f"{mask.shape} != image grid {(nz, ny, nx)}")
+            for z in range(nz):
+                if not mask[z].any():
+                    continue
+                item = Dataset()
+                ident = Dataset()
+                ident.ReferencedSegmentNumber = number
+                item.SegmentIdentificationSequence = Sequence([ident])
+                plane = Dataset()
+                ipp = geo.apply_homogeneous(
+                    np.array([0.0, 0.0, float(z)]), m)
+                plane.ImagePositionPatient = [float(v) for v in ipp]
+                item.PlanePositionSequence = Sequence([plane])
+                per_frame.append(item)
+                frame_payloads.append(mask[z])
+
+        ds.SegmentSequence = seg_seq
+        ds.PerFrameFunctionalGroupsSequence = per_frame
+        ds.NumberOfFrames = len(frame_payloads)
+
+        if frame_payloads:
+            flat = np.concatenate([f.reshape(-1)
+                                   for f in frame_payloads])
+        else:
+            flat = np.zeros(0, dtype=np.uint8)
+        if fractional:
+            payload = (flat * 255).astype(np.uint8).tobytes()
+        else:
+            # contiguous bit packing across frames, LSB-first,
+            # end-of-data padding only (PS3.5 8.1.1)
+            payload = np.packbits(flat, bitorder="little").tobytes()
+        if len(payload) % 2:
+            payload += b"\x00"
+        ds.PixelData = payload
 
         if path is not None:
             dcmwrite(path, ds)

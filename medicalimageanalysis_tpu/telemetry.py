@@ -56,6 +56,7 @@ class IngestReport:
     rigid_created: list = field(default_factory=list)
     deformable_created: list = field(default_factory=list)
     unmatched_rtstructs: list = field(default_factory=list)
+    unmatched_segs: list = field(default_factory=list)
     unverified: dict = field(default_factory=dict)
     skipped_slices: dict = field(default_factory=dict)
     warnings: list = field(default_factory=list)
@@ -76,6 +77,7 @@ class IngestReport:
             "rigid": list(self.rigid_created),
             "deformable": list(self.deformable_created),
             "unmatched_rtstructs": len(self.unmatched_rtstructs),
+            "unmatched_segs": len(self.unmatched_segs),
             "unverified": dict(self.unverified),
             "warnings": len(self.warnings),
             "elapsed_s": round(self.elapsed_s, 4),

@@ -1,0 +1,183 @@
+"""DICOM SEG (Segmentation IOD) reader + writer tests.
+
+BEYOND-PARITY feature (the reference routes only RTSTRUCT for
+structures): Image.create_seg writes BINARY (1-bit packed) and
+FRACTIONAL (8-bit) SEG objects, read/seg.ReadSEG maps them back onto
+the matched image as mask-derived ROIs. Round trips use rectangular
+masks, where the cv2 contour<->mask conversion is exact, so equality
+is bitwise.
+"""
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+
+from helpers import write_ct_series
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(7)
+
+
+def _ingest_ct(tmp_path, rng, shape=(6, 16, 16)):
+    arr = rng.integers(-200, 200, size=shape).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr)
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    return Data.image["CT 01"]
+
+
+def _rect_masks(shape):
+    a = np.zeros(shape, np.uint8)
+    a[1:4, 2:8, 3:9] = 1
+    b = np.zeros(shape, np.uint8)
+    b[2:5, 9:14, 8:13] = 1
+    return a, b
+
+
+def test_cielab_color_round_trip():
+    from medicalimageanalysis_tpu.read.seg import (cielab_uint16_to_rgb,
+                                                   rgb_to_cielab_uint16)
+    for rgb in ([255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255],
+                [0, 0, 0], [128, 64, 200], [17, 230, 99]):
+        back = cielab_uint16_to_rgb(rgb_to_cielab_uint16(rgb))
+        assert np.max(np.abs(np.array(back) - np.array(rgb))) <= 2, \
+            (rgb, back)
+
+
+def test_binary_seg_round_trip(tmp_path, rng):
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, mask_b = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    img.create_roi(name="B", color=[0, 128, 255])
+    img.rois["B"].convert_mask(mask_b)
+
+    ds = img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"))
+    assert ds.SegmentationType == "BINARY"
+    assert int(ds.BitsAllocated) == 1
+    # one frame per non-empty (segment, slice)
+    assert int(ds.NumberOfFrames) == 3 + 3
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img2 = Data.image["CT 01"]
+    assert "A" in img2.rois and "B" in img2.rois
+    assert np.array_equal(
+        np.asarray(img2.rois["A"].compute_mask()).astype(np.uint8),
+        mask_a)
+    assert np.array_equal(
+        np.asarray(img2.rois["B"].compute_mask()).astype(np.uint8),
+        mask_b)
+    # colors survive the CIELab encode/decode round trip
+    assert np.max(np.abs(np.array(img2.rois["A"].color)
+                         - np.array([255, 0, 0]))) <= 2
+
+
+def test_fractional_seg_round_trip(tmp_path, rng):
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[0, 255, 0])
+    img.rois["A"].convert_mask(mask_a)
+
+    ds = img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"),
+                        fractional=True)
+    assert ds.SegmentationType == "FRACTIONAL"
+    assert int(ds.BitsAllocated) == 8
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img2 = Data.image["CT 01"]
+    assert np.array_equal(
+        np.asarray(img2.rois["A"].compute_mask()).astype(np.uint8),
+        mask_a)
+
+
+def test_fractional_seg_rle_compressed(tmp_path, rng):
+    """8-bit FRACTIONAL SEG written RLE-compressed decodes through the
+    same pixel_array route the image readers use (BINARY 1-bit stays
+    native-only per PS3.3 C.8.20.2.1)."""
+    from medicalimageanalysis_tpu.dicom import dcmwrite, uids
+
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[0, 255, 0])
+    img.rois["A"].convert_mask(mask_a)
+    ds = img.create_seg(fractional=True)
+    dcmwrite(str(tmp_path / "ct" / "seg.dcm"), ds,
+             transfer_syntax=uids.RLELossless)
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img2 = Data.image["CT 01"]
+    assert np.array_equal(
+        np.asarray(img2.rois["A"].compute_mask()).astype(np.uint8),
+        mask_a)
+
+
+def test_seg_only_load_roi_names(tmp_path, rng):
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, mask_b = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    img.create_roi(name="B", color=[0, 128, 255])
+    img.rois["B"].convert_mask(mask_b)
+    img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"))
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path), only_load_roi_names=["B"])
+    img2 = Data.image["CT 01"]
+    assert "B" in img2.rois and "A" not in img2.rois
+
+
+def test_unmatched_seg_reported(tmp_path, rng):
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    seg_dir = tmp_path / "seg_only"
+    seg_dir.mkdir()
+    img.create_seg(path=str(seg_dir / "seg.dcm"))
+
+    Data.clear()
+    report = mia.read_dicoms(folder_path=str(seg_dir)).report
+    assert len(report.unmatched_segs) == 1
+    assert not Data.image
+
+
+def test_off_grid_frames_skipped(tmp_path, rng):
+    """A frame whose ImagePositionPatient is off the image grid is
+    counted in skipped_frames, not silently mislabeled."""
+    from medicalimageanalysis_tpu.read.seg import ReadSEG
+
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    ds = img.create_seg()
+    plane = ds.PerFrameFunctionalGroupsSequence[0] \
+        .PlanePositionSequence[0]
+    ipp = [float(v) for v in plane.ImagePositionPatient]
+    ipp[2] += 1.3  # 0.52 voxels at 2.5 mm slices: past the 0.5 snap
+    plane.ImagePositionPatient = ipp
+
+    seg = ReadSEG(ds, only_tags=False)
+    assert seg.match_image_name == "CT 01"
+    assert seg.skipped_frames == 1
+    # the other two slices of A still landed
+    assert int(seg.masks[0].sum()) == int(mask_a[2:4].sum())
+
+
+def test_seg_in_report_summary(tmp_path, rng):
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"))
+
+    Data.clear()
+    report = mia.read_dicoms(folder_path=str(tmp_path)).report
+    assert report.summary()["unmatched_segs"] == 0
