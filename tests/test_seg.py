@@ -171,6 +171,35 @@ def test_off_grid_frames_skipped(tmp_path, rng):
     assert int(seg.masks[0].sum()) == int(mask_a[2:4].sum())
 
 
+def test_seg_ingest_byte_flip_fuzz(tmp_path, rng):
+    """Byte-flip fuzz of a SEG object through the FULL read_dicoms
+    flow: corrupt SEGs are skipped via the tolerant _build_series
+    boundary, never an uncaught exception (same contract as the CT /
+    RTSTRUCT / JPEG fuzz programs in test_native_hostile.py)."""
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    seg_path = tmp_path / "ct" / "seg.dcm"
+    img.create_seg(path=str(seg_path))
+    good = seg_path.read_bytes()
+    ct_files = [str(p) for p in sorted((tmp_path / "ct").glob("*.dcm"))
+                if p.name != "seg.dcm"]
+
+    mut_path = tmp_path / "mut_seg.dcm"
+    frng = np.random.default_rng(79)
+    for trial in range(120):
+        blob = bytearray(good)
+        for _ in range(int(frng.integers(1, 16))):
+            blob[int(frng.integers(0, len(blob)))] = int(
+                frng.integers(0, 256))
+        mut_path.write_bytes(bytes(blob))
+        Data.clear()
+        # must not raise — corrupt SEGs are skipped or load partially
+        mia.read_dicoms(file_list=ct_files + [str(mut_path)])
+    Data.clear()
+
+
 def test_seg_in_report_summary(tmp_path, rng):
     img = _ingest_ct(tmp_path, rng)
     mask_a, _ = _rect_masks((6, 16, 16))
