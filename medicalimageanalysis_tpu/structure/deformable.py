@@ -407,30 +407,20 @@ class Deformable(object):
                                             * np.asarray(spacing))
         return dvf_rotated, spacing, origin_new, dvf_rotated.shape[0:3]
 
-    def create_image(self, ratio=1):
-        """Rigid resample -> invert DVF -> displacement warp
-        (reference structure/deformable.py:732-774; `ratio` honored
-        here, scaling the field)."""
-        ref = Data.image[self.reference_name]
-        mov = Data.image[self.moving_name]
-
-        A = compose_pixel_matrix(mov.matrix, mov.spacing, mov.origin,
-                                 ref.matrix, ref.spacing, ref.origin,
-                                 phys_transform=self.rigid_matrix)
-        resampled = np.asarray(affine_resample(
-            np.asarray(mov.array, np.float32), A, ref.array.shape,
-            background=config.background_fill))
-
+    def _warp_resampled_to_reference(self, resampled, background,
+                                     ratio=1):
+        """Invert the DVF and warp a volume already rigid-resampled
+        onto the reference grid (shared by create_image /
+        update_dose). Both stages are Pallas tile-slab grid warps —
+        the point-wise gather path ran at 14 M pts/s (docs/PERF.md)."""
         dvf = np.asarray(self.dvf) * float(ratio)
         inv = invert_dvf(dvf, self.spacing)
 
-        # sample the (possibly different-grid) inverse field at ref
-        # voxels, then warp — both as Pallas tile-slab grid warps
-        # (the point-wise gather path ran at 14 M pts/s; docs/PERF.md)
         import jax.numpy as jnp
 
         from ..ops.pallas_warp import affine_coords, field_warp
 
+        ref = Data.image[self.reference_name]
         ref_p2p = geo.pixel_to_position_matrix(ref.matrix, ref.spacing,
                                                ref.origin)
         Z, Y, X = resampled.shape
@@ -452,12 +442,63 @@ class Deformable(object):
             ref.matrix, ref.spacing, ref.origin))[:3, :3] \
             .astype(np.float32)
         disp_pix = jnp.einsum("ij,jzyx->izyx", jnp.asarray(L), disp)
-        warped = np.asarray(field_warp_disp(
+        return np.asarray(field_warp_disp(
             jnp.asarray(resampled, jnp.float32), disp_pix,
+            background=background))
+
+    def create_image(self, ratio=1):
+        """Rigid resample -> invert DVF -> displacement warp
+        (reference structure/deformable.py:732-774; `ratio` honored
+        here, scaling the field)."""
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+
+        A = compose_pixel_matrix(mov.matrix, mov.spacing, mov.origin,
+                                 ref.matrix, ref.spacing, ref.origin,
+                                 phys_transform=self.rigid_matrix)
+        resampled = np.asarray(affine_resample(
+            np.asarray(mov.array, np.float32), A, ref.array.shape,
             background=config.background_fill))
+
+        warped = self._warp_resampled_to_reference(
+            resampled, config.background_fill, ratio=ratio)
         return {"array": warped, "origin": np.asarray(ref.origin),
                 "spacing": np.asarray(ref.spacing),
                 "direction": np.asarray(ref.matrix)}
+
+    def update_dose(self, dose_name=None, ratio=1):
+        """Warp a dose grid tied to the moving image through
+        rigid + DVF onto the reference image grid — the dose-warping
+        building block of adaptive-RT dose accumulation
+        (BEYOND-PARITY: the reference's Deformable only warps ROI
+        meshes, structure/deformable.py:961-1001; see
+        utils/dose.accumulate_dose for the multi-fraction sum).
+        Returns a reference-grid volume dict; background is 0 Gy."""
+        if dose_name is None:
+            mov = Data.image[self.moving_name]
+            candidates = [n for n, d in Data.dose.items()
+                          if d.frame_ref == mov.frame_ref]
+            if not candidates:
+                raise ValueError(
+                    "update_dose: no dose shares the moving image's "
+                    "FrameOfReferenceUID; pass dose_name explicitly")
+            dose_name = candidates[0]
+        dose = Data.dose[dose_name]
+
+        ref = Data.image[self.reference_name]
+        A = compose_pixel_matrix(dose.matrix, dose.spacing, dose.origin,
+                                 ref.matrix, ref.spacing, ref.origin,
+                                 phys_transform=self.rigid_matrix)
+        resampled = np.asarray(affine_resample(
+            np.asarray(dose.array, np.float32), A, ref.array.shape,
+            background=0.0))
+
+        warped = self._warp_resampled_to_reference(resampled, 0.0,
+                                                   ratio=ratio)
+        return {"array": warped, "origin": np.asarray(ref.origin),
+                "spacing": np.asarray(ref.spacing),
+                "direction": np.asarray(ref.matrix),
+                "dose_name": dose_name}
 
     def export_image(self, path=None):
         """(reference structure/deformable.py:776-788)."""

@@ -26,6 +26,7 @@ _LAZY = {
     "contours_from_mask": ("roi.contour", "contours_from_mask"),
     "CreateDicomImage": ("creation", "CreateDicomImage"),
     "CreateImageFromMask": ("creation", "CreateImageFromMask"),
+    "accumulate_dose": ("dose", "accumulate_dose"),
 }
 
 __all__ = list(_LAZY)

@@ -578,3 +578,117 @@ def test_deformable_jax_elastix_api(two_images):
     out = dj.elastix(metric="Intensity", resolution=2, spacing=12,
                      iterations=60, crop=0)
     assert out["array"].shape == tuple(ref.dimensions) + (3,)
+
+
+def test_update_dose_warps_through_dvf(tmp_path):
+    """Deformable.update_dose: a dose block tied to the moving image
+    lands on the reference grid shifted by the field. Integer-voxel
+    constant translation makes the trilinear warp exact."""
+    base = make_blob(shape=(8, 24, 24)).astype(np.int16)
+    moved = np.roll(base, shift=2, axis=2)  # moving(x) = base(x-2)
+    ct_info = write_ct_series(tmp_path / "a", base, spacing=(1, 1),
+                              thickness=2.0)
+    mr_info = write_ct_series(tmp_path / "b", moved, spacing=(1, 1),
+                              thickness=2.0, modality="MR")
+
+    dose_raw = np.zeros((8, 24, 24), np.uint32)
+    dose_raw[2:6, 6:15, 10:16] = 40000  # 40 Gy block on the MR grid
+    write_rtdose_file(tmp_path / "b" / "rd.dcm", dose_raw,
+                      {"frame": mr_info["frame"],
+                       "origin": mr_info["origin"],
+                       "spacing": mr_info["spacing"],
+                       "thickness": 2.0})
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+
+    ref = Data.image[ct]
+    # point-displacement field moving -> reference: -2 mm in x
+    dvf = np.zeros(tuple(ref.dimensions) + (3,), np.float32)
+    dvf[..., 0] = -2.0
+    deform = mia.Deformable(dvf=dvf, origin=ref.origin,
+                            spacing=ref.spacing,
+                            dimensions=ref.dimensions,
+                            reference_name=ct, moving_name=mr,
+                            roi_names=[])
+
+    out = deform.update_dose()  # auto-matches via MR FrameOfReference
+    assert out["dose_name"] == "RTDOSE 01"
+    expected = np.zeros((8, 24, 24), np.float32)
+    expected[2:6, 6:15, 8:14] = 40.0
+    np.testing.assert_allclose(out["array"], expected, atol=1e-2)
+
+
+def test_accumulate_dose_registers_summed_grid(tmp_path):
+    """accumulate_dose: deformably-warped + rigidly-resampled
+    contributions sum with weights, and the registered Dose drives the
+    existing DVH analytics unchanged."""
+    from helpers import square_contour_mm, write_rtstruct
+
+    base = make_blob(shape=(8, 24, 24)).astype(np.int16)
+    moved = np.roll(base, shift=2, axis=2)
+    ct_info = write_ct_series(tmp_path / "a", base, spacing=(1, 1),
+                              thickness=2.0)
+    mr_info = write_ct_series(tmp_path / "b", moved, spacing=(1, 1),
+                              thickness=2.0, modality="MR")
+    rois = {"Target": [(square_contour_mm(ct_info, z, 8, 14), z)
+                       for z in range(2, 6)]}
+    write_rtstruct(tmp_path / "a" / "rs.dcm", ct_info, rois)
+
+    # fraction dose on the MR grid (block covering the shifted target)
+    frac = np.zeros((8, 24, 24), np.uint32)
+    frac[2:6, 6:16, 8:18] = 30000  # 30 Gy
+    write_rtdose_file(tmp_path / "b" / "rd.dcm", frac,
+                      {"frame": mr_info["frame"],
+                       "origin": mr_info["origin"],
+                       "spacing": mr_info["spacing"],
+                       "thickness": 2.0})
+    # plan dose already on the CT grid
+    plan = np.zeros((8, 24, 24), np.uint32)
+    plan[2:6, 6:16, 6:16] = 20000  # 20 Gy
+    write_rtdose_file(tmp_path / "a" / "rd.dcm", plan,
+                      {"frame": ct_info["frame"],
+                       "origin": ct_info["origin"],
+                       "spacing": ct_info["spacing"],
+                       "thickness": 2.0})
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+    mr_frame = Data.image[mr].frame_ref
+    frac_name = [n for n in Data.dose_list
+                 if Data.dose[n].frame_ref == mr_frame][0]
+    plan_name = [n for n in Data.dose_list if n != frac_name][0]
+
+    ref = Data.image[ct]
+    dvf = np.zeros(tuple(ref.dimensions) + (3,), np.float32)
+    dvf[..., 0] = -2.0
+    deform = mia.Deformable(dvf=dvf, origin=ref.origin,
+                            spacing=ref.spacing,
+                            dimensions=ref.dimensions,
+                            reference_name=ct, moving_name=mr,
+                            roi_names=[])
+
+    from medicalimageanalysis_tpu.utils import accumulate_dose
+    acc = accumulate_dose(ct, [plan_name,
+                               (frac_name, deform.deformable_name)],
+                          weights=[1.0, 0.5])
+    assert acc.dose_name in Data.dose_list
+    # plan 20 Gy + 0.5 * warped 30 Gy where blocks overlap
+    expected = np.zeros((8, 24, 24), np.float32)
+    expected[2:6, 6:16, 6:16] += 20.0
+    expected[2:6, 6:16, 6:16] += 15.0
+    np.testing.assert_allclose(acc.array, expected, atol=1e-2)
+
+    stats = acc.compute_roi_dose_statistics(ct, "Target")
+    assert stats["Dmax"] == pytest.approx(35.0, abs=0.5)
+
+    # register=False returns the plain volume bundle
+    vol = accumulate_dose(ct, [plan_name], register=False)
+    np.testing.assert_allclose(
+        vol["array"][2:6, 6:16, 6:16], 20.0, atol=1e-2)
