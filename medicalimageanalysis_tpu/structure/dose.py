@@ -135,6 +135,66 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         volume_percent = 100.0 * (1.0 - below / dose_in_roi.size)
         return bins, volume_percent
 
+    # -- DICOM export ------------------------------------------------------
+    def create_rtdose(self, path=None, dose_summation_type="PLAN"):
+        """Build an RTDOSE (RT Dose Storage) dataset from this grid —
+        BEYOND-PARITY: the reference can only read RTDOSE; exporting
+        (e.g. an accumulated dose, utils/dose.accumulate_dose) back to
+        DICOM needs a writer. 32-bit unsigned pixels with
+        DoseGridScaling auto-chosen from the grid max, frame offsets
+        signed by the slice direction so our own reader (and any TPS)
+        reconstructs the identical geometry. Returns the Dataset;
+        writes a Part-10 file when ``path`` is given."""
+        from ..dicom import Dataset, dcmwrite, generate_uid
+        from ..dicom import uids
+
+        arr = np.asarray(self.array, np.float64)
+        ds = Dataset()
+        ds.SOPClassUID = uids.RTDoseStorage
+        ds.SOPInstanceUID = generate_uid()
+        ds.Modality = "RTDOSE"
+        ds.PatientID = self.mrn if self.mrn != "missing" else ""
+        if isinstance(self.patient_name, list):
+            ds.PatientName = "^".join(self.patient_name)
+        ds.SeriesInstanceUID = generate_uid()
+        ds.StudyInstanceUID = self.get_study_uid()
+        ds.FrameOfReferenceUID = self.frame_ref
+
+        ds.ImagePositionPatient = [float(v) for v in self.origin]
+        ds.ImageOrientationPatient = [float(v)
+                                      for v in self.orientation]
+        # PixelSpacing is [row spacing, column spacing] = [sy, sx]
+        ds.PixelSpacing = [float(self.spacing[1]),
+                           float(self.spacing[0])]
+        ds.SliceThickness = float(self.spacing[2])
+        # offsets run along the stored-frame direction: +|sz| when the
+        # matrix z-row is the orientation normal, -|sz| when flipped
+        normal = np.cross(np.asarray(self.orientation[:3], float),
+                          np.asarray(self.orientation[3:6], float))
+        sign = 1.0 if float(np.dot(
+            np.asarray(self.matrix, float)[2], normal)) >= 0 else -1.0
+        ds.GridFrameOffsetVector = [
+            float(sign * i * self.spacing[2])
+            for i in range(arr.shape[0])]
+
+        scaling = float(arr.max()) / 4.0e9 if arr.max() > 0 else 1.0
+        ds.DoseGridScaling = scaling
+        ds.DoseUnits = "GY"
+        ds.DoseType = "PHYSICAL"
+        ds.DoseSummationType = dose_summation_type
+        ds.NumberOfFrames = int(arr.shape[0])
+        ds.Rows, ds.Columns = int(arr.shape[1]), int(arr.shape[2])
+        ds.BitsAllocated = ds.BitsStored = 32
+        ds.HighBit = 31
+        ds.PixelRepresentation = 0
+        ds.SamplesPerPixel = 1
+        ds.PhotometricInterpretation = "MONOCHROME2"
+        ds.PixelData = np.round(arr / scaling).astype("<u4").tobytes()
+
+        if path is not None:
+            dcmwrite(path, ds)
+        return ds
+
     # -- persistence -------------------------------------------------------
     def save_image(self, path):
         """json + npy schema (replaces the reference's pickle,

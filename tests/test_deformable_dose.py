@@ -692,3 +692,34 @@ def test_accumulate_dose_registers_summed_grid(tmp_path):
     vol = accumulate_dose(ct, [plan_name], register=False)
     np.testing.assert_allclose(
         vol["array"][2:6, 6:16, 6:16], 20.0, atol=1e-2)
+
+
+def test_create_rtdose_round_trip(tmp_path, rng=None):
+    """Dose.create_rtdose: exported RTDOSE re-ingests with identical
+    geometry and dose values (scaling quantization ~max/4e9)."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(-500, 500, size=(8, 24, 24)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    dose_raw = np.zeros((8, 24, 24), np.uint32)
+    dose_raw[2:6, 6:15, 6:15] = 61234  # 61.234 Gy
+    write_rtdose_file(tmp_path / "ct" / "rd.dcm", dose_raw, info)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    src = Data.dose["RTDOSE 01"]
+
+    out_dir = tmp_path / "export"
+    out_dir.mkdir()
+    ds = src.create_rtdose(path=str(out_dir / "rd_acc.dcm"),
+                           dose_summation_type="MULTI_PLAN")
+    assert ds.DoseSummationType == "MULTI_PLAN"
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out_dir))
+    assert len(Data.dose_list) == 1
+    back = Data.dose[Data.dose_list[0]]
+    np.testing.assert_allclose(np.asarray(back.array),
+                               np.asarray(src.array), atol=1e-4)
+    np.testing.assert_allclose(back.origin, src.origin, atol=1e-6)
+    np.testing.assert_allclose(back.spacing, src.spacing, atol=1e-6)
+    np.testing.assert_allclose(back.matrix, src.matrix, atol=1e-6)
+    assert back.frame_ref == src.frame_ref
