@@ -125,6 +125,15 @@ TAG_DICT = {
     0x52009230: ("SQ", "PerFrameFunctionalGroupsSequence"),
     0x00209111: ("SQ", "FrameContentSequence"),
     0x00209157: ("UL", "DimensionIndexValues"),
+    0x00209164: ("UI", "DimensionOrganizationUID"),
+    0x00209165: ("AT", "DimensionIndexPointer"),
+    0x00209167: ("AT", "FunctionalGroupPointer"),
+    0x00209221: ("SQ", "DimensionOrganizationSequence"),
+    0x00209222: ("SQ", "DimensionIndexSequence"),
+    # presentation-state content identification (PS3.3 C.10.9)
+    0x00700080: ("CS", "ContentLabel"),
+    0x00700081: ("LO", "ContentDescription"),
+    0x00700084: ("PN", "ContentCreatorName"),
     0x00289110: ("SQ", "PixelMeasuresSequence"),
     # Segmentation IOD (PS3.3 C.8.20)
     0x00620001: ("CS", "SegmentationType"),

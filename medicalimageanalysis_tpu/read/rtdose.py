@@ -80,7 +80,10 @@ class ReadRTDose(object):
         if np.isnan(slice_thickness) and "GridFrameOffsetVector" in ds:
             grid_vector = ds.GridFrameOffsetVector
             if len(grid_vector) > 1:
-                slice_thickness = grid_vector[1] - grid_vector[0]
+                # abs: descending offsets (frames stacked against the
+                # orientation normal) are normalized by a frame flip
+                # in _assemble_and_verify, not a negative pitch
+                slice_thickness = abs(grid_vector[1] - grid_vector[0])
         if np.isnan(slice_thickness):
             slice_thickness = 1.0
 
@@ -145,6 +148,21 @@ class ReadRTDose(object):
             if "ImagePositionPatient" in ds else np.zeros(3)
         shape_zyx = self._shape_zyx()
 
+        # descending GridFrameOffsetVector: frame k sits at
+        # IPP + offset_k * normal (PS3.3 C.8.8.3.2), i.e. frames stack
+        # AGAINST cross(row, col). Normalize by flipping the frame
+        # order and moving the base position to the last frame so the
+        # shared ffs/orientation machinery sees an ascending stack.
+        flip_frames = False
+        if len(self.image_set) == 1 and "GridFrameOffsetVector" in ds:
+            gfov = np.asarray(ds.GridFrameOffsetVector, np.float64)
+            if gfov.size > 1 and gfov[1] < gfov[0]:
+                normal = np.cross(self.orientation[:3],
+                                  self.orientation[3:6])
+                ipp = ipp + gfov[-1] * normal
+                flip_frames = True
+        self._flip_frames = flip_frames
+
         decision = geo.ffs_decision(shape_zyx, self.plane, self.spacing,
                                     self.orientation, ipp, self.dimensions)
         self.origin = np.asarray(decision["origin"], dtype=np.float64)
@@ -159,6 +177,8 @@ class ReadRTDose(object):
             raw = raw.reshape((1,) + raw.shape)
         if len(self.image_set) > 1:
             raw = np.stack([img.pixel_array for img in self.image_set])
+        if flip_frames:
+            raw = raw[::-1]
         n = raw.shape[0]
         self.array = assemble_volume(
             raw, np.full(n, slope, np.float32), np.zeros(n, np.float32),

@@ -163,6 +163,7 @@ class ReadSEG(object):
     # ------------------------------------------------------------------
     def _parse_segments(self, ds, only_load_roi_names):
         segments = []
+        self.filtered_numbers = set()
         seq = getattr(ds, "SegmentSequence", None) or []
         keep = set(only_load_roi_names) if only_load_roi_names else None
         for item in seq:
@@ -172,6 +173,9 @@ class ReadSEG(object):
             label = str(item.get("SegmentLabel", "") or
                         f"Segment {int(number)}")
             if keep is not None and label not in keep:
+                # deliberately filtered: frames referencing these are
+                # dropped silently, NOT counted as off-grid
+                self.filtered_numbers.add(int(number))
                 continue
             lab16 = item.get("RecommendedDisplayCIELabValue")
             if lab16 is not None and len(lab16) == 3:
@@ -216,6 +220,20 @@ class ReadSEG(object):
         raise ValueError(f"SEG: BitsAllocated={bits} not supported "
                          "(BINARY=1, FRACTIONAL=8)")
 
+    @staticmethod
+    def _orientation_of(group):
+        """ImageOrientationPatient from a functional-group item's
+        PlaneOrientationSequence, or None."""
+        if group is None:
+            return None
+        orient = _first(group, "PlaneOrientationSequence")
+        if orient is None:
+            return None
+        iop = orient.get("ImageOrientationPatient")
+        if iop is None or len(iop) != 6:
+            return None
+        return np.asarray(iop, dtype=np.float64)
+
     def _build_masks(self, ds, segments):
         from ..ops import geometry as geo
 
@@ -225,12 +243,37 @@ class ReadSEG(object):
         nz, ny, nx = (int(img.dimensions[0]), int(img.dimensions[1]),
                       int(img.dimensions[2]))
         rows, cols = int(ds.Rows), int(ds.Columns)
-        nframes = int(ds.get("NumberOfFrames", 1) or 1)
+        nof = ds.get("NumberOfFrames")
+        nframes = 1 if nof is None or str(nof) == "" else int(nof)
         if (rows, cols) != (ny, nx):
             raise ValueError(
                 f"SEG: frame grid {rows}x{cols} does not match the "
                 f"referenced image grid {ny}x{nx} — off-grid SEG "
                 "resampling is not implemented")
+
+        self.roi_names = [s["label"] for s in segments]
+        self.roi_colors = [s["color"] for s in segments]
+        self.masks = [np.zeros((nz, ny, nx), dtype=np.uint8)
+                      for _ in segments]
+        self.fractional_arrays = [None] * len(segments)
+        if nframes == 0:
+            # legitimately empty SEG (e.g. our own writer on an
+            # all-empty ROI): segments ingest as empty masks
+            return
+
+        # frame rows/cols must lie along the image's row/col axes —
+        # a transposed or mirrored SEG would otherwise ingest as a
+        # silently transposed mask (orientation may be shared or
+        # per-frame; absent orientation keeps the aligned assumption)
+        img_iop = np.asarray(img.orientation, dtype=np.float64)
+        shared_iop = self._orientation_of(
+            _first(ds, "SharedFunctionalGroupsSequence"))
+        if shared_iop is not None \
+                and not np.allclose(shared_iop, img_iop, atol=1e-3):
+            raise ValueError(
+                "SEG: frame orientation does not match the referenced "
+                "image orientation — off-grid SEG resampling is not "
+                "implemented")
 
         frames, max_frac = self._unpack_frames(ds, nframes, rows, cols)
         per_frame = getattr(ds, "PerFrameFunctionalGroupsSequence",
@@ -241,9 +284,8 @@ class ReadSEG(object):
 
         m = img.display.compute_matrix_position_to_pixel()
         by_number = {s["number"]: i for i, s in enumerate(segments)}
-        masks = [np.zeros((nz, ny, nx), dtype=np.uint8)
-                 for _ in segments]
-        fracs = [None] * len(segments)
+        masks = self.masks
+        fracs = self.fractional_arrays
 
         for fi in range(nframes):
             f = per_frame[fi]
@@ -254,8 +296,16 @@ class ReadSEG(object):
                 continue
             num = ident.get("ReferencedSegmentNumber")
             ipp = plane.get("ImagePositionPatient")
-            si = by_number.get(int(num) if num is not None else -1)
+            num = int(num) if num is not None else -1
+            if num in self.filtered_numbers:
+                continue  # segment excluded by only_load_roi_names
+            si = by_number.get(num)
             if si is None or ipp is None or len(ipp) != 3:
+                self.skipped_frames += 1
+                continue
+            frame_iop = self._orientation_of(f)
+            if frame_iop is not None \
+                    and not np.allclose(frame_iop, img_iop, atol=1e-3):
                 self.skipped_frames += 1
                 continue
             pix = geo.apply_homogeneous(
@@ -279,8 +329,3 @@ class ReadSEG(object):
                 # int32: frames is uint8 and 255*2 wraps in uint8
                 masks[si][z] |= (frames[fi].astype(np.int32) * 2
                                  >= max_frac).astype(np.uint8)
-
-        self.roi_names = [s["label"] for s in segments]
-        self.roi_colors = [s["color"] for s in segments]
-        self.masks = masks
-        self.fractional_arrays = fracs

@@ -482,6 +482,11 @@ class Deformable(object):
                 raise ValueError(
                     "update_dose: no dose shares the moving image's "
                     "FrameOfReferenceUID; pass dose_name explicitly")
+            if len(candidates) > 1:
+                raise ValueError(
+                    "update_dose: multiple doses share the moving "
+                    f"image's FrameOfReferenceUID ({candidates}); "
+                    "pass dose_name explicitly")
             dose_name = candidates[0]
         dose = Data.dose[dose_name]
 

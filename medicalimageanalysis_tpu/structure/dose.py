@@ -149,6 +149,12 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         from ..dicom import uids
 
         arr = np.asarray(self.array, np.float64)
+        if arr.size and float(arr.min()) < 0:
+            raise ValueError(
+                "create_rtdose: negative dose voxels (min "
+                f"{float(arr.min()):.4g} Gy) are not representable in "
+                "RT Dose Storage's unsigned pixels — dose differences "
+                "cannot be exported; clamp or split the grid first")
         ds = Dataset()
         ds.SOPClassUID = uids.RTDoseStorage
         ds.SOPInstanceUID = generate_uid()

@@ -401,7 +401,9 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         ds.SOPInstanceUID = generate_uid()
         ds.Modality = "SEG"
         ds.SeriesDescription = label
+        ds.ContentLabel = "SEG"
         ds.ContentDescription = label
+        ds.ContentCreatorName = "medicalimageanalysis_tpu"
         ds.PatientID = self.mrn if self.mrn != "missing" else ""
         if isinstance(self.patient_name, list):
             ds.PatientName = "^".join(self.patient_name)
@@ -455,6 +457,30 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         shared.PlaneOrientationSequence = Sequence([orient])
         ds.SharedFunctionalGroupsSequence = Sequence([shared])
 
+        # dimension organization (PS3.3 C.7.6.17): frames index by
+        # (segment, plane position) — required for strict IOD
+        # validation and how viewers (Slicer/OHIF) group frames
+        dim_uid = generate_uid()
+        dim_org = Dataset()
+        dim_org.DimensionOrganizationUID = dim_uid
+        ds.DimensionOrganizationSequence = Sequence([dim_org])
+        dim_seg = Dataset()
+        dim_seg.DimensionOrganizationUID = dim_uid
+        dim_seg.DimensionIndexPointer = 0x0062000B  # ReferencedSegmentNumber
+        dim_seg.FunctionalGroupPointer = 0x0062000A
+        dim_pos = Dataset()
+        dim_pos.DimensionOrganizationUID = dim_uid
+        dim_pos.DimensionIndexPointer = 0x00200032  # ImagePositionPatient
+        dim_pos.FunctionalGroupPointer = 0x00209113
+        ds.DimensionIndexSequence = Sequence([dim_seg, dim_pos])
+
+        def _code(value, meaning):
+            c = Dataset()
+            c.CodeValue = value
+            c.CodingSchemeDesignator = "SCT"
+            c.CodeMeaning = meaning
+            return c
+
         m = self.display.compute_matrix_pixel_to_position()
         seg_seq = Sequence()
         per_frame = Sequence()
@@ -465,6 +491,13 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             s.SegmentNumber = number
             s.SegmentLabel = name
             s.SegmentAlgorithmType = "MANUAL"
+            # generic tissue property codes (Type 1 in the Segment
+            # Description Macro, PS3.3 C.8.20-2; callers with real
+            # anatomy codes can overwrite on the returned Dataset)
+            s.SegmentedPropertyCategoryCodeSequence = Sequence(
+                [_code("123037004", "Anatomical Structure")])
+            s.SegmentedPropertyTypeCodeSequence = Sequence(
+                [_code("85756007", "Tissue")])
             s.RecommendedDisplayCIELabValue = rgb_to_cielab_uint16(
                 roi.color or [128, 128, 128])
             seg_seq.append(s)
@@ -481,6 +514,9 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                 ident = Dataset()
                 ident.ReferencedSegmentNumber = number
                 item.SegmentIdentificationSequence = Sequence([ident])
+                content = Dataset()
+                content.DimensionIndexValues = [number, z + 1]
+                item.FrameContentSequence = Sequence([content])
                 plane = Dataset()
                 ipp = geo.apply_homogeneous(
                     np.array([0.0, 0.0, float(z)]), m)

@@ -118,6 +118,9 @@ def accumulate_dose(image_name, contributions, weights=None, name=None,
     )
     dose_obj = Dose(carrier)
     dose_obj.misc["source_doses"] = source_doses
+    # re-running with the same explicit name replaces the previous
+    # result instead of leaving a duplicate dose_list entry
+    if carrier.dose_name not in Data.dose:
+        Data.dose_list += [carrier.dose_name]
     Data.dose[carrier.dose_name] = dose_obj
-    Data.dose_list += [carrier.dose_name]
     return dose_obj

@@ -723,3 +723,118 @@ def test_create_rtdose_round_trip(tmp_path, rng=None):
     np.testing.assert_allclose(back.spacing, src.spacing, atol=1e-6)
     np.testing.assert_allclose(back.matrix, src.matrix, atol=1e-6)
     assert back.frame_ref == src.frame_ref
+
+
+def test_rtdose_descending_offsets_normalized(tmp_path):
+    """A multi-frame RTDOSE whose GridFrameOffsetVector descends
+    (frames stacked against the orientation normal) ingests with the
+    slab at the correct physical z (review finding: the reader assumed
+    ascending stacking and mirrored such grids)."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(-500, 500, size=(8, 24, 24)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+
+    # ascending reference: slab in frames 2..4 -> z index 2..4
+    dose_up = np.zeros((8, 24, 24), np.uint32)
+    dose_up[2:5, 6:15, 6:15] = 40000
+    write_rtdose_file(tmp_path / "ct" / "rd_up.dcm", dose_up, info)
+
+    # same physical dose, descending storage: frame k at
+    # IPP + gfov[k]*normal with gfov = [0,-2,...]; IPP at the TOP
+    # slice. Physical slab occupies the same z range when the frame
+    # order is reversed and IPP moved to the last frame + offsets.
+    ds_path = tmp_path / "ct" / "rd_down.dcm"
+    import copy as _copy
+    dose_down = dose_up[::-1].copy()
+    info_top = dict(info)
+    info_top = {k: (np.array(v, copy=True) if isinstance(v, np.ndarray)
+                    else v) for k, v in info.items()}
+    top_origin = np.asarray(info["origin"], float).copy()
+    top_origin[2] = top_origin[2] + 7 * 2.0  # IPP of the last slice
+    info_top["origin"] = top_origin
+    write_rtdose_file(ds_path, dose_down, info_top)
+    # rewrite the offsets descending
+    from medicalimageanalysis_tpu.dicom import dcmread, dcmwrite
+    d = dcmread(str(ds_path))
+    d.GridFrameOffsetVector = [-2.0 * i for i in range(8)]
+    dcmwrite(str(ds_path), d)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.dose_list) == 2
+    up = Data.dose[Data.dose_list[0]]
+    down = Data.dose[Data.dose_list[1]]
+    np.testing.assert_allclose(np.asarray(down.array),
+                               np.asarray(up.array), atol=1e-6)
+    np.testing.assert_allclose(down.origin, up.origin, atol=1e-6)
+
+
+def test_create_rtdose_rejects_negative(tmp_path):
+    rng = np.random.default_rng(6)
+    arr = rng.integers(-500, 500, size=(6, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    dose_raw = np.full((6, 16, 16), 1000, np.uint32)
+    write_rtdose_file(tmp_path / "ct" / "rd.dcm", dose_raw, info)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    dose = Data.dose["RTDOSE 01"]
+    dose.array = np.asarray(dose.array) - 2.0  # dose difference
+    with pytest.raises(ValueError, match="negative"):
+        dose.create_rtdose()
+
+
+def test_update_dose_ambiguous_requires_name(tmp_path):
+    """Two doses in the moving frame: auto-match must refuse, not
+    silently pick the first (review finding)."""
+    base = make_blob(shape=(8, 24, 24)).astype(np.int16)
+    moved = np.roll(base, shift=2, axis=2)
+    write_ct_series(tmp_path / "a", base, spacing=(1, 1), thickness=2.0)
+    mr_info = write_ct_series(tmp_path / "b", moved, spacing=(1, 1),
+                              thickness=2.0, modality="MR")
+    blk = np.zeros((8, 24, 24), np.uint32)
+    blk[2:6, 6:15, 10:16] = 40000
+    for fname in ("rd1.dcm", "rd2.dcm"):
+        write_rtdose_file(tmp_path / "b" / fname, blk,
+                          {"frame": mr_info["frame"],
+                           "origin": mr_info["origin"],
+                           "spacing": mr_info["spacing"],
+                           "thickness": 2.0})
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+    ref = Data.image[ct]
+    dvf = np.zeros(tuple(ref.dimensions) + (3,), np.float32)
+    deform = mia.Deformable(dvf=dvf, origin=ref.origin,
+                            spacing=ref.spacing,
+                            dimensions=ref.dimensions,
+                            reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    with pytest.raises(ValueError, match="multiple doses"):
+        deform.update_dose()
+    out = deform.update_dose(dose_name="RTDOSE 01")
+    assert out["dose_name"] == "RTDOSE 01"
+
+
+def test_accumulate_dose_name_reuse_no_duplicate(tmp_path):
+    """Re-running accumulate_dose with the same explicit name replaces
+    the registered dose without duplicating dose_list (review
+    finding)."""
+    rng = np.random.default_rng(8)
+    arr = rng.integers(-500, 500, size=(6, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    dose_raw = np.full((6, 16, 16), 1000, np.uint32)
+    write_rtdose_file(tmp_path / "ct" / "rd.dcm", dose_raw, info)
+    mia.read_dicoms(folder_path=str(tmp_path))
+
+    from medicalimageanalysis_tpu.utils import accumulate_dose
+    accumulate_dose("CT 01", ["RTDOSE 01"], name="Acc")
+    acc2 = accumulate_dose("CT 01", ["RTDOSE 01"], weights=[2.0],
+                           name="Acc")
+    assert Data.dose_list.count("Acc") == 1
+    np.testing.assert_allclose(np.asarray(Data.dose["Acc"].array),
+                               np.asarray(acc2.array))
+    np.testing.assert_allclose(float(np.asarray(acc2.array).max()),
+                               2.0, atol=1e-4)

@@ -210,3 +210,96 @@ def test_seg_in_report_summary(tmp_path, rng):
     Data.clear()
     report = mia.read_dicoms(folder_path=str(tmp_path)).report
     assert report.summary()["unmatched_segs"] == 0
+
+
+def test_transposed_seg_rejected(tmp_path, rng):
+    """A SEG whose frame orientation disagrees with the image (e.g.
+    row/col swapped) must be rejected, not ingested as a silently
+    transposed mask (review finding)."""
+    from medicalimageanalysis_tpu.read.seg import ReadSEG
+
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    ds = img.create_seg()
+    shared = ds.SharedFunctionalGroupsSequence[0]
+    shared.PlaneOrientationSequence[0].ImageOrientationPatient = \
+        [0.0, 1.0, 0.0, 1.0, 0.0, 0.0]
+
+    with pytest.raises(ValueError, match="orientation"):
+        ReadSEG(ds, only_tags=False)
+
+    # through read_dicoms it lands in failed_series, not as a bad ROI
+    seg_path = tmp_path / "ct" / "seg.dcm"
+    from medicalimageanalysis_tpu.dicom import dcmwrite
+    dcmwrite(str(seg_path), ds)
+    Data.clear()
+    report = mia.read_dicoms(folder_path=str(tmp_path)).report
+    img2 = Data.image["CT 01"]
+    assert "A" not in img2.rois
+    assert any("ReadSEG" in f["builder"] for f in report.failed_series)
+
+
+def test_zero_frame_seg_round_trip(tmp_path, rng):
+    """An all-empty ROI writes a zero-frame SEG that re-ingests as an
+    empty ROI instead of failing (review finding: '0 or 1' coerced
+    NumberOfFrames=0 to 1)."""
+    img = _ingest_ct(tmp_path, rng)
+    img.create_roi(name="Empty", color=[10, 200, 10])
+    img.rois["Empty"].convert_mask(np.zeros((6, 16, 16), np.uint8))
+    ds = img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"))
+    assert int(ds.NumberOfFrames) == 0
+
+    Data.clear()
+    report = mia.read_dicoms(folder_path=str(tmp_path)).report
+    assert not report.failed_series
+    img2 = Data.image["CT 01"]
+    assert "Empty" in img2.rois
+
+
+def test_filtered_segments_not_counted_off_grid(tmp_path, rng):
+    """Frames of segments excluded by only_load_roi_names are dropped
+    silently, not reported as off-grid (review finding)."""
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, mask_b = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    img.create_roi(name="B", color=[0, 128, 255])
+    img.rois["B"].convert_mask(mask_b)
+    img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"))
+
+    Data.clear()
+    report = mia.read_dicoms(folder_path=str(tmp_path),
+                             only_load_roi_names=["B"]).report
+    assert not any("off-grid" in w for w in report.warnings)
+    assert "B" in Data.image["CT 01"].rois
+
+
+def test_seg_conformance_elements_round_trip(tmp_path, rng):
+    """ContentLabel/Description, segment property code sequences and
+    the dimension organization survive a write+parse round trip
+    (review findings: ContentDescription silently dropped; Type-1
+    code sequences missing)."""
+    from medicalimageanalysis_tpu.dicom import dcmread
+
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    img.create_seg(path=str(tmp_path / "seg.dcm"), label="my study")
+
+    back = dcmread(str(tmp_path / "seg.dcm"))
+    assert str(back.ContentDescription) == "my study"
+    assert str(back.ContentLabel) == "SEG"
+    seg0 = back.SegmentSequence[0]
+    cat = seg0.SegmentedPropertyCategoryCodeSequence[0]
+    assert str(cat.CodeValue) == "123037004"
+    typ = seg0.SegmentedPropertyTypeCodeSequence[0]
+    assert str(typ.CodeValue) == "85756007"
+    dim = back.DimensionIndexSequence
+    assert int(dim[0].DimensionIndexPointer) == 0x0062000B
+    assert int(dim[1].DimensionIndexPointer) == 0x00200032
+    frame0 = back.PerFrameFunctionalGroupsSequence[0]
+    assert list(frame0.FrameContentSequence[0].DimensionIndexValues) \
+        == [1, 2]
