@@ -505,6 +505,83 @@ class Deformable(object):
                 "direction": np.asarray(ref.matrix),
                 "dose_name": dose_name}
 
+    def create_reg(self, path=None):
+        """Build a DICOM Deformable Spatial Registration (REG) dataset
+        from this field — BEYOND-PARITY: the reference can only read
+        deformable REG objects (read/dicom.py:1688-1786); exporting a
+        computed DVF to a TPS needs a writer. Emits the structure
+        ReadREG consumes: ReferencedSeriesSequence (reference, moving),
+        PreDeformationMatrixRegistrationSequence with
+        inv(self.rigid_matrix) (the reader inverts back), and the grid
+        (axis-aligned orientation, origin, GridDimensions (x, y, z),
+        GridResolution, float32-LE VectorGridData in our (Z, Y, X, 3)
+        point-displacement layout). Returns the Dataset; writes a
+        Part-10 file when ``path`` is given."""
+        from ..dicom import Dataset, Sequence, dcmwrite, generate_uid
+        from ..dicom import uids
+
+        if self.dvf is None:
+            raise ValueError("create_reg: no DVF computed yet")
+        if self.reference_name not in Data.image \
+                or self.moving_name not in Data.image:
+            raise ValueError(
+                "create_reg: reference and moving images must both be "
+                "loaded to reference their series/SOPs")
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+
+        ds = Dataset()
+        ds.SOPClassUID = uids.DeformableSpatialRegistrationStorage
+        ds.SOPInstanceUID = generate_uid()
+        ds.Modality = "REG"
+        ds.PatientID = ref.mrn if ref.mrn != "missing" else ""
+        ds.SeriesInstanceUID = generate_uid()
+        ds.StudyInstanceUID = ref.get_study_uid()
+        ds.FrameOfReferenceUID = ref.frame_ref
+        ds.ContentLabel = "REGISTRATION"
+        ds.ContentDescription = self.deformable_name or ""
+
+        def series_item(img):
+            item = Dataset()
+            item.SeriesInstanceUID = img.series_uid
+            refs = Sequence()
+            sop_class = uids.MODALITY_SOP_CLASS.get(
+                img.modality, uids.CTImageStorage)
+            for sop in (img.sops or []):
+                r = Dataset()
+                r.ReferencedSOPClassUID = sop_class
+                r.ReferencedSOPInstanceUID = sop
+                refs.append(r)
+            item.ReferencedInstanceSequence = refs
+            return item
+
+        ds.ReferencedSeriesSequence = Sequence(
+            [series_item(ref), series_item(mov)])
+
+        pre = Dataset()
+        pre.FrameOfReferenceTransformationMatrix = [
+            float(v) for v in np.linalg.inv(
+                np.asarray(self.rigid_matrix, np.float64)).reshape(-1)]
+        pre.FrameOfReferenceTransformationMatrixType = "RIGID"
+
+        dvf = np.ascontiguousarray(np.asarray(self.dvf, "<f4"))
+        grid = Dataset()
+        grid.ImageOrientationPatient = [1, 0, 0, 0, 1, 0]
+        grid.ImagePositionPatient = [float(v) for v in self.origin]
+        grid.GridDimensions = [int(dvf.shape[2]), int(dvf.shape[1]),
+                               int(dvf.shape[0])]       # (x, y, z)
+        grid.GridResolution = [float(v) for v in self.spacing]
+        grid.VectorGridData = dvf.tobytes()
+        dreg = Dataset()
+        dreg.SourceFrameOfReferenceUID = mov.frame_ref
+        dreg.PreDeformationMatrixRegistrationSequence = Sequence([pre])
+        dreg.DeformableRegistrationGridSequence = Sequence([grid])
+        ds.DeformableRegistrationSequence = Sequence([dreg])
+
+        if path is not None:
+            dcmwrite(path, ds)
+        return ds
+
     def export_image(self, path=None):
         """(reference structure/deformable.py:776-788)."""
         if self.moving_name is not None and path is not None:

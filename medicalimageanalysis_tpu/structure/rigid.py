@@ -377,6 +377,73 @@ class Rigid(object):
             write_mhd_volume(path, out["array"], spacing=out["spacing"],
                              origin=out["origin"])
 
+    def create_reg(self, path=None):
+        """Build a DICOM Spatial Registration (REG) dataset from this
+        rigid — BEYOND-PARITY: the reference can only read REG objects
+        (read/dicom.py:1688-1853); exporting a computed registration
+        to a TPS needs a writer. Emits the structure ReadREG consumes:
+        two ReferencedSeriesSequence items (reference, moving) and a
+        RegistrationSequence of [identity, matrix] where the file
+        matrix is inv(self.matrix) (the reader inverts back). Returns
+        the Dataset; writes a Part-10 file when ``path`` is given."""
+        from ..dicom import Dataset, Sequence, dcmwrite, generate_uid
+        from ..dicom import uids
+
+        if self.reference_name not in Data.image \
+                or self.moving_name not in Data.image:
+            raise ValueError(
+                "create_reg: reference and moving images must both be "
+                "loaded to reference their series/SOPs")
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+
+        ds = Dataset()
+        ds.SOPClassUID = uids.SpatialRegistrationStorage
+        ds.SOPInstanceUID = generate_uid()
+        ds.Modality = "REG"
+        ds.PatientID = ref.mrn if ref.mrn != "missing" else ""
+        ds.SeriesInstanceUID = generate_uid()
+        ds.StudyInstanceUID = ref.get_study_uid()
+        ds.FrameOfReferenceUID = ref.frame_ref
+        ds.ContentLabel = "REGISTRATION"
+        ds.ContentDescription = self.rigid_name or ""
+
+        def series_item(img):
+            item = Dataset()
+            item.SeriesInstanceUID = img.series_uid
+            refs = Sequence()
+            sop_class = uids.MODALITY_SOP_CLASS.get(
+                img.modality, uids.CTImageStorage)
+            for sop in (img.sops or []):
+                r = Dataset()
+                r.ReferencedSOPClassUID = sop_class
+                r.ReferencedSOPInstanceUID = sop
+                refs.append(r)
+            item.ReferencedInstanceSequence = refs
+            return item
+
+        ds.ReferencedSeriesSequence = Sequence(
+            [series_item(ref), series_item(mov)])
+
+        def reg_item(m):
+            mat_item = Dataset()
+            mat_item.FrameOfReferenceTransformationMatrix = [
+                float(v) for v in np.asarray(m, np.float64).reshape(-1)]
+            mat_item.FrameOfReferenceTransformationMatrixType = "RIGID"
+            mreg = Dataset()
+            mreg.MatrixSequence = Sequence([mat_item])
+            item = Dataset()
+            item.MatrixRegistrationSequence = Sequence([mreg])
+            return item
+
+        ds.RegistrationSequence = Sequence(
+            [reg_item(np.eye(4)),
+             reg_item(np.linalg.inv(np.asarray(self.matrix,
+                                               np.float64)))])
+        if path is not None:
+            dcmwrite(path, ds)
+        return ds
+
     def pre_alignment(self, superior=False, center=False, origin=False):
         """Rapid programmatic initializations of the translation.
 

@@ -838,3 +838,63 @@ def test_accumulate_dose_name_reuse_no_duplicate(tmp_path):
                                np.asarray(acc2.array))
     np.testing.assert_allclose(float(np.asarray(acc2.array).max()),
                                2.0, atol=1e-4)
+
+
+def test_rigid_create_reg_round_trip(tmp_path, rng):
+    """Rigid.create_reg: exported Spatial Registration re-ingests as a
+    Rigid with the identical matrix."""
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr)
+    write_ct_series(tmp_path / "b", arr, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+
+    m = np.eye(4)
+    m[:3, :3] = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0],
+                          [0.0, 0.0, 1.0]])
+    m[:3, 3] = [5.0, -3.0, 2.0]
+    rigid = mia.Rigid(ct, mr, matrix=m)
+    rigid.create_reg(path=str(tmp_path / "reg.dcm"))
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.rigid_list) == 1
+    back = Data.rigid[Data.rigid_list[0]]
+    np.testing.assert_allclose(back.matrix, m, atol=1e-6)
+
+
+def test_deformable_create_reg_round_trip(tmp_path, rng):
+    """Deformable.create_reg: exported Deformable Spatial Registration
+    re-ingests with identical DVF, grid and pre-rigid."""
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr, spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", arr, spacing=(1, 1), thickness=2.0,
+                    modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+    ref = Data.image[ct]
+
+    dvf = rng.normal(0, 1.5, size=tuple(ref.dimensions) + (3,)) \
+        .astype(np.float32)
+    rig = np.eye(4)
+    rig[:3, 3] = [1.0, 2.0, 3.0]
+    deform = mia.Deformable(dvf=dvf, origin=ref.origin,
+                            spacing=ref.spacing,
+                            dimensions=ref.dimensions,
+                            rigid_matrix=rig,
+                            reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    deform.create_reg(path=str(tmp_path / "dreg.dcm"))
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    assert len(Data.deformable_list) == 1
+    back = Data.deformable[Data.deformable_list[0]]
+    np.testing.assert_allclose(back.dvf, dvf, atol=1e-6)
+    np.testing.assert_allclose(back.rigid_matrix, rig, atol=1e-6)
+    np.testing.assert_allclose(back.spacing, ref.spacing, atol=1e-6)
+    np.testing.assert_allclose(back.origin, ref.origin, atol=1e-6)
