@@ -27,6 +27,12 @@ _LAZY = {
     "CreateDicomImage": ("creation", "CreateDicomImage"),
     "CreateImageFromMask": ("creation", "CreateImageFromMask"),
     "accumulate_dose": ("dose", "accumulate_dose"),
+    "dice_coefficient": ("metrics", "dice_coefficient"),
+    "jaccard_index": ("metrics", "jaccard_index"),
+    "hausdorff_distance": ("metrics", "hausdorff_distance"),
+    "mean_surface_distance": ("metrics", "mean_surface_distance"),
+    "surface_dice": ("metrics", "surface_dice"),
+    "compare_rois": ("metrics", "compare_rois"),
 }
 
 __all__ = list(_LAZY)

@@ -1,0 +1,132 @@
+"""Segmentation-comparison and registration-QA metrics.
+
+BEYOND-PARITY: the reference has no quantitative comparison tooling at
+all, yet its own workflows (RTSTRUCT vs auto-segmentation, deformable
+QA before dose accumulation) are exactly where Dice / Hausdorff /
+surface-distance numbers are needed. Mask overlap metrics reduce on
+the host (masks are host uint8 arrays by the time ROIs expose them);
+surface distances use boundary voxels + a KD-tree.
+
+Conventions: masks are array-ordered (z, y, x); ``spacing`` is
+[sx, sy, sz] mm (the package-wide convention). All distances in mm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["dice_coefficient", "jaccard_index", "volume_cc",
+           "surface_distances", "hausdorff_distance",
+           "mean_surface_distance", "surface_dice", "compare_rois"]
+
+
+def _as_bool(mask):
+    m = np.asarray(mask)
+    return m > 0 if m.dtype != bool else m
+
+
+def dice_coefficient(mask_a, mask_b):
+    """2|A∩B| / (|A|+|B|); 1.0 for two empty masks."""
+    a, b = _as_bool(mask_a), _as_bool(mask_b)
+    denom = int(a.sum()) + int(b.sum())
+    if denom == 0:
+        return 1.0
+    return 2.0 * int((a & b).sum()) / denom
+
+
+def jaccard_index(mask_a, mask_b):
+    a, b = _as_bool(mask_a), _as_bool(mask_b)
+    union = int((a | b).sum())
+    if union == 0:
+        return 1.0
+    return int((a & b).sum()) / union
+
+
+def volume_cc(mask, spacing):
+    """Mask volume in cc (spacing [sx, sy, sz] mm)."""
+    return float(_as_bool(mask).sum()
+                 * np.prod(np.asarray(spacing, float)) / 1000.0)
+
+
+def _boundary_points_mm(mask, spacing):
+    """Physical (x, y, z) mm coordinates of boundary voxels (mask
+    minus its erosion). Returns (N, 3); empty (0, 3) for empty
+    masks."""
+    from scipy import ndimage
+
+    m = _as_bool(mask)
+    if not m.any():
+        return np.zeros((0, 3))
+    eroded = ndimage.binary_erosion(m)
+    boundary = m & ~eroded
+    idx = np.argwhere(boundary)  # (N, 3) in (z, y, x)
+    sx, sy, sz = (float(v) for v in spacing)
+    return idx[:, ::-1].astype(np.float64) * np.array([sx, sy, sz])
+
+
+def surface_distances(mask_a, mask_b, spacing):
+    """Directed NN distances (a->b, b->a) between boundary voxel
+    centers, in mm. Raises on an empty mask (no surface exists)."""
+    from scipy.spatial import cKDTree
+
+    pa = _boundary_points_mm(mask_a, spacing)
+    pb = _boundary_points_mm(mask_b, spacing)
+    if pa.shape[0] == 0 or pb.shape[0] == 0:
+        raise ValueError("surface_distances: empty mask has no surface")
+    d_ab = cKDTree(pb).query(pa, workers=-1)[0]
+    d_ba = cKDTree(pa).query(pb, workers=-1)[0]
+    return d_ab, d_ba
+
+
+def hausdorff_distance(mask_a, mask_b, spacing, percentile=100.0):
+    """Symmetric (percentile-)Hausdorff distance in mm. The clinical
+    standard HD95 is ``percentile=95``."""
+    d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
+    if percentile >= 100.0:
+        return float(max(d_ab.max(), d_ba.max()))
+    return float(max(np.percentile(d_ab, percentile),
+                     np.percentile(d_ba, percentile)))
+
+
+def mean_surface_distance(mask_a, mask_b, spacing):
+    """Average symmetric surface distance (ASSD) in mm."""
+    d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
+    return float((d_ab.sum() + d_ba.sum()) / (d_ab.size + d_ba.size))
+
+
+def surface_dice(mask_a, mask_b, spacing, tolerance_mm):
+    """Normalized surface Dice at a tolerance (Nikolov et al. 2018):
+    the fraction of both surfaces within ``tolerance_mm`` of the
+    other."""
+    d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
+    hits = int((d_ab <= tolerance_mm).sum()) \
+        + int((d_ba <= tolerance_mm).sum())
+    return hits / (d_ab.size + d_ba.size)
+
+
+def compare_rois(image, name_a, name_b, tolerance_mm=2.0):
+    """Full comparison panel for two ROIs on one image: Dice, Jaccard,
+    HD, HD95, ASSD, surface Dice @tolerance, volumes. The natural QA
+    for auto-segmentation (DICOM SEG) against manual contours
+    (RTSTRUCT) — both land as mask-backed ROIs here."""
+    mask_a = np.asarray(image.rois[name_a].compute_mask())
+    mask_b = np.asarray(image.rois[name_b].compute_mask())
+    spacing = np.asarray(image.spacing, float)
+    out = {
+        "dice": dice_coefficient(mask_a, mask_b),
+        "jaccard": jaccard_index(mask_a, mask_b),
+        "volume_a_cc": volume_cc(mask_a, spacing),
+        "volume_b_cc": volume_cc(mask_b, spacing),
+    }
+    if _as_bool(mask_a).any() and _as_bool(mask_b).any():
+        d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
+        out["hausdorff_mm"] = float(max(d_ab.max(), d_ba.max()))
+        out["hd95_mm"] = float(max(np.percentile(d_ab, 95),
+                                   np.percentile(d_ba, 95)))
+        out["assd_mm"] = float((d_ab.sum() + d_ba.sum())
+                               / (d_ab.size + d_ba.size))
+        hits = int((d_ab <= tolerance_mm).sum()) \
+            + int((d_ba <= tolerance_mm).sum())
+        out[f"surface_dice@{tolerance_mm}mm"] = \
+            hits / (d_ab.size + d_ba.size)
+    return out
