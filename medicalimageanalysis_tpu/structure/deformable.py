@@ -505,6 +505,34 @@ class Deformable(object):
                 "direction": np.asarray(ref.matrix),
                 "dose_name": dose_name}
 
+    def update_pois(self, poi_name=None, percent=100):
+        """Propagate the moving image's POIs through rigid + field
+        into the reference frame — BEYOND-PARITY landmark propagation
+        (the reference's Deformable only warps ROI meshes,
+        structure/deformable.py:961-1001). Same composition as
+        update_rois: inv(rigid) then + d(p). Returns
+        {name: (3,) position mm} and caches it on ``self.pois``;
+        pair with utils.metrics.target_registration_error for TRE."""
+        if self.moving_name is None \
+                or self.moving_name not in Data.image:
+            return {}
+        out = {}
+        rigid_inv = np.linalg.inv(np.asarray(self.rigid_matrix,
+                                             np.float64))
+        for name, poi in Data.image[self.moving_name].pois.items():
+            if poi_name is not None and name != poi_name:
+                continue
+            if poi.point_position is None:
+                continue
+            p = np.asarray(poi.point_position, np.float64)
+            q = (rigid_inv @ np.append(p, 1.0))[:3]
+            disp = sample_dvf_at_points(
+                np.asarray(self.dvf) * (percent / 100.0),
+                q[None, :], self.origin, self.spacing)
+            out[name] = q + np.asarray(disp)[0]
+        self.pois = out
+        return out
+
     def compute_jacobian(self):
         """Jacobian-determinant QA map of the deformation T(p) = p +
         d(p) — BEYOND-PARITY: standard deformable-registration QA

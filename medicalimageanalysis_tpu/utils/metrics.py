@@ -17,7 +17,22 @@ import numpy as np
 
 __all__ = ["dice_coefficient", "jaccard_index", "volume_cc",
            "surface_distances", "hausdorff_distance",
-           "mean_surface_distance", "surface_dice", "compare_rois"]
+           "mean_surface_distance", "surface_dice", "compare_rois",
+           "target_registration_error"]
+
+
+def target_registration_error(points_a, points_b):
+    """TRE between corresponding landmark sets ((N, 3) mm each, same
+    order — e.g. reference-image POIs vs Deformable.update_pois
+    output). Returns {'tre_mm': (N,), 'mean_mm', 'max_mm'}."""
+    a = np.asarray(points_a, np.float64).reshape(-1, 3)
+    b = np.asarray(points_b, np.float64).reshape(-1, 3)
+    if a.shape != b.shape:
+        raise ValueError("target_registration_error: point sets must "
+                         f"pair up, got {a.shape} vs {b.shape}")
+    d = np.linalg.norm(a - b, axis=1)
+    return {"tre_mm": d, "mean_mm": float(d.mean()) if d.size else 0.0,
+            "max_mm": float(d.max()) if d.size else 0.0}
 
 
 def _as_bool(mask):

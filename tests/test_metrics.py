@@ -170,3 +170,52 @@ def test_jacobian_detects_folding(tmp_path):
     qa = deform.compute_jacobian()
     assert qa["folding_fraction"] > 0.2
     assert qa["det_min"] < 0.0
+
+
+def test_update_pois_and_tre(tmp_path):
+    """Landmark propagation through a constant field: moving POIs map
+    into the reference frame and the TRE against the true reference
+    landmarks is ~0 (exact for a constant field)."""
+    from medicalimageanalysis_tpu.utils.metrics import (
+        target_registration_error)
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(-200, 200, size=(8, 24, 24)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr, spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", arr, spacing=(1, 1), thickness=2.0,
+                    modality="MR")
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+    ref, mov = Data.image[ct], Data.image[mr]
+
+    # landmarks: reference truth at p, moving observes p + [2, 0, 0]
+    truth = np.array([[-90.0, -110.0, -45.0], [-85.0, -105.0, -41.0]])
+    for i, p in enumerate(truth):
+        mov.add_poi(poi_name=f"L{i}", point=list(p + [2.0, 0.0, 0.0]))
+
+    # point-displacement field moving -> reference: -2 mm in x
+    dvf = np.zeros(tuple(ref.dimensions) + (3,), np.float32)
+    dvf[..., 0] = -2.0
+    deform = mia.Deformable(dvf=dvf, origin=ref.origin,
+                            spacing=ref.spacing,
+                            dimensions=ref.dimensions,
+                            reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    mapped = deform.update_pois()
+    assert set(mapped) == {"L0", "L1"}
+    tre = target_registration_error(
+        np.stack([mapped["L0"], mapped["L1"]]), truth)
+    assert tre["max_mm"] < 1e-4
+
+    # percent scales the displacement
+    half = deform.update_pois(percent=50)
+    tre_half = target_registration_error(
+        np.stack([half["L0"], half["L1"]]), truth)
+    assert tre_half["mean_mm"] == pytest.approx(1.0, abs=1e-4)
+
+    with pytest.raises(ValueError, match="pair up"):
+        target_registration_error(truth, truth[:1])
