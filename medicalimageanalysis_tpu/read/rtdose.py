@@ -161,7 +161,6 @@ class ReadRTDose(object):
                                   self.orientation[3:6])
                 ipp = ipp + gfov[-1] * normal
                 flip_frames = True
-        self._flip_frames = flip_frames
 
         decision = geo.ffs_decision(shape_zyx, self.plane, self.spacing,
                                     self.orientation, ipp, self.dimensions)

@@ -16,7 +16,52 @@ from scipy.spatial.transform import Rotation
 
 from ..ops import geometry as geo
 
-__all__ = ["MetadataMixin", "GeometryQueriesMixin", "ViewOpsMixin"]
+__all__ = ["MetadataMixin", "GeometryQueriesMixin", "ViewOpsMixin",
+           "build_reg_dataset"]
+
+
+def build_reg_dataset(sop_class_uid, ref, mov, description):
+    """Shared REG-writer scaffolding for Rigid.create_reg /
+    Deformable.create_reg: header identity + the two
+    ReferencedSeriesSequence items (reference first, moving second —
+    the order ReadREG assumes). Raises when either image lacks SOP
+    UIDs: ReadREG matches registrations to images via sops[0], so a
+    file without them would crash its own reader on re-ingest."""
+    from ..dicom import Dataset, Sequence, generate_uid, uids
+
+    ds = Dataset()
+    ds.SOPClassUID = sop_class_uid
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "REG"
+    ds.PatientID = ref.mrn if ref.mrn != "missing" else ""
+    ds.SeriesInstanceUID = generate_uid()
+    ds.StudyInstanceUID = ref.get_study_uid()
+    ds.FrameOfReferenceUID = ref.frame_ref
+    ds.ContentLabel = "REGISTRATION"
+    ds.ContentDescription = description or ""
+
+    def series_item(img):
+        if not img.sops:
+            raise ValueError(
+                "create_reg: image has no SOP instance UIDs to "
+                "reference — the REG object could not be matched "
+                "back to its images on re-ingest")
+        item = Dataset()
+        item.SeriesInstanceUID = img.series_uid
+        refs = Sequence()
+        sop_class = uids.MODALITY_SOP_CLASS.get(img.modality,
+                                                uids.CTImageStorage)
+        for sop in img.sops:
+            r = Dataset()
+            r.ReferencedSOPClassUID = sop_class
+            r.ReferencedSOPInstanceUID = sop
+            refs.append(r)
+        item.ReferencedInstanceSequence = refs
+        return item
+
+    ds.ReferencedSeriesSequence = Sequence(
+        [series_item(ref), series_item(mov)])
+    return ds
 
 
 class MetadataMixin:

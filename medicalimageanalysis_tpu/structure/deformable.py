@@ -27,6 +27,46 @@ from ..ops.resample import affine_resample, compose_pixel_matrix
 __all__ = ["Display", "Deformable"]
 
 
+def _lazy_jit(fn):
+    """jax.jit on first call (keeps jax out of import time) with ONE
+    cached jitted callable, so repeated calls hit the jit cache
+    instead of retracing a per-call closure."""
+    import functools
+
+    box = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if "jit" not in box:
+            import jax
+            box["jit"] = jax.jit(fn)
+        return box["jit"](*args, **kwargs)
+
+    return wrapper
+
+
+@_lazy_jit
+def _jacobian_det(d, inv_spacing):
+    """det(I + grad d) per voxel: central differences of the mm
+    point-displacement field. Module-level so jax.jit caches across
+    Deformable instances / repeated QA calls (inv_spacing = [1/sx,
+    1/sy, 1/sz] as a traced argument, no retrace per spacing)."""
+    import jax.numpy as jnp
+
+    gz = jnp.gradient(d, axis=0) * inv_spacing[2]
+    gy = jnp.gradient(d, axis=1) * inv_spacing[1]
+    gx = jnp.gradient(d, axis=2) * inv_spacing[0]
+    # J[i, j] = delta_ij + dd_i/dx_j, columns (x, y, z)
+    a = 1.0 + gx[..., 0]
+    b, c = gy[..., 0], gz[..., 0]
+    p, q = gx[..., 1], gz[..., 1]
+    e = 1.0 + gy[..., 1]
+    g, h = gx[..., 2], gy[..., 2]
+    i = 1.0 + gz[..., 2]
+    return (a * (e * i - q * h) - b * (p * i - q * g)
+            + c * (p * h - e * g))
+
+
 class Display(object):
     """Deformation view state: list of arrays at fractional ratios +
     DVF component slices (reference structure/deformable.py:32-384)."""
@@ -513,24 +553,35 @@ class Deformable(object):
         update_rois: inv(rigid) then + d(p). Returns
         {name: (3,) position mm} and caches it on ``self.pois``;
         pair with utils.metrics.target_registration_error for TRE."""
+        if self.dvf is None:
+            raise ValueError("update_pois: no DVF computed yet")
         if self.moving_name is None \
                 or self.moving_name not in Data.image:
             return {}
-        out = {}
         rigid_inv = np.linalg.inv(np.asarray(self.rigid_matrix,
                                              np.float64))
+        names, pts = [], []
         for name, poi in Data.image[self.moving_name].pois.items():
             if poi_name is not None and name != poi_name:
                 continue
             if poi.point_position is None:
                 continue
             p = np.asarray(poi.point_position, np.float64)
-            q = (rigid_inv @ np.append(p, 1.0))[:3]
-            disp = sample_dvf_at_points(
-                np.asarray(self.dvf) * (percent / 100.0),
-                q[None, :], self.origin, self.spacing)
-            out[name] = q + np.asarray(disp)[0]
-        self.pois = out
+            names.append(name)
+            pts.append((rigid_inv @ np.append(p, 1.0))[:3])
+        out = {}
+        if names:
+            pts = np.stack(pts)
+            # one batched gather; displacement is linear in the field,
+            # so percent scales the sampled result exactly
+            disp = np.asarray(sample_dvf_at_points(
+                np.asarray(self.dvf), pts, self.origin, self.spacing))
+            mapped = pts + disp * (percent / 100.0)
+            out = {n: mapped[i] for i, n in enumerate(names)}
+        if poi_name is None or not hasattr(self, "pois"):
+            self.pois = out
+        else:
+            self.pois.update(out)  # single-POI refresh keeps the rest
         return out
 
     def compute_jacobian(self):
@@ -543,27 +594,16 @@ class Deformable(object):
         'folding_fraction', 'det_min', 'det_max', 'det_mean'}."""
         if self.dvf is None:
             raise ValueError("compute_jacobian: no DVF computed yet")
-        import jax
+        if any(int(s) < 2 for s in np.shape(self.dvf)[:3]):
+            raise ValueError(
+                "compute_jacobian: every grid axis needs >= 2 samples "
+                f"for finite differences, got {np.shape(self.dvf)[:3]}")
         import jax.numpy as jnp
 
-        sx, sy, sz = (float(v) for v in self.spacing)
-
-        @jax.jit
-        def _det(d):
-            gz = jnp.gradient(d, axis=0) / sz
-            gy = jnp.gradient(d, axis=1) / sy
-            gx = jnp.gradient(d, axis=2) / sx
-            # J[i, j] = delta_ij + dd_i/dx_j, columns (x, y, z)
-            a = 1.0 + gx[..., 0]
-            b, c = gy[..., 0], gz[..., 0]
-            p, q = gx[..., 1], gz[..., 1]
-            e = 1.0 + gy[..., 1]
-            g, h = gx[..., 2], gy[..., 2]
-            i = 1.0 + gz[..., 2]
-            return (a * (e * i - q * h) - b * (p * i - q * g)
-                    + c * (p * h - e * g))
-
-        det = np.asarray(_det(jnp.asarray(self.dvf, jnp.float32)))
+        inv_sp = np.asarray(
+            [1.0 / float(v) for v in self.spacing], np.float32)
+        det = np.asarray(_jacobian_det(
+            jnp.asarray(self.dvf, jnp.float32), jnp.asarray(inv_sp)))
         return {
             "det": det,
             "folding_fraction": float((det <= 0).mean()),
@@ -584,8 +624,9 @@ class Deformable(object):
         GridResolution, float32-LE VectorGridData in our (Z, Y, X, 3)
         point-displacement layout). Returns the Dataset; writes a
         Part-10 file when ``path`` is given."""
-        from ..dicom import Dataset, Sequence, dcmwrite, generate_uid
+        from ..dicom import Dataset, Sequence, dcmwrite
         from ..dicom import uids
+        from .common import build_reg_dataset
 
         if self.dvf is None:
             raise ValueError("create_reg: no DVF computed yet")
@@ -596,34 +637,9 @@ class Deformable(object):
                 "loaded to reference their series/SOPs")
         ref = Data.image[self.reference_name]
         mov = Data.image[self.moving_name]
-
-        ds = Dataset()
-        ds.SOPClassUID = uids.DeformableSpatialRegistrationStorage
-        ds.SOPInstanceUID = generate_uid()
-        ds.Modality = "REG"
-        ds.PatientID = ref.mrn if ref.mrn != "missing" else ""
-        ds.SeriesInstanceUID = generate_uid()
-        ds.StudyInstanceUID = ref.get_study_uid()
-        ds.FrameOfReferenceUID = ref.frame_ref
-        ds.ContentLabel = "REGISTRATION"
-        ds.ContentDescription = self.deformable_name or ""
-
-        def series_item(img):
-            item = Dataset()
-            item.SeriesInstanceUID = img.series_uid
-            refs = Sequence()
-            sop_class = uids.MODALITY_SOP_CLASS.get(
-                img.modality, uids.CTImageStorage)
-            for sop in (img.sops or []):
-                r = Dataset()
-                r.ReferencedSOPClassUID = sop_class
-                r.ReferencedSOPInstanceUID = sop
-                refs.append(r)
-            item.ReferencedInstanceSequence = refs
-            return item
-
-        ds.ReferencedSeriesSequence = Sequence(
-            [series_item(ref), series_item(mov)])
+        ds = build_reg_dataset(
+            uids.DeformableSpatialRegistrationStorage, ref, mov,
+            self.deformable_name)
 
         pre = Dataset()
         pre.FrameOfReferenceTransformationMatrix = [

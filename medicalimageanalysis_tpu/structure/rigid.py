@@ -386,8 +386,9 @@ class Rigid(object):
         RegistrationSequence of [identity, matrix] where the file
         matrix is inv(self.matrix) (the reader inverts back). Returns
         the Dataset; writes a Part-10 file when ``path`` is given."""
-        from ..dicom import Dataset, Sequence, dcmwrite, generate_uid
+        from ..dicom import Dataset, Sequence, dcmwrite
         from ..dicom import uids
+        from .common import build_reg_dataset
 
         if self.reference_name not in Data.image \
                 or self.moving_name not in Data.image:
@@ -396,36 +397,10 @@ class Rigid(object):
                 "loaded to reference their series/SOPs")
         ref = Data.image[self.reference_name]
         mov = Data.image[self.moving_name]
+        ds = build_reg_dataset(uids.SpatialRegistrationStorage, ref,
+                               mov, self.rigid_name)
 
-        ds = Dataset()
-        ds.SOPClassUID = uids.SpatialRegistrationStorage
-        ds.SOPInstanceUID = generate_uid()
-        ds.Modality = "REG"
-        ds.PatientID = ref.mrn if ref.mrn != "missing" else ""
-        ds.SeriesInstanceUID = generate_uid()
-        ds.StudyInstanceUID = ref.get_study_uid()
-        ds.FrameOfReferenceUID = ref.frame_ref
-        ds.ContentLabel = "REGISTRATION"
-        ds.ContentDescription = self.rigid_name or ""
-
-        def series_item(img):
-            item = Dataset()
-            item.SeriesInstanceUID = img.series_uid
-            refs = Sequence()
-            sop_class = uids.MODALITY_SOP_CLASS.get(
-                img.modality, uids.CTImageStorage)
-            for sop in (img.sops or []):
-                r = Dataset()
-                r.ReferencedSOPClassUID = sop_class
-                r.ReferencedSOPInstanceUID = sop
-                refs.append(r)
-            item.ReferencedInstanceSequence = refs
-            return item
-
-        ds.ReferencedSeriesSequence = Sequence(
-            [series_item(ref), series_item(mov)])
-
-        def reg_item(m):
+        def reg_item(m, frame_ref):
             mat_item = Dataset()
             mat_item.FrameOfReferenceTransformationMatrix = [
                 float(v) for v in np.asarray(m, np.float64).reshape(-1)]
@@ -433,13 +408,17 @@ class Rigid(object):
             mreg = Dataset()
             mreg.MatrixSequence = Sequence([mat_item])
             item = Dataset()
+            # Type-1 per PS3.3 C.20.2: which image frame the
+            # transform applies to
+            item.FrameOfReferenceUID = frame_ref
             item.MatrixRegistrationSequence = Sequence([mreg])
             return item
 
         ds.RegistrationSequence = Sequence(
-            [reg_item(np.eye(4)),
+            [reg_item(np.eye(4), ref.frame_ref),
              reg_item(np.linalg.inv(np.asarray(self.matrix,
-                                               np.float64)))])
+                                               np.float64)),
+                      mov.frame_ref)])
         if path is not None:
             dcmwrite(path, ds)
         return ds

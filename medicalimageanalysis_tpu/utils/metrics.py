@@ -93,30 +93,40 @@ def surface_distances(mask_a, mask_b, spacing):
     return d_ab, d_ba
 
 
-def hausdorff_distance(mask_a, mask_b, spacing, percentile=100.0):
-    """Symmetric (percentile-)Hausdorff distance in mm. The clinical
-    standard HD95 is ``percentile=95``."""
-    d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
+def _hd(d_ab, d_ba, percentile):
     if percentile >= 100.0:
         return float(max(d_ab.max(), d_ba.max()))
     return float(max(np.percentile(d_ab, percentile),
                      np.percentile(d_ba, percentile)))
 
 
+def _assd(d_ab, d_ba):
+    return float((d_ab.sum() + d_ba.sum()) / (d_ab.size + d_ba.size))
+
+
+def _sdice(d_ab, d_ba, tolerance_mm):
+    hits = int((d_ab <= tolerance_mm).sum()) \
+        + int((d_ba <= tolerance_mm).sum())
+    return hits / (d_ab.size + d_ba.size)
+
+
+def hausdorff_distance(mask_a, mask_b, spacing, percentile=100.0):
+    """Symmetric (percentile-)Hausdorff distance in mm. The clinical
+    standard HD95 is ``percentile=95``."""
+    return _hd(*surface_distances(mask_a, mask_b, spacing), percentile)
+
+
 def mean_surface_distance(mask_a, mask_b, spacing):
     """Average symmetric surface distance (ASSD) in mm."""
-    d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
-    return float((d_ab.sum() + d_ba.sum()) / (d_ab.size + d_ba.size))
+    return _assd(*surface_distances(mask_a, mask_b, spacing))
 
 
 def surface_dice(mask_a, mask_b, spacing, tolerance_mm):
     """Normalized surface Dice at a tolerance (Nikolov et al. 2018):
     the fraction of both surfaces within ``tolerance_mm`` of the
     other."""
-    d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
-    hits = int((d_ab <= tolerance_mm).sum()) \
-        + int((d_ba <= tolerance_mm).sum())
-    return hits / (d_ab.size + d_ba.size)
+    return _sdice(*surface_distances(mask_a, mask_b, spacing),
+                  tolerance_mm)
 
 
 def compare_rois(image, name_a, name_b, tolerance_mm=2.0):
@@ -135,13 +145,9 @@ def compare_rois(image, name_a, name_b, tolerance_mm=2.0):
     }
     if _as_bool(mask_a).any() and _as_bool(mask_b).any():
         d_ab, d_ba = surface_distances(mask_a, mask_b, spacing)
-        out["hausdorff_mm"] = float(max(d_ab.max(), d_ba.max()))
-        out["hd95_mm"] = float(max(np.percentile(d_ab, 95),
-                                   np.percentile(d_ba, 95)))
-        out["assd_mm"] = float((d_ab.sum() + d_ba.sum())
-                               / (d_ab.size + d_ba.size))
-        hits = int((d_ab <= tolerance_mm).sum()) \
-            + int((d_ba <= tolerance_mm).sum())
+        out["hausdorff_mm"] = _hd(d_ab, d_ba, 100.0)
+        out["hd95_mm"] = _hd(d_ab, d_ba, 95.0)
+        out["assd_mm"] = _assd(d_ab, d_ba)
         out[f"surface_dice@{tolerance_mm}mm"] = \
-            hits / (d_ab.size + d_ba.size)
+            _sdice(d_ab, d_ba, tolerance_mm)
     return out
