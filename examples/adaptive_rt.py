@@ -131,6 +131,23 @@ def main():
     print("DVH curve points:", len(bins),
           "V(0)=%.1f%%" % vol_pct[0] if len(bins) else "")
 
+    # -- 5b. registration QA before trusting the accumulation ---------------
+    qa = deform.compute_jacobian()
+    print("jacobian QA: folding %.4f%%, det in [%.3f, %.3f]" % (
+        100 * qa["folding_fraction"], qa["det_min"], qa["det_max"]))
+
+    # contour QA: propagate the fraction-day GTV back (voxel indicator
+    # warp, Deformable.update_mask) and compare against the plan GTV
+    from medicalimageanalysis_tpu.utils import compare_rois
+    fx_target = np.zeros((16, 48, 48), np.uint8)
+    fx_target[5:11, 16:33, 19:36] = 1           # GTV drawn on fraction
+    mapped = deform.update_mask(fx_target)
+    img.create_roi(name="GTV_fx_mapped", color=[255, 200, 0])
+    img.rois["GTV_fx_mapped"].convert_mask(mapped)
+    panel = compare_rois(img, "GTV", "GTV_fx_mapped", tolerance_mm=2.0)
+    print("GTV vs mapped fraction GTV:",
+          {k: round(v, 3) for k, v in panel.items()})
+
     # -- 6. export everything back to DICOM ----------------------------------
     out = os.path.join(tmp, "export")
     os.makedirs(out, exist_ok=True)
@@ -138,6 +155,7 @@ def main():
                       dose_summation_type="MULTI_PLAN")
     img.create_rtstruct(path=os.path.join(out, "rs.dcm"))
     img.create_seg(path=os.path.join(out, "seg.dcm"))
+    deform.create_reg(path=os.path.join(out, "dvf_reg.dcm"))
     print("exported:", sorted(os.listdir(out)))
 
     # sanity: exported accumulated dose re-ingests bit-consistently

@@ -545,6 +545,34 @@ class Deformable(object):
                 "direction": np.asarray(ref.matrix),
                 "dose_name": dose_name}
 
+    def update_mask(self, mask, ratio=1, threshold=0.5):
+        """Warp a moving-image-grid binary mask onto the reference
+        grid — BEYOND-PARITY contour propagation on voxels (the
+        reference only warps ROI meshes, structure/deformable.py:
+        961-1001; mesh warping loses holes/topology that voxel
+        indicator warping keeps). Rigid resample + field warp of the
+        float indicator through the shared Pallas warp stages, then
+        ``>= threshold``. Returns a (Z, Y, X) uint8 mask on the
+        reference grid."""
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+        mask = np.asarray(mask, np.float32)
+        expect = tuple(int(v) for v in mov.dimensions)
+        if mask.shape != expect:
+            raise ValueError(
+                f"update_mask: mask shape {mask.shape} != moving "
+                f"image grid {expect}")
+
+        A = compose_pixel_matrix(mov.matrix, mov.spacing, mov.origin,
+                                 ref.matrix, ref.spacing, ref.origin,
+                                 phys_transform=self.rigid_matrix)
+        resampled = np.asarray(affine_resample(
+            mask, A, tuple(int(v) for v in ref.dimensions),
+            background=0.0))
+        warped = self._warp_resampled_to_reference(resampled, 0.0,
+                                                   ratio=ratio)
+        return (warped >= float(threshold)).astype(np.uint8)
+
     def update_pois(self, poi_name=None, percent=100):
         """Propagate the moving image's POIs through rigid + field
         into the reference frame — BEYOND-PARITY landmark propagation

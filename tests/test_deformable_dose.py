@@ -898,3 +898,36 @@ def test_deformable_create_reg_round_trip(tmp_path, rng):
     np.testing.assert_allclose(back.rigid_matrix, rig, atol=1e-6)
     np.testing.assert_allclose(back.spacing, ref.spacing, atol=1e-6)
     np.testing.assert_allclose(back.origin, ref.origin, atol=1e-6)
+
+
+def test_update_mask_integer_shift(tmp_path):
+    """Deformable.update_mask: a constant integer-voxel field maps a
+    rectangular mask exactly (trilinear at integer offsets)."""
+    base = make_blob(shape=(8, 24, 24)).astype(np.int16)
+    moved = np.roll(base, shift=2, axis=2)
+    write_ct_series(tmp_path / "a", base, spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", moved, spacing=(1, 1), thickness=2.0,
+                    modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+    ref = Data.image[ct]
+
+    dvf = np.zeros(tuple(ref.dimensions) + (3,), np.float32)
+    dvf[..., 0] = -2.0
+    deform = mia.Deformable(dvf=dvf, origin=ref.origin,
+                            spacing=ref.spacing,
+                            dimensions=ref.dimensions,
+                            reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    mask = np.zeros((8, 24, 24), np.uint8)
+    mask[2:6, 6:15, 10:16] = 1
+    out = deform.update_mask(mask)
+    expected = np.zeros_like(mask)
+    expected[2:6, 6:15, 8:14] = 1
+    np.testing.assert_array_equal(out, expected)
+
+    with pytest.raises(ValueError, match="mask shape"):
+        deform.update_mask(np.zeros((4, 4, 4), np.uint8))
