@@ -134,6 +134,15 @@ TAG_DICT = {
     0x00700080: ("CS", "ContentLabel"),
     0x00700081: ("LO", "ContentDescription"),
     0x00700084: ("PN", "ContentCreatorName"),
+    # PET series / radiopharmaceutical (PS3.3 C.8.9)
+    0x00541000: ("CS", "SeriesType"),
+    0x00541001: ("CS", "Units"),
+    0x00541102: ("CS", "DecayCorrection"),
+    0x00541016: ("SQ", "RadiopharmaceuticalInformationSequence"),
+    0x00181072: ("TM", "RadiopharmaceuticalStartTime"),
+    0x00181074: ("DS", "RadionuclideTotalDose"),
+    0x00181075: ("DS", "RadionuclideHalfLife"),
+    0x00181078: ("DT", "RadiopharmaceuticalStartDateTime"),
     0x00289110: ("SQ", "PixelMeasuresSequence"),
     # Segmentation IOD (PS3.3 C.8.20)
     0x00620001: ("CS", "SegmentationType"),

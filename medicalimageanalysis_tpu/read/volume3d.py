@@ -188,8 +188,15 @@ class Read3D(object):
 
         assemble = assemble_volume if config.jit_ingest \
             else assemble_volume_numpy
+        # PT stays float32: Bq/mL values routinely exceed int16 (SUV 20
+        # at a typical injection is ~90 kBq/mL), so the reference's
+        # blanket int16 cast (read/dicom.py Read3D) silently saturates
+        # hot lesions and corrupts SUV — a fixed reference bug
+        # (PARITY.md deltas). CT/MR keep the reference's int16.
+        out_dtype = np.float32 if self.modality == "PT" else np.int16
         self.array = assemble(raw, slopes, intercepts,
-                              ffs_op=decision["op"])
+                              ffs_op=decision["op"],
+                              out_dtype=out_dtype)
 
     def _decode_pixels_parallel(self, n):
         """Compressed-syntax fallback: decode per-slice pixel_array

@@ -376,6 +376,80 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             dcmwrite(path, ds)
         return ds
 
+    def compute_suv(self):
+        """SUV body-weight map for PT volumes — BEYOND-PARITY: the
+        reference ingests PT but offers no SUV conversion (and its
+        blanket int16 cast saturates the Bq/mL values SUV needs; PT
+        arrays stay float32 here, read/volume3d.py). QIBA / PS3.16
+        decay-corrected formula:
+
+            SUVbw = activity[Bq/mL] * weight[g] / decayed_dose[Bq]
+
+        with the injected dose decayed from injection to series time
+        for DecayCorrection=START (ADMIN needs no extra factor).
+        Requires Units=BQML. Returns a float32 (Z, Y, X) map."""
+        if self.modality != "PT":
+            raise ValueError("compute_suv: PT volumes only, this "
+                             f"image is {self.modality}")
+        ds = self.tags[0]
+        units = str(ds.get("Units", "") or "")
+        if units != "BQML":
+            raise ValueError(
+                f"compute_suv: Units={units or '<missing>'} — only "
+                "BQML (decay-corrected activity concentration) is "
+                "convertible")
+        seq = getattr(ds, "RadiopharmaceuticalInformationSequence",
+                      None)
+        if not seq:
+            raise ValueError("compute_suv: no Radiopharmaceutical"
+                             "InformationSequence")
+        info = seq[0]
+        dose = info.get("RadionuclideTotalDose")
+        half_life = info.get("RadionuclideHalfLife")
+        weight = ds.get("PatientWeight")
+        for name, v in (("RadionuclideTotalDose", dose),
+                        ("RadionuclideHalfLife", half_life),
+                        ("PatientWeight", weight)):
+            if v is None:
+                raise ValueError(f"compute_suv: missing {name}")
+        dose, half_life = float(dose), float(half_life)
+        weight_g = float(weight) * 1000.0
+
+        def tm_seconds(t):
+            t = str(t).strip()
+            return (int(t[0:2]) * 3600 + int(t[2:4]) * 60
+                    + (float(t[4:]) if len(t) > 4 else 0.0))
+
+        decay = str(ds.get("DecayCorrection", "START") or "START")
+        if decay == "ADMIN":
+            decayed_dose = dose
+        elif decay == "START":
+            start_dt = info.get("RadiopharmaceuticalStartDateTime")
+            start_tm = info.get("RadiopharmaceuticalStartTime")
+            if start_dt:
+                inj_s = tm_seconds(str(start_dt)[8:])
+            elif start_tm is not None:
+                inj_s = tm_seconds(start_tm)
+            else:
+                raise ValueError("compute_suv: missing "
+                                 "radiopharmaceutical start time")
+            scan = ds.get("SeriesTime")
+            if scan is None:
+                scan = ds.get("AcquisitionTime")
+            if scan is None:
+                raise ValueError("compute_suv: missing SeriesTime/"
+                                 "AcquisitionTime")
+            dt = tm_seconds(scan) - inj_s
+            if dt < 0:  # crossed midnight (times are date-less TM)
+                dt += 86400.0
+            decayed_dose = dose * 2.0 ** (-dt / half_life)
+        else:
+            raise ValueError(
+                f"compute_suv: DecayCorrection={decay} not supported "
+                "(START or ADMIN)")
+        return np.asarray(self.array, np.float32) \
+            * np.float32(weight_g / decayed_dose)
+
     def create_seg(self, roi_names=None, path=None, fractional=False,
                    label="medicalimageanalysis_tpu"):
         """Build a DICOM SEG (Segmentation Storage) dataset from this

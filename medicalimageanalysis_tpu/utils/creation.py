@@ -62,8 +62,14 @@ class CreateDicomImage(object):
         self.thickness = thickness
 
     def run(self, patient_name="Test", patient_id="Test", modality="CT",
-            description="", sex="M"):
-        """Write each slice as an individual Explicit VR LE file."""
+            description="", sex="M", rescale_slope=1,
+            rescale_intercept=0, extra_tags=None):
+        """Write each slice as an individual Explicit VR LE file.
+
+        ``rescale_slope``/``rescale_intercept`` and ``extra_tags``
+        ({keyword: value} applied to every slice) are beyond-parity
+        knobs for fabricating modality-specific fixtures (e.g. PT with
+        RadiopharmaceuticalInformationSequence for SUV tests)."""
         if self.study is None:
             self.study = generate_uid()
         if self.series is None:
@@ -132,8 +138,10 @@ class CreateDicomImage(object):
             ds.BitsAllocated = 16
             ds.Columns = array.shape[1]
             ds.Rows = array.shape[0]
-            ds.RescaleIntercept = 0
-            ds.RescaleSlope = 1
+            ds.RescaleIntercept = rescale_intercept
+            ds.RescaleSlope = rescale_slope
+            for keyword, value in (extra_tags or {}).items():
+                setattr(ds, keyword, value)
             ds.PixelData = np.ascontiguousarray(
                 array.astype("<i2")).tobytes()
 

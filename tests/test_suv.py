@@ -1,0 +1,131 @@
+"""PET SUV conversion + PT float32 ingest tests (BEYOND-PARITY: the
+reference ingests PT but has no SUV conversion, and its blanket int16
+cast saturates Bq/mL values — fixed here, PT arrays stay float32)."""
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+from medicalimageanalysis_tpu.dicom import Dataset, Sequence
+from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+
+def _radiopharm(dose_bq=3.5e8, half_life_s=6586.2, start="080000"):
+    info = Dataset()
+    info.RadionuclideTotalDose = dose_bq
+    info.RadionuclideHalfLife = half_life_s
+    info.RadiopharmaceuticalStartTime = start
+    return Sequence([info])
+
+
+def _write_pt(folder, raw, slope=1.37, **tag_overrides):
+    extra = {
+        "Units": "BQML",
+        "DecayCorrection": "START",
+        "SeriesTime": "090000",
+        "PatientWeight": 70.0,
+        "RadiopharmaceuticalInformationSequence": _radiopharm(),
+    }
+    extra.update(tag_overrides)
+    CreateDicomImage(str(folder), raw, spacing=[2.0, 2.0],
+                     thickness=3.0).run(modality="PT",
+                                        rescale_slope=slope,
+                                        extra_tags=extra)
+
+
+def test_pt_ingest_float32_no_saturation(tmp_path, ):
+    """Stored 30000 * slope 1.37 = 41100 Bq/mL > int16 max: the PT
+    array must hold it exactly (the reference saturates at 32767)."""
+    raw = np.full((4, 16, 16), 30000, np.int16)
+    _write_pt(tmp_path / "pt", raw)
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["PT 01"]
+    assert img.array.dtype == np.float32
+    np.testing.assert_allclose(img.array, 30000 * 1.37, rtol=1e-6)
+
+
+def test_suv_start_decay_correction(tmp_path):
+    """SUVbw = act * weight_g / (dose * 2^(-dt/T_half)) with a 1-hour
+    uptake: every term pinned by hand."""
+    raw = np.full((4, 16, 16), 10000, np.int16)
+    _write_pt(tmp_path / "pt", raw, slope=1.0)
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["PT 01"]
+
+    act = 10000.0                       # Bq/mL
+    dt = 3600.0                         # 08:00 -> 09:00
+    decayed = 3.5e8 * 2.0 ** (-dt / 6586.2)
+    expected = act * 70.0 * 1000.0 / decayed
+    suv = img.compute_suv()
+    assert suv.dtype == np.float32
+    np.testing.assert_allclose(suv, expected, rtol=1e-5)
+    assert 2.0 < expected < 3.0         # sanity: physiologic range
+
+
+def test_suv_admin_and_midnight_and_datetime(tmp_path):
+    raw = np.full((2, 8, 8), 5000, np.int16)
+
+    # ADMIN: no decay factor
+    _write_pt(tmp_path / "a", raw, slope=1.0, DecayCorrection="ADMIN")
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path / "a"))
+    suv = Data.image["PT 01"].compute_suv()
+    np.testing.assert_allclose(suv, 5000.0 * 70000.0 / 3.5e8,
+                               rtol=1e-5)
+
+    # midnight crossing: injection 23:30, scan 00:30 -> dt = 1 h
+    info = Dataset()
+    info.RadionuclideTotalDose = 3.5e8
+    info.RadionuclideHalfLife = 6586.2
+    info.RadiopharmaceuticalStartTime = "233000"
+    _write_pt(tmp_path / "b", raw, slope=1.0, SeriesTime="003000",
+              RadiopharmaceuticalInformationSequence=Sequence([info]))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path / "b"))
+    suv = Data.image["PT 01"].compute_suv()
+    decayed = 3.5e8 * 2.0 ** (-3600.0 / 6586.2)
+    np.testing.assert_allclose(suv, 5000.0 * 70000.0 / decayed,
+                               rtol=1e-5)
+
+    # DT start form (date+time) takes precedence
+    info2 = Dataset()
+    info2.RadionuclideTotalDose = 3.5e8
+    info2.RadionuclideHalfLife = 6586.2
+    info2.RadiopharmaceuticalStartDateTime = "20260818080000"
+    _write_pt(tmp_path / "c", raw, slope=1.0, SeriesTime="090000",
+              RadiopharmaceuticalInformationSequence=Sequence([info2]))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path / "c"))
+    suv = Data.image["PT 01"].compute_suv()
+    decayed = 3.5e8 * 2.0 ** (-3600.0 / 6586.2)
+    np.testing.assert_allclose(suv, 5000.0 * 70000.0 / decayed,
+                               rtol=1e-5)
+
+
+def test_suv_typed_errors(tmp_path):
+    raw = np.full((2, 8, 8), 100, np.int16)
+
+    _write_pt(tmp_path / "pt", raw, Units="CNTS")
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["PT 01"]
+    with pytest.raises(ValueError, match="Units"):
+        img.compute_suv()
+
+    # CT images refuse outright
+    ct = np.zeros((2, 8, 8), np.int16)
+    CreateDicomImage(str(tmp_path / "ct"), ct).run()
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path / "ct"))
+    with pytest.raises(ValueError, match="PT"):
+        Data.image["CT 01"].compute_suv()
+
+    # missing weight
+    _write_pt(tmp_path / "nw", raw, PatientWeight=None)
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path / "nw"))
+    with pytest.raises(ValueError, match="PatientWeight"):
+        Data.image["PT 01"].compute_suv()
