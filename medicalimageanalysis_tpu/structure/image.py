@@ -450,6 +450,70 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         return np.asarray(self.array, np.float32) \
             * np.float32(weight_g / decayed_dose)
 
+    def compute_roi_statistics(self, roi_name, values=None):
+        """First-order statistics of a value map inside an ROI —
+        BEYOND-PARITY (the reference only has the dose-specific
+        variant, structure/dose.py:774-816): HU stats on CT, SUV stats
+        on PT (pass ``values=img.compute_suv()``), anything
+        voxel-aligned. Returns min/max/mean/median/std + volume_cc +
+        voxel count."""
+        mask = np.asarray(self.rois[roi_name].compute_mask()) > 0
+        vals = np.asarray(self.array if values is None else values,
+                          np.float32)
+        if vals.shape != mask.shape:
+            raise ValueError(
+                f"compute_roi_statistics: values shape {vals.shape} "
+                f"!= image grid {mask.shape}")
+        inside = vals[mask]
+        voxel_cc = float(np.prod(np.asarray(self.spacing,
+                                            float))) / 1000.0
+        if inside.size == 0:
+            return {"ROI": roi_name, "voxels": 0, "volume_cc": 0.0}
+        return {
+            "ROI": roi_name,
+            "voxels": int(inside.size),
+            "volume_cc": float(inside.size * voxel_cc),
+            "min": float(inside.min()),
+            "max": float(inside.max()),
+            "mean": float(inside.mean()),
+            "median": float(np.median(inside)),
+            "std": float(inside.std()),
+        }
+
+    def compute_mtv_tlg(self, roi_name, suv=None, threshold=2.5,
+                        relative=False):
+        """Metabolic tumor volume + total lesion glycolysis inside an
+        ROI — BEYOND-PARITY PET response metrics (PERCIST/EORTC
+        practice). ``threshold`` is an absolute SUV cutoff, or a
+        fraction of the ROI SUVmax when ``relative=True`` (the common
+        41%-of-max segmentation). Returns {'mtv_cc', 'tlg', 'suv_max',
+        'suv_mean_in_mtv', 'threshold'}."""
+        if suv is None:
+            suv = self.compute_suv()
+        suv = np.asarray(suv, np.float32)
+        mask = np.asarray(self.rois[roi_name].compute_mask()) > 0
+        if suv.shape != mask.shape:
+            raise ValueError(
+                f"compute_mtv_tlg: SUV shape {suv.shape} != image "
+                f"grid {mask.shape}")
+        inside = suv[mask]
+        if inside.size == 0:
+            return {"mtv_cc": 0.0, "tlg": 0.0, "suv_max": 0.0,
+                    "suv_mean_in_mtv": 0.0, "threshold": 0.0}
+        suv_max = float(inside.max())
+        cut = float(threshold) * (suv_max if relative else 1.0)
+        hot = inside[inside >= cut]
+        voxel_cc = float(np.prod(np.asarray(self.spacing,
+                                            float))) / 1000.0
+        mtv_cc = float(hot.size * voxel_cc)
+        return {
+            "mtv_cc": mtv_cc,
+            "tlg": float(hot.sum() * voxel_cc) if hot.size else 0.0,
+            "suv_max": suv_max,
+            "suv_mean_in_mtv": float(hot.mean()) if hot.size else 0.0,
+            "threshold": cut,
+        }
+
     def create_seg(self, roi_names=None, path=None, fractional=False,
                    label="medicalimageanalysis_tpu"):
         """Build a DICOM SEG (Segmentation Storage) dataset from this

@@ -129,3 +129,45 @@ def test_suv_typed_errors(tmp_path):
     mia.read_dicoms(folder_path=str(tmp_path / "nw"))
     with pytest.raises(ValueError, match="PatientWeight"):
         Data.image["PT 01"].compute_suv()
+
+
+def test_roi_statistics_and_mtv_tlg(tmp_path):
+    """ROI stats on the SUV map + MTV/TLG with absolute and
+    41%-of-max thresholds, every number pinned by hand."""
+    raw = np.full((4, 16, 16), 1000, np.int16)   # background
+    raw[1:3, 4:10, 4:10] = 8000                  # hot lesion
+    _write_pt(tmp_path / "pt", raw, slope=1.0, DecayCorrection="ADMIN")
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["PT 01"]
+    suv = img.compute_suv()
+    scale = 70000.0 / 3.5e8                      # weight_g / dose
+
+    roi = np.zeros((4, 16, 16), np.uint8)
+    roi[1:3, 3:11, 3:11] = 1                     # lesion + 1-voxel rim
+    img.create_roi(name="Lesion", color=[255, 0, 0])
+    img.rois["Lesion"].convert_mask(roi)
+
+    stats = img.compute_roi_statistics("Lesion", values=suv)
+    voxel_cc = 2.0 * 2.0 * 3.0 / 1000.0
+    assert stats["voxels"] == 2 * 8 * 8
+    assert stats["volume_cc"] == pytest.approx(128 * voxel_cc)
+    assert stats["max"] == pytest.approx(8000 * scale, rel=1e-5)
+    assert stats["min"] == pytest.approx(1000 * scale, rel=1e-5)
+
+    # absolute threshold between background and lesion SUV
+    out = img.compute_mtv_tlg("Lesion", suv=suv,
+                              threshold=4000 * scale)
+    assert out["mtv_cc"] == pytest.approx(72 * voxel_cc)   # 2*6*6
+    assert out["tlg"] == pytest.approx(
+        72 * voxel_cc * 8000 * scale, rel=1e-5)
+    assert out["suv_max"] == pytest.approx(8000 * scale, rel=1e-5)
+
+    # 41% of max: 0.41 * 8000*scale > background 1000*scale
+    rel = img.compute_mtv_tlg("Lesion", suv=suv, threshold=0.41,
+                              relative=True)
+    assert rel["mtv_cc"] == pytest.approx(72 * voxel_cc)
+
+    # HU-style stats with values=None fall back to the image array
+    s2 = img.compute_roi_statistics("Lesion")
+    assert s2["max"] == pytest.approx(8000.0)
