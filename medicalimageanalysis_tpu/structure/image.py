@@ -694,8 +694,17 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
 
         if self.array is None:
             raise ValueError("no array to export (only_tags image?)")
+        arr = np.asarray(self.array)
+        slope = 1
+        if np.issubdtype(arr.dtype, np.floating):
+            # float volumes (PT Bq/mL stays float32 since the int16
+            # saturation fix): auto-scale into int16 stored values
+            # with a RescaleSlope that restores them on read
+            amax = float(np.abs(arr).max()) if arr.size else 0.0
+            slope = amax / 32000.0 if amax > 0 else 1.0
+            arr = np.round(arr / slope).astype(np.int16)
         gen = CreateDicomImage(
-            output_dir, np.asarray(self.array),
+            output_dir, arr,
             series=self.series_uid if self.series_uid != "00000.00000"
             else None,
             frame=self.frame_ref if self.frame_ref != "00000.00000"
@@ -708,7 +717,7 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         gen.run(patient_name="^".join(name) if isinstance(name, list)
                 else str(name),
                 patient_id=self.mrn, modality=self.modality,
-                description=description)
+                description=description, rescale_slope=slope)
         return gen
 
     def load_array(self):

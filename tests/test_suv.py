@@ -171,3 +171,26 @@ def test_roi_statistics_and_mtv_tlg(tmp_path):
     # HU-style stats with values=None fall back to the image array
     s2 = img.compute_roi_statistics("Lesion")
     assert s2["max"] == pytest.approx(8000.0)
+
+
+def test_pt_export_dicom_round_trip(tmp_path):
+    """export_dicom of a float32 PT volume auto-scales into int16
+    stored values + RescaleSlope; re-ingest restores Bq/mL within the
+    quantization (max/32000)."""
+    raw = np.full((3, 12, 12), 100, np.int16)
+    raw[1, 4:8, 4:8] = 30000
+    _write_pt(tmp_path / "pt", raw, slope=1.37)
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["PT 01"]
+    src = np.asarray(img.array)
+    assert src.dtype == np.float32 and src.max() > 32767
+
+    out = tmp_path / "export"
+    img.export_dicom(str(out))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    back = Data.image["PT 01"]
+    assert np.asarray(back.array).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(back.array), src,
+                               atol=src.max() / 32000.0 + 1e-3)
