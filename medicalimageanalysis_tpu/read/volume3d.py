@@ -188,12 +188,21 @@ class Read3D(object):
 
         assemble = assemble_volume if config.jit_ingest \
             else assemble_volume_numpy
-        # PT stays float32: Bq/mL values routinely exceed int16 (SUV 20
-        # at a typical injection is ~90 kBq/mL), so the reference's
-        # blanket int16 cast (read/dicom.py Read3D) silently saturates
-        # hot lesions and corrupts SUV — a fixed reference bug
-        # (PARITY.md deltas). CT/MR keep the reference's int16.
-        out_dtype = np.float32 if self.modality == "PT" else np.int16
+        # float32 whenever int16 cannot hold the rescaled values
+        # exactly: PT (Bq/mL routinely exceeds int16 — SUV 20 at a
+        # typical injection is ~90 kBq/mL) and any series whose
+        # rescale is not value-preserving (slope != 1 or fractional
+        # intercept — e.g. our own exporter's auto-scaled floats).
+        # The reference's blanket int16 cast (read/dicom.py Read3D)
+        # silently saturates/wraps these — a fixed reference bug
+        # (PARITY.md deltas). Plain CT/MR (slope 1, integral
+        # intercept) keeps the reference's int16.
+        value_preserving = bool(
+            np.all(slopes == 1.0)
+            and np.all(intercepts == np.round(intercepts)))
+        out_dtype = np.float32 \
+            if (self.modality == "PT" or not value_preserving) \
+            else np.int16
         self.array = assemble(raw, slopes, intercepts,
                               ffs_op=decision["op"],
                               out_dtype=out_dtype)

@@ -554,6 +554,8 @@ class Deformable(object):
         float indicator through the shared Pallas warp stages, then
         ``>= threshold``. Returns a (Z, Y, X) uint8 mask on the
         reference grid."""
+        if self.dvf is None:
+            raise ValueError("update_mask: no DVF computed yet")
         ref = Data.image[self.reference_name]
         mov = Data.image[self.moving_name]
         mask = np.asarray(mask, np.float32)

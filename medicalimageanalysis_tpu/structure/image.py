@@ -416,9 +416,25 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         weight_g = float(weight) * 1000.0
 
         def tm_seconds(t):
+            # TM "HHMMSS.frac" with legal truncations (PS3.5 6.2);
+            # DT offsets are stripped by dt_time before slicing
             t = str(t).strip()
-            return (int(t[0:2]) * 3600 + int(t[2:4]) * 60
-                    + (float(t[4:]) if len(t) > 4 else 0.0))
+            hh = int(t[0:2]) if len(t) >= 2 else 0
+            mm = int(t[2:4]) if len(t) >= 4 else 0
+            ss = float(t[4:]) if len(t) > 4 else 0.0
+            return hh * 3600 + mm * 60 + ss
+
+        def dt_time(t):
+            # DT "YYYYMMDDHHMMSS.frac&ZZXX": strip the UTC offset
+            # suffix (scan/injection share the site clock, so the
+            # offset cancels in the difference), then the date part
+            t = str(t).strip()
+            for sign in ("+", "-"):
+                cut = t.find(sign)
+                if cut > 0:
+                    t = t[:cut]
+                    break
+            return t[8:]
 
         decay = str(ds.get("DecayCorrection", "START") or "START")
         if decay == "ADMIN":
@@ -427,7 +443,7 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             start_dt = info.get("RadiopharmaceuticalStartDateTime")
             start_tm = info.get("RadiopharmaceuticalStartTime")
             if start_dt:
-                inj_s = tm_seconds(str(start_dt)[8:])
+                inj_s = tm_seconds(dt_time(start_dt))
             elif start_tm is not None:
                 inj_s = tm_seconds(start_tm)
             else:
@@ -435,10 +451,15 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                                  "radiopharmaceutical start time")
             scan = ds.get("SeriesTime")
             if scan is None:
-                scan = ds.get("AcquisitionTime")
-            if scan is None:
-                raise ValueError("compute_suv: missing SeriesTime/"
-                                 "AcquisitionTime")
+                # earliest acquisition across slices (QIBA scan-start
+                # reference; tags[0] is position-sorted, not
+                # time-sorted — multi-bed PT can differ by minutes)
+                acqs = [s.get("AcquisitionTime") for s in self.tags]
+                acqs = [a for a in acqs if a is not None]
+                if not acqs:
+                    raise ValueError("compute_suv: missing SeriesTime/"
+                                     "AcquisitionTime")
+                scan = min(acqs, key=tm_seconds)
             dt = tm_seconds(scan) - inj_s
             if dt < 0:  # crossed midnight (times are date-less TM)
                 dt += 86400.0
@@ -465,19 +486,21 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                 f"compute_roi_statistics: values shape {vals.shape} "
                 f"!= image grid {mask.shape}")
         inside = vals[mask]
-        voxel_cc = float(np.prod(np.asarray(self.spacing,
-                                            float))) / 1000.0
-        if inside.size == 0:
-            return {"ROI": roi_name, "voxels": 0, "volume_cc": 0.0}
+        from ..utils.metrics import voxel_volume_cc
+        voxel_cc = voxel_volume_cc(self.spacing)
+        empty = inside.size == 0
+        nan = float("nan")
+        # schema is identical for empty ROIs (NaN stats) so tabulating
+        # consumers never KeyError
         return {
             "ROI": roi_name,
             "voxels": int(inside.size),
             "volume_cc": float(inside.size * voxel_cc),
-            "min": float(inside.min()),
-            "max": float(inside.max()),
-            "mean": float(inside.mean()),
-            "median": float(np.median(inside)),
-            "std": float(inside.std()),
+            "min": nan if empty else float(inside.min()),
+            "max": nan if empty else float(inside.max()),
+            "mean": nan if empty else float(inside.mean()),
+            "median": nan if empty else float(np.median(inside)),
+            "std": nan if empty else float(inside.std()),
         }
 
     def compute_mtv_tlg(self, roi_name, suv=None, threshold=2.5,
@@ -499,12 +522,15 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         inside = suv[mask]
         if inside.size == 0:
             return {"mtv_cc": 0.0, "tlg": 0.0, "suv_max": 0.0,
-                    "suv_mean_in_mtv": 0.0, "threshold": 0.0}
+                    "suv_mean_in_mtv": 0.0,
+                    # relative cuts are undefined without a max
+                    "threshold": (float("nan") if relative
+                                  else float(threshold))}
         suv_max = float(inside.max())
         cut = float(threshold) * (suv_max if relative else 1.0)
         hot = inside[inside >= cut]
-        voxel_cc = float(np.prod(np.asarray(self.spacing,
-                                            float))) / 1000.0
+        from ..utils.metrics import voxel_volume_cc
+        voxel_cc = voxel_volume_cc(self.spacing)
         mtv_cc = float(hot.size * voxel_cc)
         return {
             "mtv_cc": mtv_cc,
@@ -695,14 +721,38 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         if self.array is None:
             raise ValueError("no array to export (only_tags image?)")
         arr = np.asarray(self.array)
-        slope = 1
-        if np.issubdtype(arr.dtype, np.floating):
-            # float volumes (PT Bq/mL stays float32 since the int16
-            # saturation fix): auto-scale into int16 stored values
-            # with a RescaleSlope that restores them on read
-            amax = float(np.abs(arr).max()) if arr.size else 0.0
-            slope = amax / 32000.0 if amax > 0 else 1.0
-            arr = np.round(arr / slope).astype(np.int16)
+        slope, intercept = 1, 0
+        needs_rescale = arr.size and (
+            np.issubdtype(arr.dtype, np.floating)
+            or float(arr.min()) < -32768 or float(arr.max()) > 32767)
+        if needs_rescale:
+            # auto-scale into int16 stored values with a slope +
+            # intercept that restore physical units on read (the
+            # ingest side keeps non-value-preserving rescales in
+            # float32, read/volume3d.py). Centering on the intercept
+            # uses the full +/-32000 range: half the quantization
+            # error of a symmetric zero-intercept slope
+            amin, amax = float(arr.min()), float(arr.max())
+            if amax > amin:
+                slope = (amax - amin) / 64000.0
+                intercept = (amax + amin) / 2.0
+            else:
+                slope, intercept = 1.0, amin
+            arr = np.round((arr.astype(np.float64) - intercept)
+                           / slope).astype(np.int16)
+        # PT SUV inputs ride along so compute_suv works after a
+        # round trip (Units/decay/weight/timing/radiopharm info)
+        extra = {}
+        src = self.tags[0] if self.tags else None
+        if src is not None and self.modality == "PT":
+            for kw in ("Units", "DecayCorrection", "SeriesTime",
+                       "AcquisitionTime", "PatientWeight",
+                       "RadiopharmaceuticalInformationSequence"):
+                v = src.get(kw) if kw != \
+                    "RadiopharmaceuticalInformationSequence" \
+                    else getattr(src, kw, None)
+                if v is not None:
+                    extra[kw] = v
         gen = CreateDicomImage(
             output_dir, arr,
             series=self.series_uid if self.series_uid != "00000.00000"
@@ -717,7 +767,8 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         gen.run(patient_name="^".join(name) if isinstance(name, list)
                 else str(name),
                 patient_id=self.mrn, modality=self.modality,
-                description=description, rescale_slope=slope)
+                description=description, rescale_slope=slope,
+                rescale_intercept=intercept, extra_tags=extra)
         return gen
 
     def load_array(self):

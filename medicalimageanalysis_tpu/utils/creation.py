@@ -17,6 +17,7 @@ import numpy as np
 from ..data import Data
 from ..dicom import Dataset, FileMetaDataset, dcmwrite, generate_uid
 from ..dicom import uids
+from ..dicom.dictionary import keyword_to_tag
 from ..ops import geometry as geo
 
 __all__ = ["CreateDicomImage", "CreateImageFromMask", "image_from_saved"]
@@ -141,6 +142,13 @@ class CreateDicomImage(object):
             ds.RescaleIntercept = rescale_intercept
             ds.RescaleSlope = rescale_slope
             for keyword, value in (extra_tags or {}).items():
+                if keyword_to_tag(keyword) is None:
+                    # Dataset.__setattr__ would fall through to a
+                    # plain attribute and dcmwrite would silently
+                    # drop it — fail loudly instead
+                    raise ValueError(
+                        f"extra_tags: {keyword!r} is not a known "
+                        "DICOM keyword (dicom/dictionary.py)")
                 setattr(ds, keyword, value)
             ds.PixelData = np.ascontiguousarray(
                 array.astype("<i2")).tobytes()

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["dice_coefficient", "jaccard_index", "volume_cc",
+           "voxel_volume_cc",
            "surface_distances", "hausdorff_distance",
            "mean_surface_distance", "surface_dice", "compare_rois",
            "target_registration_error"]
@@ -57,10 +58,15 @@ def jaccard_index(mask_a, mask_b):
     return int((a & b).sum()) / union
 
 
+def voxel_volume_cc(spacing):
+    """One voxel's volume in cc (spacing [sx, sy, sz] mm) — the single
+    home of the mm3-to-cc conversion."""
+    return float(np.prod(np.asarray(spacing, float))) / 1000.0
+
+
 def volume_cc(mask, spacing):
     """Mask volume in cc (spacing [sx, sy, sz] mm)."""
-    return float(_as_bool(mask).sum()
-                 * np.prod(np.asarray(spacing, float)) / 1000.0)
+    return float(_as_bool(mask).sum()) * voxel_volume_cc(spacing)
 
 
 def _boundary_points_mm(mask, spacing):

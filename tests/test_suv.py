@@ -194,3 +194,82 @@ def test_pt_export_dicom_round_trip(tmp_path):
     assert np.asarray(back.array).dtype == np.float32
     np.testing.assert_allclose(np.asarray(back.array), src,
                                atol=src.max() / 32000.0 + 1e-3)
+
+
+def test_suv_dt_offset_and_truncated_forms(tmp_path):
+    """Legal DT variants (UTC offset suffix, fractional seconds) parse
+    (review finding: offset forms crashed tm_seconds)."""
+    raw = np.full((2, 8, 8), 5000, np.int16)
+    info = Dataset()
+    info.RadionuclideTotalDose = 3.5e8
+    info.RadionuclideHalfLife = 6586.2
+    info.RadiopharmaceuticalStartDateTime = \
+        "20260818080000.000000-0500"
+    _write_pt(tmp_path / "pt", raw, slope=1.0, SeriesTime="090000",
+              RadiopharmaceuticalInformationSequence=Sequence([info]))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    suv = Data.image["PT 01"].compute_suv()
+    decayed = 3.5e8 * 2.0 ** (-3600.0 / 6586.2)
+    np.testing.assert_allclose(suv, 5000.0 * 70000.0 / decayed,
+                               rtol=1e-5)
+
+
+def test_pt_export_preserves_suv_inputs(tmp_path):
+    """export_dicom of PT forwards Units/decay/weight/timing/
+    radiopharm info so compute_suv works after the round trip (review
+    finding: the exporter dropped them all)."""
+    raw = np.full((2, 8, 8), 10000, np.int16)
+    _write_pt(tmp_path / "pt", raw, slope=1.0)
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    suv_src = Data.image["PT 01"].compute_suv()
+
+    out = tmp_path / "export"
+    Data.image["PT 01"].export_dicom(str(out))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    suv_back = Data.image["PT 01"].compute_suv()
+    np.testing.assert_allclose(suv_back, suv_src, rtol=1e-3)
+
+
+def test_export_int_out_of_range_rescaled(tmp_path):
+    """Integer volumes beyond int16 range export via the rescale path
+    instead of wrapping (review finding)."""
+    from medicalimageanalysis_tpu.dicom import dcmread
+    raw = np.full((2, 8, 8), 100, np.int16)
+    _write_pt(tmp_path / "pt", raw, slope=3.0, DecayCorrection="ADMIN")
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["PT 01"]
+    img.array = np.full((2, 8, 8), 50000, np.int32)  # > int16 max
+
+    out = tmp_path / "export"
+    img.export_dicom(str(out))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    np.testing.assert_allclose(np.asarray(Data.image["PT 01"].array),
+                               50000.0, rtol=1e-3)
+
+
+def test_empty_roi_statistics_schema(tmp_path):
+    raw = np.full((2, 8, 8), 100, np.int16)
+    _write_pt(tmp_path / "pt", raw, DecayCorrection="ADMIN")
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["PT 01"]
+    img.create_roi(name="Empty", color=[1, 2, 3])
+    img.rois["Empty"].convert_mask(np.zeros((2, 8, 8), np.uint8))
+    stats = img.compute_roi_statistics("Empty")
+    assert stats["voxels"] == 0 and stats["volume_cc"] == 0.0
+    for k in ("min", "max", "mean", "median", "std"):
+        assert np.isnan(stats[k])
+    out = img.compute_mtv_tlg("Empty", suv=np.zeros((2, 8, 8)))
+    assert out["mtv_cc"] == 0.0 and out["threshold"] == 2.5
+
+
+def test_extra_tags_unknown_keyword_raises(tmp_path):
+    with pytest.raises(ValueError, match="not a known DICOM keyword"):
+        CreateDicomImage(str(tmp_path / "x"),
+                         np.zeros((1, 4, 4), np.int16)).run(
+            extra_tags={"NotARealKeyword": 1})
