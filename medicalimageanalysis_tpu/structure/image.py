@@ -762,7 +762,14 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             origin=[float(v) for v in self.origin],
             spacing=[float(self.spacing[0]), float(self.spacing[1])],
             thickness=float(self.spacing[2]))
-        gen.orientation = [float(v) for v in self.orientation]
+        # the array is canonical (z, y, x): slices are z-planes, so
+        # the written IOP must be the pixel-axis directions (matrix
+        # rows 0/1), NOT the acquisition orientation — for a
+        # coronal/sagittal-acquired series those differ and the old
+        # self.orientation write produced inconsistent geometry
+        m = np.asarray(self.matrix, float)
+        gen.orientation = [float(v) for v in np.concatenate(
+            [m[0], m[1]])]
         name = self.patient_name
         gen.run(patient_name="^".join(name) if isinstance(name, list)
                 else str(name),

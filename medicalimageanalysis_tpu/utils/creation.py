@@ -127,9 +127,15 @@ class CreateDicomImage(object):
             ds.ImageOrientationPatient = self.orientation
             ds.PixelSpacing = self.spacing
             ds.SliceThickness = self.thickness
-            ds.ImagePositionPatient = [
-                self.origin[0], self.origin[1],
-                (self.origin[2] + (ii * self.thickness))]
+            # slices step along the orientation normal (identical to
+            # the old +z stepping for the axial default; non-axial
+            # orientations previously produced degenerate geometry —
+            # coplanar in-plane axis vs position step)
+            normal = np.cross(np.asarray(self.orientation[:3], float),
+                              np.asarray(self.orientation[3:6], float))
+            pos = (np.asarray(self.origin[:3], float)
+                   + ii * float(self.thickness) * normal)
+            ds.ImagePositionPatient = [float(v) for v in pos]
 
             ds.SamplesPerPixel = 1
             ds.PhotometricInterpretation = "MONOCHROME2"

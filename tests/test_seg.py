@@ -303,3 +303,51 @@ def test_seg_conformance_elements_round_trip(tmp_path, rng):
     frame0 = back.PerFrameFunctionalGroupsSequence[0]
     assert list(frame0.FrameContentSequence[0].DimensionIndexValues) \
         == [1, 2]
+
+
+@pytest.mark.parametrize("orientation, plane", [
+    ([1, 0, 0, 0, 0, -1], "Coronal"),
+    ([0, 1, 0, 0, 0, -1], "Sagittal"),
+])
+def test_seg_and_export_non_axial_round_trip(tmp_path, rng,
+                                             orientation, plane):
+    """SEG write/read and export_dicom on coronal/sagittal-acquired
+    series: the ingest canonicalizes to (z, y, x), the writers must
+    emit pixel-axis geometry (review follow-up: CreateDicomImage
+    previously stepped +z regardless of orientation and export_dicom
+    wrote the acquisition IOP against z-sliced data)."""
+    from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+    arr = rng.integers(-200, 200, size=(6, 16, 16)).astype(np.int16)
+    gen = CreateDicomImage(str(tmp_path / "ct"), arr,
+                           origin=[-50, -60, -40], spacing=[1.0, 1.0],
+                           thickness=2.0)
+    gen.orientation = orientation
+    gen.run()
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    assert img.plane == plane
+
+    mask = np.zeros(img.array.shape, np.uint8)
+    mask[1:4, 3:9, 2:10] = 1
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask)
+    img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"))
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img2 = Data.image["CT 01"]
+    assert np.array_equal(
+        np.asarray(img2.rois["A"].compute_mask()).astype(np.uint8),
+        mask)
+
+    out = tmp_path / "export"
+    img2.export_dicom(str(out))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    img3 = Data.image["CT 01"]
+    np.testing.assert_array_equal(np.asarray(img3.array),
+                                  np.asarray(img2.array))
+    np.testing.assert_allclose(img3.origin, img2.origin, atol=1e-6)
+    np.testing.assert_allclose(img3.matrix, img2.matrix, atol=1e-6)
