@@ -931,3 +931,44 @@ def test_update_mask_integer_shift(tmp_path):
 
     with pytest.raises(ValueError, match="mask shape"):
         deform.update_mask(np.zeros((4, 4, 4), np.uint8))
+
+
+def test_create_rtdose_coronal_grid_round_trip(tmp_path):
+    """create_rtdose on a coronal-acquired grid: the writer must emit
+    pixel-axis geometry for the canonical (z, y, x) array (same fix
+    class as export_dicom)."""
+    from medicalimageanalysis_tpu.utils import accumulate_dose
+    from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(-500, 500, size=(6, 16, 16)).astype(np.int16)
+    gen = CreateDicomImage(str(tmp_path / "ct"), arr,
+                           origin=[-50, -60, -40], spacing=[1.0, 1.0],
+                           thickness=2.0)
+    gen.orientation = [1, 0, 0, 0, 0, -1]  # coronal acquisition
+    gen.run()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    info = {"frame": img.frame_ref, "origin": img.origin,
+            "spacing": [float(img.spacing[0]), float(img.spacing[1])],
+            "thickness": float(img.spacing[2])}
+    dose_raw = np.zeros(img.array.shape, np.uint32)
+    dose_raw[3:9, 2:5, 6:15] = 45000
+    write_rtdose_file(tmp_path / "ct" / "rd.dcm", dose_raw, info)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    src = Data.dose["RTDOSE 01"]
+
+    # accumulate onto the coronal-acquired CT (post-FFS the grid is
+    # canonical; the writer's matrix-derived IOP must round-trip it)
+    acc = accumulate_dose("CT 01", ["RTDOSE 01"], name="Acc")
+
+    out = tmp_path / "export"
+    out.mkdir()
+    acc.create_rtdose(path=str(out / "rd.dcm"))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    back = Data.dose[Data.dose_list[0]]
+    np.testing.assert_allclose(np.asarray(back.array),
+                               np.asarray(src.array), atol=1e-4)
+    np.testing.assert_allclose(back.origin, src.origin, atol=1e-6)
+    np.testing.assert_allclose(back.matrix, src.matrix, atol=1e-6)
