@@ -20,7 +20,8 @@ import numpy as np
 
 from ..data import Data
 
-__all__ = ["read_nifti_volume", "NiftiReader", "read_nifti"]
+__all__ = ["read_nifti_volume", "write_nifti_volume", "NiftiReader",
+           "read_nifti"]
 
 _DTYPES = {
     2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
@@ -93,6 +94,69 @@ def read_nifti_volume(path):
     origin = lps[:3, 3]
     # our matrix convention: rows = pixel axis directions
     return arr, spacing, origin, direction.T
+
+
+_DTYPE_CODES = {
+    np.dtype(np.uint8): (2, 8), np.dtype(np.int16): (4, 16),
+    np.dtype(np.int32): (8, 32), np.dtype(np.float32): (16, 32),
+    np.dtype(np.float64): (64, 64), np.dtype(np.int8): (256, 8),
+    np.dtype(np.uint16): (512, 16), np.dtype(np.uint32): (768, 32),
+}
+
+
+def write_nifti_volume(path, array, spacing, origin, matrix):
+    """Write a (z, y, x) volume as NIfTI-1 (.nii / .nii.gz) —
+    BEYOND-PARITY writer half of the NIfTI codec (the reader's exact
+    inverse: sform from the LPS grid negated into RAS, x-fastest
+    little-endian data). ``matrix`` rows = pixel-axis directions,
+    ``spacing`` [sx, sy, sz] mm, ``origin`` LPS mm of voxel (0,0,0).
+    Float volumes write their dtype directly — no int16 quantization
+    (the deep-learning-pipeline interchange case: SUV maps, masks)."""
+    path = str(path)
+    array = np.asarray(array)
+    if array.ndim != 3:
+        raise ValueError(f"write_nifti_volume: need (z, y, x), got "
+                         f"{array.shape}")
+    code = _DTYPE_CODES.get(array.dtype)
+    if code is None:
+        raise ValueError(
+            f"write_nifti_volume: unsupported dtype {array.dtype}")
+    datatype, bitpix = code
+
+    nz, ny, nx = array.shape
+    sx, sy, sz = (float(v) for v in spacing)
+    m = np.asarray(matrix, np.float64)
+    # voxel (i, j, k) -> LPS: origin + i*sx*m[0] + j*sy*m[1] + k*sz*m[2]
+    lps = np.eye(4)
+    lps[:3, 0] = sx * m[0]
+    lps[:3, 1] = sy * m[1]
+    lps[:3, 2] = sz * m[2]
+    lps[:3, 3] = np.asarray(origin, np.float64)
+    ras = np.diag([-1.0, -1.0, 1.0, 1.0]) @ lps
+
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, datatype)
+    struct.pack_into("<h", hdr, 72, bitpix)
+    struct.pack_into("<8f", hdr, 76, 1.0, sx, sy, sz, 0, 0, 0, 0)
+    struct.pack_into("<f", hdr, 108, 352.0)   # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)     # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)     # scl_inter
+    struct.pack_into("<b", hdr, 123, 10)      # xyzt_units: mm | sec
+    struct.pack_into("<h", hdr, 252, 0)       # qform_code
+    struct.pack_into("<h", hdr, 254, 1)       # sform_code = SCANNER
+    struct.pack_into("<4f", hdr, 280, *ras[0])
+    struct.pack_into("<4f", hdr, 296, *ras[1])
+    struct.pack_into("<4f", hdr, 312, *ras[2])
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + b"\x00" * 4 \
+        + np.ascontiguousarray(array.astype(
+            array.dtype.newbyteorder("<"))).tobytes()
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(payload)
 
 
 class NiftiReader(object):

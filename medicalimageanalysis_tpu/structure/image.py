@@ -712,6 +712,24 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             dcmwrite(path, ds)
         return ds
 
+    def create_nifti(self, path, values=None):
+        """Write this volume (or any voxel-aligned ``values`` map —
+        SUV, a mask) as NIfTI-1 .nii/.nii.gz — BEYOND-PARITY: the
+        deep-learning interchange format (TotalSegmentator/MONAI input
+        side; their SEG output comes back through read_dicoms). Exact
+        inverse of read/nifti.py: sform carries the full LPS grid, no
+        int16 quantization for float maps."""
+        from ..read.nifti import write_nifti_volume
+
+        arr = np.asarray(self.array if values is None else values)
+        if self.array is not None and values is not None \
+                and arr.shape != tuple(np.asarray(self.array).shape):
+            raise ValueError(
+                f"create_nifti: values shape {arr.shape} != image "
+                f"grid {np.asarray(self.array).shape}")
+        write_nifti_volume(path, arr, self.spacing, self.origin,
+                           self.matrix)
+
     def export_dicom(self, output_dir, description=""):
         """Write this volume back out as a .dcm slice series with its
         real geometry and identity metadata (NEW: the reference can only
