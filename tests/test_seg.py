@@ -351,3 +351,46 @@ def test_seg_and_export_non_axial_round_trip(tmp_path, rng,
                                   np.asarray(img2.array))
     np.testing.assert_allclose(img3.origin, img2.origin, atol=1e-6)
     np.testing.assert_allclose(img3.matrix, img2.matrix, atol=1e-6)
+
+
+def test_oblique_orientation_seg_and_export_round_trip(tmp_path, rng):
+    """10-deg in-plane oblique acquisition: ingest preserves the exact
+    rotated matrix, and SEG + export_dicom round trips stay exact
+    (the SEG z-snap and orientation check run through the full
+    position<->pixel matrices, not plane assumptions)."""
+    from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+    arr = rng.integers(-200, 200, size=(6, 16, 16)).astype(np.int16)
+    c, s = np.cos(np.deg2rad(10)), np.sin(np.deg2rad(10))
+    gen = CreateDicomImage(str(tmp_path / "ct"), arr,
+                           origin=[-50, -60, -40], spacing=[1.0, 1.0],
+                           thickness=2.0)
+    gen.orientation = [c, s, 0, -s, c, 0]
+    gen.run()
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    np.testing.assert_allclose(img.matrix[0], [c, s, 0], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(img.array), arr)
+
+    mask = np.zeros((6, 16, 16), np.uint8)
+    mask[1:4, 3:9, 2:10] = 1
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask)
+    img.create_seg(path=str(tmp_path / "ct" / "seg.dcm"))
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img2 = Data.image["CT 01"]
+    assert np.array_equal(
+        np.asarray(img2.rois["A"].compute_mask()).astype(np.uint8),
+        mask)
+
+    out = tmp_path / "export"
+    img2.export_dicom(str(out))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    img3 = Data.image["CT 01"]
+    np.testing.assert_array_equal(np.asarray(img3.array), arr)
+    np.testing.assert_allclose(img3.matrix, img2.matrix, atol=1e-5)
+    np.testing.assert_allclose(img3.origin, img2.origin, atol=1e-4)
