@@ -95,6 +95,17 @@ def plane_from_orientation(orientation):
     return "Axial"
 
 
+def grid_plane_tags(matrix, spacing):
+    """DICOM plane attributes for a canonical (z, y, x) grid — the
+    single home of the writer-side convention (create_seg,
+    create_rtdose, export_dicom): ImageOrientationPatient is the
+    pixel-axis matrix rows 0/1 (the directions the stored array
+    actually follows), PixelSpacing is [row = sy, col = sx]."""
+    m = np.asarray(matrix, dtype=np.float64)
+    iop = [float(v) for v in np.concatenate([m[0], m[1]])]
+    return iop, [float(spacing[1]), float(spacing[0])]
+
+
 def orientation_to_matrix(orientation):
     """3x3 image matrix rows [row, col, row x col] (reference read/dicom.py:640-653)."""
     o = np.asarray(orientation, dtype=np.float64)

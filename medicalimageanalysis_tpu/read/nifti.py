@@ -101,6 +101,7 @@ _DTYPE_CODES = {
     np.dtype(np.int32): (8, 32), np.dtype(np.float32): (16, 32),
     np.dtype(np.float64): (64, 64), np.dtype(np.int8): (256, 8),
     np.dtype(np.uint16): (512, 16), np.dtype(np.uint32): (768, 32),
+    np.dtype(np.int64): (1024, 64), np.dtype(np.uint64): (1280, 64),
 }
 
 
@@ -114,6 +115,8 @@ def write_nifti_volume(path, array, spacing, origin, matrix):
     (the deep-learning-pipeline interchange case: SUV maps, masks)."""
     path = str(path)
     array = np.asarray(array)
+    if array.dtype == bool:
+        array = array.astype(np.uint8)  # NIfTI-1 has no 1-bit type
     if array.ndim != 3:
         raise ValueError(f"write_nifti_volume: need (z, y, x), got "
                          f"{array.shape}")
@@ -151,12 +154,15 @@ def write_nifti_volume(path, array, spacing, origin, matrix):
     struct.pack_into("<4f", hdr, 312, *ras[2])
     hdr[344:348] = b"n+1\x00"
 
-    payload = bytes(hdr) + b"\x00" * 4 \
-        + np.ascontiguousarray(array.astype(
-            array.dtype.newbyteorder("<"))).tobytes()
+    # sequential writes: no header+volume concat copy (a 512^3 f32
+    # map would otherwise hold ~3 transient volume-sized buffers)
+    arr_le = np.ascontiguousarray(
+        array.astype(array.dtype.newbyteorder("<"), copy=False))
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "wb") as f:
-        f.write(payload)
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)
+        f.write(memoryview(arr_le).cast("B"))
 
 
 class NiftiReader(object):

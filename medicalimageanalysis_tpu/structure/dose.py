@@ -167,21 +167,18 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         ds.FrameOfReferenceUID = self.frame_ref
 
         ds.ImagePositionPatient = [float(v) for v in self.origin]
-        # the dose array is canonical (z, y, x): frames are z-planes,
-        # so the written IOP must be the pixel-axis directions (matrix
-        # rows 0/1), not the acquisition orientation — they differ for
-        # coronal/sagittal-acquired grids (same fix as
-        # Image.export_dicom)
-        m = np.asarray(self.matrix, float)
-        ds.ImageOrientationPatient = [float(v) for v in
-                                      np.concatenate([m[0], m[1]])]
-        # PixelSpacing is [row spacing, column spacing] = [sy, sx]
-        ds.PixelSpacing = [float(self.spacing[1]),
-                           float(self.spacing[0])]
+        # pixel-axis plane tags for the canonical (z, y, x) array
+        # (shared writer convention, ops/geometry.grid_plane_tags)
+        from ..ops import geometry as geo
+        iop, pixel_spacing = geo.grid_plane_tags(self.matrix,
+                                                 self.spacing)
+        ds.ImageOrientationPatient = iop
+        ds.PixelSpacing = pixel_spacing
         ds.SliceThickness = float(self.spacing[2])
         # offsets run along the stored-frame direction: +|sz| when the
         # matrix z-row is the written-orientation normal, -|sz| when
         # flipped
+        m = np.asarray(self.matrix, float)
         normal = np.cross(m[0], m[1])
         sign = 1.0 if float(np.dot(m[2], normal)) >= 0 else -1.0
         ds.GridFrameOffsetVector = [

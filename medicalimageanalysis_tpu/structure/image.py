@@ -606,16 +606,17 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         ref_series.ReferencedInstanceSequence = insts
         ds.ReferencedSeriesSequence = Sequence([ref_series])
 
-        # shared functional groups: grid geometry
+        # shared functional groups: grid geometry — pixel-axis plane
+        # tags for the canonical (z, y, x) array (shared writer
+        # convention, ops/geometry.grid_plane_tags)
+        iop, pixel_spacing = geo.grid_plane_tags(self.matrix,
+                                                 self.spacing)
         measures = Dataset()
-        # PixelSpacing is [row spacing, column spacing] = [sy, sx]
-        measures.PixelSpacing = [float(self.spacing[1]),
-                                 float(self.spacing[0])]
+        measures.PixelSpacing = pixel_spacing
         measures.SliceThickness = float(self.spacing[2])
         measures.SpacingBetweenSlices = float(self.spacing[2])
         orient = Dataset()
-        orient.ImageOrientationPatient = [float(v)
-                                          for v in self.orientation]
+        orient.ImageOrientationPatient = iop
         shared = Dataset()
         shared.PixelMeasuresSequence = Sequence([measures])
         shared.PlaneOrientationSequence = Sequence([orient])
@@ -721,6 +722,8 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         int16 quantization for float maps."""
         from ..read.nifti import write_nifti_volume
 
+        if self.array is None and values is None:
+            raise ValueError("no array to export (only_tags image?)")
         arr = np.asarray(self.array if values is None else values)
         if self.array is not None and values is not None \
                 and arr.shape != tuple(np.asarray(self.array).shape):
@@ -785,9 +788,8 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         # rows 0/1), NOT the acquisition orientation — for a
         # coronal/sagittal-acquired series those differ and the old
         # self.orientation write produced inconsistent geometry
-        m = np.asarray(self.matrix, float)
-        gen.orientation = [float(v) for v in np.concatenate(
-            [m[0], m[1]])]
+        gen.orientation = geo.grid_plane_tags(self.matrix,
+                                              self.spacing)[0]
         name = self.patient_name
         gen.run(patient_name="^".join(name) if isinstance(name, list)
                 else str(name),

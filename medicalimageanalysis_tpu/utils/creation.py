@@ -125,7 +125,11 @@ class CreateDicomImage(object):
             ds.SeriesNumber = "2"
             ds.InstanceNumber = str(ii + 1)
             ds.ImageOrientationPatient = self.orientation
-            ds.PixelSpacing = self.spacing
+            # self.spacing follows the package [sx, sy] convention;
+            # DICOM PixelSpacing is [row = sy, col = sx] (previously
+            # written verbatim — invisible for the isotropic fixtures
+            # but in-plane-swapped for anisotropic grids)
+            ds.PixelSpacing = [self.spacing[1], self.spacing[0]]
             ds.SliceThickness = self.thickness
             # slices step along the orientation normal (identical to
             # the old +z stepping for the axial default; non-axial

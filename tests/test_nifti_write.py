@@ -74,3 +74,50 @@ def test_image_create_nifti_and_reingest(tmp_path):
     with pytest.raises(ValueError, match="values shape"):
         img.create_nifti(str(tmp_path / "x.nii"),
                          values=np.zeros((1, 2, 3)))
+
+
+def test_anisotropic_export_round_trips(tmp_path):
+    """Anisotropic in-plane spacing survives BOTH exporters exactly
+    (review finding: export_dicom wrote PixelSpacing [sx, sy] — the
+    DICOM convention is [row=sy, col=sx] — so x/y pixel sizes swapped
+    on every anisotropic export; invisible to isotropic fixtures)."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(-500, 1500, size=(4, 10, 12)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr, spacing=(0.5, 1.25),
+                    thickness=2.0)
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    np.testing.assert_allclose(img.spacing, [0.5, 1.25, 2.0])
+
+    out = tmp_path / "dcm"
+    img.export_dicom(str(out))
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    img2 = Data.image["CT 01"]
+    np.testing.assert_allclose(img2.spacing, [0.5, 1.25, 2.0])
+    np.testing.assert_array_equal(np.asarray(img2.array), arr)
+    np.testing.assert_allclose(img2.origin, img.origin, atol=1e-6)
+
+    img2.create_nifti(str(tmp_path / "v.nii.gz"))
+    back, sp, org, mat = read_nifti_volume(tmp_path / "v.nii.gz")
+    np.testing.assert_allclose(sp, [0.5, 1.25, 2.0], atol=1e-5)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_nifti_bool_and_int64_maps(tmp_path):
+    """bool masks (cast to uint8) and int64 label maps write (review
+    finding: the documented mask-export case died on default integer
+    dtypes)."""
+    labels = np.zeros((3, 6, 6), np.int64)
+    labels[1, 2:4, 2:4] = 7
+    p = tmp_path / "labels.nii"
+    write_nifti_volume(p, labels, [1, 1, 1], [0, 0, 0], np.eye(3))
+    back, _, _, _ = read_nifti_volume(p)
+    np.testing.assert_array_equal(back, labels)
+
+    mask = labels > 0
+    p2 = tmp_path / "mask.nii"
+    write_nifti_volume(p2, mask, [1, 1, 1], [0, 0, 0], np.eye(3))
+    back2, _, _, _ = read_nifti_volume(p2)
+    np.testing.assert_array_equal(back2, mask.astype(np.uint8))

@@ -351,6 +351,7 @@ def test_seg_and_export_non_axial_round_trip(tmp_path, rng,
                                   np.asarray(img2.array))
     np.testing.assert_allclose(img3.origin, img2.origin, atol=1e-6)
     np.testing.assert_allclose(img3.matrix, img2.matrix, atol=1e-6)
+    np.testing.assert_allclose(img3.spacing, img2.spacing, atol=1e-6)
 
 
 def test_oblique_orientation_seg_and_export_round_trip(tmp_path, rng):
