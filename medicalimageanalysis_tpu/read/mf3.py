@@ -21,7 +21,87 @@ from ..utils.convert.contour import ModelToMask
 from ..utils.creation import CreateImageFromMask
 from ..utils.mesh.trimesh import TriMesh
 
-__all__ = ["ThreeMfReader"]
+__all__ = ["ThreeMfReader", "write_3mf"]
+
+
+def write_3mf(path, mesh, vertex_colors=None, name="mesh",
+              unit="millimeter"):
+    """Write a TriMesh (or (points, faces)) as a 3MF archive —
+    BEYOND-PARITY writer half of the 3MF codec (the reference only
+    reads, read/mf3.py; 3D-printing hand-off needs the export).
+    Vertex colors (N, 3) uint8 become a deduplicated basematerials
+    palette with per-vertex p1/p2/p3 indices — exactly the layout
+    ThreeMfReader resolves, so color round trips are lossless.
+    ``mesh['colors']`` is used when ``vertex_colors`` is None."""
+    if hasattr(mesh, "points"):
+        points, faces = mesh.points, mesh.faces
+        if vertex_colors is None:
+            vertex_colors = mesh.point_data.get("colors")
+    else:
+        points, faces = mesh
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    faces = np.asarray(faces, np.int64).reshape(-1, 3)
+    if faces.size and (faces.min() < 0 or faces.max() >= len(points)):
+        raise ValueError("write_3mf: face index out of range")
+
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>\n'
+             f'<model unit="{unit}" xml:lang="en-US" '
+             'xmlns="http://schemas.microsoft.com/3dmanufacturing/'
+             'core/2015/02">\n <resources>\n']
+    tri_props = [""] * len(faces)
+    obj_props = ""
+    if vertex_colors is not None:
+        colors = np.asarray(vertex_colors, np.uint8).reshape(-1, 3)
+        if len(colors) != len(points):
+            raise ValueError("write_3mf: vertex_colors must pair with "
+                             f"points, got {len(colors)} vs "
+                             f"{len(points)}")
+        palette, inverse = np.unique(colors, axis=0,
+                                     return_inverse=True)
+        parts.append('  <basematerials id="1">\n')
+        for r, g, b in palette:
+            parts.append(f'   <base name="c" displaycolor='
+                         f'"#{r:02X}{g:02X}{b:02X}"/>\n')
+        parts.append('  </basematerials>\n')
+        p = inverse[faces]  # (T, 3) palette index per corner
+        tri_props = [f' pid="1" p1="{a}" p2="{b}" p3="{c}"'
+                     for a, b, c in p]
+        obj_props = ' pid="1" pindex="0"'
+
+    parts.append(f'  <object id="2" name="{name}" type="model"'
+                 f'{obj_props}>\n   <mesh>\n    <vertices>\n')
+    parts.extend(f'     <vertex x="{x:.9g}" y="{y:.9g}" z="{z:.9g}"/>\n'
+                 for x, y, z in points)
+    parts.append('    </vertices>\n    <triangles>\n')
+    parts.extend(
+        f'     <triangle v1="{f[0]}" v2="{f[1]}" v3="{f[2]}"{tp}/>\n'
+        for f, tp in zip(faces, tri_props))
+    parts.append('    </triangles>\n   </mesh>\n  </object>\n'
+                 ' </resources>\n <build>\n  <item objectid="2"/>\n'
+                 ' </build>\n</model>\n')
+    model_xml = "".join(parts).encode()
+
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">\n'
+        ' <Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>\n'
+        ' <Default Extension="model" ContentType="application/vnd.'
+        'ms-package.3dmanufacturing-3dmodel+xml"/>\n</Types>\n')
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">\n'
+        ' <Relationship Target="/3D/3dmodel.model" Id="rel-1" '
+        'Type="http://schemas.microsoft.com/3dmanufacturing/2013/01/'
+        '3dmodel"/>\n</Relationships>\n')
+
+    with zipfile.ZipFile(str(path), "w",
+                         compression=zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("3D/3dmodel.model", model_xml)
 
 _NS = {
     "3mf": "http://schemas.microsoft.com/3dmanufacturing/core/2015/02",
@@ -69,7 +149,13 @@ class ThreeMfReader(object):
         vertex_hit = np.zeros(len(vertex_list), dtype=bool)
 
         tex_group = root.find(".//m:texture2dgroup", _NS)
+        # basematerials lives in the CORE namespace per the 3MF spec;
+        # some producers emit it in the material-extension namespace —
+        # accept both (explicit None checks: ET elements are falsy
+        # when childless)
         basematerials = root.find(".//m:basematerials", _NS)
+        if basematerials is None:
+            basematerials = root.find(".//3mf:basematerials", _NS)
 
         if tex_group is not None:
             color_mode = "texture"
@@ -96,11 +182,13 @@ class ThreeMfReader(object):
         elif basematerials is not None:
             color_mode = "basematerials"
             color_map = {}
-            for bm in root.findall(".//m:basematerials", _NS):
-                gid = bm.get("id")
-                for idx, base in enumerate(bm.findall("m:base", _NS)):
-                    hex_color = base.get("displaycolor", "#C8C8C8")
-                    color_map[(gid, idx)] = _hex_to_rgb(hex_color)
+            for ns in ("m", "3mf"):
+                for bm in root.findall(f".//{ns}:basematerials", _NS):
+                    gid = bm.get("id")
+                    for idx, base in enumerate(
+                            bm.findall(f"{ns}:base", _NS)):
+                        hex_color = base.get("displaycolor", "#C8C8C8")
+                        color_map[(gid, idx)] = _hex_to_rgb(hex_color)
 
             mesh_el = obj.find(".//3mf:mesh", _NS)
             default_pid = (mesh_el if mesh_el is not None else obj).get("pid")
