@@ -335,6 +335,9 @@ class TriMesh:
         if path.lower().endswith(".stl"):
             from ...read.stl import write_stl
             write_stl(path, self)
+        elif path.lower().endswith(".3mf"):
+            from ...read.mf3 import write_3mf
+            write_3mf(path, self)  # carries point_data['colors']
         elif path.lower().endswith(".vtk"):
             from ...read.vtk import write_vtk_polydata
             write_vtk_polydata(path, self)

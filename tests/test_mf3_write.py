@@ -54,3 +54,14 @@ def test_3mf_validation(tmp_path):
     with pytest.raises(ValueError, match="pair with"):
         write_3mf(tmp_path / "bad2.3mf", (points, faces),
                   vertex_colors=np.zeros((2, 3), np.uint8))
+
+
+def test_trimesh_save_3mf_dispatch(tmp_path):
+    points, faces = _tetra()
+    mesh = TriMesh(points, faces)
+    mesh["colors"] = np.full((4, 3), 33, np.uint8)
+    mesh.save(str(tmp_path / "m.3mf"))
+    back = _read_mesh(tmp_path / "m.3mf")
+    np.testing.assert_allclose(back.points, points, atol=1e-6)
+    np.testing.assert_array_equal(back["colors"],
+                                  np.full((4, 3), 33, np.uint8))
