@@ -121,3 +121,29 @@ def test_nifti_bool_and_int64_maps(tmp_path):
     write_nifti_volume(p2, mask, [1, 1, 1], [0, 0, 0], np.eye(3))
     back2, _, _, _ = read_nifti_volume(p2)
     np.testing.assert_array_equal(back2, mask.astype(np.uint8))
+
+
+def test_nifti_byte_flip_fuzz(tmp_path):
+    """Byte-flip fuzz of writer output through read_nifti: corrupt
+    files raise clean typed errors (ValueError/OSError naming the
+    problem), never segfault-adjacent garbage or unrelated exceptions
+    — same contract as the DICOM/MHD/3MF fuzz programs."""
+    rng = np.random.default_rng(21)
+    arr = rng.integers(-500, 1500, size=(4, 10, 10)).astype(np.int16)
+    src = tmp_path / "v.nii"
+    write_nifti_volume(src, arr, [1, 1, 2], [0, 0, 0], np.eye(3))
+    good = src.read_bytes()
+
+    mut = tmp_path / "mut.nii"
+    for trial in range(150):
+        blob = bytearray(good)
+        for _ in range(int(rng.integers(1, 12))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        mut.write_bytes(bytes(blob))
+        Data.clear()
+        try:
+            mia.read_nifti(str(mut))
+        except (ValueError, OSError, EOFError):
+            pass  # typed rejection is the contract
+    Data.clear()
