@@ -245,11 +245,14 @@ class ReadSEG(object):
         rows, cols = int(ds.Rows), int(ds.Columns)
         nof = ds.get("NumberOfFrames")
         nframes = 1 if nof is None or str(nof) == "" else int(nof)
-        if (rows, cols) != (ny, nx):
+        if rows > ny or cols > nx:
             raise ValueError(
-                f"SEG: frame grid {rows}x{cols} does not match the "
+                f"SEG: frame grid {rows}x{cols} exceeds the "
                 f"referenced image grid {ny}x{nx} — off-grid SEG "
                 "resampling is not implemented")
+        # rows/cols <= image grid: cropped sub-window SEGs (some
+        # commercial tools emit tight bounding-box frames) paste at
+        # each frame's integer pixel offset below
 
         self.roi_names = [s["label"] for s in segments]
         self.roi_colors = [s["color"] for s in segments]
@@ -311,21 +314,27 @@ class ReadSEG(object):
             pix = geo.apply_homogeneous(
                 np.asarray(ipp, dtype=np.float64), m)
             z = int(np.round(pix[2]))
+            x0, y0 = int(np.round(pix[0])), int(np.round(pix[1]))
             # quarter-voxel snap: a 0.5 tolerance would be vacuous in z
-            # (every value is within 0.5 of its nearest slice index)
+            # (every value is within 0.5 of its nearest slice index);
+            # integer x0/y0 offsets place cropped sub-window frames
             tol = 0.25
             on_grid = (abs(pix[2] - z) <= tol and 0 <= z < nz
-                       and abs(pix[0]) <= tol and abs(pix[1]) <= tol)
+                       and abs(pix[0] - x0) <= tol
+                       and abs(pix[1] - y0) <= tol
+                       and 0 <= y0 and y0 + rows <= ny
+                       and 0 <= x0 and x0 + cols <= nx)
             if not on_grid:
                 self.skipped_frames += 1
                 continue
+            win = np.s_[z, y0:y0 + rows, x0:x0 + cols]
             if max_frac == 1:
-                masks[si][z] |= frames[fi]
+                masks[si][win] |= frames[fi]
             else:
                 if fracs[si] is None:
                     fracs[si] = np.zeros((nz, ny, nx), dtype=np.float32)
                 frac = frames[fi].astype(np.float32) / float(max_frac)
-                fracs[si][z] = np.maximum(fracs[si][z], frac)
+                fracs[si][win] = np.maximum(fracs[si][win], frac)
                 # int32: frames is uint8 and 255*2 wraps in uint8
-                masks[si][z] |= (frames[fi].astype(np.int32) * 2
-                                 >= max_frac).astype(np.uint8)
+                masks[si][win] |= (frames[fi].astype(np.int32) * 2
+                                   >= max_frac).astype(np.uint8)

@@ -395,3 +395,49 @@ def test_oblique_orientation_seg_and_export_round_trip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(img3.array), arr)
     np.testing.assert_allclose(img3.matrix, img2.matrix, atol=1e-5)
     np.testing.assert_allclose(img3.origin, img2.origin, atol=1e-4)
+
+
+def test_cropped_subwindow_seg(tmp_path, rng):
+    """A SEG whose frames cover only a bounding sub-window of the
+    image grid (tight-crop exports) pastes at each frame's integer
+    pixel offset instead of being rejected."""
+    from medicalimageanalysis_tpu.dicom import dcmread, dcmwrite
+
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    ds = img.create_seg()
+
+    # crop every frame to the y 2:8, x 3:9 window (exactly the A box)
+    rows, cols = 6, 6
+    y0, x0 = 2, 3
+    nfr = int(ds.NumberOfFrames)
+    flat = np.unpackbits(np.frombuffer(ds.PixelData, np.uint8),
+                         bitorder="little")[:nfr * 16 * 16]
+    frames = flat.reshape(nfr, 16, 16)
+    cropped = frames[:, y0:y0 + rows, x0:x0 + cols]
+    ds.Rows, ds.Columns = rows, cols
+    payload = np.packbits(cropped.reshape(-1), bitorder="little") \
+        .tobytes()
+    ds.PixelData = payload + (b"\x00" if len(payload) % 2 else b"")
+    # shift each frame's IPP to the window corner
+    from medicalimageanalysis_tpu.ops import geometry as geo
+    m = img.display.compute_matrix_pixel_to_position()
+    for fi, item in enumerate(ds.PerFrameFunctionalGroupsSequence):
+        plane = item.PlanePositionSequence[0]
+        old = np.asarray(plane.ImagePositionPatient, np.float64)
+        pix = geo.apply_homogeneous(
+            old, img.display.compute_matrix_position_to_pixel())
+        new = geo.apply_homogeneous(
+            np.array([x0, y0, float(np.round(pix[2]))]), m)
+        plane.ImagePositionPatient = [float(v) for v in new]
+    dcmwrite(str(tmp_path / "ct" / "seg.dcm"), ds)
+
+    Data.clear()
+    report = mia.read_dicoms(folder_path=str(tmp_path)).report
+    assert not report.failed_series
+    img2 = Data.image["CT 01"]
+    assert np.array_equal(
+        np.asarray(img2.rois["A"].compute_mask()).astype(np.uint8),
+        mask_a)
