@@ -68,8 +68,10 @@ def write_3mf(path, mesh, vertex_colors=None, name="mesh",
                      for a, b, c in p]
         obj_props = ' pid="1" pindex="0"'
 
-    parts.append(f'  <object id="2" name="{name}" type="model"'
-                 f'{obj_props}>\n   <mesh>\n    <vertices>\n')
+    from xml.sax.saxutils import quoteattr
+    parts.append(f'  <object id="2" name={quoteattr(str(name))} '
+                 f'type="model"{obj_props}>\n   <mesh>\n'
+                 '    <vertices>\n')
     parts.extend(f'     <vertex x="{x:.9g}" y="{y:.9g}" z="{z:.9g}"/>\n'
                  for x, y, z in points)
     parts.append('    </vertices>\n    <triangles>\n')
