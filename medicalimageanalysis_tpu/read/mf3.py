@@ -33,6 +33,10 @@ def write_3mf(path, mesh, vertex_colors=None, name="mesh",
     palette with per-vertex p1/p2/p3 indices — exactly the layout
     ThreeMfReader resolves, so color round trips are lossless.
     ``mesh['colors']`` is used when ``vertex_colors`` is None."""
+    if unit not in ("micron", "millimeter", "centimeter", "inch",
+                    "foot", "meter"):
+        raise ValueError(f"write_3mf: invalid unit {unit!r} (3MF core "
+                         "spec enum)")
     if hasattr(mesh, "points"):
         points, faces = mesh.points, mesh.faces
         if vertex_colors is None:
@@ -192,10 +196,17 @@ class ThreeMfReader(object):
                         hex_color = base.get("displaycolor", "#C8C8C8")
                         color_map[(gid, idx)] = _hex_to_rgb(hex_color)
 
+            # object-level pid/pindex is the spec-mandated default
+            # (3MF core 4.1); mesh-level attrs kept as a producer
+            # fallback (the previous preference — a mesh element always
+            # exists, so object defaults were never consulted)
             mesh_el = obj.find(".//3mf:mesh", _NS)
-            default_pid = (mesh_el if mesh_el is not None else obj).get("pid")
-            default_pindex = int(
-                (mesh_el if mesh_el is not None else obj).get("pindex", "0"))
+            default_pid = obj.get("pid")
+            default_pindex = int(obj.get("pindex", "0"))
+            if default_pid is None and mesh_el is not None:
+                default_pid = mesh_el.get("pid")
+                default_pindex = int(mesh_el.get("pindex",
+                                                 str(default_pindex)))
 
             def get_color(tri, vi, pkey):
                 pid = tri.get("pid", default_pid)

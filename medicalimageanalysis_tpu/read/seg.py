@@ -269,14 +269,29 @@ class ReadSEG(object):
         # silently transposed mask (orientation may be shared or
         # per-frame; absent orientation keeps the aligned assumption)
         img_iop = np.asarray(img.orientation, dtype=np.float64)
-        shared_iop = self._orientation_of(
-            _first(ds, "SharedFunctionalGroupsSequence"))
+        shared = _first(ds, "SharedFunctionalGroupsSequence")
+        shared_iop = self._orientation_of(shared)
         if shared_iop is not None \
                 and not np.allclose(shared_iop, img_iop, atol=1e-3):
             raise ValueError(
                 "SEG: frame orientation does not match the referenced "
                 "image orientation — off-grid SEG resampling is not "
                 "implemented")
+        # pixel spacing must match too: direction cosines are
+        # spacing-independent, so a half-resolution SEG would
+        # otherwise paste corner-aligned at the wrong scale
+        measures = _first(shared, "PixelMeasuresSequence") \
+            if shared is not None else None
+        seg_ps = measures.get("PixelSpacing") if measures is not None \
+            else None
+        if seg_ps is not None and len(seg_ps) == 2:
+            img_ps = [float(img.spacing[1]), float(img.spacing[0])]
+            if not np.allclose(np.asarray(seg_ps, np.float64), img_ps,
+                               atol=1e-3):
+                raise ValueError(
+                    f"SEG: frame PixelSpacing {list(seg_ps)} does not "
+                    f"match the referenced image {img_ps} — off-grid "
+                    "SEG resampling is not implemented")
 
         frames, max_frac = self._unpack_frames(ds, nframes, rows, cols)
         per_frame = getattr(ds, "PerFrameFunctionalGroupsSequence",

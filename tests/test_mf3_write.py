@@ -65,3 +65,37 @@ def test_trimesh_save_3mf_dispatch(tmp_path):
     np.testing.assert_allclose(back.points, points, atol=1e-6)
     np.testing.assert_array_equal(back["colors"],
                                   np.full((4, 3), 33, np.uint8))
+
+
+def test_3mf_object_level_default_material(tmp_path):
+    """Spec layout (3MF core 4.1): object-level pid/pindex with NO
+    per-triangle props — every vertex gets the default palette color
+    (review finding: the reader only consulted mesh-level attrs, which
+    never exist in valid files, so object defaults were ignored)."""
+    import zipfile
+
+    points, faces = _tetra()
+    p = tmp_path / "d.3mf"
+    write_3mf(p, (points, faces),
+              vertex_colors=np.full((4, 3), 99, np.uint8))
+    # strip per-triangle props and set object pindex -> palette[0]
+    with zipfile.ZipFile(p) as z:
+        xml = z.read("3D/3dmodel.model").decode()
+    import re
+    xml = re.sub(r' pid="1" p1="\d+" p2="\d+" p3="\d+"', "", xml)
+    p2 = tmp_path / "d2.3mf"
+    with zipfile.ZipFile(p, "r") as zin, \
+            zipfile.ZipFile(p2, "w") as zout:
+        for item in zin.namelist():
+            data = xml.encode() if item == "3D/3dmodel.model" \
+                else zin.read(item)
+            zout.writestr(item, data)
+    back = _read_mesh(p2)
+    np.testing.assert_array_equal(back["colors"],
+                                  np.full((4, 3), 99, np.uint8))
+
+
+def test_3mf_invalid_unit_rejected(tmp_path):
+    points, faces = _tetra()
+    with pytest.raises(ValueError, match="invalid unit"):
+        write_3mf(tmp_path / "u.3mf", (points, faces), unit="mm")

@@ -441,3 +441,22 @@ def test_cropped_subwindow_seg(tmp_path, rng):
     assert np.array_equal(
         np.asarray(img2.rois["A"].compute_mask()).astype(np.uint8),
         mask_a)
+
+
+def test_seg_pixel_spacing_mismatch_rejected(tmp_path, rng):
+    """A SEG whose PixelSpacing disagrees with the image is rejected
+    instead of pasting a wrong-scale mask (review finding: direction
+    cosines are spacing-independent, so the IOP check alone let
+    half-resolution SEGs through corner-aligned)."""
+    from medicalimageanalysis_tpu.read.seg import ReadSEG
+
+    img = _ingest_ct(tmp_path, rng)
+    mask_a, _ = _rect_masks((6, 16, 16))
+    img.create_roi(name="A", color=[255, 0, 0])
+    img.rois["A"].convert_mask(mask_a)
+    ds = img.create_seg()
+    shared = ds.SharedFunctionalGroupsSequence[0]
+    shared.PixelMeasuresSequence[0].PixelSpacing = [1.6, 1.6]
+
+    with pytest.raises(ValueError, match="PixelSpacing"):
+        ReadSEG(ds, only_tags=False)
