@@ -76,6 +76,24 @@ def file_parser(folder_path=None, file_list=None, exclude_files=None):
     return files
 
 
+def _expand_zip(path):
+    """Extract a .zip archive into a process-lifetime temp dir and
+    return it (zip-slip members — absolute or '..' paths — skipped).
+    BEYOND-PARITY: clinical archives commonly ship zipped; the
+    reference requires pre-extraction."""
+    import tempfile
+    import zipfile
+
+    out = tempfile.mkdtemp(prefix="mia_zip_")
+    with zipfile.ZipFile(str(path)) as z:
+        for m in z.namelist():
+            p = Path(m)
+            if p.is_absolute() or ".." in p.parts:
+                continue
+            z.extract(m, out)
+    return out
+
+
 def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
                 only_tags=False, only_modality=None,
                 only_load_roi_names=None, clear=True,
@@ -86,12 +104,29 @@ def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
     ``include_no_extension=True`` additionally sniffs extension-less
     files for the DICM magic and ingests the matches (the reference
     buckets them but silently ignores them; common in clinical
-    archives)."""
+    archives). ``folder_path`` may also be a .zip archive (extracted
+    to a temp dir), and .zip entries in ``file_list`` are expanded."""
     from .read.dicom import DicomReader
 
     if only_modality is None:
         only_modality = ["CT", "MR", "PT", "US", "DX", "RF", "CR", "SEG",
                          "RTSTRUCT", "REG", "RTDOSE"]
+
+    if folder_path is not None \
+            and str(folder_path).lower().endswith(".zip") \
+            and os.path.isfile(str(folder_path)):
+        folder_path = _expand_zip(folder_path)
+    if file_list is not None:
+        expanded = []
+        for f in file_list:
+            if str(f).lower().endswith(".zip") \
+                    and os.path.isfile(str(f)):
+                root = _expand_zip(f)
+                for r, _, names in os.walk(root):
+                    expanded.extend(str(Path(r) / n) for n in names)
+            else:
+                expanded.append(f)
+        file_list = expanded
 
     files = None
     if folder_path is not None or file_list is not None:

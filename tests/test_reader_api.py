@@ -92,3 +92,34 @@ def test_match_pois_union_sync(tmp_path, rng):
     assert "Isocenter" in other.pois          # stub injected
     assert other.pois["Isocenter"].color == [255, 0, 0]
     assert other.pois["Isocenter"].point_position is None
+
+
+def test_read_dicoms_zip_archive(tmp_path):
+    """Zipped patient archives ingest directly: folder_path=*.zip and
+    .zip entries in file_list both expand (BEYOND-PARITY; zip-slip
+    members are skipped)."""
+    import zipfile
+
+    import numpy as np
+
+    from helpers import write_ct_series
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(-200, 200, size=(4, 12, 12)).astype(np.int16)
+    write_ct_series(tmp_path / "ct", arr, spacing=(1, 1), thickness=2.0)
+    zpath = tmp_path / "patient.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted((tmp_path / "ct").glob("*.dcm")):
+            z.write(p, arcname=f"ct/{p.name}")
+        # hostile member must be skipped, not extracted
+        z.writestr("../evil.dcm", b"not dicom")
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(zpath))
+    assert "CT 01" in Data.image
+    np.testing.assert_array_equal(
+        np.asarray(Data.image["CT 01"].array), arr)
+
+    Data.clear()
+    mia.read_dicoms(file_list=[str(zpath)])
+    assert "CT 01" in Data.image
