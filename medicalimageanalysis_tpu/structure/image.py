@@ -842,6 +842,59 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
 
     create_sitk_image = create_volume
 
+    def compute_projection(self, mode="mip", axis="y", angles=None,
+                           center=None, mu_water_mm=0.02):
+        """2D projection of the volume — BEYOND-PARITY (the reference
+        has no projection rendering): ``mip`` (maximum intensity,
+        review views), ``mean``, or ``drr`` (parallel-beam digitally
+        reconstructed radiograph for RT positioning: attenuation
+        mu = mu_water*(1 + HU/1000) clamped at 0, detector signal
+        1 - exp(-sum mu dl)). Optional Euler ``angles`` (deg, zyx)
+        rotate about ``center`` (defaults to the volume center)
+        through the same device resample create_rotated_volume uses.
+        ``axis`` is the array axis to integrate: 'z' | 'y' | 'x'.
+        Returns a 2D float32 array."""
+        import jax.numpy as jnp
+
+        vol = np.asarray(self.array, np.float32)
+        if angles is not None and np.any(np.asarray(angles)):
+            from ..ops.resample import (affine_resample,
+                                        compose_pixel_matrix)
+            from ..utils.image.transform import euler_transform
+
+            if center is None:
+                center = np.asarray(
+                    self.compute_center(), np.float64)
+            t = euler_transform(angles=angles, rotation_center=center,
+                                zyx=True)
+            A = compose_pixel_matrix(
+                self.matrix, self.spacing, self.origin, self.matrix,
+                self.spacing, self.origin,
+                phys_transform=t.as_matrix4())
+            vol = np.asarray(affine_resample(
+                vol, A, vol.shape,
+                background=float(config.background_fill)))
+
+        try:
+            ax = {"z": 0, "y": 1, "x": 2}[axis]
+        except KeyError:
+            raise ValueError(f"compute_projection: axis {axis!r} not "
+                             "in ('z', 'y', 'x')") from None
+        v = jnp.asarray(vol)
+        if mode == "mip":
+            out = v.max(axis=ax)
+        elif mode == "mean":
+            out = v.mean(axis=ax)
+        elif mode == "drr":
+            # step length along the integration axis in mm
+            dl = float(self.spacing[{0: 2, 1: 1, 2: 0}[ax]])
+            mu = jnp.maximum(mu_water_mm * (1.0 + v / 1000.0), 0.0)
+            out = 1.0 - jnp.exp(-mu.sum(axis=ax) * dl)
+        else:
+            raise ValueError(f"compute_projection: mode {mode!r} not "
+                             "in ('mip', 'mean', 'drr')")
+        return np.asarray(out, np.float32)
+
     def create_rotated_volume(self, angles=(0, 0, 10), roi_name="Liver",
                               center=None):
         """Euler-rotate the volume about an ROI center and resample onto
