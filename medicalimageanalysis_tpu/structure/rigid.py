@@ -611,3 +611,30 @@ class Rigid(object):
                         self.rois[name] = roi.mesh.transform(
                             np.linalg.inv(self.matrix @ self.combo_matrix),
                             inplace=False)
+
+    def update_pois(self, poi_name=None):
+        """Transform the moving image's POIs into the reference frame
+        — BEYOND-PARITY landmark propagation symmetric with
+        update_rois' mesh transform (same matrix semantics incl.
+        ``inverse``). Returns {name: (3,) mm} and caches on
+        ``self.pois``; pair with utils.metrics.target_registration_
+        error for rigid TRE."""
+        if self.moving_name is None \
+                or self.moving_name not in Data.image:
+            return {}
+        T = self.matrix @ self.combo_matrix
+        if not self.inverse:
+            T = np.linalg.inv(T)
+        out = {}
+        for name, poi in Data.image[self.moving_name].pois.items():
+            if poi_name is not None and name != poi_name:
+                continue
+            if poi.point_position is None:
+                continue
+            p = np.asarray(poi.point_position, np.float64)
+            out[name] = (T @ np.append(p, 1.0))[:3]
+        if poi_name is None or not hasattr(self, "pois"):
+            self.pois = out
+        else:
+            self.pois.update(out)
+        return out

@@ -381,3 +381,28 @@ def test_rigid_compute_intensity_metric_passthrough(two_images):
     t = rigid.matrix[:3, 3]
     np.testing.assert_allclose(t, [-2.0, 3.0, 0.0], atol=0.8)
     assert "loss" in rigid.misc["intensity_info"]
+
+
+def test_rigid_update_pois(tmp_path, rng):
+    """Rigid landmark propagation matches update_rois' matrix
+    semantics: p_ref = inv(matrix @ combo) @ p_moving."""
+    arr = rng.integers(0, 100, size=(4, 16, 16)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr)
+    write_ct_series(tmp_path / "b", arr, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+
+    m = np.eye(4)
+    m[:3, 3] = [5.0, -3.0, 2.0]   # reference -> moving
+    rigid = mia.Rigid(ct, mr, matrix=m)
+    p_mov = np.array([-90.0, -110.0, -45.0])
+    Data.image[mr].add_poi(poi_name="L0", point=list(p_mov))
+
+    mapped = rigid.update_pois()
+    np.testing.assert_allclose(
+        mapped["L0"], (np.linalg.inv(m) @ np.append(p_mov, 1.0))[:3],
+        atol=1e-9)
+    assert "L0" in rigid.pois
