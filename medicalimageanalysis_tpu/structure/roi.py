@@ -216,6 +216,18 @@ class Roi(object):
 
     create_sitk_mask = create_mask_volume
 
+    def interpolate_slices(self):
+        """Fill uncontoured z-slices between contoured ones by
+        shape-based signed-distance interpolation (Raya & Udupa) —
+        BEYOND-PARITY: sparsely-contoured ROIs (every-other-slice
+        clinical practice) otherwise leave gaps in masks, meshes and
+        DVH volumes. Rebuilds contours/meshes from the filled mask."""
+        from ..utils.roi.interpolate import interpolate_mask_slices
+
+        if self.contour_position is None:
+            return
+        self.convert_mask(interpolate_mask_slices(self.compute_mask()))
+
     def convert_mask(self, mask):
         """Mask -> contours -> meshes (reference structure/roi.py:511-535)."""
         from ..utils.convert.contour import MaskToContour
