@@ -471,6 +471,38 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         return np.asarray(self.array, np.float32) \
             * np.float32(weight_g / decayed_dose)
 
+    def create_roi_from_margin(self, name, source, margin_mm,
+                               color=None):
+        """New ROI = ``source`` expanded/contracted by an exact
+        Euclidean mm margin (scalar or per-axis [mx, my, mz]; negative
+        contracts) — BEYOND-PARITY planning structure generation
+        (PTV = CTV + margin). Returns the new Roi."""
+        from ..utils.roi.margin import expand_mask
+
+        mask = expand_mask(self.rois[source].compute_mask(),
+                           self.spacing, margin_mm)
+        self.create_roi(name=name,
+                        color=color or self.rois[source].color)
+        self.rois[name].convert_mask(mask)
+        Data.match_rois()
+        return self.rois[name]
+
+    def create_roi_from_boolean(self, name, op, roi_a, roi_b,
+                                color=None):
+        """New ROI = boolean combination of two ROIs ('union' |
+        'intersect' | 'subtract' | 'xor') — BEYOND-PARITY (ring
+        structures, PTV-minus-OAR overlap resolution). Returns the
+        new Roi."""
+        from ..utils.roi.margin import combine_masks
+
+        mask = combine_masks(op, self.rois[roi_a].compute_mask(),
+                             self.rois[roi_b].compute_mask())
+        self.create_roi(name=name,
+                        color=color or self.rois[roi_a].color)
+        self.rois[name].convert_mask(mask)
+        Data.match_rois()
+        return self.rois[name]
+
     def compute_roi_statistics(self, roi_name, values=None):
         """First-order statistics of a value map inside an ROI —
         BEYOND-PARITY (the reference only has the dose-specific

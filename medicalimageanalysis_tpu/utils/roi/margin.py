@@ -1,0 +1,73 @@
+"""ROI margin expansion/contraction and boolean combination.
+
+BEYOND-PARITY: the planning workflow the reference cannot express —
+PTV = CTV + margin, ring structures (expansion minus source), overlap
+resolution (PTV minus OAR). Margins are exact anisotropic Euclidean
+distances in mm (EDT with the grid spacing as sampling; per-axis
+margins rescale the sampling so the unit ball becomes the requested
+ellipsoid). Negative margins contract by the same metric.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["expand_mask", "combine_masks"]
+
+
+def expand_mask(mask, spacing, margin_mm):
+    """Expand (margin > 0) or contract (margin < 0) a (Z, Y, X) mask
+    by a Euclidean mm margin. ``spacing`` is [sx, sy, sz];
+    ``margin_mm`` is a scalar or per-axis [mx, my, mz] (the margin
+    ellipsoid's semi-axes). Returns uint8."""
+    from scipy import ndimage
+
+    mask = np.asarray(mask) > 0
+    m = np.asarray(margin_mm, np.float64).reshape(-1)
+    if m.size == 1:
+        m = np.repeat(m, 3)
+    if m.size != 3:
+        raise ValueError("expand_mask: margin_mm must be a scalar or "
+                         "[mx, my, mz]")
+    if np.any(m > 0) and np.any(m < 0):
+        raise ValueError("expand_mask: mixed-sign per-axis margins "
+                         "are not supported (expand or contract)")
+    sx, sy, sz = (float(v) for v in spacing)
+    sampling_zyx = np.array([sz, sy, sx], np.float64)
+    scale = np.array([m[2], m[1], m[0]], np.float64)  # (z, y, x)
+
+    if not m.any() or not mask.any():
+        return mask.astype(np.uint8)
+    if np.all(m >= 0):
+        # distance from the outside to the mask, in margin units
+        d = ndimage.distance_transform_edt(
+            ~mask, sampling=sampling_zyx / np.where(scale > 0, scale,
+                                                    np.inf))
+        return (d <= 1.0).astype(np.uint8)
+    # contraction: keep voxels deeper than the |margin| ellipsoid
+    scale = -scale
+    d = ndimage.distance_transform_edt(
+        mask, sampling=sampling_zyx / np.where(scale > 0, scale,
+                                               np.inf))
+    return (d > 1.0).astype(np.uint8)
+
+
+def combine_masks(op, mask_a, mask_b):
+    """Boolean combination: 'union' | 'intersect' | 'subtract'
+    (a minus b) | 'xor'. Returns uint8."""
+    a = np.asarray(mask_a) > 0
+    b = np.asarray(mask_b) > 0
+    if a.shape != b.shape:
+        raise ValueError(f"combine_masks: shapes differ "
+                         f"{a.shape} vs {b.shape}")
+    if op == "union":
+        out = a | b
+    elif op == "intersect":
+        out = a & b
+    elif op == "subtract":
+        out = a & ~b
+    elif op == "xor":
+        out = a ^ b
+    else:
+        raise ValueError(f"combine_masks: unknown op {op!r}")
+    return out.astype(np.uint8)
