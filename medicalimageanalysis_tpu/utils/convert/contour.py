@@ -203,8 +203,13 @@ class ContourToMask(object):
 class MaskToContour(object):
     """Mask -> per-slice pixel contours -> physical contours
     (reference utils/convert/contour.py:255-328). Boundary tracing is a
-    host op (sequential by nature); cv2.findContours with RETR_EXTERNAL
-    + CHAIN_APPROX_SIMPLE exactly as the reference."""
+    host op (sequential by nature); cv2.findContours +
+    CHAIN_APPROX_SIMPLE like the reference, but with RETR_CCOMP so
+    HOLE contours are traced too — the reference's RETR_EXTERNAL
+    silently fills annular structures (e.g. ring/shell ROIs) on every
+    mask -> contour conversion, while the rasterizer's XOR semantics
+    reconstruct holes exactly. Identical output for hole-free masks
+    (every external contour is returned either way)."""
 
     def __init__(self, mask=None, spacing=None, origin=None, matrix=None,
                  plane="axial"):
@@ -242,7 +247,7 @@ class MaskToContour(object):
             if np.count_nonzero(slice_2d) == 0:
                 continue
 
-            contours, _ = cv2.findContours(slice_2d, cv2.RETR_EXTERNAL,
+            contours, _ = cv2.findContours(slice_2d, cv2.RETR_CCOMP,
                                            cv2.CHAIN_APPROX_SIMPLE)
             for contour in contours:
                 if len(contour) > 2:
