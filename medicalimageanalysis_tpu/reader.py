@@ -76,21 +76,39 @@ def file_parser(folder_path=None, file_list=None, exclude_files=None):
     return files
 
 
+_ZIP_CACHE = {}
+
+
 def _expand_zip(path):
-    """Extract a .zip archive into a process-lifetime temp dir and
-    return it (zip-slip members — absolute or '..' paths — skipped).
-    BEYOND-PARITY: clinical archives commonly ship zipped; the
-    reference requires pre-extraction."""
+    """Extract a .zip archive into a temp dir and return it (zip-slip
+    members — absolute or '..' paths — skipped). Extractions are
+    cached per (path, mtime, size) so repeated read_dicoms calls on
+    the same archive reuse one copy, and all of them are removed at
+    interpreter exit. BEYOND-PARITY: clinical archives commonly ship
+    zipped; the reference requires pre-extraction."""
+    import atexit
+    import shutil
     import tempfile
     import zipfile
 
+    st = os.stat(str(path))
+    key = (os.path.abspath(str(path)), st.st_mtime_ns, st.st_size)
+    cached = _ZIP_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+
     out = tempfile.mkdtemp(prefix="mia_zip_")
+    if not _ZIP_CACHE:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _ZIP_CACHE.values()])
     with zipfile.ZipFile(str(path)) as z:
         for m in z.namelist():
             p = Path(m)
             if p.is_absolute() or ".." in p.parts:
                 continue
             z.extract(m, out)
+    _ZIP_CACHE[key] = out
     return out
 
 

@@ -484,7 +484,6 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         self.create_roi(name=name,
                         color=color or self.rois[source].color)
         self.rois[name].convert_mask(mask)
-        Data.match_rois()
         return self.rois[name]
 
     def create_roi_from_boolean(self, name, op, roi_a, roi_b,
@@ -500,7 +499,6 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         self.create_roi(name=name,
                         color=color or self.rois[roi_a].color)
         self.rois[name].convert_mask(mask)
-        Data.match_rois()
         return self.rois[name]
 
     def compute_roi_statistics(self, roi_name, values=None):
@@ -888,6 +886,15 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         Returns a 2D float32 array."""
         import jax.numpy as jnp
 
+        try:
+            ax = {"z": 0, "y": 1, "x": 2}[axis]
+        except KeyError:
+            raise ValueError(f"compute_projection: axis {axis!r} not "
+                             "in ('z', 'y', 'x')") from None
+        if mode not in ("mip", "mean", "drr"):
+            raise ValueError(f"compute_projection: mode {mode!r} not "
+                             "in ('mip', 'mean', 'drr')")
+
         vol = np.asarray(self.array, np.float32)
         if angles is not None and np.any(np.asarray(angles)):
             from ..ops.resample import (affine_resample,
@@ -903,28 +910,24 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                 self.matrix, self.spacing, self.origin, self.matrix,
                 self.spacing, self.origin,
                 phys_transform=t.as_matrix4())
+            # corners rotated in from outside the volume carry the
+            # -3001 fill — non-physical (below air) and would bias
+            # mean/MIP/DRR; clamp them to air
             vol = np.asarray(affine_resample(
                 vol, A, vol.shape,
                 background=float(config.background_fill)))
+            vol = np.maximum(vol, -1000.0, dtype=np.float32)
 
-        try:
-            ax = {"z": 0, "y": 1, "x": 2}[axis]
-        except KeyError:
-            raise ValueError(f"compute_projection: axis {axis!r} not "
-                             "in ('z', 'y', 'x')") from None
         v = jnp.asarray(vol)
         if mode == "mip":
             out = v.max(axis=ax)
         elif mode == "mean":
             out = v.mean(axis=ax)
-        elif mode == "drr":
+        else:  # drr
             # step length along the integration axis in mm
             dl = float(self.spacing[{0: 2, 1: 1, 2: 0}[ax]])
             mu = jnp.maximum(mu_water_mm * (1.0 + v / 1000.0), 0.0)
             out = 1.0 - jnp.exp(-mu.sum(axis=ax) * dl)
-        else:
-            raise ValueError(f"compute_projection: mode {mode!r} not "
-                             "in ('mip', 'mean', 'drr')")
         return np.asarray(out, np.float32)
 
     def create_rotated_volume(self, angles=(0, 0, 10), roi_name="Liver",

@@ -226,7 +226,11 @@ class Roi(object):
 
         if self.contour_position is None:
             return
-        self.convert_mask(interpolate_mask_slices(self.compute_mask()))
+        # contour gaps lie along the contoured plane's stacking axis
+        # of the (z, y, x) array, not always axis 0
+        axis = {"Axial": 0, "Coronal": 1}.get(self.plane, 2)
+        self.convert_mask(interpolate_mask_slices(self.compute_mask(),
+                                                  axis=axis))
 
     def convert_mask(self, mask):
         """Mask -> contours -> meshes (reference structure/roi.py:511-535)."""

@@ -200,16 +200,41 @@ class ContourToMask(object):
                                      self.plane, backend=self.backend)
 
 
+def _trace_with_holes(slice_u8):
+    """All boundary contours of a 2D mask, nesting-exact for the XOR
+    rasterizer: external contours from cv2 on the hole-filled mask,
+    then recurse into the hole region so hole boundaries are traced ON
+    HOLE PIXELS (cv2's own hole tracing walks foreground pixels, and
+    XOR-rasterizing such a polygon removes a one-pixel ring of
+    foreground per round trip — unbounded erosion of annular ROIs).
+    Identical to plain RETR_EXTERNAL for hole-free masks; arbitrary
+    nesting (islands inside holes) handled by the recursion."""
+    import cv2
+    from scipy import ndimage
+
+    inside = slice_u8 > 0
+    filled = ndimage.binary_fill_holes(inside)
+    contours, _ = cv2.findContours(
+        (filled.astype(np.uint8)) * 255, cv2.RETR_EXTERNAL,
+        cv2.CHAIN_APPROX_SIMPLE)
+    out = list(contours)
+    inner = filled & ~inside
+    if inner.any():
+        out += _trace_with_holes(inner.astype(np.uint8) * 255)
+    return out
+
+
 class MaskToContour(object):
     """Mask -> per-slice pixel contours -> physical contours
     (reference utils/convert/contour.py:255-328). Boundary tracing is a
     host op (sequential by nature); cv2.findContours +
-    CHAIN_APPROX_SIMPLE like the reference, but with RETR_CCOMP so
-    HOLE contours are traced too — the reference's RETR_EXTERNAL
-    silently fills annular structures (e.g. ring/shell ROIs) on every
-    mask -> contour conversion, while the rasterizer's XOR semantics
-    reconstruct holes exactly. Identical output for hole-free masks
-    (every external contour is returned either way)."""
+    CHAIN_APPROX_SIMPLE like the reference, but holes are traced too
+    via _trace_with_holes (recursion into the hole region, boundaries
+    on hole pixels) — the reference's RETR_EXTERNAL silently fills
+    annular structures (e.g. ring/shell ROIs) on every
+    mask -> contour conversion, while hole-pixel boundaries + the
+    rasterizer's XOR semantics reconstruct them exactly. Identical
+    output for hole-free masks."""
 
     def __init__(self, mask=None, spacing=None, origin=None, matrix=None,
                  plane="axial"):
@@ -247,8 +272,7 @@ class MaskToContour(object):
             if np.count_nonzero(slice_2d) == 0:
                 continue
 
-            contours, _ = cv2.findContours(slice_2d, cv2.RETR_CCOMP,
-                                           cv2.CHAIN_APPROX_SIMPLE)
+            contours = _trace_with_holes(slice_2d)
             for contour in contours:
                 if len(contour) > 2:
                     contour = contour.squeeze(1)

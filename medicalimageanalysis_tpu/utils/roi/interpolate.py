@@ -29,12 +29,16 @@ def _signed_distance(slice_mask):
     return (d_out - d_in).astype(np.float32)
 
 
-def interpolate_mask_slices(mask):
-    """Fill all-empty z-slices lying BETWEEN contoured ones by signed
-    distance interpolation. Slices outside the contoured span and the
-    contoured slices themselves are untouched. Returns a new (Z, Y, X)
-    uint8 mask."""
+def interpolate_mask_slices(mask, axis=0):
+    """Fill all-empty slices along ``axis`` lying BETWEEN contoured
+    ones by signed distance interpolation. Slices outside the
+    contoured span and the contoured slices themselves are untouched.
+    Returns a new uint8 mask of the input shape."""
     mask = np.asarray(mask)
+    if axis:
+        return np.moveaxis(
+            interpolate_mask_slices(np.moveaxis(mask, axis, 0)),
+            0, axis)
     out = (mask > 0).astype(np.uint8)
     filled = np.where(out.reshape(out.shape[0], -1).any(axis=1))[0]
     if filled.size < 2:

@@ -38,17 +38,25 @@ def expand_mask(mask, spacing, margin_mm):
 
     if not m.any() or not mask.any():
         return mask.astype(np.uint8)
+
+    def margin_sampling(sc):
+        # sampling in "margin units": a ZERO margin axis must be
+        # prohibitively expensive (never crossed), not free — dividing
+        # spacing by inf would invert that into zero-cost movement,
+        # and literal inf sampling NaNs inside scipy's EDT (0 * inf)
+        eff = np.full(3, 1e12)
+        nz = sc > 0
+        eff[nz] = sampling_zyx[nz] / sc[nz]
+        return eff
+
     if np.all(m >= 0):
         # distance from the outside to the mask, in margin units
         d = ndimage.distance_transform_edt(
-            ~mask, sampling=sampling_zyx / np.where(scale > 0, scale,
-                                                    np.inf))
+            ~mask, sampling=margin_sampling(scale))
         return (d <= 1.0).astype(np.uint8)
     # contraction: keep voxels deeper than the |margin| ellipsoid
-    scale = -scale
     d = ndimage.distance_transform_edt(
-        mask, sampling=sampling_zyx / np.where(scale > 0, scale,
-                                               np.inf))
+        mask, sampling=margin_sampling(-scale))
     return (d > 1.0).astype(np.uint8)
 
 

@@ -91,3 +91,55 @@ def test_image_planning_structures(tmp_path):
     ptv_interior = ndimage.binary_erosion(ptv > 0)
     assert int((ring & ptv_interior).sum()) == 0
     assert "Ring" in Data.roi_list
+
+
+def test_expand_zero_axis_component():
+    """A zero per-axis margin component means NO growth along that
+    axis (review finding: spacing/inf sampling inverted into free
+    movement, smearing a [3,3,0] margin across every slice)."""
+    m = np.zeros((9, 9, 9), np.uint8)
+    m[4, 4, 4] = 1
+    out = expand_mask(m, [1.0, 1.0, 1.0], [3.0, 3.0, 0.0])
+    assert out[3].sum() == 0 and out[5].sum() == 0   # stayed in-plane
+    yy, xx = np.mgrid[0:9, 0:9]
+    d = np.sqrt((yy - 4.0) ** 2 + (xx - 4.0) ** 2)
+    np.testing.assert_array_equal(out[4], (d <= 3.0).astype(np.uint8))
+
+    slab = np.zeros((5, 12, 12), np.uint8)
+    slab[:, 2:10, 2:10] = 1
+    shrunk = expand_mask(slab, [1, 1, 1], [-2.0, -2.0, 0.0])
+    # every slice keeps the in-plane eroded box
+    for z in range(5):
+        np.testing.assert_array_equal(
+            shrunk[z], expand_mask(slab, [1, 1, 1],
+                                   [-2.0, -2.0, 0.0])[z])
+    assert shrunk.sum() > 0
+
+
+def test_annulus_contour_round_trip_stable():
+    """Ring masks survive mask->contour->mask round trips with a
+    FIXED point (review finding: cv2's hole tracing on foreground
+    pixels + XOR erased ~1 px of ring per pass, unbounded)."""
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        ContourToMask, MaskToContour)
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    d = np.sqrt((yy - 20.0) ** 2 + (xx - 20.0) ** 2)
+    ann = np.zeros((2, 40, 40), np.uint8)
+    ann[:] = ((d <= 14) & (d >= 7)).astype(np.uint8)
+
+    cur = ann.copy()
+    first = None
+    for _ in range(4):
+        m2c = MaskToContour(cur, spacing=[1, 1, 2], origin=[0, 0, 0],
+                            matrix=np.eye(3))
+        _, cpos = m2c.create_contours()
+        c2m = ContourToMask(contour_position=cpos, spacing=[1, 1, 2],
+                            origin=[0, 0, 0], matrix=np.eye(3),
+                            dimensions=[2, 40, 40])
+        cur = np.asarray(c2m.create_mask())
+        if first is None:
+            first = cur.copy()
+    np.testing.assert_array_equal(cur, first)  # fixed point
+    # the hole survives
+    assert cur[0, 20, 20] == 0 and cur[0, 20, 8] == 1
