@@ -1,0 +1,135 @@
+"""Thin-plate-spline landmark interpolation (3-D biharmonic).
+
+BEYOND-PARITY: the reference has no landmark-driven registration at
+all — its deformable stack is intensity-only (B-spline / demons,
+reference utils/deformable/simpleitk.py:96-256) and POIs are dead
+weight (never even converted to pixels, structure/poi.py:18-28). TPS
+is the standard way to turn matched anatomical landmarks into a dense
+deformation (ITK LandmarkDisplacementFieldSource territory) and the
+natural complement: initialise or QA an intensity registration from
+expert-placed points.
+
+Formulation: minimum-bending-energy interpolant of scattered
+displacements. In 3-D the biharmonic Green's function is U(r) = r
+(not the 2-D r^2 log r):
+
+    d(q) = sum_i w_i |q - p_i|  +  A [1, q]
+
+with the classic bordered system (K + lam*I) W + P A = V, P^T W = 0.
+The solve is a tiny host float64 problem (N landmarks ~ tens);
+evaluation over the reference grid is the hot part and runs as
+chunked MXU matmuls: the (chunk, N) distance matrix comes from one
+q @ p^T contraction, so a 256^3 grid against 100 landmarks is pure
+systolic-array work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["tps_fit", "tps_displacement", "tps_displacement_grid"]
+
+
+def tps_fit(points, displacements, regularization=0.0):
+    """Solve the 3-D TPS bordered system on host in float64.
+
+    Parameters
+    ----------
+    points : (N, 3) anchor positions (mm, physical frame).
+    displacements : (N, 3) displacement at each anchor.
+    regularization : lam >= 0 added to the kernel diagonal; 0 gives
+        exact interpolation, > 0 approximates (smoother, bounded
+        bending energy under landmark jitter).
+
+    Returns (W (N, 3), A (4, 3)) with the affine part ordered
+    [const, x, y, z].
+    """
+    P = np.asarray(points, np.float64).reshape(-1, 3)
+    V = np.asarray(displacements, np.float64).reshape(-1, 3)
+    if P.shape[0] != V.shape[0]:
+        raise ValueError("tps_fit: points/displacements length mismatch")
+    n = P.shape[0]
+    if n == 0:
+        raise ValueError("tps_fit: no landmarks")
+    if regularization < 0:
+        raise ValueError("tps_fit: negative regularization")
+
+    K = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2)
+    if regularization:
+        # the 3-D kernel +r is conditionally NEGATIVE definite on the
+        # P^T W = 0 subspace, so the ridge must carry the kernel's
+        # sign: K - lam*I stays definite there (K + lam*I sweeps
+        # eigenvalues through zero -> non-monotone garbage fits)
+        K = K - float(regularization) * np.eye(n)
+    Q = np.concatenate([np.ones((n, 1)), P], axis=1)  # (N, 4)
+    L = np.zeros((n + 4, n + 4))
+    L[:n, :n] = K
+    L[:n, n:] = Q
+    L[n:, :n] = Q.T
+    rhs = np.concatenate([V, np.zeros((4, 3))], axis=0)
+    # lstsq instead of solve: degenerate layouts (coplanar/collinear/
+    # too-few landmarks) drop the unresolvable affine directions
+    # instead of raising
+    sol = np.linalg.lstsq(L, rhs, rcond=None)[0]
+    return sol[:n].astype(np.float64), sol[n:].astype(np.float64)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _eval_chunked(Qpos, P, W, A, chunk):
+    """(G, 3) query positions -> (G, 3) displacements, lax.map over
+    row chunks; each chunk is one MXU contraction for the distance
+    matrix + one for the weight combine."""
+    G = Qpos.shape[0]
+    pad = (-G) % chunk
+    Qp = jnp.pad(Qpos, ((0, pad), (0, 0)))
+    p_sq = jnp.sum(P * P, axis=1)  # (N,)
+
+    def one(q):
+        # |q - p| via the contraction: q@p^T dominates -> MXU
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)          # (C, 1)
+        cross = q @ P.T                                       # (C, N)
+        d2 = jnp.maximum(q_sq + p_sq[None, :] - 2.0 * cross, 0.0)
+        U = jnp.sqrt(d2)
+        return U @ W + A[0][None, :] + q @ A[1:]
+
+    chunks = Qp.reshape(-1, chunk, 3)
+    out = lax.map(one, chunks).reshape(-1, 3)
+    return out[:G]
+
+
+def tps_displacement(points, W, A, queries, chunk=16384):
+    """Evaluate the fitted spline at (G, 3) query positions."""
+    P = jnp.asarray(np.asarray(points, np.float32))
+    return _eval_chunked(jnp.asarray(queries, jnp.float32), P,
+                         jnp.asarray(W, jnp.float32),
+                         jnp.asarray(A, jnp.float32), int(chunk))
+
+
+def tps_displacement_grid(points, W, A, origin, spacing, matrix, shape,
+                          chunk=16384):
+    """Dense (Z, Y, X, 3) mm displacement field over a grid.
+
+    Grid voxel (z, y, x) sits at physical position
+    origin + matrix @ (x*sx, y*sy, z*sz) — the package's standard
+    grid geometry (matrix rows = pixel-axis directions).
+    """
+    Z, Y, X = (int(v) for v in shape)
+    sp = np.asarray(spacing, np.float64)
+    M = np.asarray(matrix, np.float64)
+    org = np.asarray(origin, np.float64)
+    zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
+                             indexing="ij")
+    pix = np.stack([xx.ravel() * sp[0], yy.ravel() * sp[1],
+                    zz.ravel() * sp[2]], axis=1)
+    # matrix rows = pixel-axis directions (package convention), so a
+    # scaled pixel vector maps through a row-combination: pix @ M
+    pos = pix @ M + org[None, :]
+    disp = np.asarray(tps_displacement(points, W, A,
+                                       pos.astype(np.float32), chunk))
+    return disp.reshape(Z, Y, X, 3).astype(np.float32)

@@ -428,6 +428,81 @@ class Deformable(object):
                 crop=crop, pyramid=pyramid)
         self._store_dvf(dvf_volume)
 
+    def compute_tps(self, poi_names=None, points_reference=None,
+                    points_moving=None, regularization=0.0,
+                    chunk=16384):
+        """Landmark-driven deformable registration: 3-D thin-plate
+        spline through matched POIs — BEYOND-PARITY (the reference
+        has no landmark registration; its POIs are never used,
+        structure/poi.py:18-28).
+
+        Matches POI names shared by the reference and moving images
+        (or takes explicit ``points_reference``/``points_moving``
+        (N, 3) mm arrays). Moving points are pre-mapped through
+        inv(rigid_matrix) — the same composition as update_pois — so
+        the spline carries only the residual deformation; the dense
+        field is evaluated over the reference grid on the MXU
+        (ops/registration/tps.py) and stored in the package's
+        point-displacement convention (p + d(p) lands in the
+        reference frame). Exact at the landmarks when
+        ``regularization`` is 0. Returns {name: residual mm} (or
+        index keys for explicit points).
+        """
+        from ..ops.registration.tps import (tps_displacement, tps_fit,
+                                            tps_displacement_grid)
+
+        rigid_inv = np.linalg.inv(np.asarray(self.rigid_matrix,
+                                             np.float64))
+        if points_reference is not None or points_moving is not None:
+            t = np.asarray(points_reference, np.float64).reshape(-1, 3)
+            m = np.asarray(points_moving, np.float64).reshape(-1, 3)
+            if t.shape != m.shape:
+                raise ValueError("compute_tps: point array shapes differ")
+            names = [str(i) for i in range(t.shape[0])]
+        else:
+            ref_pois = Data.image[self.reference_name].pois
+            mov_pois = Data.image[self.moving_name].pois
+            names, t_list, m_list = [], [], []
+            for name, poi in ref_pois.items():
+                if poi_names is not None and name not in poi_names:
+                    continue
+                other = mov_pois.get(name)
+                if poi.point_position is None or other is None \
+                        or other.point_position is None:
+                    continue
+                names.append(name)
+                t_list.append(np.asarray(poi.point_position,
+                                         np.float64))
+                m_list.append(np.asarray(other.point_position,
+                                         np.float64))
+            if not names:
+                raise ValueError(
+                    "compute_tps: no matched POIs with positions "
+                    "between reference and moving images")
+            t = np.stack(t_list)
+            m = np.stack(m_list)
+
+        p = (np.concatenate([m, np.ones((len(m), 1))], axis=1)
+             @ rigid_inv.T)[:, :3]
+        W, A = tps_fit(p, t - p, regularization=regularization)
+
+        ref = Data.image[self.reference_name]
+        dvf = tps_displacement_grid(p, W, A, ref.origin, ref.spacing,
+                                    ref.matrix, ref.array.shape,
+                                    chunk=chunk)
+        # already point-displacement — no solver-field inversion needed
+        self.dvf = dvf
+        self.origin = np.asarray(ref.origin, np.float64)
+        self.spacing = tuple(np.asarray(ref.spacing, np.float64))
+        self.dimensions = np.asarray(dvf.shape[:3])
+        self.display.compute_scroll_max()
+        self.update_rois()
+
+        fitted = np.asarray(tps_displacement(p, W, A,
+                                             p.astype(np.float32)))
+        residual = np.linalg.norm(p + fitted - t, axis=1)
+        return {n: float(r) for n, r in zip(names, residual)}
+
     @staticmethod
     def correct_dvf_direction(dvf, spacing, origin, matrix):
         """Rotate field vectors to identity direction about the volume

@@ -135,6 +135,111 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         volume_percent = 100.0 * (1.0 - below / dose_in_roi.size)
         return bins, volume_percent
 
+    def compute_gamma(self, dose_name, dose_pct=3.0, dta_mm=3.0,
+                      local=False, norm_dose=None, threshold_pct=10.0,
+                      subdiv=None, cap=2.0, chunk=None):
+        """3-D gamma analysis of another registered dose against this
+        one (this grid is the reference; Low et al. criterion —
+        NEW, the reference has no dose-comparison tooling).
+
+        The evaluated dose is resampled in ONE trilinear interpolation
+        from its own grid straight onto the TG-218 fine search grid
+        (spacing <= dta/3) aligned with this grid, then the gamma
+        minimisation runs as a static strided-slice stencil on device
+        (ops/gamma.py). Returns the gamma map on this grid plus
+        pass-rate / mean / max over the >= threshold region.
+        """
+        from ..ops.gamma import (_OUTSIDE, fine_grid_layout,
+                                 fine_grid_shape, fine_to_ref_pixel_matrix,
+                                 gamma_index)
+
+        other = Data.dose[dose_name] if isinstance(dose_name, str) \
+            else dose_name
+        s, r, _, _ = fine_grid_layout(self.spacing, dta_mm, subdiv, cap)
+        A = compose_pixel_matrix(
+            other.matrix, other.spacing, other.origin,
+            self.matrix, self.spacing, self.origin
+        ).astype(np.float64) @ fine_to_ref_pixel_matrix(s, r)
+        fine = affine_resample(
+            np.asarray(other.array, np.float32), A.astype(np.float32),
+            fine_grid_shape(tuple(int(v) for v in self.dimensions), s, r),
+            background=float(_OUTSIDE))
+        return gamma_index(np.asarray(self.array, np.float32), fine,
+                           self.spacing, dose_pct=dose_pct, dta_mm=dta_mm,
+                           local=local, norm_dose=norm_dose,
+                           threshold_pct=threshold_pct, subdiv=subdiv,
+                           cap=cap, chunk=chunk)
+
+    # -- radiobiology (NEW; reference stops at physical-dose DVHs) --------
+    def compute_eqd2(self, n_fractions, alpha_beta, name=None,
+                     register=True):
+        """Voxel-wise EQD2 grid (LQ model, utils/radiobiology.eqd2).
+        When ``register`` (default) the converted grid becomes a
+        first-class Dose so every DVH analytic and gamma comparison
+        works on the biologically-weighted scale."""
+        from ..utils.radiobiology import eqd2
+
+        out = eqd2(np.asarray(self.array, np.float32), n_fractions,
+                   alpha_beta)
+        if not register:
+            return out
+        from ..utils.dose import register_dose_grid
+        return register_dose_grid(
+            out, self, name=name,
+            description=f"EQD2(ab={float(alpha_beta):g}) of "
+                        f"{self.dose_name}",
+            misc={"source_dose": self.dose_name,
+                  "alpha_beta": float(alpha_beta),
+                  "n_fractions": float(n_fractions)})
+
+    def compute_bed(self, n_fractions, alpha_beta, name=None,
+                    register=True):
+        """Voxel-wise BED grid (utils/radiobiology.bed)."""
+        from ..utils.radiobiology import bed
+
+        out = bed(np.asarray(self.array, np.float32), n_fractions,
+                  alpha_beta)
+        if not register:
+            return out
+        from ..utils.dose import register_dose_grid
+        return register_dose_grid(
+            out, self, name=name,
+            description=f"BED(ab={float(alpha_beta):g}) of "
+                        f"{self.dose_name}",
+            misc={"source_dose": self.dose_name,
+                  "alpha_beta": float(alpha_beta),
+                  "n_fractions": float(n_fractions)})
+
+    def compute_geud(self, image_name, roi_name, a):
+        """Generalized EUD of this dose over an ROI."""
+        from ..utils.radiobiology import geud
+        return geud(self.compute_roi_dose_array(image_name, roi_name), a)
+
+    def compute_ntcp(self, image_name, roi_name, td50, m=None, n=None,
+                     gamma50=None, a=None, model="lkb"):
+        """NTCP of an organ ROI: ``model='lkb'`` (probit, needs m and
+        n) or ``'logistic'`` (Niemierko, needs gamma50 and a)."""
+        from ..utils.radiobiology import ntcp_lkb, ntcp_logistic
+
+        dose_in_roi = self.compute_roi_dose_array(image_name, roi_name)
+        if model == "lkb":
+            if m is None or n is None:
+                raise ValueError("LKB NTCP needs m and n")
+            return ntcp_lkb(dose_in_roi, td50, m, n)
+        if model == "logistic":
+            if gamma50 is None or a is None:
+                raise ValueError("logistic NTCP needs gamma50 and a")
+            return ntcp_logistic(dose_in_roi, td50, gamma50, a)
+        raise ValueError(f"unknown NTCP model {model!r}")
+
+    def compute_tcp(self, image_name, roi_name, tcd50, gamma50,
+                    a=-10.0):
+        """Logistic TCP of a target ROI (utils/radiobiology)."""
+        from ..utils.radiobiology import tcp_logistic
+        return tcp_logistic(
+            self.compute_roi_dose_array(image_name, roi_name), tcd50,
+            gamma50, a)
+
     # -- DICOM export ------------------------------------------------------
     def create_rtdose(self, path=None, dose_summation_type="PLAN"):
         """Build an RTDOSE (RT Dose Storage) dataset from this grid —

@@ -27,6 +27,13 @@ _LAZY = {
     "CreateDicomImage": ("creation", "CreateDicomImage"),
     "CreateImageFromMask": ("creation", "CreateImageFromMask"),
     "accumulate_dose": ("dose", "accumulate_dose"),
+    "register_dose_grid": ("dose", "register_dose_grid"),
+    "bed": ("radiobiology", "bed"),
+    "eqd2": ("radiobiology", "eqd2"),
+    "geud": ("radiobiology", "geud"),
+    "ntcp_lkb": ("radiobiology", "ntcp_lkb"),
+    "ntcp_logistic": ("radiobiology", "ntcp_logistic"),
+    "tcp_logistic": ("radiobiology", "tcp_logistic"),
     "dice_coefficient": ("metrics", "dice_coefficient"),
     "jaccard_index": ("metrics", "jaccard_index"),
     "hausdorff_distance": ("metrics", "hausdorff_distance"),

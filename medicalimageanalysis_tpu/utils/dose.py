@@ -20,7 +20,57 @@ import numpy as np
 
 from ..data import Data
 
-__all__ = ["accumulate_dose"]
+__all__ = ["accumulate_dose", "register_dose_grid"]
+
+
+def register_dose_grid(array, like, name=None, description="derived",
+                       misc=None):
+    """Register a float dose grid as a first-class ``Data.dose`` entry
+    on the geometry of ``like`` (an Image or Dose: needs plane/spacing/
+    origin/matrix/frame_ref). Re-registering an explicit ``name``
+    replaces the previous entry. Returns the Dose object."""
+    from ..dicom import Dataset, generate_uid
+    from ..read.dicom import create_dose_name
+    from ..structure.dose import Dose
+
+    array = np.asarray(array, np.float32)
+    ds = Dataset()
+    ds.Modality = "RTDOSE"
+    ds.SOPInstanceUID = generate_uid()
+    ds.SeriesInstanceUID = generate_uid()
+    study = getattr(like, "get_study_uid", None)
+    if callable(study):
+        try:
+            ds.StudyInstanceUID = study()
+        except Exception:
+            pass
+    if getattr(like, "frame_ref", None):
+        ds.FrameOfReferenceUID = like.frame_ref
+    ds.SeriesDescription = description
+    ds.filename = f"<{description}>"
+
+    carrier = types.SimpleNamespace(
+        image_set=[ds],
+        array=array,
+        dose_name=(name if name is not None
+                   else create_dose_name("RTDOSE")),
+        modality="RTDOSE",
+        filepaths=[str(ds.filename)],
+        sops=[str(ds.SOPInstanceUID)],
+        plane=like.plane,
+        spacing=np.asarray(like.spacing, np.float64),
+        dimensions=np.asarray(array.shape),
+        orientation=np.asarray(like.orientation, np.float64),
+        origin=np.asarray(like.origin, np.float64),
+        image_matrix=np.asarray(like.matrix, np.float64),
+    )
+    dose_obj = Dose(carrier)
+    if misc:
+        dose_obj.misc.update(misc)
+    if carrier.dose_name not in Data.dose:
+        Data.dose_list += [carrier.dose_name]
+    Data.dose[carrier.dose_name] = dose_obj
+    return dose_obj
 
 
 def accumulate_dose(image_name, contributions, weights=None, name=None,
@@ -88,39 +138,9 @@ def accumulate_dose(image_name, contributions, weights=None, name=None,
                 "direction": np.asarray(ref.matrix),
                 "source_doses": source_doses}
 
-    from ..dicom import Dataset, generate_uid
-    from ..read.dicom import create_dose_name
-    from ..structure.dose import Dose
-
-    ds = Dataset()
-    ds.Modality = "RTDOSE"
-    ds.SOPInstanceUID = generate_uid()
-    ds.SeriesInstanceUID = generate_uid()
-    ds.StudyInstanceUID = ref.get_study_uid()
-    ds.FrameOfReferenceUID = ref.frame_ref
-    ds.SeriesDescription = "accumulated: " + ", ".join(source_doses)
-    ds.filename = "<accumulated>"
-
-    carrier = types.SimpleNamespace(
-        image_set=[ds],
-        array=total,
-        dose_name=(name if name is not None
-                   else create_dose_name("RTDOSE")),
-        modality="RTDOSE",
-        filepaths=["<accumulated>"],
-        sops=[str(ds.SOPInstanceUID)],
-        plane=ref.plane,
-        spacing=np.asarray(ref.spacing, np.float64),
-        dimensions=np.asarray(total.shape),
-        orientation=np.asarray(ref.orientation, np.float64),
-        origin=np.asarray(ref.origin, np.float64),
-        image_matrix=np.asarray(ref.matrix, np.float64),
-    )
-    dose_obj = Dose(carrier)
-    dose_obj.misc["source_doses"] = source_doses
     # re-running with the same explicit name replaces the previous
     # result instead of leaving a duplicate dose_list entry
-    if carrier.dose_name not in Data.dose:
-        Data.dose_list += [carrier.dose_name]
-    Data.dose[carrier.dose_name] = dose_obj
-    return dose_obj
+    return register_dose_grid(
+        total, ref, name=name,
+        description="accumulated: " + ", ".join(source_doses),
+        misc={"source_doses": source_doses})

@@ -1,0 +1,195 @@
+"""Gamma-index dose QA (ops/gamma.py + Dose.compute_gamma).
+
+Analytic constructions pin the two terms of the Low-criterion
+independently: a pure spatial shift of a linear gradient isolates the
+distance-to-agreement term (gamma = shift/dta), and a uniform scale of
+a flat field isolates the dose-difference term (gamma = dD/tol) —
+NEW capability, the reference has no dose comparison at all.
+"""
+
+import numpy as np
+import pytest
+
+from medicalimageanalysis_tpu.ops.gamma import (
+    fine_grid_layout, fine_grid_shape, gamma_index, upsample_to_fine)
+
+
+def _gamma_same_grid(ref, evl, spacing, **kw):
+    s, r, _, _ = fine_grid_layout(spacing, kw.get("dta_mm", 3.0),
+                                  kw.get("subdiv"), kw.get("cap", 2.0))
+    fine = upsample_to_fine(np.asarray(evl, np.float32), s, r)
+    return gamma_index(np.asarray(ref, np.float32), fine, spacing, **kw)
+
+
+def test_identical_doses_gamma_zero():
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(10, 60, size=(6, 20, 20)).astype(np.float32)
+    out = _gamma_same_grid(ref, ref, [2.0, 2.0, 2.5])
+    assert out["pass_rate"] == 100.0
+    np.testing.assert_allclose(out["gamma"], 0.0, atol=1e-4)
+
+
+def test_flat_field_dose_difference_term():
+    """eval = ref * (1 + e) on a flat 50 Gy field: no spatial gain is
+    possible, so gamma = e*50 / (pct% * 50) exactly."""
+    ref = np.full((4, 16, 16), 50.0, np.float32)
+    evl = ref * 1.015  # +1.5% with 3% criterion -> gamma 0.5
+    out = _gamma_same_grid(ref, evl, [2.0, 2.0, 2.0], dose_pct=3.0)
+    core = out["gamma"][:, 4:-4, 4:-4]
+    np.testing.assert_allclose(core, 0.5, atol=0.02)
+    assert out["pass_rate"] == 100.0
+    # failing level: +4.5% -> gamma 1.5 everywhere
+    out2 = _gamma_same_grid(ref, ref * 1.045, [2.0, 2.0, 2.0],
+                            dose_pct=3.0)
+    assert out2["pass_rate"] == 0.0
+    np.testing.assert_allclose(out2["gamma"][:, 4:-4, 4:-4], 1.5,
+                               atol=0.05)
+
+
+def test_gradient_shift_distance_term():
+    """Linear 1 Gy/mm gradient shifted 1.5 mm along x: the minimum sits
+    at the true location -> gamma ~ 1.5/3.0 = 0.5 in the interior."""
+    spacing = [1.0, 1.0, 1.0]
+    x_mm = np.arange(32, dtype=np.float32) * spacing[0]
+    ref = np.broadcast_to(30.0 + 1.0 * x_mm, (4, 8, 32)).astype(np.float32)
+    shift = 1.5
+    evl = np.broadcast_to(30.0 + 1.0 * (x_mm - shift),
+                          (4, 8, 32)).astype(np.float32)
+    # local criterion would vary along the gradient; use global with an
+    # explicit norm so the dose term is uniform
+    out = _gamma_same_grid(ref, evl, spacing, dose_pct=3.0, dta_mm=3.0,
+                           norm_dose=60.0, threshold_pct=1.0)
+    core = out["gamma"][:, :, 8:-8]
+    # fine step = 1mm/ceil(1/1) .. subdiv=1 -> 1 mm steps: the search
+    # lattice hits 1 and 2 mm; best gamma combines 1mm distance + 0.5
+    # Gy residual vs 2mm distance: sqrt((1/3)^2+(0.5/1.8)^2)=0.434
+    expect = min(
+        np.sqrt((1.0 / 3.0) ** 2 + (0.5 / 1.8) ** 2),
+        np.sqrt((2.0 / 3.0) ** 2 + (0.5 / 1.8) ** 2),
+        1.5 / 1.8)
+    np.testing.assert_allclose(core, expect, atol=0.02)
+
+
+def test_gradient_shift_subvoxel_search():
+    """With subdiv=4 the kernel must hit the 0.25 mm-lattice minimum of
+    the continuous criterion gamma(d) = sqrt((d/dta)^2
+    + ((shift-d)*grad/dD)^2) — the distance/dose trade-off optimum,
+    NOT the naive shift/dta."""
+    spacing = [1.0, 1.0, 1.0]
+    x_mm = np.arange(32, dtype=np.float32)
+    ref = np.broadcast_to(30.0 + 1.0 * x_mm, (4, 8, 32)).astype(np.float32)
+    evl = np.broadcast_to(30.0 + 1.0 * (x_mm - 1.5),
+                          (4, 8, 32)).astype(np.float32)
+    out = _gamma_same_grid(ref, evl, spacing, dose_pct=3.0, dta_mm=3.0,
+                           norm_dose=60.0, threshold_pct=1.0, subdiv=4,
+                           cap=1.0)
+    core = out["gamma"][:, :, 8:-8]
+    d = np.arange(0, 3.0 + 1e-9, 0.25)  # lattice displacements, mm
+    expect = np.sqrt((d / 3.0) ** 2 + ((1.5 - d) / 1.8) ** 2).min()
+    np.testing.assert_allclose(core, expect, atol=0.005)
+
+
+def test_local_gamma_scales_with_dose():
+    """Local criterion: +6% fails and +2% passes at 3%, independent of
+    the absolute dose level (flat fields so distance cannot rescue)."""
+    for level in (10.0, 80.0):
+        ref = np.full((2, 8, 8), level, np.float32)
+        out = _gamma_same_grid(ref, ref * 1.06, [2.0, 2.0, 2.0],
+                               dose_pct=3.0, dta_mm=0.5, local=True,
+                               threshold_pct=1.0)
+        assert out["pass_rate"] == 0.0
+        np.testing.assert_allclose(out["gamma"], 2.0, atol=0.1)  # capped
+        out2 = _gamma_same_grid(ref, ref * 1.02, [2.0, 2.0, 2.0],
+                                dose_pct=3.0, dta_mm=0.5, local=True,
+                                threshold_pct=1.0)
+        assert out2["pass_rate"] == 100.0
+        np.testing.assert_allclose(out2["gamma"], 2.0 / 3.0, atol=0.05)
+
+
+def test_threshold_excludes_low_dose():
+    ref = np.full((4, 8, 8), 2.0, np.float32)
+    ref[:, :4] = 50.0
+    evl = ref.copy()
+    evl[:, 4:] = 4.0  # 100% error, but below 10% threshold
+    out = _gamma_same_grid(ref, evl, [2.0, 2.0, 2.0], dose_pct=3.0,
+                           dta_mm=1.0)
+    assert out["analysed_voxels"] == 4 * 4 * 8
+    assert out["pass_rate"] == 100.0
+
+
+def test_chunked_matches_unchunked():
+    rng = np.random.default_rng(3)
+    ref = rng.uniform(0, 60, size=(10, 12, 12)).astype(np.float32)
+    evl = (ref + rng.normal(0, 1.0, ref.shape)).astype(np.float32)
+    kw = dict(dose_pct=3.0, dta_mm=3.0, norm_dose=60.0)
+    a = _gamma_same_grid(ref, evl, [2.5, 2.5, 2.5], **kw)
+    b = _gamma_same_grid(ref, evl, [2.5, 2.5, 2.5], chunk=3, **kw)
+    np.testing.assert_allclose(a["gamma"], b["gamma"], atol=1e-5)
+    assert a["pass_rate"] == b["pass_rate"]
+
+
+def test_layout_respects_tg218_step():
+    s, r, offsets, dist2 = fine_grid_layout([2.5, 2.5, 3.0], 3.0)
+    # fine spacing <= dta/3 = 1.0mm
+    assert np.all(np.array([3.0, 2.5, 2.5]) / np.array(s) <= 1.0 + 1e-9)
+    # search reaches cap*dta in every axis
+    fine_sp = np.array([3.0, 2.5, 2.5]) / np.array(s)
+    assert np.all(np.array(r) * fine_sp >= 2.0 * 3.0 - 1e-9)
+    # pruned sphere, center included
+    assert dist2[0] == 0.0
+    assert dist2.max() <= (2.0 * 3.0) ** 2 + 1e-6
+    expect = fine_grid_shape((10, 20, 30), s, r)
+    assert expect == tuple((n - 1) * si + 2 * ri + 1
+                           for n, si, ri in zip((10, 20, 30), s, r))
+
+
+def test_dose_compute_gamma_cross_grid(monkeypatch):
+    """End-to-end Dose.compute_gamma with the eval dose on a DIFFERENT
+    grid (finer, offset origin): identical physical dose fields must
+    pass at 100% with tiny gamma."""
+    from medicalimageanalysis_tpu.structure.dose import Dose
+    from medicalimageanalysis_tpu.dicom import Dataset
+
+    def mk(array, spacing_xyz, origin):
+        class H:
+            pass
+        h = H()
+        h.array = array
+        h.image_set = [Dataset()]
+        h.plane = "Axial"
+        h.spacing = np.asarray(spacing_xyz, float)
+        h.origin = np.asarray(origin, float)
+        h.dimensions = np.asarray(array.shape)
+        h.orientation = [1, 0, 0, 0, 1, 0]
+        h.image_matrix = np.eye(3)
+        h.dose_name = "D"
+        h.modality = "RTDOSE"
+        h.filepaths, h.sops, h.unverified = [], [], []
+        return Dose(h)
+
+    # smooth physical field D(x,y,z) = 20 + x + 0.5 y + 0.25 z  (mm)
+    def field(shape, sp, org):
+        z, y, x = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+        xs = org[0] + x * sp[0]
+        ys = org[1] + y * sp[1]
+        zs = org[2] + z * sp[2]
+        return (20.0 + xs + 0.5 * ys + 0.25 * zs).astype(np.float32)
+
+    ref = mk(field((6, 16, 16), [2.0, 2.0, 2.5], [0, 0, 0]),
+             [2.0, 2.0, 2.5], [0, 0, 0])
+    evl = mk(field((10, 40, 40), [1.0, 1.0, 2.0], [-2, -2, -2]),
+             [1.0, 1.0, 2.0], [-2, -2, -2])
+    out = ref.compute_gamma(evl, dose_pct=2.0, dta_mm=2.0)
+    assert out["pass_rate"] == 100.0
+    assert out["max"] < 0.15
+
+    # eval +1 Gy uniform = 1 mm x-shift of the 1 Gy/mm gradient.
+    # dd = 3 Gy, dta = 2 mm; minimising over the 0.5 mm fine lattice:
+    # offset 0 -> 1/3, offset 0.5mm -> sqrt(0.25^2+(0.5/3)^2) = 0.300,
+    # offset 1.0mm -> 0.5; the distance/dose trade-off wins at 0.30
+    evl2 = mk(field((10, 40, 40), [1.0, 1.0, 2.0], [-2, -2, -2]) + 1.0,
+              [1.0, 1.0, 2.0], [-2, -2, -2])
+    out2 = ref.compute_gamma(evl2, dose_pct=3.0, dta_mm=2.0,
+                             norm_dose=100.0, subdiv=4)
+    core = out2["gamma"][1:-1, 4:-4, 4:-4]
+    assert abs(np.median(core) - 0.300) < 0.05
