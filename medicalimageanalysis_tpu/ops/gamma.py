@@ -21,8 +21,10 @@ fine volume once with static strided slices; the minimisation is a
 single `lax.scan` over the offset list whose body is one
 `dynamic_slice` (the integer shift) + FMA + min — pure HBM streaming,
 no gathers, one compiled body regardless of how many thousand offsets
-the criteria imply, and the offset list is a runtime argument so
-changing dta/cap/subdiv never recompiles. The list is pruned
+the criteria imply. The offset list is a runtime argument, so dose
+criteria (dose_pct / local / threshold) never recompile; dta, cap and
+subdiv feed the static (s, r) layout and DO compile a new program
+when they change. The list is pruned
 host-side to the sphere |d| <= cap * dta (offsets further out cannot
 produce a gamma below `cap`), so the reported map is exact for all
 values <= cap and clamped above it.
@@ -162,7 +164,7 @@ def _gamma_fn(ref_shape, s, r, chunk):
 
 def gamma_index(ref_dose, eval_fine, spacing, dose_pct=3.0, dta_mm=3.0,
                 local=False, norm_dose=None, threshold_pct=10.0,
-                subdiv=None, cap=2.0, chunk=None):
+                subdiv=None, cap=2.0, chunk=None, layout=None):
     """Gamma map of ``eval`` vs ``ref_dose`` on the reference grid.
 
     Parameters
@@ -188,8 +190,14 @@ def gamma_index(ref_dose, eval_fine, spacing, dose_pct=3.0, dta_mm=3.0,
     Returns dict: gamma (Z,Y,X) float32, pass_rate, mean/max gamma
     over the analysed region, analysed voxel count, and the mask.
     """
+    if cap < 1.0:
+        # gamma values above cap are clamped, and pass_rate counts
+        # g <= 1: a sub-1 cap would report true failures as passes
+        raise ValueError(f"gamma_index: cap must be >= 1, got {cap}")
     ref = np.asarray(ref_dose, np.float32)
-    s, r, offsets, dist2 = fine_grid_layout(spacing, dta_mm, subdiv, cap)
+    s, r, offsets, dist2 = (layout if layout is not None else
+                            fine_grid_layout(spacing, dta_mm, subdiv,
+                                             cap))
     expect = tuple((n - 1) * si + 2 * ri + 1
                    for n, si, ri in zip(ref.shape, s, r))
     if tuple(eval_fine.shape) != expect:

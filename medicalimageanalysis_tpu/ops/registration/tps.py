@@ -80,35 +80,83 @@ def tps_fit(points, displacements, regularization=0.0):
     return sol[:n].astype(np.float64), sol[n:].astype(np.float64)
 
 
+def _kernel_eval(q, P, W, A, p_sq):
+    """(C, 3) centered queries -> (C, 3) displacements: one MXU
+    contraction for the distance matrix + one for the combine."""
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)          # (C, 1)
+    cross = q @ P.T                                       # (C, N)
+    d2 = jnp.maximum(q_sq + p_sq[None, :] - 2.0 * cross, 0.0)
+    U = jnp.sqrt(d2)
+    return U @ W + A[0][None, :] + q @ A[1:]
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def _eval_chunked(Qpos, P, W, A, chunk):
     """(G, 3) query positions -> (G, 3) displacements, lax.map over
-    row chunks; each chunk is one MXU contraction for the distance
-    matrix + one for the weight combine."""
+    row chunks."""
     G = Qpos.shape[0]
     pad = (-G) % chunk
     Qp = jnp.pad(Qpos, ((0, pad), (0, 0)))
     p_sq = jnp.sum(P * P, axis=1)  # (N,)
-
-    def one(q):
-        # |q - p| via the contraction: q@p^T dominates -> MXU
-        q_sq = jnp.sum(q * q, axis=1, keepdims=True)          # (C, 1)
-        cross = q @ P.T                                       # (C, N)
-        d2 = jnp.maximum(q_sq + p_sq[None, :] - 2.0 * cross, 0.0)
-        U = jnp.sqrt(d2)
-        return U @ W + A[0][None, :] + q @ A[1:]
-
     chunks = Qp.reshape(-1, chunk, 3)
-    out = lax.map(one, chunks).reshape(-1, 3)
+    out = lax.map(lambda q: _kernel_eval(q, P, W, A, p_sq),
+                  chunks).reshape(-1, 3)
     return out[:G]
+
+
+@partial(jax.jit, static_argnames=("shape", "chunk"))
+def _eval_grid(P, W, A, origin, spacing_xyz, matrix, shape, chunk):
+    """(Z, Y, X, 3) displacement grid with query positions generated
+    on device per chunk from the flat voxel index — no host
+    materialization of the G x 3 coordinate array (a 256^3 grid never
+    exists as host temporaries)."""
+    Z, Y, X = shape
+    G = Z * Y * X
+    n_chunks = (G + chunk - 1) // chunk
+    p_sq = jnp.sum(P * P, axis=1)
+
+    def one(i):
+        idx = i * chunk + jnp.arange(chunk)
+        z = idx // (Y * X)
+        rem = idx % (Y * X)
+        y = rem // X
+        x = rem % X
+        pix = jnp.stack([x.astype(jnp.float32) * spacing_xyz[0],
+                         y.astype(jnp.float32) * spacing_xyz[1],
+                         z.astype(jnp.float32) * spacing_xyz[2]],
+                        axis=1)
+        # matrix rows = pixel-axis directions (package convention):
+        # scaled pixel vectors map through a row-combination pix @ M
+        q = pix @ matrix + origin[None, :]
+        return _kernel_eval(q, P, W, A, p_sq)
+
+    out = lax.map(one, jnp.arange(n_chunks)).reshape(-1, 3)
+    return out[:G].reshape(Z, Y, X, 3)
+
+
+def _centered(points, W, A):
+    """Shift the evaluation frame to the landmark centroid: at
+    clinical coordinate magnitudes (|p| up to ~1e3 mm) the float32
+    contraction |q|^2 + |p|^2 - 2 q.p loses ~sqrt(eps)*|p| near d2=0,
+    i.e. a fraction of a mm of kernel error exactly at the landmarks.
+    Centering removes the large common offset; the affine constant
+    absorbs the shift exactly: A0' = A0 + c @ A[1:]."""
+    P = np.asarray(points, np.float64).reshape(-1, 3)
+    c = P.mean(axis=0)
+    A = np.asarray(A, np.float64)
+    A0 = A[0] + c @ A[1:]
+    A_shift = np.concatenate([A0[None, :], A[1:]], axis=0)
+    return (P - c), A_shift, c
 
 
 def tps_displacement(points, W, A, queries, chunk=16384):
     """Evaluate the fitted spline at (G, 3) query positions."""
-    P = jnp.asarray(np.asarray(points, np.float32))
-    return _eval_chunked(jnp.asarray(queries, jnp.float32), P,
+    Pc, A_shift, c = _centered(points, W, A)
+    q = np.asarray(queries, np.float64).reshape(-1, 3) - c
+    return _eval_chunked(jnp.asarray(q, jnp.float32),
+                         jnp.asarray(Pc, jnp.float32),
                          jnp.asarray(W, jnp.float32),
-                         jnp.asarray(A, jnp.float32), int(chunk))
+                         jnp.asarray(A_shift, jnp.float32), int(chunk))
 
 
 def tps_displacement_grid(points, W, A, origin, spacing, matrix, shape,
@@ -116,20 +164,19 @@ def tps_displacement_grid(points, W, A, origin, spacing, matrix, shape,
     """Dense (Z, Y, X, 3) mm displacement field over a grid.
 
     Grid voxel (z, y, x) sits at physical position
-    origin + matrix @ (x*sx, y*sy, z*sz) — the package's standard
-    grid geometry (matrix rows = pixel-axis directions).
+    origin + [x sx, y sy, z sz] @ matrix (rows = pixel-axis
+    directions). NOTE: the package's DVF samplers
+    (sample_dvf_at_points / invert_dvf) index fields axis-aligned as
+    (p - origin) / spacing — pass matrix=np.eye(3) for a field those
+    samplers will consume (Deformable.compute_tps does).
     """
     Z, Y, X = (int(v) for v in shape)
-    sp = np.asarray(spacing, np.float64)
-    M = np.asarray(matrix, np.float64)
-    org = np.asarray(origin, np.float64)
-    zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
-                             indexing="ij")
-    pix = np.stack([xx.ravel() * sp[0], yy.ravel() * sp[1],
-                    zz.ravel() * sp[2]], axis=1)
-    # matrix rows = pixel-axis directions (package convention), so a
-    # scaled pixel vector maps through a row-combination: pix @ M
-    pos = pix @ M + org[None, :]
-    disp = np.asarray(tps_displacement(points, W, A,
-                                       pos.astype(np.float32), chunk))
-    return disp.reshape(Z, Y, X, 3).astype(np.float32)
+    Pc, A_shift, c = _centered(points, W, A)
+    disp = _eval_grid(
+        jnp.asarray(Pc, jnp.float32), jnp.asarray(W, jnp.float32),
+        jnp.asarray(A_shift, jnp.float32),
+        jnp.asarray(np.asarray(origin, np.float64) - c, jnp.float32),
+        jnp.asarray(np.asarray(spacing, np.float64), jnp.float32),
+        jnp.asarray(np.asarray(matrix, np.float64), jnp.float32),
+        (Z, Y, X), int(chunk))
+    return np.asarray(disp, np.float32)

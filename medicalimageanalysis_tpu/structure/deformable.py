@@ -454,6 +454,10 @@ class Deformable(object):
         rigid_inv = np.linalg.inv(np.asarray(self.rigid_matrix,
                                              np.float64))
         if points_reference is not None or points_moving is not None:
+            if points_reference is None or points_moving is None:
+                raise ValueError(
+                    "compute_tps: points_reference and points_moving "
+                    "must be given together")
             t = np.asarray(points_reference, np.float64).reshape(-1, 3)
             m = np.asarray(points_moving, np.float64).reshape(-1, 3)
             if t.shape != m.shape:
@@ -487,8 +491,13 @@ class Deformable(object):
         W, A = tps_fit(p, t - p, regularization=regularization)
 
         ref = Data.image[self.reference_name]
+        # identity grid orientation, NOT ref.matrix: the package's DVF
+        # samplers (sample_dvf_at_points, invert_dvf in update_rois/
+        # update_dose) index fields axis-aligned as (p - origin) /
+        # spacing — evaluating on an oblique lattice would mis-register
+        # every downstream warp while the residuals below still read ~0
         dvf = tps_displacement_grid(p, W, A, ref.origin, ref.spacing,
-                                    ref.matrix, ref.array.shape,
+                                    np.eye(3), ref.array.shape,
                                     chunk=chunk)
         # already point-displacement — no solver-field inversion needed
         self.dvf = dvf

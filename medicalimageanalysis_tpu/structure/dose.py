@@ -155,20 +155,24 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
 
         other = Data.dose[dose_name] if isinstance(dose_name, str) \
             else dose_name
-        s, r, _, _ = fine_grid_layout(self.spacing, dta_mm, subdiv, cap)
+        layout = fine_grid_layout(self.spacing, dta_mm, subdiv, cap)
+        s, r = layout[0], layout[1]
         A = compose_pixel_matrix(
             other.matrix, other.spacing, other.origin,
             self.matrix, self.spacing, self.origin
         ).astype(np.float64) @ fine_to_ref_pixel_matrix(s, r)
+        # array.shape, not self.dimensions: non-axial doses keep
+        # dimensions in (x, y, z)-permuted order while the array (and
+        # every resample target, cf. compute_roi_dose_array) is zyx
         fine = affine_resample(
             np.asarray(other.array, np.float32), A.astype(np.float32),
-            fine_grid_shape(tuple(int(v) for v in self.dimensions), s, r),
+            fine_grid_shape(tuple(np.asarray(self.array).shape), s, r),
             background=float(_OUTSIDE))
         return gamma_index(np.asarray(self.array, np.float32), fine,
                            self.spacing, dose_pct=dose_pct, dta_mm=dta_mm,
                            local=local, norm_dose=norm_dose,
                            threshold_pct=threshold_pct, subdiv=subdiv,
-                           cap=cap, chunk=chunk)
+                           cap=cap, chunk=chunk, layout=layout)
 
     # -- radiobiology (NEW; reference stops at physical-dose DVHs) --------
     def compute_eqd2(self, n_fractions, alpha_beta, name=None,

@@ -193,3 +193,9 @@ def test_dose_compute_gamma_cross_grid(monkeypatch):
                              norm_dose=100.0, subdiv=4)
     core = out2["gamma"][1:-1, 4:-4, 4:-4]
     assert abs(np.median(core) - 0.300) < 0.05
+
+
+def test_cap_below_one_rejected():
+    ref = np.full((2, 8, 8), 50.0, np.float32)
+    with pytest.raises(ValueError, match="cap"):
+        _gamma_same_grid(ref, ref, [2.0, 2.0, 2.0], cap=0.8)

@@ -174,3 +174,41 @@ def test_compute_tps_no_matches_raises(tmp_path):
     with pytest.raises(ValueError, match="no matched POIs"):
         deform.compute_tps()
     Data.clear()
+
+
+def test_tps_exact_at_clinical_coordinate_magnitudes():
+    """Landmarks ~1000 mm from the origin (CT couch coordinates): the
+    centered evaluation keeps the float32 kernel exact at anchors —
+    the naive |q|^2+|p|^2-2q.p contraction loses ~0.5 mm there."""
+    rng = np.random.default_rng(7)
+    P = rng.uniform(-50, 50, size=(12, 3)) + np.array([200., -300., 1200.])
+    V = rng.uniform(-5, 5, size=(12, 3))
+    W, A = tps_fit(P, V)
+    out = np.asarray(tps_displacement(P, W, A, P))
+    np.testing.assert_allclose(out, V, atol=2e-2)
+    # and the grid evaluator agrees with pointwise at a far node
+    origin = np.array([180.0, -320.0, 1180.0])
+    grid = tps_displacement_grid(P, W, A, origin, [2.0, 2.0, 2.0],
+                                 np.eye(3), (4, 5, 6), chunk=16)
+    q = origin + np.array([3 * 2.0, 2 * 2.0, 1 * 2.0])
+    direct = np.asarray(tps_displacement(P, W, A, q[None]))[0]
+    np.testing.assert_allclose(grid[1, 2, 3], direct, atol=2e-3)
+
+
+def test_tps_partial_point_args_raise(tmp_path):
+    rng = np.random.default_rng(8)
+    arr = rng.integers(-200, 200, size=(4, 12, 12)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr, spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", arr, spacing=(1, 1), thickness=2.0,
+                    modality="MR")
+    Data.clear()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+    deform = mia.Deformable(reference_name=ct, moving_name=mr,
+                            roi_names=[])
+    with pytest.raises(ValueError, match="together"):
+        deform.compute_tps(points_reference=np.zeros((3, 3)))
+    Data.clear()
