@@ -148,6 +148,32 @@ def main():
     print("GTV vs mapped fraction GTV:",
           {k: round(v, 3) for k, v in panel.items()})
 
+    # -- 5c. dose QA: gamma vs the planned distribution ----------------------
+    # scale the single-fraction grid to the course and gamma-compare the
+    # deformably-accumulated dose against it (3%/3mm global, TG-218)
+    from medicalimageanalysis_tpu.utils import register_dose_grid
+    planned = register_dose_grid(
+        np.asarray(Data.dose[fx_dose_name].array, np.float32) * 30.0,
+        Data.dose[fx_dose_name], name="Planned course")
+    g = planned.compute_gamma("Accumulated", dose_pct=3.0, dta_mm=3.0)
+    print("gamma 3%%/3mm: pass %.1f%% (mean %.2f, max %.2f over %d vox)"
+          % (g["pass_rate"], g["mean"], g["max"], g["analysed_voxels"]))
+
+    # -- 5d. radiobiology: EQD2-weighted DVH + outcome models ----------------
+    acc_eqd2 = acc.compute_eqd2(n_fractions=30, alpha_beta=10.0,
+                                name="Accumulated EQD2")
+    s2 = acc_eqd2.compute_roi_dose_statistics(plan_ct, "GTV")
+    print("GTV EQD2 Dmean %.2f Gy (physical %.2f)"
+          % (s2["Dmean"], stats["Dmean"]))
+    tcp = acc_eqd2.compute_tcp(plan_ct, "GTV", tcd50=45.0, gamma50=2.0)
+    # cold-spot sensitivity is the POINT of a<0: this synthetic GTV has
+    # voxels the fraction dose never covered (D95 is ~23 Gy), so the
+    # gEUD collapses and TCP ~ 0 — a real plan-evaluation red flag
+    d = acc_eqd2.compute_roi_dose_array(plan_ct, "GTV")
+    print("TCP(logistic, EQD2): %.1f%% at gEUD %.1f Gy "
+          "(%d cold voxels < 5 Gy drive it)"
+          % (100 * tcp["tcp"], tcp["gEUD"], int((d < 5.0).sum())))
+
     # -- 6. export everything back to DICOM ----------------------------------
     out = os.path.join(tmp, "export")
     os.makedirs(out, exist_ok=True)

@@ -1,4 +1,5 @@
-"""Intensity-based 6-DoF rigid registration (differentiable, TPU-first).
+"""Intensity-based rigid / similarity / affine registration
+(differentiable, TPU-first).
 
 No reference counterpart (the reference only has mesh ICP); this is the
 framework's fast path for the BASELINE "rigid registration CT<->CT pair
@@ -6,10 +7,12 @@ framework's fast path for the BASELINE "rigid registration CT<->CT pair
 loss differentiates straight through it, and the whole multi-resolution
 descent is one jit per pyramid level.
 
-Pose parameterization: 3 Euler angles (radians) + 3 translations (mm)
-about the reference volume center. The result converts to the same 4x4
-``reference -> moving`` physical matrix the Rigid object stores
-(reference structure/rigid.py:438-477 semantics).
+Pose parameterization (``mode`` selects the family, see
+:func:`pose_to_matrix`): 3 Euler angles (radians) + 3 translations
+(mm) about the reference volume center, optionally + log-scale(s) and
+shears. The result converts to the same 4x4 ``reference -> moving``
+physical matrix the Rigid object stores (reference
+structure/rigid.py:438-477 semantics).
 """
 
 from __future__ import annotations
@@ -40,14 +43,39 @@ def _rot_mats(angles):
 
 
 def pose_to_matrix(pose, center):
-    """(6,) pose -> 4x4 physical transform rotating about `center`."""
+    """Pose -> 4x4 physical transform about `center`; the parameter
+    count selects the model (static under jit — shape dispatch):
+
+    - (6,)  rigid:      angles(3) + translation(3)        M = R
+    - (7,)  similarity: + log isotropic scale             M = e^s R
+    - (12,) affine:     + log per-axis scales(3) + shears(3)
+                        M = R @ diag(e^s) @ unit-upper-Shear
+
+    The log-scale / R-scale-shear factorization keeps every parameter
+    unconstrained (no positivity clamps) and the identity at pose 0,
+    so the same Adam descent drives all three models.
+    """
     pose = jnp.asarray(pose)
+    n = pose.shape[0]
     R = _rot_mats(pose[:3])
+    t = pose[3:6]
+    if n == 6:
+        M = R
+    elif n == 7:
+        M = jnp.exp(pose[6]) * R
+    elif n == 12:
+        S = jnp.diag(jnp.exp(pose[6:9]))
+        H = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                       [0.0, 0.0, 1.0]])
+        H = H.at[0, 1].set(pose[9]).at[0, 2].set(pose[10]) \
+             .at[1, 2].set(pose[11])
+        M = R @ S @ H
+    else:
+        raise ValueError(f"pose length must be 6/7/12, got {n}")
     c = jnp.asarray(center)
-    t = pose[3:]
     m = jnp.eye(4)
-    m = m.at[:3, :3].set(R)
-    m = m.at[:3, 3].set(c + t - R @ c)
+    m = m.at[:3, :3].set(M)
+    m = m.at[:3, 3].set(c + t - M @ c)
     return m
 
 
@@ -60,9 +88,17 @@ def _sample_grid(shape_zyx, step):
 
 
 # Adam's per-parameter step equals lr in parameter units, so angles
-# (radians) and translations (mm) need different effective step sizes.
-# Optimize scaled parameters: pose = params * _POSE_SCALE.
+# (radians), translations (mm) and log-scales/shears need different
+# effective step sizes. Optimize scaled parameters:
+# pose = params * _pose_scale(n).
 _POSE_SCALE = np.array([0.05, 0.05, 0.05, 5.0, 5.0, 5.0], np.float32)
+
+
+def _pose_scale(n):
+    """Per-parameter step scale for the 6/7/12-parameter models."""
+    extra = {6: [], 7: [0.02], 12: [0.02] * 6}[int(n)]
+    return np.concatenate([_POSE_SCALE,
+                           np.asarray(extra, np.float32)])
 
 _MI_BINS = 32
 
@@ -195,7 +231,7 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
         stride = (1, 1, 1)
 
     shape = ref_vol.shape
-    scale = jnp.asarray(_POSE_SCALE)
+    scale = jnp.asarray(_pose_scale(pose0.shape[0]))
 
     if use_pallas and jax.default_backend() == "tpu":
         # Pallas tile-slab warp sampler: exact trilinear with an
@@ -270,7 +306,7 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
                                    levels=((4, 60, 0.3), (2, 40, 0.1),
                                            (1, 25, 0.03)),
                                    intensity_scale=1.0, mesh=None,
-                                   metric="mse"):
+                                   metric="mse", mode="rigid"):
     """Cohort registration: P volume pairs through ONE compiled program
     per pyramid level.
 
@@ -285,7 +321,8 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
         see register_rigid_intensity's quantization for the recipe)
     ref_pix2pos, mov_pos2pix : (P, 4, 4) f32 geometry matrices
     centers : (P, 3) rotation centers (mm)
-    Returns (poses (P, 6), final_losses (P,)).
+    Returns (poses (P, n_params), final_losses (P,)); n_params is 6/7/12
+    per ``mode`` (see :func:`pose_to_matrix`).
     """
     import jax.numpy as jnp
 
@@ -295,8 +332,8 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
     ref_pix2pos = jnp.asarray(ref_pix2pos, jnp.float32)
     mov_pos2pix = jnp.asarray(mov_pos2pix, jnp.float32)
     centers = jnp.asarray(centers, jnp.float32)
-    poses = jnp.zeros((P_n, 6), jnp.float32) if poses0 is None \
-        else jnp.asarray(poses0, jnp.float32)
+    poses = (jnp.zeros((P_n, _MODE_NPARAMS[mode]), jnp.float32)
+             if poses0 is None else jnp.asarray(poses0, jnp.float32))
     scale = jnp.float32(intensity_scale)
     losses = jnp.zeros((P_n,), jnp.float32)
 
@@ -402,10 +439,14 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
     return np.asarray(poses), np.asarray(losses)
 
 
+_MODE_NPARAMS = {"rigid": 6, "similarity": 7, "affine": 12}
+
+
 def register_rigid_intensity(reference_image, moving_image, pose0=None,
                              levels=((4, 60, 0.3), (2, 40, 0.1),
                                      (1, 25, 0.03)),
-                             normalize=True, metric="mse"):
+                             normalize=True, metric="mse",
+                             mode="rigid"):
     """Register moving onto reference by gradient descent on a masked
     similarity metric.
 
@@ -417,12 +458,31 @@ def register_rigid_intensity(reference_image, moving_image, pose0=None,
     metric : 'mse' (mono-modality default) | 'ncc' | 'mi' (soft-binned
         mutual information — the CT<->MR cross-modality metric,
         BASELINE config #4; requires normalize=True)
+    mode : 'rigid' (6-DoF) | 'similarity' (+isotropic scale) |
+        'affine' (12-DoF: +per-axis scales and shears) — the
+        transform family, see :func:`pose_to_matrix`. Gradient
+        descent through the same sampler drives all three; the
+        returned matrix remains ``reference -> moving`` physical.
+        CAVEAT for scale-bearing modes: ``normalize=True`` rescales
+        each volume by its OWN 2/98 percentiles, which is not
+        invariant under a volume-changing transform (a 6% shrink
+        shifts the histogram) and biases the fitted scale by a few
+        percent with 'mse' — use ``normalize=False`` or
+        ``metric='ncc'`` (affine-intensity invariant) there.
 
     Returns (matrix4 ``reference -> moving``, info dict).
     """
     if metric == "mi" and not normalize:
         raise ValueError("metric='mi' requires normalize=True "
                          "([0, 1] intensities for the Parzen bins)")
+    if mode not in _MODE_NPARAMS:
+        raise ValueError(f"unknown mode {mode!r}; pick from "
+                         f"{sorted(_MODE_NPARAMS)}")
+    n_params = _MODE_NPARAMS[mode]
+    if pose0 is not None and np.shape(pose0) != (n_params,):
+        raise ValueError(
+            f"pose0 must have shape ({n_params},) for mode={mode!r}, "
+            f"got {np.shape(pose0)}")
     ref = np.asarray(reference_image.array, dtype=np.float32)
     mov = np.asarray(moving_image.array, dtype=np.float32)
     intensity_scale = 1.0
@@ -451,7 +511,7 @@ def register_rigid_intensity(reference_image, moving_image, pose0=None,
                              ref.shape[0] / 2], ref_pix2pos),
                         dtype=np.float32)
 
-    pose = jnp.zeros(6, jnp.float32) if pose0 is None \
+    pose = jnp.zeros(n_params, jnp.float32) if pose0 is None \
         else jnp.asarray(pose0, jnp.float32)
     losses_all = []
     refj = jnp.asarray(ref)

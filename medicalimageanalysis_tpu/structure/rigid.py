@@ -319,8 +319,13 @@ class Rigid(object):
         self.update_rois()
 
     def compute_intensity(self, levels=None, **kwargs):
-        """Intensity-based 6-DoF registration on device (new capability;
-        the fast path for the <100 ms CT<->CT target)."""
+        """Intensity-based registration on device (new capability; the
+        fast path for the <100 ms CT<->CT target). ``mode='rigid'``
+        (6-DoF default) | ``'similarity'`` | ``'affine'`` and
+        ``metric='mse'|'ncc'|'mi'`` pass through to
+        models.rigid_intensity.register_rigid_intensity; the fitted
+        family lands in ``self.matrix`` either way (a Rigid's matrix
+        is consumed as a general 4x4 by create_image/update_rois)."""
         from ..models.rigid_intensity import register_rigid_intensity
         ref = Data.image[self.reference_name]
         mov = Data.image[self.moving_name]

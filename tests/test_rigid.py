@@ -406,3 +406,101 @@ def test_rigid_update_pois(tmp_path, rng):
         mapped["L0"], (np.linalg.inv(m) @ np.append(p_mov, 1.0))[:3],
         atol=1e-9)
     assert "L0" in rigid.pois
+
+
+def _analytic_pair(true_pose, center, shape=(24, 48, 48)):
+    """ref(p) = f(p); mov(q) = f(T^-1 q) with T = pose_to_matrix(true
+    pose about `center`) — analytically exact, no interpolation, so an
+    intensity fit of mov onto ref must recover T itself."""
+    import jax.numpy as jnp
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        pose_to_matrix)
+
+    def f(x, y, z):
+        # anisotropic two-blob scene pins rotation, scale AND shear
+        return (900 * np.exp(-(((z - 12) / 4) ** 2 + ((y - 24) / 11) ** 2
+                               + ((x - 22) / 6) ** 2))
+                + 500 * np.exp(-(((z - 8) / 3) ** 2 + ((y - 13) / 4) ** 2
+                                 + ((x - 33) / 5) ** 2)))
+
+    T = np.asarray(pose_to_matrix(jnp.asarray(true_pose, jnp.float32),
+                                  jnp.asarray(center, jnp.float32)),
+                   np.float64)
+    Ti = np.linalg.inv(T)
+    zz, yy, xx = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+    ref = f(xx, yy, zz).astype(np.float32)
+    q = np.stack([xx, yy, zz, np.ones_like(xx)], axis=-1).reshape(-1, 4)
+    p = q @ Ti.T
+    mov = f(p[:, 0], p[:, 1], p[:, 2]).reshape(shape).astype(np.float32)
+
+    class Img:
+        def __init__(self, a):
+            self.array = a
+            self.matrix = np.eye(3)
+            self.spacing = np.ones(3)
+            self.origin = np.zeros(3)
+
+        def compute_center(self):
+            return np.asarray(center, float)
+
+    return Img(ref), Img(mov), T
+
+
+def test_register_intensity_similarity_recovers_scale():
+    """mode='similarity' recovers an isotropic 6% shrink + small
+    rotation + translation that 6-DoF rigid cannot represent."""
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        register_rigid_intensity)
+
+    true_pose = np.array([0.03, -0.02, 0.04, 2.0, -1.0, 1.0,
+                          np.log(0.94)], np.float32)
+    center = [24.0, 24.0, 12.0]
+    ref, mov, T = _analytic_pair(true_pose, center)
+
+    # normalize=False: the per-volume percentile normalization is NOT
+    # invariant to a scale change (the shrunk volume's histogram
+    # differs), which would bias the fitted scale by ~3%
+    matrix, info = register_rigid_intensity(
+        ref, mov, mode="similarity", normalize=False,
+        levels=((2, 120, 0.2), (1, 80, 0.05)))
+    assert np.abs(matrix[:3, :3] - T[:3, :3]).max() < 0.01
+    assert np.abs(matrix[:3, 3] - T[:3, 3]).max() < 0.5
+    # the fitted log-scale itself lands near truth
+    assert abs(info["pose"][6] - np.log(0.94)) < 0.01
+
+    # rigid mode CANNOT represent the scale: its best loss stays well
+    # above the similarity fit's
+    _, info_r = register_rigid_intensity(
+        ref, mov, mode="rigid", normalize=False,
+        levels=((2, 120, 0.2), (1, 80, 0.05)))
+    assert info["loss"] < info_r["loss"] * 0.5
+
+
+def test_register_intensity_affine_recovers_shear():
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        register_rigid_intensity)
+
+    true_pose = np.zeros(12, np.float32)
+    true_pose[:3] = [0.02, -0.015, 0.03]
+    true_pose[3:6] = [1.5, -1.0, 0.5]
+    true_pose[6:9] = [0.04, -0.03, 0.02]      # log per-axis scales
+    true_pose[9:12] = [0.03, -0.02, 0.025]    # shears
+    center = [24.0, 24.0, 12.0]
+    ref, mov, T = _analytic_pair(true_pose, center)
+
+    matrix, info = register_rigid_intensity(
+        ref, mov, mode="affine", normalize=False,
+        levels=((2, 150, 0.2), (1, 100, 0.05)))
+    assert np.abs(matrix[:3, :3] - T[:3, :3]).max() < 0.015
+    assert np.abs(matrix[:3, 3] - T[:3, 3]).max() < 0.6
+
+
+def test_register_intensity_mode_validation(two_images):
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        register_rigid_intensity)
+    ref, mov = two_images
+    with pytest.raises(ValueError, match="unknown mode"):
+        register_rigid_intensity(ref, mov, mode="projective")
+    with pytest.raises(ValueError, match="pose0"):
+        register_rigid_intensity(ref, mov, mode="similarity",
+                                 pose0=np.zeros(6))
