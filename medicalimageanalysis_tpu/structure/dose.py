@@ -174,6 +174,30 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                            threshold_pct=threshold_pct, subdiv=subdiv,
                            cap=cap, chunk=chunk, layout=layout)
 
+    def compute_isodose_contours(self, levels=None, percent_of=None):
+        """Per-slice isodose contours on this grid — NEW (RT-viz
+        staple the reference lacks; its dose Display can only window
+        the raw slice). ``levels``: absolute Gy values (default
+        deciles of max); ``percent_of``: when set, levels are percent
+        of this dose (e.g. prescription). Returns
+        {level_gy: (contour_pixel, contour_position)} using the same
+        tracer as MaskToContour (holes traced, XOR-exact)."""
+        from ..utils.convert.contour import MaskToContour
+
+        arr = np.asarray(self.array, np.float32)
+        if levels is None:
+            levels = (np.arange(1, 10) / 10.0 * float(arr.max())).tolist()
+        out = {}
+        for lv in levels:
+            gy = float(lv) * float(percent_of) / 100.0 \
+                if percent_of is not None else float(lv)
+            mask = (arr >= gy).astype(np.uint8)
+            pix, pos = MaskToContour(
+                mask, spacing=self.spacing, origin=self.origin,
+                matrix=self.matrix, plane=self.plane).create_contours()
+            out[gy] = (pix, pos)
+        return out
+
     # -- radiobiology (NEW; reference stops at physical-dose DVHs) --------
     def compute_eqd2(self, n_fractions, alpha_beta, name=None,
                      register=True):

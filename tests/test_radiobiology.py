@@ -143,3 +143,33 @@ def test_dose_compute_eqd2_registers_first_class_dose():
     d.compute_eqd2(3, 3.0, name="EQD2 A")
     assert Data.dose_list.count("EQD2 A") == 1
     Data.clear()
+
+
+def test_isodose_contours():
+    """Isodose lines: a centered dose disc yields one closed contour
+    per level whose radius tracks the level (physical mm positions)."""
+    from medicalimageanalysis_tpu.data import Data
+    Data.clear()
+    zz, yy, xx = np.mgrid[0:4, 0:32, 0:32]
+    r = np.sqrt((yy - 16.0) ** 2 + (xx - 16.0) ** 2)
+    arr = np.maximum(60.0 * (1 - r / 14.0), 0.0).astype(np.float32)
+    d = _mk_dose(arr, spacing_xyz=(2.0, 2.0, 2.5))
+    iso = d.compute_isodose_contours(levels=[30.0, 50.0])
+    assert set(iso) == {30.0, 50.0}
+    for gy, (pix, pos) in iso.items():
+        assert len(pos) == 4  # one ring per slice
+        ring = np.asarray(pos[0])
+        # radius in mm around the center (16 px * 2 mm)
+        rad = np.linalg.norm(ring[:, :2] - [32.0, 32.0], axis=1)
+        want = 14.0 * (1 - gy / 60.0) * 2.0
+        assert abs(np.median(rad) - want) < 2.5
+    # 50 Gy ring sits inside the 30 Gy ring
+    r30 = np.linalg.norm(
+        np.asarray(iso[30.0][1][0])[:, :2] - [32.0, 32.0], axis=1)
+    r50 = np.linalg.norm(
+        np.asarray(iso[50.0][1][0])[:, :2] - [32.0, 32.0], axis=1)
+    assert np.median(r50) < np.median(r30)
+    # percent_of form
+    iso2 = d.compute_isodose_contours(levels=[50.0], percent_of=60.0)
+    assert set(iso2) == {30.0}
+    Data.clear()
