@@ -27,10 +27,12 @@ class Data(object):
     rigid = {}
     deformable = {}
     dose = {}
+    plan = {}  # BEYOND-PARITY: RTPLAN summaries (reference drops them)
 
     image_list = []
     deformable_list = []
     dose_list = []
+    plan_list = []
     poi_list = []
     rigid_list = []
     roi_list = []
@@ -42,6 +44,7 @@ class Data(object):
         cls.rigid = {}
         cls.deformable = {}
         cls.dose = {}
+        cls.plan = {}
 
         cls.image_list = []
         cls.poi_list = []
@@ -49,6 +52,7 @@ class Data(object):
         cls.rigid_list = []
         cls.deformable_list = []
         cls.dose_list = []
+        cls.plan_list = []
 
     @classmethod
     def delete_image(cls, image_name):

@@ -54,6 +54,8 @@ DXImageStorage = "1.2.840.10008.5.1.4.1.1.1.1"
 CRImageStorage = "1.2.840.10008.5.1.4.1.1.1"
 RTStructureSetStorage = "1.2.840.10008.5.1.4.1.1.481.3"
 RTDoseStorage = "1.2.840.10008.5.1.4.1.1.481.2"
+RTPlanStorage = "1.2.840.10008.5.1.4.1.1.481.5"
+RTIonPlanStorage = "1.2.840.10008.5.1.4.1.1.481.8"
 SpatialRegistrationStorage = "1.2.840.10008.5.1.4.1.1.66.1"
 DeformableSpatialRegistrationStorage = "1.2.840.10008.5.1.4.1.1.66.3"
 SegmentationStorage = "1.2.840.10008.5.1.4.1.1.66.4"

@@ -25,7 +25,7 @@ __all__ = ["DicomReader", "thread_process_dicom", "sort_images_by_datetime",
            "create_image_name", "create_dose_name"]
 
 _2D_OR_STRUCT = ["US", "DX", "RF", "CR", "RTSTRUCT", "SEG", "REG",
-                 "RTDOSE"]
+                 "RTDOSE", "RTPLAN"]
 
 
 def sort_images_by_datetime():
@@ -67,6 +67,14 @@ def create_dose_name(modality):
     return modality + " " + str(1 + idx)
 
 
+def create_plan_name(modality):
+    """Sequential plan naming (same scheme; plans are BEYOND-PARITY)."""
+    idx = len(Data.plan_list)
+    if idx < 9:
+        return modality + " 0" + str(1 + idx)
+    return modality + " " + str(1 + idx)
+
+
 class DicomReader(object):
     """Full DICOM pipeline: read -> group -> build -> sort.
 
@@ -82,7 +90,7 @@ class DicomReader(object):
         self.only_modality = (
             only_modality if only_modality is not None
             else ["CT", "MR", "PT", "US", "DX", "RF", "CR", "RTSTRUCT",
-                  "SEG", "REG", "RTDOSE"]
+                  "SEG", "REG", "RTDOSE", "RTPLAN"]
         )
 
         if clear:
@@ -97,6 +105,7 @@ class DicomReader(object):
 
         images_before = set(Data.image_list)
         doses_before = set(Data.dose_list)
+        plans_before = set(Data.plan_list)
         rigid_before = set(Data.rigid_list)
         deformable_before = set(Data.deformable_list)
 
@@ -115,6 +124,8 @@ class DicomReader(object):
                             if n not in images_before]
         r.doses_created = [n for n in Data.dose_list
                            if n not in doses_before]
+        r.plans_created = [n for n in Data.plan_list
+                           if n not in plans_before]
         r.rigid_created = [n for n in Data.rigid_list
                            if n not in rigid_before]
         r.deformable_created = [n for n in Data.deformable_list
@@ -458,3 +469,11 @@ class DicomReader(object):
             from .rtdose import ReadRTDose
             for image_set in self.ds_modality["RTDOSE"]:
                 self._build_series(ReadRTDose, image_set, self.only_tags)
+
+        if self.ds_modality.get("RTPLAN"):
+            # BEYOND-PARITY: the reference drops RTPLAN entirely
+            # (reference reader.py:230-238); the plan summary feeds
+            # fractionation into EQD2/BED and prescription into gamma
+            from .rtplan import ReadRTPlan
+            for image_set in self.ds_modality["RTPLAN"]:
+                self._build_series(ReadRTPlan, image_set, self.only_tags)

@@ -128,7 +128,7 @@ def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
 
     if only_modality is None:
         only_modality = ["CT", "MR", "PT", "US", "DX", "RF", "CR", "SEG",
-                         "RTSTRUCT", "REG", "RTDOSE"]
+                         "RTSTRUCT", "REG", "RTDOSE", "RTPLAN"]
 
     if folder_path is not None \
             and str(folder_path).lower().endswith(".zip") \

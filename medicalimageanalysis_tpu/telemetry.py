@@ -53,6 +53,7 @@ class IngestReport:
     failed_series: list = field(default_factory=list)
     images_created: list = field(default_factory=list)
     doses_created: list = field(default_factory=list)
+    plans_created: list = field(default_factory=list)
     rigid_created: list = field(default_factory=list)
     deformable_created: list = field(default_factory=list)
     unmatched_rtstructs: list = field(default_factory=list)
@@ -74,6 +75,7 @@ class IngestReport:
             "failed_series": len(self.failed_series),
             "images": list(self.images_created),
             "doses": list(self.doses_created),
+            "plans": list(self.plans_created),
             "rigid": list(self.rigid_created),
             "deformable": list(self.deformable_created),
             "unmatched_rtstructs": len(self.unmatched_rtstructs),

@@ -1,0 +1,167 @@
+"""RTPLAN ingestion (read/rtplan.py + structure/plan.py) — NEW; the
+reference's modality list stops at RTDOSE and drops plan files."""
+
+import numpy as np
+import pytest
+
+import medicalimageanalysis_tpu as mia
+from medicalimageanalysis_tpu.data import Data
+from medicalimageanalysis_tpu.dicom import (Dataset, Sequence, dcmwrite,
+                                            generate_uid, uids)
+
+
+def write_rtplan_file(path, n_fractions=30, prescription=60.0,
+                      dose_sop=None, modality="RTPLAN"):
+    ds = Dataset()
+    ds.SOPClassUID = uids.RTPlanStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.SeriesInstanceUID = generate_uid()
+    ds.StudyInstanceUID = generate_uid()
+    ds.Modality = modality
+    ds.PatientID = "MRN001"
+    ds.PatientName = "Plan^Test"
+    ds.RTPlanLabel = "ProstateVMAT"
+    ds.RTPlanName = "Prostate 60/30"
+    ds.ApprovalStatus = "APPROVED"
+
+    dr = Dataset()
+    dr.DoseReferenceNumber = 1
+    dr.DoseReferenceStructureType = "SITE"
+    dr.DoseReferenceType = "TARGET"
+    dr.DoseReferenceDescription = "PTV"
+    dr.TargetPrescriptionDose = prescription
+    ds.DoseReferenceSequence = Sequence([dr])
+
+    rb1 = Dataset()
+    rb1.ReferencedBeamNumber = 1
+    rb1.BeamDose = 1.0
+    rb1.BeamMeterset = 250.0
+    rb2 = Dataset()
+    rb2.ReferencedBeamNumber = 2
+    rb2.BeamDose = 1.0
+    rb2.BeamMeterset = 230.0
+    fg = Dataset()
+    fg.FractionGroupNumber = 1
+    fg.NumberOfFractionsPlanned = n_fractions
+    fg.NumberOfBeams = 2
+    fg.ReferencedBeamSequence = Sequence([rb1, rb2])
+    ds.FractionGroupSequence = Sequence([fg])
+
+    beams = []
+    for num, (name, gantry) in enumerate(
+            [("CW Arc", 181.0), ("CCW Arc", 179.0)], start=1):
+        cp = Dataset()
+        cp.ControlPointIndex = 0
+        cp.NominalBeamEnergy = 6.0
+        cp.GantryAngle = gantry
+        cp.BeamLimitingDeviceAngle = 30.0
+        cp.PatientSupportAngle = 0.0
+        cp.IsocenterPosition = [1.5, -200.0, 75.0]
+        b = Dataset()
+        b.BeamNumber = num
+        b.BeamName = name
+        b.BeamType = "DYNAMIC"
+        b.RadiationType = "PHOTON"
+        b.TreatmentMachineName = "TrueBeam1"
+        b.TreatmentDeliveryType = "TREATMENT"
+        b.NumberOfControlPoints = 178
+        b.FinalCumulativeMetersetWeight = 1.0
+        b.ControlPointSequence = Sequence([cp])
+        beams.append(b)
+    ds.BeamSequence = Sequence(beams)
+
+    if dose_sop is not None:
+        rd = Dataset()
+        rd.ReferencedSOPClassUID = uids.RTDoseStorage
+        rd.ReferencedSOPInstanceUID = dose_sop
+        ds.ReferencedDoseSequence = Sequence([rd])
+    rs = Dataset()
+    rs.ReferencedSOPClassUID = uids.RTStructureSetStorage
+    rs.ReferencedSOPInstanceUID = generate_uid()
+    ds.ReferencedStructureSetSequence = Sequence([rs])
+
+    dcmwrite(path, ds)
+    return str(ds.SOPInstanceUID)
+
+
+def test_rtplan_ingest(tmp_path):
+    Data.clear()
+    write_rtplan_file(tmp_path / "rp.dcm")
+    report = mia.read_dicoms(folder_path=str(tmp_path)).report
+    assert Data.plan_list == ["RTPLAN 01"]
+    assert report.plans_created == ["RTPLAN 01"]
+    plan = Data.plan["RTPLAN 01"]
+    assert plan.label == "ProstateVMAT"
+    assert plan.n_fractions == 30
+    assert plan.target_prescription_dose == pytest.approx(60.0)
+    assert plan.approval_status == "APPROVED"
+    assert plan.mrn == "MRN001"
+    assert len(plan.beams) == 2
+    b = plan.beams[0]
+    assert b["name"] == "CW Arc" and b["radiation"] == "PHOTON"
+    assert b["machine"] == "TrueBeam1"
+    assert b["gantry_angle"] == pytest.approx(181.0)
+    assert b["isocenter"] == pytest.approx([1.5, -200.0, 75.0])
+    assert plan.total_beam_meterset() == pytest.approx(480.0)
+    assert plan.referenced_structure_set_sop
+    s = plan.summary()
+    assert s["n_fractions"] == 30 and s["beams"] == 2
+    Data.clear()
+
+
+def test_rtplan_links_to_dose(tmp_path):
+    """Plan <-> dose linking both directions: plan's ReferencedDose
+    SOP, and RTDOSE's ReferencedRTPlanSequence pointing back."""
+    from test_deformable_dose import write_rtdose_file
+    from helpers import write_ct_series
+
+    Data.clear()
+    rng = np.random.default_rng(0)
+    arr = rng.integers(-500, 500, size=(4, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path, arr, spacing=(1, 1), thickness=2.0)
+    dose_raw = np.full((4, 16, 16), 20000, np.uint32)
+    write_rtdose_file(tmp_path / "rd.dcm", dose_raw, info)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    dose_sop = Data.dose["RTDOSE 01"].sops[0]
+
+    write_rtplan_file(tmp_path / "rp.dcm", n_fractions=25,
+                      dose_sop=dose_sop)
+    mia.read_dicoms(folder_path=str(tmp_path / "rp.dcm"),
+                    file_list=[str(tmp_path / "rp.dcm")], clear=False)
+    plan = Data.plan["RTPLAN 01"]
+    assert plan.linked_dose_names() == ["RTDOSE 01"]
+
+    # fractionation feeds EQD2 directly
+    eq = Data.dose["RTDOSE 01"].compute_eqd2(
+        plan.n_fractions, alpha_beta=3.0, register=False)
+    d = 20.0 / 25.0
+    np.testing.assert_allclose(
+        eq[0, 0, 0], 20.0 * (d + 3.0) / (2.0 + 3.0), rtol=1e-5)
+    Data.clear()
+
+
+def test_rtplan_minimal_and_degenerate(tmp_path):
+    """A plan with nothing but Modality+SOP parses to None fields
+    (tolerant-ingest contract)."""
+    Data.clear()
+    ds = Dataset()
+    ds.SOPClassUID = uids.RTPlanStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "RTPLAN"
+    dcmwrite(tmp_path / "rp_min.dcm", ds)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    plan = Data.plan["RTPLAN 01"]
+    assert plan.n_fractions is None
+    assert plan.target_prescription_dose is None
+    assert plan.beams == [] and plan.fraction_groups == []
+    assert plan.total_beam_meterset() is None
+    assert plan.linked_dose_names() == []
+    Data.clear()
+
+
+def test_rtplan_respects_only_modality(tmp_path):
+    Data.clear()
+    write_rtplan_file(tmp_path / "rp.dcm")
+    mia.read_dicoms(folder_path=str(tmp_path), only_modality=["CT"])
+    assert Data.plan_list == []
+    Data.clear()
