@@ -89,6 +89,129 @@ class Plan(MetadataMixin):
                     seen = True
         return total if seen else None
 
+    def create_rtplan(self, path=None):
+        """Serialize this plan summary back to an RT Plan dataset —
+        completes the writer symmetry (every registry object type can
+        export to DICOM). Carries what the reader harvests: label/
+        name/description, approval, dose references, fraction groups
+        (with referenced-beam doses/metersets), and the beam list with
+        a single control point each. Returns the Dataset; writes to
+        ``path`` when given."""
+        from ..dicom import Dataset, Sequence, dcmwrite, uids
+
+        ds = Dataset()
+        ds.SOPClassUID = (uids.RTIonPlanStorage
+                          if any(b.get("radiation") in ("PROTON", "ION")
+                                 for b in self.beams)
+                          else uids.RTPlanStorage)
+        ds.SOPInstanceUID = generate_uid()
+        ds.SeriesInstanceUID = generate_uid()
+        ds.StudyInstanceUID = self.get_study_uid()
+        ds.Modality = "RTPLAN"
+        if self.frame_ref:
+            ds.FrameOfReferenceUID = self.frame_ref
+        src = self.tags[0]
+        for key in ("PatientName", "PatientID", "PatientBirthDate"):
+            if key in src:
+                setattr(ds, key, src.get(key))
+        if self.label is not None:
+            ds.RTPlanLabel = self.label
+        if self.name is not None:
+            ds.RTPlanName = self.name
+        if self.description is not None:
+            ds.RTPlanDescription = self.description
+        if self.approval_status is not None:
+            ds.ApprovalStatus = self.approval_status
+
+        def _set(item, key, value):
+            if value is not None:
+                setattr(item, key, value)
+
+        if self.dose_references:
+            seq = []
+            for dr in self.dose_references:
+                item = Dataset()
+                _set(item, "DoseReferenceNumber", dr.get("number"))
+                _set(item, "DoseReferenceStructureType",
+                     dr.get("structure_type"))
+                _set(item, "DoseReferenceType", dr.get("type"))
+                _set(item, "DoseReferenceDescription",
+                     dr.get("description"))
+                _set(item, "TargetPrescriptionDose",
+                     dr.get("target_prescription_dose"))
+                _set(item, "DeliveryMaximumDose",
+                     dr.get("delivery_maximum_dose"))
+                seq.append(item)
+            ds.DoseReferenceSequence = Sequence(seq)
+
+        if self.fraction_groups:
+            seq = []
+            for fg in self.fraction_groups:
+                item = Dataset()
+                _set(item, "FractionGroupNumber", fg.get("number"))
+                _set(item, "NumberOfFractionsPlanned",
+                     fg.get("n_fractions"))
+                _set(item, "NumberOfBeams", fg.get("n_beams"))
+                rbs = []
+                for bd in fg.get("beam_doses", []):
+                    rb = Dataset()
+                    _set(rb, "ReferencedBeamNumber", bd.get("beam_number"))
+                    _set(rb, "BeamDose", bd.get("dose_gy"))
+                    _set(rb, "BeamMeterset", bd.get("meterset"))
+                    rbs.append(rb)
+                if rbs:
+                    item.ReferencedBeamSequence = Sequence(rbs)
+                seq.append(item)
+            ds.FractionGroupSequence = Sequence(seq)
+
+        if self.beams:
+            seq = []
+            for b in self.beams:
+                item = Dataset()
+                _set(item, "BeamNumber", b.get("number"))
+                _set(item, "BeamName", b.get("name"))
+                _set(item, "BeamType", b.get("type"))
+                _set(item, "RadiationType", b.get("radiation"))
+                _set(item, "TreatmentMachineName", b.get("machine"))
+                _set(item, "TreatmentDeliveryType",
+                     b.get("delivery_type"))
+                _set(item, "NumberOfControlPoints",
+                     b.get("n_control_points"))
+                _set(item, "FinalCumulativeMetersetWeight",
+                     b.get("final_meterset_weight"))
+                if any(b.get(k) is not None for k in
+                       ("energy", "gantry_angle", "collimator_angle",
+                        "couch_angle", "isocenter")):
+                    cp = Dataset()
+                    cp.ControlPointIndex = 0
+                    _set(cp, "NominalBeamEnergy", b.get("energy"))
+                    _set(cp, "GantryAngle", b.get("gantry_angle"))
+                    _set(cp, "BeamLimitingDeviceAngle",
+                         b.get("collimator_angle"))
+                    _set(cp, "PatientSupportAngle", b.get("couch_angle"))
+                    _set(cp, "IsocenterPosition", b.get("isocenter"))
+                    item.ControlPointSequence = Sequence([cp])
+                seq.append(item)
+            ds.BeamSequence = Sequence(seq)
+
+        if self.referenced_structure_set_sop:
+            rs = Dataset()
+            rs.ReferencedSOPClassUID = uids.RTStructureSetStorage
+            rs.ReferencedSOPInstanceUID = self.referenced_structure_set_sop
+            ds.ReferencedStructureSetSequence = Sequence([rs])
+        if self.referenced_dose_sops:
+            seq = []
+            for sop in self.referenced_dose_sops:
+                rd = Dataset()
+                rd.ReferencedSOPClassUID = uids.RTDoseStorage
+                rd.ReferencedSOPInstanceUID = sop
+                seq.append(rd)
+            ds.ReferencedDoseSequence = Sequence(seq)
+
+        if path is not None:
+            dcmwrite(path, ds)
+        return ds
+
     def summary(self):
         return {
             "plan": self.plan_name,

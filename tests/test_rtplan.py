@@ -165,3 +165,33 @@ def test_rtplan_respects_only_modality(tmp_path):
     mia.read_dicoms(folder_path=str(tmp_path), only_modality=["CT"])
     assert Data.plan_list == []
     Data.clear()
+
+
+def test_rtplan_writer_round_trip(tmp_path):
+    """Plan.create_rtplan re-exports the harvested summary; a fresh
+    ingest reproduces every reader field."""
+    Data.clear()
+    write_rtplan_file(tmp_path / "rp.dcm")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    plan = Data.plan["RTPLAN 01"]
+
+    out = tmp_path / "export"
+    out.mkdir()
+    plan.create_rtplan(path=out / "rp2.dcm")
+
+    Data.clear()
+    mia.read_dicoms(folder_path=str(out))
+    p2 = Data.plan["RTPLAN 01"]
+    assert p2.label == plan.label and p2.name == plan.name
+    assert p2.n_fractions == plan.n_fractions
+    assert p2.target_prescription_dose == \
+        pytest.approx(plan.target_prescription_dose)
+    assert p2.approval_status == plan.approval_status
+    assert p2.beams == plan.beams
+    assert p2.fraction_groups == plan.fraction_groups
+    assert p2.dose_references == plan.dose_references
+    assert p2.referenced_structure_set_sop == \
+        plan.referenced_structure_set_sop
+    assert p2.total_beam_meterset() == \
+        pytest.approx(plan.total_beam_meterset())
+    Data.clear()
