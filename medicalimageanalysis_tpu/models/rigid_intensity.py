@@ -326,13 +326,21 @@ def register_rigid_intensity_batch(refs, movs, ref_pix2pos, mov_pos2pix,
     """
     import jax.numpy as jnp
 
+    if mode not in _MODE_NPARAMS:
+        raise ValueError(f"unknown mode {mode!r}; pick from "
+                         f"{sorted(_MODE_NPARAMS)}")
     refs = jnp.asarray(refs)
     movs = jnp.asarray(movs)
     P_n = refs.shape[0]
+    n_params = _MODE_NPARAMS[mode]
+    if poses0 is not None and np.shape(poses0) != (P_n, n_params):
+        raise ValueError(
+            f"poses0 must have shape ({P_n}, {n_params}) for "
+            f"mode={mode!r}, got {np.shape(poses0)}")
     ref_pix2pos = jnp.asarray(ref_pix2pos, jnp.float32)
     mov_pos2pix = jnp.asarray(mov_pos2pix, jnp.float32)
     centers = jnp.asarray(centers, jnp.float32)
-    poses = (jnp.zeros((P_n, _MODE_NPARAMS[mode]), jnp.float32)
+    poses = (jnp.zeros((P_n, n_params), jnp.float32)
              if poses0 is None else jnp.asarray(poses0, jnp.float32))
     scale = jnp.float32(intensity_scale)
     losses = jnp.zeros((P_n,), jnp.float32)

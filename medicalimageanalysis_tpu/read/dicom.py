@@ -50,29 +50,26 @@ def thread_process_dicom(path, stop_before_pixels=False):
     return datasets
 
 
-def create_image_name(modality):
-    """'{modality} NN' zero-padded sequential name off the registry length
-    (reference read/dicom.py:2113-2146)."""
-    idx = len(Data.image_list)
+def _sequential_name(modality, registry_list):
+    """'{modality} NN' zero-padded sequential name off the registry
+    length (reference read/dicom.py:2113-2178 repeats this per type)."""
+    idx = len(registry_list)
     if idx < 9:
         return modality + " 0" + str(1 + idx)
     return modality + " " + str(1 + idx)
+
+
+def create_image_name(modality):
+    return _sequential_name(modality, Data.image_list)
 
 
 def create_dose_name(modality):
-    """Sequential dose naming (reference read/dicom.py:2149-2178)."""
-    idx = len(Data.dose_list)
-    if idx < 9:
-        return modality + " 0" + str(1 + idx)
-    return modality + " " + str(1 + idx)
+    return _sequential_name(modality, Data.dose_list)
 
 
 def create_plan_name(modality):
-    """Sequential plan naming (same scheme; plans are BEYOND-PARITY)."""
-    idx = len(Data.plan_list)
-    if idx < 9:
-        return modality + " 0" + str(1 + idx)
-    return modality + " " + str(1 + idx)
+    """Sequential plan naming (plans are BEYOND-PARITY)."""
+    return _sequential_name(modality, Data.plan_list)
 
 
 class DicomReader(object):

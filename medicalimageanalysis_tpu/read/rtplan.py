@@ -136,9 +136,17 @@ class ReadRTPlan:
                 "final_meterset_weight": _f(
                     item, "FinalCumulativeMetersetWeight"),
             }
-            if "ControlPointSequence" in item \
-                    and len(item.ControlPointSequence):
-                cp = item.ControlPointSequence[0]
+            # geometry keys are ALWAYS present (None when no control
+            # point) so consumers can index uniformly across beams
+            beam.update({"energy": None, "gantry_angle": None,
+                         "collimator_angle": None, "couch_angle": None,
+                         "isocenter": None})
+            cp_seq = (item.ControlPointSequence
+                      if "ControlPointSequence" in item
+                      else item.IonControlPointSequence
+                      if "IonControlPointSequence" in item else [])
+            if len(cp_seq):
+                cp = cp_seq[0]
                 beam.update({
                     "energy": _f(cp, "NominalBeamEnergy"),
                     "gantry_angle": _f(cp, "GantryAngle"),

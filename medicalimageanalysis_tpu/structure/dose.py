@@ -186,7 +186,16 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
 
         arr = np.asarray(self.array, np.float32)
         if levels is None:
-            levels = (np.arange(1, 10) / 10.0 * float(arr.max())).tolist()
+            # defaults match the active unit: percent deciles when
+            # percent_of is given, absolute deciles of max otherwise
+            # (mixing them would rescale Gy values as percents)
+            if percent_of is not None:
+                levels = list(range(10, 100, 10))
+            else:
+                mx = float(arr.max())
+                if mx <= 0.0:
+                    return {}
+                levels = (np.arange(1, 10) / 10.0 * mx).tolist()
         out = {}
         for lv in levels:
             gy = float(lv) * float(percent_of) / 100.0 \

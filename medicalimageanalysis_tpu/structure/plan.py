@@ -95,14 +95,18 @@ class Plan(MetadataMixin):
         export to DICOM). Carries what the reader harvests: label/
         name/description, approval, dose references, fraction groups
         (with referenced-beam doses/metersets), and the beam list with
-        a single control point each. Returns the Dataset; writes to
+        a single control point each — a SUMMARY export, so
+        NumberOfControlPoints is written as the serialized CP count
+        (PS3.3 C.8.8.14), not the source plan's delivery count. Ion
+        plans serialize IonBeamSequence/IonControlPointSequence under
+        the RT Ion Plan SOP class. Returns the Dataset; writes to
         ``path`` when given."""
         from ..dicom import Dataset, Sequence, dcmwrite, uids
 
         ds = Dataset()
-        ds.SOPClassUID = (uids.RTIonPlanStorage
-                          if any(b.get("radiation") in ("PROTON", "ION")
-                                 for b in self.beams)
+        is_ion = any(b.get("radiation") in ("PROTON", "ION")
+                     for b in self.beams)
+        ds.SOPClassUID = (uids.RTIonPlanStorage if is_ion
                           else uids.RTPlanStorage)
         ds.SOPInstanceUID = generate_uid()
         ds.SeriesInstanceUID = generate_uid()
@@ -165,6 +169,11 @@ class Plan(MetadataMixin):
             ds.FractionGroupSequence = Sequence(seq)
 
         if self.beams:
+            # ion plans carry Ion(ControlPoint)Sequence per the RT Ion
+            # Plan IOD — serializing BeamSequence under the ion SOP
+            # class would be a conformance violation
+            cp_key = ("IonControlPointSequence" if is_ion
+                      else "ControlPointSequence")
             seq = []
             for b in self.beams:
                 item = Dataset()
@@ -175,8 +184,6 @@ class Plan(MetadataMixin):
                 _set(item, "TreatmentMachineName", b.get("machine"))
                 _set(item, "TreatmentDeliveryType",
                      b.get("delivery_type"))
-                _set(item, "NumberOfControlPoints",
-                     b.get("n_control_points"))
                 _set(item, "FinalCumulativeMetersetWeight",
                      b.get("final_meterset_weight"))
                 if any(b.get(k) is not None for k in
@@ -190,9 +197,18 @@ class Plan(MetadataMixin):
                          b.get("collimator_angle"))
                     _set(cp, "PatientSupportAngle", b.get("couch_angle"))
                     _set(cp, "IsocenterPosition", b.get("isocenter"))
-                    item.ControlPointSequence = Sequence([cp])
+                    setattr(item, cp_key, Sequence([cp]))
+                    # PS3.3 C.8.8.14: the declared count MUST equal the
+                    # serialized ControlPointSequence length — this is a
+                    # summary export, so 1, not the source plan's count
+                    item.NumberOfControlPoints = 1
+                elif b.get("n_control_points") is not None:
+                    item.NumberOfControlPoints = 0
                 seq.append(item)
-            ds.BeamSequence = Sequence(seq)
+            if is_ion:
+                ds.IonBeamSequence = Sequence(seq)
+            else:
+                ds.BeamSequence = Sequence(seq)
 
         if self.referenced_structure_set_sop:
             rs = Dataset()

@@ -405,11 +405,28 @@ class Rigid(object):
         ds = build_reg_dataset(uids.SpatialRegistrationStorage, ref,
                                mov, self.rigid_name)
 
+        def _matrix_type(m):
+            """PS3.3 C.20.2 matrix typing: RIGID needs an orthonormal
+            rotation block; uniform-scale rotations are RIGID_SCALE;
+            anything else (compute_intensity mode='affine') is AFFINE.
+            Mis-typing an affine as RIGID makes receiving systems
+            mis-map coordinates or reject the object."""
+            R = np.asarray(m, np.float64)[:3, :3]
+            RtR = R.T @ R
+            if np.allclose(RtR, np.eye(3), atol=1e-5):
+                return "RIGID"
+            d = np.diag(RtR)
+            if np.allclose(RtR, np.diag(d), atol=1e-5) \
+                    and np.allclose(d, d[0], atol=1e-5):
+                return "RIGID_SCALE"
+            return "AFFINE"
+
         def reg_item(m, frame_ref):
             mat_item = Dataset()
             mat_item.FrameOfReferenceTransformationMatrix = [
                 float(v) for v in np.asarray(m, np.float64).reshape(-1)]
-            mat_item.FrameOfReferenceTransformationMatrixType = "RIGID"
+            mat_item.FrameOfReferenceTransformationMatrixType = \
+                _matrix_type(m)
             mreg = Dataset()
             mreg.MatrixSequence = Sequence([mat_item])
             item = Dataset()

@@ -187,11 +187,128 @@ def test_rtplan_writer_round_trip(tmp_path):
     assert p2.target_prescription_dose == \
         pytest.approx(plan.target_prescription_dose)
     assert p2.approval_status == plan.approval_status
-    assert p2.beams == plan.beams
+    # summary export: NumberOfControlPoints is rewritten to the
+    # serialized CP count (1) per PS3.3 C.8.8.14
+    want_beams = [dict(b, n_control_points=1) for b in plan.beams]
+    assert p2.beams == want_beams
     assert p2.fraction_groups == plan.fraction_groups
     assert p2.dose_references == plan.dose_references
     assert p2.referenced_structure_set_sop == \
         plan.referenced_structure_set_sop
     assert p2.total_beam_meterset() == \
         pytest.approx(plan.total_beam_meterset())
+    Data.clear()
+
+
+def test_rtplan_ion_beams(tmp_path):
+    """RT Ion Plans carry IonBeamSequence + IonControlPointSequence;
+    the reader harvests the same geometry and the writer round-trips
+    under the ion SOP class (never photon BeamSequence)."""
+    Data.clear()
+    ds = Dataset()
+    ds.SOPClassUID = uids.RTIonPlanStorage
+    ds.SOPInstanceUID = generate_uid()
+    ds.Modality = "RTPLAN"
+    ds.RTPlanLabel = "ProtonPBS"
+    cp = Dataset()
+    cp.ControlPointIndex = 0
+    cp.NominalBeamEnergy = 120.0
+    cp.GantryAngle = 90.0
+    cp.IsocenterPosition = [0.0, -150.0, 30.0]
+    b = Dataset()
+    b.BeamNumber = 1
+    b.BeamName = "Field1"
+    b.RadiationType = "PROTON"
+    b.NumberOfControlPoints = 40
+    b.IonControlPointSequence = Sequence([cp])
+    ds.IonBeamSequence = Sequence([b])
+    dcmwrite(tmp_path / "ionplan.dcm", ds)
+
+    mia.read_dicoms(folder_path=str(tmp_path))
+    plan = Data.plan["RTPLAN 01"]
+    assert len(plan.beams) == 1
+    assert plan.beams[0]["radiation"] == "PROTON"
+    assert plan.beams[0]["energy"] == pytest.approx(120.0)
+    assert plan.beams[0]["gantry_angle"] == pytest.approx(90.0)
+    assert plan.beams[0]["isocenter"] == pytest.approx([0.0, -150.0, 30.0])
+    # geometry keys uniformly present even for CP-less beams
+    assert set(plan.beams[0]) >= {"energy", "gantry_angle",
+                                  "collimator_angle", "couch_angle",
+                                  "isocenter"}
+
+    out = plan.create_rtplan(path=tmp_path / "ion_out.dcm")
+    assert str(out.SOPClassUID) == uids.RTIonPlanStorage
+    assert "IonBeamSequence" in out and "BeamSequence" not in out
+    assert out.IonBeamSequence[0].NumberOfControlPoints == 1
+
+    Data.clear()
+    mia.read_dicoms(file_list=[str(tmp_path / "ion_out.dcm")])
+    p2 = Data.plan["RTPLAN 01"]
+    assert p2.beams[0]["energy"] == pytest.approx(120.0)
+    Data.clear()
+
+
+def test_isodose_percent_defaults():
+    """percent_of with default levels uses percent deciles (not Gy
+    deciles reinterpreted as percents); zero grids return {}."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_radiobiology import _mk_dose
+    zz, yy, xx = np.mgrid[0:2, 0:16, 0:16]
+    arr = np.maximum(
+        60.0 * (1 - np.sqrt((yy - 8.0) ** 2 + (xx - 8.0) ** 2) / 7.0),
+        0.0).astype(np.float32)
+    d = _mk_dose(arr)
+    iso = d.compute_isodose_contours(percent_of=60.0)
+    assert sorted(iso) == [6.0 * k for k in range(1, 10)]
+    zero = _mk_dose(np.zeros((2, 8, 8), np.float32))
+    assert zero.compute_isodose_contours() == {}
+
+
+def test_batch_mode_validation():
+    from medicalimageanalysis_tpu.models.rigid_intensity import (
+        register_rigid_intensity_batch)
+    refs = np.zeros((2, 4, 8, 8), np.float32)
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4))
+    ctrs = np.zeros((2, 3), np.float32)
+    with pytest.raises(ValueError, match="unknown mode"):
+        register_rigid_intensity_batch(refs, refs, eye, eye, ctrs,
+                                       mode="afine")
+    with pytest.raises(ValueError, match="poses0"):
+        register_rigid_intensity_batch(refs, refs, eye, eye, ctrs,
+                                       poses0=np.zeros((2, 6)),
+                                       mode="affine")
+
+
+def test_create_reg_matrix_typing(tmp_path):
+    """REG export types the matrix per PS3.3 C.20.2: RIGID only for
+    orthonormal blocks, RIGID_SCALE for uniform scale, else AFFINE."""
+    from helpers import write_ct_series
+    Data.clear()
+    rng = np.random.default_rng(1)
+    arr = rng.integers(-200, 200, size=(4, 12, 12)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr, spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", arr, spacing=(1, 1), thickness=2.0,
+                    modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+
+    def mat_type(rigid):
+        ds = rigid.create_reg()
+        return str(ds.RegistrationSequence[1].MatrixRegistrationSequence[
+            0].MatrixSequence[0].FrameOfReferenceTransformationMatrixType)
+
+    rig = mia.Rigid(reference_name="CT 01", moving_name=mr)
+    rig.matrix = np.eye(4)
+    rig.matrix[:3, 3] = [1.0, 2.0, 3.0]
+    assert mat_type(rig) == "RIGID"
+    s = np.eye(4)
+    s[:3, :3] *= 0.95
+    rig.matrix = s
+    assert mat_type(rig) == "RIGID_SCALE"
+    a = np.eye(4)
+    a[0, 1] = 0.1
+    rig.matrix = a
+    assert mat_type(rig) == "AFFINE"
     Data.clear()
