@@ -204,3 +204,50 @@ def largest_component_batch(masks):
         return np.asarray(out)
     outs = jax.jit(jax.vmap(lambda x: _label_prop_largest(x)[0]))(m)
     return np.asarray(outs)
+
+
+def histogram_match(moving, reference, n_quantiles=256,
+                    exclude_below=None, max_samples=1 << 20):
+    """Quantile-mapping intensity standardization — the
+    SimpleITK HistogramMatchingImageFilter workflow the reference's
+    users reach for before cross-scanner MR registration (NEW; no
+    reference counterpart). Maps ``moving``'s intensity distribution
+    onto ``reference``'s: v -> interp(ref_quantiles at the quantile
+    rank of v in moving).
+
+    The two quantile tables are estimated host-side from up to
+    ``max_samples`` strided samples (estimation is statistics, not a
+    hot path); the per-voxel piecewise-linear mapping runs as one
+    device ``jnp.interp`` over the full volume. ``exclude_below``
+    (e.g. an air threshold) drops background from BOTH tables — the
+    usual ThresholdAtMeanIntensity stand-in — while still mapping
+    every voxel (background maps through the table's lower edge).
+    Returns float32, same shape as ``moving``.
+    """
+    mov_np = np.asarray(moving, np.float32)
+    ref_np = np.asarray(reference, np.float32)
+
+    def table(a):
+        flat = a.reshape(-1)
+        if exclude_below is not None:
+            flat = flat[flat >= exclude_below]
+            if flat.size == 0:
+                raise ValueError(
+                    "histogram_match: exclude_below removed every voxel")
+        if flat.size > max_samples:
+            flat = flat[:: flat.size // max_samples + 1]
+        q = np.linspace(0.0, 1.0, int(n_quantiles), dtype=np.float64)
+        return np.quantile(flat, q).astype(np.float32)
+
+    mov_q = table(mov_np)
+    ref_q = table(ref_np)
+    # strictly increasing source table for a well-defined inverse CDF
+    # (flat runs — e.g. a dominant background value — would make interp
+    # return the first hit; nudging by tiny epsilons keeps it monotone)
+    eps = np.maximum(1e-6, 1e-6 * (mov_q[-1] - mov_q[0]))
+    mov_q = np.maximum.accumulate(mov_q)
+    mov_q = mov_q + np.arange(len(mov_q), dtype=np.float32) * eps
+
+    out = jnp.interp(jnp.asarray(mov_np), jnp.asarray(mov_q),
+                     jnp.asarray(ref_q))
+    return out.astype(jnp.float32)
