@@ -109,6 +109,34 @@ def main():
           round(float(np.abs(m - f)[inner].mean()), 1), "->",
           round(float(np.abs(out["array"] - f)[inner].mean()), 1))
 
+    # 4b. landmark TPS: matched POIs -> dense DVF (no intensities)
+    truth = np.array([[-90.0, -100.0, -20.0], [-60.0, -80.0, -10.0],
+                      [-75.0, -95.0, -25.0], [-55.0, -105.0, -15.0]])
+    for i, p in enumerate(truth):
+        Data.image[cts[0]].add_poi(poi_name=f"L{i}", point=list(p))
+        Data.image[cts[1]].add_poi(poi_name=f"L{i}",
+                                   point=list(p + [1.5, -1.0, 0.5]))
+    tps = mia.Deformable(reference_name=cts[0], moving_name=cts[1],
+                         roi_names=[])
+    residual = tps.compute_tps()
+    mapped = tps.update_pois()
+    tre = max(np.linalg.norm(mapped[f"L{i}"] - truth[i])
+              for i in range(len(truth)))
+    print("TPS: landmark residual %.4f mm, round-trip TRE %.3f mm"
+          % (max(residual.values()), tre))
+
+    # 4c. affine intensity mode (scale/shear families share the
+    # rigid machinery; normalize=False — percentile normalization is
+    # not scale-invariant)
+    r3 = mia.Rigid(cts[0], cts[1])
+    info3 = r3.compute_intensity(mode="affine", normalize=False,
+                                 levels=((2, 60, 0.2), (1, 30, 0.05)))
+    print("affine intensity: loss %.3g, matrix type %s"
+          % (info3["loss"],
+             r3.create_reg().RegistrationSequence[1]
+             .MatrixRegistrationSequence[0].MatrixSequence[0]
+             .FrameOfReferenceTransformationMatrixType))
+
     # 5. mesh ICP on external contours
     Data.image[cts[0]].create_external()
     Data.image[cts[1]].create_external()
