@@ -17,7 +17,7 @@ from ..data import Data
 from ..dicom import generate_uid
 from .common import MetadataMixin
 
-__all__ = ["Plan"]
+__all__ = ["Plan", "load_plan"]
 
 
 class Plan(MetadataMixin):
@@ -237,3 +237,92 @@ class Plan(MetadataMixin):
             "beams": len(self.beams),
             "approval": self.approval_status,
         }
+
+    # -- persistence (documented json schema, like the other types) ------
+    def save_plan(self, path):
+        """Write the plan summary as ``{path}/{plan_name}/meta.json``
+        (the json+npy persistence stance of every other structure;
+        plans are pure metadata so json alone suffices)."""
+        import json
+        import os
+
+        base = os.path.join(str(path), self.plan_name)
+        os.makedirs(base, exist_ok=True)
+        meta = {
+            "plan_name": self.plan_name, "modality": self.modality,
+            "patient_name": self.patient_name, "mrn": self.mrn,
+            "birthdate": str(self.birthdate),
+            "date": str(self.date), "time": str(self.time),
+            "series_uid": str(self.series_uid),
+            "frame_ref": (str(self.frame_ref)
+                          if self.frame_ref else None),
+            "label": self.label, "name": self.name,
+            "description": self.description,
+            "approval_status": self.approval_status,
+            "n_fractions": self.n_fractions,
+            "target_prescription_dose": self.target_prescription_dose,
+            "dose_references": self.dose_references,
+            "fraction_groups": self.fraction_groups,
+            "beams": self.beams,
+            "referenced_structure_set_sop":
+                self.referenced_structure_set_sop,
+            "referenced_dose_sops": self.referenced_dose_sops,
+            "sops": [str(s) for s in self.sops],
+        }
+        with open(os.path.join(base, "meta.json"), "w") as fh:
+            json.dump(meta, fh, indent=1)
+        return base
+
+
+def load_plan(path):
+    """Load a :meth:`Plan.save_plan` directory back into ``Data.plan``
+    (name-collision suffixing like the other load_* paths)."""
+    import json
+    import os
+    import types
+
+    from ..dicom import Dataset
+
+    with open(os.path.join(str(path), "meta.json")) as fh:
+        meta = json.load(fh)
+
+    ds = Dataset()
+    ds.Modality = meta.get("modality", "RTPLAN")
+    if meta.get("mrn") not in (None, "missing"):
+        ds.PatientID = meta["mrn"]
+    pn = meta.get("patient_name")
+    if isinstance(pn, list):
+        ds.PatientName = "^".join(str(v) for v in pn)
+    if meta.get("series_uid") not in (None, "00000.00000"):
+        ds.SeriesInstanceUID = meta["series_uid"]
+    if meta.get("frame_ref"):
+        ds.FrameOfReferenceUID = meta["frame_ref"]
+    ds.filename = os.path.join(str(path), "meta.json")
+
+    name = meta.get("plan_name", "RTPLAN 01")
+    if name in Data.plan:
+        n = 1
+        while f"{name}_{n}" in Data.plan:
+            n += 1
+        name = f"{name}_{n}"
+
+    carrier = types.SimpleNamespace(
+        image_set=[ds],
+        plan_name=name,
+        modality=meta.get("modality", "RTPLAN"),
+        filepaths=[ds.filename],
+        sops=meta.get("sops", []),
+        label=meta.get("label"),
+        name=meta.get("name"),
+        description=meta.get("description"),
+        approval_status=meta.get("approval_status"),
+        n_fractions=meta.get("n_fractions"),
+        target_prescription_dose=meta.get("target_prescription_dose"),
+        dose_references=meta.get("dose_references", []),
+        fraction_groups=meta.get("fraction_groups", []),
+        beams=meta.get("beams", []),
+        referenced_structure_set_sop=meta.get(
+            "referenced_structure_set_sop"),
+        referenced_dose_sops=meta.get("referenced_dose_sops", []),
+    )
+    return Plan(carrier)

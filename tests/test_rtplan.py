@@ -312,3 +312,48 @@ def test_create_reg_matrix_typing(tmp_path):
     rig.matrix = a
     assert mat_type(rig) == "AFFINE"
     Data.clear()
+
+
+def test_rtplan_byte_flip_fuzz(tmp_path):
+    """Byte-flip fuzz of a full RTPLAN (nested sequences) through
+    read_dicoms: corruption must never escape the tolerant flow."""
+    write_rtplan_file(tmp_path / "rp.dcm")
+    good = (tmp_path / "rp.dcm").read_bytes()
+    rng = np.random.default_rng(11)
+    mut = tmp_path / "mut.dcm"
+    for _ in range(120):
+        blob = bytearray(good)
+        for _ in range(int(rng.integers(1, 16))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        mut.write_bytes(bytes(blob))
+        Data.clear()
+        mia.read_dicoms(file_list=[str(mut)])  # must not raise
+        # whatever registered must expose the full field surface
+        for name in Data.plan_list:
+            p = Data.plan[name]
+            p.summary()
+            p.total_beam_meterset()
+            p.linked_dose_names()
+    Data.clear()
+
+
+def test_plan_save_load(tmp_path):
+    """Plan persistence: json summary round-trips through save_plan /
+    load_plan (same documented-schema stance as the other types)."""
+    Data.clear()
+    write_rtplan_file(tmp_path / "rp.dcm")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    plan = Data.plan["RTPLAN 01"]
+    plan.save_plan(str(tmp_path / "store"))
+
+    Data.clear()
+    from medicalimageanalysis_tpu.structure.plan import load_plan
+    p2 = load_plan(str(tmp_path / "store" / "RTPLAN 01"))
+    assert Data.plan_list == ["RTPLAN 01"]
+    assert p2.label == plan.label
+    assert p2.n_fractions == 30
+    assert p2.beams == plan.beams
+    assert p2.fraction_groups == plan.fraction_groups
+    assert p2.total_beam_meterset() == pytest.approx(480.0)
+    Data.clear()
