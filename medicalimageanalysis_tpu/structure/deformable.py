@@ -856,6 +856,36 @@ class Deformable(object):
             json.dump(payload, f, indent=1)
         np.save(os.path.join(str(path), "dvf.npy"), self.dvf)
 
+    @classmethod
+    def load_deformable(cls, path):
+        """Load a :meth:`save_deformable` directory back into
+        ``Data.deformable`` — NEW load side (the reference only ever
+        saved; symmetric with Image.load_image / Rigid.load_rigid).
+        Registered under the saved name (collision-suffixed by
+        add_deformable when taken)."""
+        with open(os.path.join(str(path), "deformable.json")) as f:
+            payload = json.load(f)
+        dvf_path = os.path.join(str(path), "dvf.npy")
+        dvf = np.load(dvf_path) if os.path.exists(dvf_path) else None
+        name = payload.get("deformable_name")
+        if name in Data.deformable_list:
+            name = None  # let add_deformable pick the suffixed name
+        return cls(
+            dvf=dvf,
+            origin=(np.asarray(payload["origin"], np.float64)
+                    if payload.get("origin") is not None else None),
+            spacing=(tuple(payload["spacing"])
+                     if payload.get("spacing") is not None else None),
+            dimensions=(np.asarray(payload["dimensions"])
+                        if payload.get("dimensions") is not None
+                        else None),
+            roi_names=payload.get("roi_names") or [],
+            rigid_matrix=np.asarray(payload.get("rigid_matrix",
+                                                np.eye(4)), np.float64),
+            registration_name=name,
+            reference_name=payload.get("reference_name"),
+            moving_name=payload.get("moving_name"))
+
     def update_rois(self, roi_name=None, percent=100):
         """Warp visible moving ROI meshes through the field
         (reference structure/deformable.py:961-1001)."""

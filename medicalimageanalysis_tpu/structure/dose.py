@@ -369,3 +369,58 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         if self.array is not None:
             np.save(os.path.join(base, "array.npy"),
                     np.asarray(self.array))
+
+    @classmethod
+    def load_image(cls, dose_path):
+        """Load a :meth:`save_image` directory back into ``Data.dose``
+        — NEW load side (the reference only ever saved; symmetric with
+        Image.load_image). Name-collision suffixing like the other
+        load_* paths."""
+        import types
+
+        from ..dicom import Dataset
+
+        base = str(dose_path)
+        with open(os.path.join(base, "meta.json")) as f:
+            meta = json.load(f)
+        arr_path = os.path.join(base, "array.npy")
+        array = np.load(arr_path) if os.path.exists(arr_path) else None
+
+        ds = Dataset()
+        ds.Modality = meta.get("modality", "RTDOSE")
+        if meta.get("mrn") not in (None, "missing"):
+            ds.PatientID = meta["mrn"]
+        pn = meta.get("patient_name")
+        if isinstance(pn, list):
+            ds.PatientName = "^".join(str(v) for v in pn)
+        if meta.get("series_uid") not in (None, "00000.00000"):
+            ds.SeriesInstanceUID = meta["series_uid"]
+        if meta.get("frame_ref"):
+            ds.FrameOfReferenceUID = meta["frame_ref"]
+        ds.filename = os.path.join(base, "meta.json")
+
+        name = meta.get("dose_name", "RTDOSE 01")
+        if name in Data.dose:
+            n = 1
+            while f"{name}_{n}" in Data.dose:
+                n += 1
+            name = f"{name}_{n}"
+
+        carrier = types.SimpleNamespace(
+            image_set=[ds],
+            array=array,
+            dose_name=name,
+            modality=meta.get("modality", "RTDOSE"),
+            filepaths=[ds.filename],
+            sops=[],
+            plane=meta.get("plane", "Axial"),
+            spacing=np.asarray(meta["spacing"], np.float64),
+            dimensions=np.asarray(meta["dimensions"]),
+            orientation=np.asarray(meta["orientation"], np.float64),
+            origin=np.asarray(meta["origin"], np.float64),
+            image_matrix=np.asarray(meta["matrix"], np.float64),
+        )
+        dose_obj = cls(carrier)
+        Data.dose[name] = dose_obj
+        Data.dose_list += [name]
+        return dose_obj

@@ -972,3 +972,75 @@ def test_create_rtdose_coronal_grid_round_trip(tmp_path):
                                np.asarray(src.array), atol=1e-4)
     np.testing.assert_allclose(back.origin, src.origin, atol=1e-6)
     np.testing.assert_allclose(back.matrix, src.matrix, atol=1e-6)
+
+
+def test_dose_save_load_round_trip(tmp_path):
+    """Dose.save_image -> Dose.load_image (NEW load side): grid,
+    geometry, and DVH analytics survive; collisions suffix."""
+    from medicalimageanalysis_tpu.structure.dose import Dose
+    from medicalimageanalysis_tpu.dicom import Dataset
+
+    Data.clear()
+
+    class H:
+        pass
+    h = H()
+    h.array = np.linspace(0, 60, 4 * 8 * 8).reshape(4, 8, 8) \
+        .astype(np.float32)
+    h.image_set = [Dataset()]
+    h.plane = "Axial"
+    h.spacing = np.array([2.0, 2.0, 2.5])
+    h.origin = np.array([-10.0, -20.0, -5.0])
+    h.dimensions = np.array([4, 8, 8])
+    h.orientation = [1, 0, 0, 0, 1, 0]
+    h.image_matrix = np.eye(3)
+    h.dose_name = "RTDOSE 01"
+    h.modality = "RTDOSE"
+    h.filepaths, h.sops, h.unverified = [], [], []
+    d = Dose(h)
+    Data.dose["RTDOSE 01"] = d
+    Data.dose_list += ["RTDOSE 01"]
+    d.save_image(str(tmp_path))
+
+    Data.clear()
+    d2 = Dose.load_image(str(tmp_path / "RTDOSE 01"))
+    assert Data.dose_list == ["RTDOSE 01"]
+    np.testing.assert_allclose(d2.array, h.array)
+    np.testing.assert_allclose(d2.origin, h.origin)
+    np.testing.assert_allclose(d2.spacing, h.spacing)
+    s1 = d2.compute_dose_statistics()
+    assert s1["max"] == pytest.approx(60.0)
+    # collision suffixing
+    d3 = Dose.load_image(str(tmp_path / "RTDOSE 01"))
+    assert d3.dose_name == "RTDOSE 01_1"
+    assert Data.dose_list == ["RTDOSE 01", "RTDOSE 01_1"]
+    Data.clear()
+
+
+def test_deformable_save_load_round_trip(tmp_path):
+    """Deformable.save_deformable -> load_deformable (NEW load side):
+    DVF + geometry + rigid pre-transform survive."""
+    Data.clear()
+    rng = np.random.default_rng(5)
+    dvf = rng.normal(0, 1.5, size=(4, 8, 8, 3)).astype(np.float32)
+    rigid = np.eye(4)
+    rigid[0, 3] = 2.5
+    deform = mia.Deformable(
+        dvf=dvf, origin=np.array([0.0, 0.0, 0.0]),
+        spacing=(2.0, 2.0, 2.0), dimensions=np.array([4, 8, 8]),
+        rigid_matrix=rigid, registration_name="DVF_saved",
+        roi_names=[])
+    deform.save_deformable(str(tmp_path / "defo"))
+
+    Data.clear()
+    d2 = mia.Deformable.load_deformable(str(tmp_path / "defo"))
+    assert Data.deformable_list == ["DVF_saved"]
+    np.testing.assert_allclose(d2.dvf, dvf)
+    np.testing.assert_allclose(d2.rigid_matrix, rigid)
+    np.testing.assert_allclose(np.asarray(d2.spacing), 2.0)
+    qa = d2.compute_jacobian()
+    assert np.isfinite(qa["det_mean"])
+    # collision: loading again under the taken name gets a fresh name
+    d3 = mia.Deformable.load_deformable(str(tmp_path / "defo"))
+    assert d3.deformable_name != "DVF_saved"
+    Data.clear()
