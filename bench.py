@@ -447,8 +447,11 @@ def main():
             pull(gfn(grefj, gfine, gdd2, rows_m, d2_m, gdta2))
             gt[m] = time.perf_counter() - t9
         gamma_full_ms = gt[gamma_noff] * 1000.0
-        gamma_marg_ms = (gt[gamma_noff] - gt[gamma_noff // 4]) \
-            / (gamma_noff - gamma_noff // 4) * gamma_noff * 1000.0
+        # noise guard like the oblique row: single-rep timings can
+        # invert under relay jitter; -1.0 stays the "failed" sentinel
+        gamma_marg_ms = max(
+            (gt[gamma_noff] - gt[gamma_noff // 4])
+            / (gamma_noff - gamma_noff // 4) * gamma_noff * 1000.0, 0.0)
     except Exception:
         pass
 

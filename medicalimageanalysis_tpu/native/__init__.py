@@ -36,14 +36,34 @@ ENTRY_DTYPE = np.dtype([("tag", np.uint32), ("vr", np.uint16),
 
 
 def _build():
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
+    # Build to a private temp path and os.replace into place: two
+    # processes racing on first import (e.g. pytest + a bench script on
+    # a fresh checkout) must never CDLL a half-written .so or clobber
+    # each other's output mid-write. 12 s unloaded can exceed 120 s
+    # under the shared-VM CPU steal documented in docs/PERF.md, so the
+    # timeout is generous and a timed-out -O3 retries once at -O1
+    # (compiles ~4x faster; only the inner decode loops care about -O3
+    # and a slow-but-working library beats none).
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    for opt in ("-O3", "-O1"):
+        try:
+            subprocess.run(
+                ["g++", opt, "-shared", "-fPIC", "-std=c++17",
+                 "-pthread", "-o", tmp, _SRC],
+                check=True, capture_output=True, timeout=600)
+            os.replace(tmp, _SO)
+            return True
+        except subprocess.TimeoutExpired:
+            continue
+        except Exception:
+            break
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+    return False
 
 
 def get_lib():
@@ -60,7 +80,14 @@ def get_lib():
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
-        return None
+        # a pre-existing .so can be stale/corrupt (interrupted build of
+        # an older layout): rebuild once before giving up
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
 
     lib.mia_scan.restype = ctypes.c_int64
     lib.mia_scan.argtypes = [

@@ -243,10 +243,20 @@ def histogram_match(moving, reference, n_quantiles=256,
     ref_q = table(ref_np)
     # strictly increasing source table for a well-defined inverse CDF
     # (flat runs — e.g. a dominant background value — would make interp
-    # return the first hit; nudging by tiny epsilons keeps it monotone)
-    eps = np.maximum(1e-6, 1e-6 * (mov_q[-1] - mov_q[0]))
-    mov_q = np.maximum.accumulate(mov_q)
-    mov_q = mov_q + np.arange(len(mov_q), dtype=np.float32) * eps
+    # return the first hit; nudging by tiny epsilons keeps it monotone).
+    # The nudge must clear float32 resolution at the table's MAGNITUDE,
+    # not just its range: at mov ~ 10^4 with a narrow range, a
+    # range-scaled eps is below ulp(10^4) and the cast back to float32
+    # re-collapses the knots (duplicate knots anchor interp at the END
+    # of a run instead of the documented lower edge). Spread in float64
+    # then enforce strictness knot-by-knot with nextafter.
+    eps = np.maximum(1e-6, 1e-6 * float(mov_q[-1] - mov_q[0]))
+    mov_q = np.maximum.accumulate(mov_q.astype(np.float64))
+    mov_q = (mov_q + np.arange(len(mov_q)) * eps).astype(np.float32)
+    for i in range(1, len(mov_q)):
+        if mov_q[i] <= mov_q[i - 1]:
+            mov_q[i] = np.nextafter(mov_q[i - 1], np.float32(np.inf),
+                                    dtype=np.float32)
 
     out = jnp.interp(jnp.asarray(mov_np), jnp.asarray(mov_q),
                      jnp.asarray(ref_q))

@@ -17,7 +17,51 @@ from scipy.spatial.transform import Rotation
 from ..ops import geometry as geo
 
 __all__ = ["MetadataMixin", "GeometryQueriesMixin", "ViewOpsMixin",
-           "build_reg_dataset"]
+           "build_reg_dataset", "rebuild_dataset_from_meta",
+           "collision_suffix"]
+
+
+def rebuild_dataset_from_meta(meta, filename, default_modality):
+    """Rebuild the minimal carrier Dataset a ``load_*`` path hands to
+    its structure class so the MetadataMixin fallback chains re-derive
+    exactly what ``save_*`` wrote (shared by Dose.load_image and
+    load_plan, which previously copy-pasted this block and both forgot
+    the date/time/birthdate fields — loaded objects silently reverted
+    to the '00000'/'' sentinels)."""
+    from ..dicom import Dataset
+
+    ds = Dataset()
+    ds.Modality = meta.get("modality", default_modality)
+    if meta.get("mrn") not in (None, "missing"):
+        ds.PatientID = meta["mrn"]
+    pn = meta.get("patient_name")
+    if isinstance(pn, list):
+        ds.PatientName = "^".join(str(v) for v in pn)
+    if meta.get("series_uid") not in (None, "00000.00000"):
+        ds.SeriesInstanceUID = meta["series_uid"]
+    if meta.get("frame_ref") not in (None, "", "00000.00000"):
+        ds.FrameOfReferenceUID = meta["frame_ref"]
+    # json stringifies; skip the getter sentinels so reloads stay
+    # idempotent ('00000' date means "was never known")
+    if meta.get("date") not in (None, "00000", "None"):
+        ds.SeriesDate = str(meta["date"])
+    if meta.get("time") not in (None, "00000", "None"):
+        ds.SeriesTime = str(meta["time"])
+    if meta.get("birthdate") not in (None, "", "None"):
+        ds.PatientBirthDate = str(meta["birthdate"])
+    ds.filename = filename
+    return ds
+
+
+def collision_suffix(name, taken):
+    """``name`` -> ``name_N`` with the first free N when ``name`` is
+    already registered (the loader convention every load_* shares)."""
+    if name in taken:
+        n = 1
+        while f"{name}_{n}" in taken:
+            n += 1
+        name = f"{name}_{n}"
+    return name
 
 
 def build_reg_dataset(sop_class_uid, ref, mov, description):

@@ -867,9 +867,13 @@ class Deformable(object):
             payload = json.load(f)
         dvf_path = os.path.join(str(path), "dvf.npy")
         dvf = np.load(dvf_path) if os.path.exists(dvf_path) else None
+        from .common import collision_suffix
         name = payload.get("deformable_name")
-        if name in Data.deformable_list:
-            name = None  # let add_deformable pick the suffixed name
+        if name is not None:
+            # suffix the SAVED name ('Fraction2_DVF' -> '..._1') —
+            # handing None to add_deformable would re-derive a generic
+            # 'DVF_{ref}_{mov}' / 'DVF_Unknown' name, losing provenance
+            name = collision_suffix(name, Data.deformable_list)
         return cls(
             dvf=dvf,
             origin=(np.asarray(payload["origin"], np.float64)

@@ -354,8 +354,14 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         meta = {
             "dose_name": self.dose_name, "modality": self.modality,
             "patient_name": self.patient_name, "mrn": self.mrn,
+            "birthdate": str(self.birthdate),
             "date": str(self.date), "time": str(self.time),
             "series_uid": self.series_uid, "frame_ref": self.frame_ref,
+            # SOP instance UIDs carry the plan<->dose linkage
+            # (Plan.linked_dose_names intersects referenced_dose_sops
+            # with dose.sops) — without them a save/load round trip
+            # severs the plan linkage
+            "sops": [str(s) for s in self.sops],
             "plane": self.plane,
             "spacing": np.asarray(self.spacing, dtype=float).tolist(),
             "dimensions": np.asarray(self.dimensions).astype(int).tolist(),
@@ -378,7 +384,7 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         load_* paths."""
         import types
 
-        from ..dicom import Dataset
+        from .common import collision_suffix, rebuild_dataset_from_meta
 
         base = str(dose_path)
         with open(os.path.join(base, "meta.json")) as f:
@@ -386,25 +392,10 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         arr_path = os.path.join(base, "array.npy")
         array = np.load(arr_path) if os.path.exists(arr_path) else None
 
-        ds = Dataset()
-        ds.Modality = meta.get("modality", "RTDOSE")
-        if meta.get("mrn") not in (None, "missing"):
-            ds.PatientID = meta["mrn"]
-        pn = meta.get("patient_name")
-        if isinstance(pn, list):
-            ds.PatientName = "^".join(str(v) for v in pn)
-        if meta.get("series_uid") not in (None, "00000.00000"):
-            ds.SeriesInstanceUID = meta["series_uid"]
-        if meta.get("frame_ref"):
-            ds.FrameOfReferenceUID = meta["frame_ref"]
-        ds.filename = os.path.join(base, "meta.json")
-
-        name = meta.get("dose_name", "RTDOSE 01")
-        if name in Data.dose:
-            n = 1
-            while f"{name}_{n}" in Data.dose:
-                n += 1
-            name = f"{name}_{n}"
+        ds = rebuild_dataset_from_meta(
+            meta, os.path.join(base, "meta.json"), "RTDOSE")
+        name = collision_suffix(meta.get("dose_name", "RTDOSE 01"),
+                                Data.dose)
 
         carrier = types.SimpleNamespace(
             image_set=[ds],
@@ -412,7 +403,7 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             dose_name=name,
             modality=meta.get("modality", "RTDOSE"),
             filepaths=[ds.filename],
-            sops=[],
+            sops=meta.get("sops", []),
             plane=meta.get("plane", "Axial"),
             spacing=np.asarray(meta["spacing"], np.float64),
             dimensions=np.asarray(meta["dimensions"]),

@@ -273,56 +273,50 @@ class Plan(MetadataMixin):
             json.dump(meta, fh, indent=1)
         return base
 
+    @classmethod
+    def load_plan(cls, path):
+        """Load a :meth:`save_plan` directory back into ``Data.plan``
+        (name-collision suffixing like the other load_* paths;
+        classmethod like every sibling loader — the module-level
+        ``load_plan`` alias below is kept for callers that imported
+        it directly)."""
+        import json
+        import os
+        import types
+
+        from .common import collision_suffix, rebuild_dataset_from_meta
+
+        with open(os.path.join(str(path), "meta.json")) as fh:
+            meta = json.load(fh)
+
+        ds = rebuild_dataset_from_meta(
+            meta, os.path.join(str(path), "meta.json"), "RTPLAN")
+        name = collision_suffix(meta.get("plan_name", "RTPLAN 01"),
+                                Data.plan)
+
+        carrier = types.SimpleNamespace(
+            image_set=[ds],
+            plan_name=name,
+            modality=meta.get("modality", "RTPLAN"),
+            filepaths=[ds.filename],
+            sops=meta.get("sops", []),
+            label=meta.get("label"),
+            name=meta.get("name"),
+            description=meta.get("description"),
+            approval_status=meta.get("approval_status"),
+            n_fractions=meta.get("n_fractions"),
+            target_prescription_dose=meta.get(
+                "target_prescription_dose"),
+            dose_references=meta.get("dose_references", []),
+            fraction_groups=meta.get("fraction_groups", []),
+            beams=meta.get("beams", []),
+            referenced_structure_set_sop=meta.get(
+                "referenced_structure_set_sop"),
+            referenced_dose_sops=meta.get("referenced_dose_sops", []),
+        )
+        return cls(carrier)
+
 
 def load_plan(path):
-    """Load a :meth:`Plan.save_plan` directory back into ``Data.plan``
-    (name-collision suffixing like the other load_* paths)."""
-    import json
-    import os
-    import types
-
-    from ..dicom import Dataset
-
-    with open(os.path.join(str(path), "meta.json")) as fh:
-        meta = json.load(fh)
-
-    ds = Dataset()
-    ds.Modality = meta.get("modality", "RTPLAN")
-    if meta.get("mrn") not in (None, "missing"):
-        ds.PatientID = meta["mrn"]
-    pn = meta.get("patient_name")
-    if isinstance(pn, list):
-        ds.PatientName = "^".join(str(v) for v in pn)
-    if meta.get("series_uid") not in (None, "00000.00000"):
-        ds.SeriesInstanceUID = meta["series_uid"]
-    if meta.get("frame_ref"):
-        ds.FrameOfReferenceUID = meta["frame_ref"]
-    ds.filename = os.path.join(str(path), "meta.json")
-
-    name = meta.get("plan_name", "RTPLAN 01")
-    if name in Data.plan:
-        n = 1
-        while f"{name}_{n}" in Data.plan:
-            n += 1
-        name = f"{name}_{n}"
-
-    carrier = types.SimpleNamespace(
-        image_set=[ds],
-        plan_name=name,
-        modality=meta.get("modality", "RTPLAN"),
-        filepaths=[ds.filename],
-        sops=meta.get("sops", []),
-        label=meta.get("label"),
-        name=meta.get("name"),
-        description=meta.get("description"),
-        approval_status=meta.get("approval_status"),
-        n_fractions=meta.get("n_fractions"),
-        target_prescription_dose=meta.get("target_prescription_dose"),
-        dose_references=meta.get("dose_references", []),
-        fraction_groups=meta.get("fraction_groups", []),
-        beams=meta.get("beams", []),
-        referenced_structure_set_sop=meta.get(
-            "referenced_structure_set_sop"),
-        referenced_dose_sops=meta.get("referenced_dose_sops", []),
-    )
-    return Plan(carrier)
+    """Module-level alias for :meth:`Plan.load_plan`."""
+    return Plan.load_plan(path)

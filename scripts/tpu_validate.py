@@ -25,8 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def sync(x):
     # forced completion: block_until_ready can return early through
-    # the axon relay (docs/PERF.md)
-    return float(np.asarray(x).ravel()[0])
+    # the axon relay (docs/PERF.md). Pull ONE element via a device-side
+    # ravel — np.asarray(x) here would download the whole array and a
+    # 192^3 f32 volume is ~28 MB against the tunnel's ~12 MB/s, timing
+    # the transfer instead of the kernel (measured: the throughput
+    # check read 1 M pts/s that way vs ~250 M with the 1-element pull).
+    return float(x.ravel()[0])
 
 
 def main():

@@ -1040,7 +1040,8 @@ def test_deformable_save_load_round_trip(tmp_path):
     np.testing.assert_allclose(np.asarray(d2.spacing), 2.0)
     qa = d2.compute_jacobian()
     assert np.isfinite(qa["det_mean"])
-    # collision: loading again under the taken name gets a fresh name
+    # collision: loading again suffixes the SAVED name (provenance
+    # kept — not a re-derived generic 'DVF_{ref}_{mov}' name)
     d3 = mia.Deformable.load_deformable(str(tmp_path / "defo"))
-    assert d3.deformable_name != "DVF_saved"
+    assert d3.deformable_name == "DVF_saved_1"
     Data.clear()

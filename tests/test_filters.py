@@ -38,3 +38,32 @@ def test_histogram_match_exclude_below():
     assert abs(np.median(out[sel]) - np.median(ref[sel])) < 10.0
     with pytest.raises(ValueError, match="every voxel"):
         histogram_match(mov, ref, exclude_below=1e9)
+
+
+def test_histogram_match_large_magnitude_flat_background():
+    """Regression (review finding): at intensity magnitudes where a
+    range-scaled epsilon underflows float32 resolution, the quantile
+    table used to keep duplicate knots, anchoring a dominant flat
+    background at the END of the collapsed run. The table must stay
+    strictly increasing so the background maps to the run's lower
+    edge — invariant under a constant intensity offset."""
+    import numpy as np
+    from medicalimageanalysis_tpu.ops.filters import histogram_match
+
+    rng = np.random.default_rng(7)
+    body = rng.uniform(100.0, 400.0, size=(4, 24, 24)).astype(np.float32)
+    ref = rng.uniform(100.0, 400.0, size=(4, 24, 24)).astype(np.float32)
+    mov = body.copy()
+    mov[:2] = 100.0  # 50% flat background
+    ref[:2] = 100.0
+
+    lo = float(np.asarray(histogram_match(mov, ref))[:2].mean())
+    # identical distributions shifted to magnitude 1e4: eps used to
+    # collapse (ulp(1e4) ~ 1e-3 > 1e-6 * range)
+    hi_out = np.asarray(histogram_match(mov + 10000.0, ref + 10000.0))
+    hi = float(hi_out[:2].mean()) - 10000.0
+    assert abs(hi - lo) < 1.0, (lo, hi)
+    # table knots must be strictly increasing in float32 at magnitude
+    # (indirect check: the mapped background sits at the table's lower
+    # edge, i.e. near the background value itself, not the run's end)
+    assert abs(hi - 100.0) < 2.0

@@ -20,6 +20,9 @@ def write_rtplan_file(path, n_fractions=30, prescription=60.0,
     ds.Modality = modality
     ds.PatientID = "MRN001"
     ds.PatientName = "Plan^Test"
+    ds.SeriesDate = "20240102"
+    ds.SeriesTime = "101500"
+    ds.PatientBirthDate = "19500101"
     ds.RTPlanLabel = "ProstateVMAT"
     ds.RTPlanName = "Prostate 60/30"
     ds.ApprovalStatus = "APPROVED"
@@ -356,4 +359,41 @@ def test_plan_save_load(tmp_path):
     assert p2.beams == plan.beams
     assert p2.fraction_groups == plan.fraction_groups
     assert p2.total_beam_meterset() == pytest.approx(480.0)
+    Data.clear()
+
+
+def test_plan_dose_linkage_survives_save_load(tmp_path):
+    """Regression: Dose.save_image persists sops (and load restores
+    them), so Plan.linked_dose_names still works after BOTH objects
+    round-trip through persistence; date/birthdate no longer revert
+    to the '00000'/'' sentinels on load (applied review findings)."""
+    from test_deformable_dose import write_rtdose_file
+    from helpers import write_ct_series
+    from medicalimageanalysis_tpu.structure.dose import Dose
+    from medicalimageanalysis_tpu.structure.plan import Plan
+
+    Data.clear()
+    rng = np.random.default_rng(3)
+    arr = rng.integers(-500, 500, size=(4, 16, 16)).astype(np.int16)
+    info = write_ct_series(tmp_path, arr, spacing=(1, 1), thickness=2.0)
+    dose_raw = np.full((4, 16, 16), 20000, np.uint32)
+    write_rtdose_file(tmp_path / "rd.dcm", dose_raw, info)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    dose = Data.dose["RTDOSE 01"]
+    write_rtplan_file(tmp_path / "rp.dcm", dose_sop=dose.sops[0])
+    mia.read_dicoms(file_list=[str(tmp_path / "rp.dcm")], clear=False)
+    plan = Data.plan["RTPLAN 01"]
+    assert plan.linked_dose_names() == ["RTDOSE 01"]
+    plan_date = plan.date
+
+    dose.save_image(str(tmp_path / "store"))
+    plan.save_plan(str(tmp_path / "store"))
+
+    Data.clear()
+    d2 = Dose.load_image(str(tmp_path / "store" / "RTDOSE 01"))
+    p2 = Plan.load_plan(str(tmp_path / "store" / "RTPLAN 01"))
+    assert d2.sops == dose.sops
+    assert p2.linked_dose_names() == ["RTDOSE 01"]
+    # date fallback chain re-derives what save wrote, not '00000'
+    assert str(p2.date) == str(plan_date) != "00000"
     Data.clear()
