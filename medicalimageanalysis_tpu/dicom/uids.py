@@ -59,15 +59,21 @@ RTIonPlanStorage = "1.2.840.10008.5.1.4.1.1.481.8"
 SpatialRegistrationStorage = "1.2.840.10008.5.1.4.1.1.66.1"
 DeformableSpatialRegistrationStorage = "1.2.840.10008.5.1.4.1.1.66.3"
 SegmentationStorage = "1.2.840.10008.5.1.4.1.1.66.4"
+NuclearMedicineImageStorage = "1.2.840.10008.5.1.4.1.1.20"
+MammographyImageStorage = "1.2.840.10008.5.1.4.1.1.1.2"
+XRayAngiographicImageStorage = "1.2.840.10008.5.1.4.1.1.12.1"
 
 MODALITY_SOP_CLASS = {
     "CT": CTImageStorage,
     "MR": MRImageStorage,
     "PT": PETImageStorage,
+    "NM": NuclearMedicineImageStorage,
     "US": USImageStorage,
     "RF": XRayRFImageStorage,
     "DX": DXImageStorage,
     "CR": CRImageStorage,
+    "MG": MammographyImageStorage,
+    "XA": XRayAngiographicImageStorage,
     "RTSTRUCT": RTStructureSetStorage,
     "RTDOSE": RTDoseStorage,
     "REG": SpatialRegistrationStorage,

@@ -24,8 +24,8 @@ from ..telemetry import IngestReport, trace
 __all__ = ["DicomReader", "thread_process_dicom", "sort_images_by_datetime",
            "create_image_name", "create_dose_name"]
 
-_2D_OR_STRUCT = ["US", "DX", "RF", "CR", "RTSTRUCT", "SEG", "REG",
-                 "RTDOSE", "RTPLAN"]
+_2D_OR_STRUCT = ["US", "DX", "RF", "CR", "MG", "XA", "RTSTRUCT", "SEG",
+                 "REG", "RTDOSE", "RTPLAN"]
 
 
 def sort_images_by_datetime():
@@ -86,8 +86,8 @@ class DicomReader(object):
 
         self.only_modality = (
             only_modality if only_modality is not None
-            else ["CT", "MR", "PT", "US", "DX", "RF", "CR", "RTSTRUCT",
-                  "SEG", "REG", "RTDOSE", "RTPLAN"]
+            else ["CT", "MR", "PT", "NM", "US", "DX", "RF", "CR", "MG",
+                  "XA", "RTSTRUCT", "SEG", "REG", "RTDOSE", "RTPLAN"]
         )
 
         if clear:
@@ -235,12 +235,21 @@ class DicomReader(object):
         per file) so they flow through the same grouping."""
         from .multiframe import expand_multiframe, is_enhanced_multiframe
 
+        from .nm import expand_nm_tomo, is_nm_tomo
+
         expanded = []
         for d in self.ds:
-            if d and (0x0008, 0x0060) in d \
-                    and d["Modality"].value in ("CT", "MR", "PT") \
-                    and is_enhanced_multiframe(d):
+            if not (d and (0x0008, 0x0060) in d):
+                expanded.append(d)
+                continue
+            mod = d["Modality"].value
+            if mod in ("CT", "MR", "PT") and is_enhanced_multiframe(d):
                 expanded.extend(expand_multiframe(d))
+            elif mod == "NM" and is_nm_tomo(d):
+                # SPECT RECON TOMO: synthesize per-frame IPP from the
+                # detector geometry so the volume rides the standard
+                # 3D grouping + Read3D (incl. FFS normalization)
+                expanded.extend(expand_nm_tomo(d))
             else:
                 expanded.append(d)
         self.ds = expanded
@@ -267,6 +276,23 @@ class DicomReader(object):
                 for image in images:
                     self.ds_modality[modality].append(image)
                 continue
+
+            if modality == "NM":
+                # RECON TOMO frames (expanded above) carry IOP/IPP and
+                # take the 3D grouping; planar/whole-body/gated frames
+                # have no patient-space geometry and stack as-is (bare
+                # datasets — image_creation tells them apart from the
+                # list-shaped grouped series)
+                tomo = []
+                for image in images:
+                    if "ImageOrientationPatient" in image \
+                            and "ImagePositionPatient" in image:
+                        tomo.append(image)
+                    else:
+                        self.ds_modality[modality].append(image)
+                images = tomo
+                if not images:
+                    continue
 
             entries = []
             for img in images:
@@ -404,16 +430,25 @@ class DicomReader(object):
     def image_creation(self):
         """Dispatch grouped datasets to per-modality builders
         (reference read/dicom.py:384-425)."""
+        from .nm import ReadNMPlanar
         from .volume3d import Read3D
         from .planar import ReadRF, ReadUS, ReadXRay
 
-        for modality in ["CT", "MR", "PT", "DX", "RF", "CR", "US"]:
+        for modality in ["CT", "MR", "PT", "NM", "DX", "RF", "CR", "MG",
+                         "XA", "US"]:
             for image_set in self.ds_modality.get(modality, []):
                 if modality in ["CT", "MR", "PT"]:
                     self._build_series(Read3D, image_set, self.only_tags)
-                elif modality in ["DX", "CR"]:
+                elif modality == "NM":
+                    # grouped SPECT RECON TOMO series arrive as lists of
+                    # per-frame views (expanded in separate_modalities);
+                    # planar/whole-body/gated NM stays a bare dataset
+                    builder = Read3D if isinstance(image_set, list) \
+                        else ReadNMPlanar
+                    self._build_series(builder, image_set, self.only_tags)
+                elif modality in ["DX", "CR", "MG"]:
                     self._build_series(ReadXRay, image_set, self.only_tags)
-                elif modality == "RF":
+                elif modality in ["RF", "XA"]:
                     self._build_series(ReadRF, image_set, self.only_tags)
                 elif modality == "US":
                     self._build_series(ReadUS, image_set, self.only_tags)

@@ -200,8 +200,10 @@ class Read3D(object):
         value_preserving = bool(
             np.all(slopes == 1.0)
             and np.all(intercepts == np.round(intercepts)))
+        # NM joins PT here: SPECT counts are unsigned 16-bit, so even a
+        # value-preserving rescale can exceed int16's 32767 ceiling.
         out_dtype = np.float32 \
-            if (self.modality == "PT" or not value_preserving) \
+            if (self.modality in ("PT", "NM") or not value_preserving) \
             else np.int16
         self.array = assemble(raw, slopes, intercepts,
                               ffs_op=decision["op"],

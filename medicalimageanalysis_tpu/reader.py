@@ -127,8 +127,11 @@ def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
     from .read.dicom import DicomReader
 
     if only_modality is None:
-        only_modality = ["CT", "MR", "PT", "US", "DX", "RF", "CR", "SEG",
-                         "RTSTRUCT", "REG", "RTDOSE", "RTPLAN"]
+        # NM/MG/XA are BEYOND-PARITY: the reference's list stops at
+        # CT/MR/PT/US/DX/RF/CR (+RT objects, reference reader.py:230-238)
+        only_modality = ["CT", "MR", "PT", "NM", "US", "DX", "RF", "CR",
+                         "MG", "XA", "SEG", "RTSTRUCT", "REG", "RTDOSE",
+                         "RTPLAN"]
 
     if folder_path is not None \
             and str(folder_path).lower().endswith(".zip") \
