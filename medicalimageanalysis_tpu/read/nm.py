@@ -16,11 +16,17 @@ normal, producing FrameViews that ride the standard grouping + Read3D
 pipeline unchanged — including the FFS corner-analysis normalization,
 which a negative SpacingBetweenSlices exercises for real.
 
+Expansion is deliberately conservative: anything whose frames are NOT
+one linear spatial stack — gated reconstructions (time x slice
+interleave), multi-detector files, NumberOfSlices != NumberOfFrames,
+degenerate detector orientation — falls back to the frame-stack
+reader, never to a geometrically wrong volume.
+
 Frames whose ImageType is not a reconstructed tomo (STATIC, WHOLE
 BODY, DYNAMIC, GATED) have no patient-space geometry; they ingest as a
-pseudo-3D frame stack via ``ReadNMPlanar`` (the ReadRF shape of the
-pipeline), kept in int32 — NM counts are unsigned 16-bit and a blanket
-int16 cast would wrap everything above 32767.
+pseudo-3D frame stack via ``ReadNMPlanar`` (a thin ReadRF subclass),
+kept in int32 — NM counts are unsigned 16-bit and a blanket int16 cast
+would wrap everything above 32767.
 """
 
 from __future__ import annotations
@@ -31,8 +37,11 @@ from .multiframe import FrameView
 
 __all__ = ["is_nm_tomo", "expand_nm_tomo", "ReadNMPlanar"]
 
-# ImageType value 3 for reconstructed volumetric NM (PS3.3 C.8.4.9.1)
-_TOMO_TYPES = {"RECON TOMO", "RECON GATED TOMO"}
+# ImageType value 3 for reconstructed volumetric NM (PS3.3 C.8.4.9.1).
+# RECON GATED TOMO is intentionally absent: gated frames interleave
+# time bins x slices, so a linear IPP walk would stack every gate into
+# one bogus 8x-length volume (review finding).
+_TOMO_TYPES = {"RECON TOMO"}
 
 
 def _image_type_values(ds):
@@ -48,18 +57,30 @@ def _image_type_values(ds):
 
 
 def _detector_geometry(ds):
-    """(iop(6), ipp(3)) from DetectorInformationSequence[0], or None."""
+    """(iop(6), ipp(3), normal(3)) from a single-item
+    DetectorInformationSequence, or None when absent, multi-item
+    (multi-head geometry), malformed, or orientation-degenerate."""
     if "DetectorInformationSequence" not in ds:
         return None
     try:
-        det = ds.DetectorInformationSequence[0]
+        seq = ds.DetectorInformationSequence
+        if len(seq) != 1:
+            return None
+        det = seq[0]
         iop = np.asarray(det.ImageOrientationPatient, np.float64)
         ipp = np.asarray(det.ImagePositionPatient, np.float64)
     except (AttributeError, IndexError, TypeError, ValueError):
         return None
     if iop.shape != (6,) or ipp.shape != (3,):
         return None
-    return iop, ipp
+    normal = np.cross(iop[:3], iop[3:])
+    nrm = float(np.linalg.norm(normal))
+    if not np.isfinite(nrm) or nrm < 1e-6:
+        # parallel/corrupt row+col vectors: no slice direction exists
+        # (a zero normal would place every frame at the same IPP and
+        # register a spacing-0 volume — fuzz posture: decline)
+        return None
+    return iop, ipp, normal / nrm
 
 
 def _frame_pitch(ds):
@@ -74,14 +95,19 @@ def _frame_pitch(ds):
                 v = float(v)
             except (TypeError, ValueError):
                 continue
-            if v != 0.0:
+            if v != 0.0 and np.isfinite(v):
                 return v
     return None
 
 
 def is_nm_tomo(ds):
-    """True when this NM dataset is a reconstructed volume with enough
-    geometry to place every frame in patient space."""
+    """True when this NM dataset is a reconstructed volume whose frames
+    form ONE linear spatial stack placeable in patient space.
+
+    Fails CLOSED on anything ambiguous (corrupt NumberOfDetectors,
+    NumberOfSlices mismatch, multi-item detector sequence): the planar
+    frame-stack path is always safe; a wrongly synthesized volume is
+    not."""
     try:
         frames = int(ds.get("NumberOfFrames", 1) or 1)
     except (TypeError, ValueError):
@@ -92,13 +118,26 @@ def is_nm_tomo(ds):
         return False
     # multi-detector tomo interleaves frames per detector; without the
     # FrameIncrementPointer walk the synthesized geometry would be
-    # wrong, so only the single-detector layout expands
-    try:
-        n_det = int(ds.get("NumberOfDetectors", 1) or 1)
-    except (TypeError, ValueError):
-        n_det = 1
-    if n_det > 1:
-        return False
+    # wrong, so only the single-detector layout expands. An absent tag
+    # defers to the (single-item-checked) detector sequence; a corrupt
+    # one fails closed.
+    if "NumberOfDetectors" in ds:
+        try:
+            n_det = int(ds["NumberOfDetectors"].value)
+        except (TypeError, ValueError):
+            return False
+        if n_det != 1:
+            return False
+    # gated/dynamic reconstructions carry frames = bins x slices;
+    # NumberOfSlices (0054,0081), when present, must account for every
+    # frame or the linear IPP walk is wrong
+    if "NumberOfSlices" in ds:
+        try:
+            n_slices = int(ds["NumberOfSlices"].value)
+        except (TypeError, ValueError):
+            return False
+        if n_slices != frames:
+            return False
     return (_detector_geometry(ds) is not None
             and _frame_pitch(ds) is not None)
 
@@ -127,75 +166,43 @@ class NMTomoFrameView(FrameView):
 def expand_nm_tomo(ds):
     """NM RECON TOMO dataset -> per-frame views with synthesized
     ImagePositionPatient stepping along the slice normal."""
-    iop, ipp = _detector_geometry(ds)
+    iop, ipp, normal = _detector_geometry(ds)
     pitch = _frame_pitch(ds)
     frames = int(ds.NumberOfFrames)
-    normal = np.cross(iop[:3], iop[3:])
-    nrm = np.linalg.norm(normal)
-    if nrm > 0:
-        normal = normal / nrm
     return [NMTomoFrameView(ds, i, ipp + normal * (pitch * i), iop)
             for i in range(frames)]
 
 
-class ReadNMPlanar(object):
-    """Planar / whole-body / gated NM frame stacks: pseudo-3D like
-    ReadRF, but int32 — counts are unsigned 16-bit and int16 wraps
-    above 32767."""
+from .planar import (ReadRF, _inplane_spacing,  # noqa: E402
+                     _spacing_by_plane)
+from ..dicom.dataset import value_or  # noqa: E402
 
-    def __init__(self, image_set, only_tags):
-        self.image_set = image_set if isinstance(image_set, list) \
-            else [image_set]
-        self.only_tags = only_tags
 
-        self.unverified = "Modality"
-        self.skipped_slice = None
-        self.rgb = False
+class ReadNMPlanar(ReadRF):
+    """Planar / whole-body / gated NM frame stacks: ReadRF with two NM
+    deltas — int32 output (counts are unsigned 16-bit; int16 wraps
+    above 32767) and an in-plane-spacing fallback to the
+    DetectorInformationSequence item, where planar NM often carries
+    PixelSpacing instead of the top level."""
 
-        self.modality = self.image_set[0].Modality
-        self.filepaths = self.image_set[0].filename
-        self.sops = self.image_set[0].SOPInstanceUID
-
-        self.plane = "Axial"
-        self.orientation = [1, 0, 0, 0, 1, 0]
-        self.origin = np.array([0, 0, 0])
-        self.image_matrix = np.eye(3, dtype=np.float32)
-
-        img = self.image_set[0]
-        frames = int(img.get("NumberOfFrames", 1) or 1)
-        rows = int(img["Rows"].value)
-        cols = int(img["Columns"].value)
-        self.dimensions = np.array([frames, rows, cols])
-
-        self.array = None
-        if not self.only_tags:
-            self._compute_array()
-            self.dimensions = np.asarray(self.array.shape)
-
-        self.spacing = self._compute_spacing()
-
-        from .dicom import create_image_name
-        from ..data import Data
-        from ..structure.image import Image
-        self.image_name = create_image_name(self.modality)
-        image = Image(self)
-        Data.image[self.image_name] = image
-        Data.image_list.append(self.image_name)
+    def _cast(self, arr):
+        return np.asarray(arr).astype(np.int32)
 
     def _compute_spacing(self):
-        from .planar import _inplane_spacing, _spacing_by_plane
         img = self.image_set[0]
         inplane = _inplane_spacing(img)
-        if list(inplane) == [1, 1] and "DetectorInformationSequence" in img:
-            # planar NM often carries spacing only on the detector item
-            det = img.DetectorInformationSequence[0]
-            if "PixelSpacing" in det:
+        # fall back ONLY when no top-level spacing tag exists at all —
+        # an explicit PixelSpacing of exactly [1, 1] must win over a
+        # stale detector item (review finding)
+        if list(inplane) == [1, 1] \
+                and value_or(img, "PixelSpacing", None) is None \
+                and value_or(img, "ImagerPixelSpacing", None) is None \
+                and "DetectorInformationSequence" in img:
+            try:
+                det = img.DetectorInformationSequence[0]
+            except IndexError:
+                det = None
+            if det is not None \
+                    and value_or(det, "PixelSpacing", None) is not None:
                 inplane = det.PixelSpacing
         return _spacing_by_plane(inplane, 1, self.plane)
-
-    def _compute_array(self):
-        arr = np.asarray(self.image_set[0].pixel_array)
-        del self.image_set[0].PixelData
-        if arr.ndim < 3:
-            arr = arr.reshape((1, *arr.shape))
-        self.array = arr.astype(np.int32)

@@ -58,6 +58,32 @@ def _inplane_spacing(img, allow_imager=True, allow_us_regions=False):
     return inplane
 
 
+def _cast_stored(img, arr):
+    """int16 unless unsigned stored values can exceed it (16-bit FFDM,
+    uint16 counts...). REFERENCE BUG FIXED: the reference's blanket
+    astype('int16') (read/dicom.py:1009, 1153) wraps pixels above
+    32767 to negative values."""
+    bits = int(img.get("BitsStored", img.get("BitsAllocated", 16)) or 16)
+    unsigned = int(img.get("PixelRepresentation", 0) or 0) == 0
+    if unsigned and bits > 15:
+        return np.asarray(arr).astype(np.int32)
+    return np.asarray(arr).astype(np.int16)
+
+
+def _inverse_pivot(img):
+    """PresentationLUTShape 'Inverse' pivot = max stored value.
+    REFERENCE BUG FIXED: the reference hardcodes 16383
+    (read/dicom.py:1012-1014), correct only for BitsStored=14; a
+    12-bit inverse image would shift by 12288. BitsStored absent keeps
+    the reference's 14-bit default."""
+    bits = img.get("BitsStored")
+    try:
+        bits = int(bits) if bits is not None else 14
+    except (TypeError, ValueError):
+        bits = 14
+    return (1 << bits) - 1
+
+
 def _spacing_by_plane(inplane, slice_thickness, plane):
     if plane == "Axial":
         return np.array([inplane[1], inplane[0], slice_thickness])
@@ -111,13 +137,13 @@ class ReadXRay(object):
 
     def _compute_array(self):
         img = self.image_set[0]
-        self.array = img.pixel_array.astype("int16")
+        self.array = _cast_stored(img, img.pixel_array)
         del img.PixelData
 
         # PresentationLUTShape 'Inverse' (reference read/dicom.py:1012-1014)
         if "PresentationLUTShape" in img \
                 and img.PresentationLUTShape == "Inverse":
-            self.array = 16383 - self.array
+            self.array = _inverse_pivot(img) - self.array
 
         if self.plane == "Axial":
             self.array = self.array.reshape((1, *self.array.shape))
@@ -162,16 +188,22 @@ class ReadRF(object):
             self._compute_array()
             self.dimensions = np.asarray(self.array.shape)
 
-        self.spacing = _spacing_by_plane(
-            _inplane_spacing(self.image_set[0]), 1, self.plane)
+        self.spacing = self._compute_spacing()
         self.image_name = create_image_name(self.modality)
 
         image = Image(self)
         Data.image[self.image_name] = image
         Data.image_list.append(self.image_name)
 
+    def _compute_spacing(self):
+        return _spacing_by_plane(
+            _inplane_spacing(self.image_set[0]), 1, self.plane)
+
+    def _cast(self, arr):
+        return _cast_stored(self.image_set[0], arr)
+
     def _compute_array(self):
-        self.array = self.image_set[0].pixel_array.astype("int16")
+        self.array = self._cast(self.image_set[0].pixel_array)
         del self.image_set[0].PixelData
 
         if self.array.ndim < 3:

@@ -240,6 +240,21 @@ class Read3D(object):
         else:
             for i in range(1, n):
                 work(i)
+
+        # multi-frame views share ONE parent dataset whose raw
+        # PixelData bytes + full decoded cache survive the per-frame
+        # `del PixelData` above (that only clears the slice cache,
+        # multiframe.FrameView.__delattr__); drop the parent's copy now
+        # that every frame is staged, or ~2x the volume stays pinned in
+        # Data.image for the image's lifetime (review finding)
+        parents = {}
+        for s in self.image_set:
+            p = getattr(s, "_parent", None)
+            if p is not None:
+                parents[id(p)] = p
+        for p in parents.values():
+            if "PixelData" in p:
+                del p.PixelData
         return raw
 
     def _stage_pixels_native(self, n, rows, cols):

@@ -141,8 +141,11 @@ def test_xray_reader(tmp_path, rng):
     img = Data.image["DX 01"]
     assert img.plane == "Coronal"  # 'L' in PatientOrientation
     assert img.array.shape == (32, 1, 24)
-    # LUT inversion applied
-    expected = 16383 - arr.astype(np.int16)
+    # LUT inversion pivots on the max stored value for BitsStored=16
+    # (REFERENCE BUG FIXED: hardcoded 16383 is only right for 14-bit),
+    # and unsigned 16-bit input widens to int32 instead of wrapping
+    assert img.array.dtype == np.int32
+    expected = 65535 - arr.astype(np.int32)
     np.testing.assert_array_equal(
         img.array, np.flip(np.flip(expected.reshape(32, 1, 24), 0), 1))
 
