@@ -415,6 +415,41 @@ def test_nm_tomo_parent_pixeldata_released(tmp_path, rng):
     assert parent._pixel_cache is None
 
 
+def test_nm_tomo_byte_flip_fuzz(tmp_path, rng):
+    """Byte-flip fuzz of an NM RECON TOMO file through the FULL
+    read_dicoms flow: the detector-geometry expansion must honor the
+    same tolerant-ingest contract as every other reader (corrupt files
+    skipped or loaded partially, never an uncaught exception)."""
+    arr = rng.integers(0, 60000, size=(4, 16, 16)).astype(np.uint16)
+    ds = _base_nm(frames=4)
+    ds.ImageType = ["DERIVED", "SECONDARY", "RECON TOMO", "EMISSION"]
+    ds.PatientPosition = "HFS"
+    ds.PixelSpacing = [0.5, 0.5]
+    ds.SpacingBetweenSlices = -2.0
+    ds.NumberOfDetectors = 1
+    det = Dataset()
+    det.ImageOrientationPatient = [1, 0, 0, 0, 1, 0]
+    det.ImagePositionPatient = [-50.0, -60.0, 0.0]
+    ds.DetectorInformationSequence = Sequence([det])
+    ds.PixelData = arr.astype("<u2").tobytes()
+
+    good_path = tmp_path / "good.dcm"
+    dcmwrite(good_path, ds)
+    good = good_path.read_bytes()
+
+    mut_path = tmp_path / "mut.dcm"
+    fuzz_rng = np.random.default_rng(78)
+    for trial in range(150):
+        blob = bytearray(good)
+        for _ in range(int(fuzz_rng.integers(1, 16))):
+            blob[int(fuzz_rng.integers(0, len(blob)))] = int(
+                fuzz_rng.integers(0, 256))
+        mut_path.write_bytes(bytes(blob))
+        Data.clear()
+        # must not raise — corrupt files are skipped or load partially
+        mia.read_dicoms(file_list=[str(mut_path)])
+
+
 def test_nm_tomo_only_tags(tmp_path, rng):
     """only_tags keeps geometry without decoding pixels."""
     arr = rng.integers(0, 100, size=(3, 8, 8)).astype(np.uint16)
