@@ -22,7 +22,7 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["gaussian_z_sharded", "demons_z_sharded",
+__all__ = ["gaussian_z_sharded", "warp_z_sharded", "demons_z_sharded",
            "demons_batch_z_sharded"]
 
 
@@ -100,6 +100,103 @@ def _exchange_z(block, h, n_shards, axis_name, z_axis):
     below = jnp.where(idx == 0, edge_low, from_below)
     above = jnp.where(idx == n_shards - 1, edge_high, from_above)
     return jnp.concatenate([below, block, above], axis=z_axis)
+
+
+def warp_z_sharded(volume, dvf_mm, mesh, spacing_xyz=(1.0, 1.0, 1.0),
+                   background=0.0, halo=16, axis_name="space"):
+    """Warp ONE large z-sharded volume by a DVF: the SPMD twin of
+    :func:`ops.registration.dvf.warp_volume` (out(x) = volume(x+d(x)),
+    d in mm, sampling convention) — the natural consumer of
+    :func:`demons_z_sharded`'s field when the pair never fit one chip.
+
+    SPMD structure: each shard halo-extends its moving slab by `halo`
+    z-rows (ONE ring ppermute over ICI), then runs the Pallas tile-slab
+    warp locally in fused 'disp' mode. x/y displacements are unlimited
+    (rows are shard-local); z displacements are served from the halo,
+    so |dz| is bounded by ``halo - 2`` rows. Points that need more
+    reach than the halo provides take `background` and are COUNTED —
+    a nonzero count warns to re-run with a larger `halo` (same
+    diagnostic contract as demons_z_sharded), so every returned voxel
+    is either exact or explicitly backgrounded, never silently wrong.
+
+    volume: (Z, Y, X), dvf_mm: (Z, Y, X, 3) mm [x, y, z], Z divisible
+    by the shard count. Returns the warped (Z, Y, X) volume (sharded
+    jax.Array on the mesh; np.asarray pulls it to host).
+    """
+    from ..ops.pallas_warp import warp_disp_jit
+
+    n_shards = mesh.shape[axis_name]
+    # stay HOST-side until the sharded placement (see demons_z_sharded)
+    volume = np.asarray(volume, np.float32)
+    dvf = np.asarray(dvf_mm, np.float32)
+    Z, Y, X = volume.shape
+    if dvf.shape != (Z, Y, X, 3):
+        raise ValueError(f"dvf shape {dvf.shape} != {(Z, Y, X, 3)}")
+    if Z % n_shards != 0:
+        raise ValueError(f"z={Z} not divisible by {n_shards} shards")
+    Zl = Z // n_shards
+    H = min(int(halo), Zl)
+    if H < 3:
+        raise ValueError(
+            f"effective halo {H} (min(halo={halo}, Z/shards={Zl})) is "
+            "too shallow for any z-motion; use fewer shards or a "
+            "deeper volume")
+    sp = np.asarray(spacing_xyz, np.float32)
+    bg = jnp.float32(background)
+
+    def local_fn(vol_loc, disp_loc):
+        # vol_loc (1, Zl, Y, X); disp_loc (3, Zl, Y, X) voxel [x, y, z]
+        slab = _exchange_z(vol_loc, H, n_shards, axis_name, 1)
+        idx = lax.axis_index(axis_name)
+        z_base = (idx * Zl).astype(jnp.float32)
+        zz = jnp.arange(Zl, dtype=jnp.float32)[:, None, None]
+        cap = jnp.float32(H - 2)
+        dz = disp_loc[2]
+        gz = z_base + zz + dz
+        # the single-device kernel backgrounds samples outside
+        # [0, Z-1]; the halo slab's edge-replicated global-boundary
+        # rows would edge-interp instead, so mask on GLOBAL z here
+        z_in = (gz >= 0.0) & (gz <= jnp.float32(Z - 1))
+        over_cap = jnp.abs(dz) > cap
+        disp = jnp.stack([disp_loc[0], disp_loc[1],
+                          jnp.clip(dz, -cap, cap) + jnp.float32(H)])
+        w, kovf = warp_disp_jit(slab, disp, background,
+                                with_overflow=True)
+        # a cap-clamped in-volume sample is wrong either way:
+        # background + counted (exact-or-backgrounded contract)
+        out = jnp.where(over_cap | ~z_in, bg, w[0])
+        ovf = jnp.sum((over_cap & z_in).astype(jnp.float32)) + kovf
+        return out, lax.psum(ovf, axis_name)
+
+    from .mesh import shard_map_nocheck
+    fn = shard_map_nocheck(
+        local_fn, mesh,
+        in_specs=(P(None, axis_name, None, None),
+                  P(None, axis_name, None, None)),
+        out_specs=(P(axis_name, None, None), P()))
+    run = jax.jit(lambda v, d: fn(v[None], d))
+
+    vol_sh = NamedSharding(mesh, P(axis_name, None, None))
+    disp_host = np.moveaxis(dvf / sp, -1, 0)  # (3, Z, Y, X) voxels
+    disp_sh = NamedSharding(mesh, P(None, axis_name, None, None))
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+    if multiproc:
+        v = jax.make_array_from_callback(
+            volume.shape, vol_sh, lambda idx: volume[idx])
+        d = jax.make_array_from_callback(
+            disp_host.shape, disp_sh, lambda idx: disp_host[idx])
+    else:
+        v = jax.device_put(volume, vol_sh)
+        d = jax.device_put(disp_host, disp_sh)
+    out, ovf = run(v, d)
+    if float(jax.device_get(ovf).ravel()[0]) > 0:
+        import warnings
+        warnings.warn(
+            "warp_z_sharded: z-displacements exceeded the halo reach "
+            f"(cap {H - 2} rows); affected voxels took the background. "
+            "Increase halo or use fewer z-shards.", RuntimeWarning)
+    return out
 
 
 def _make_pair_loop(n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j,

@@ -265,3 +265,69 @@ def test_demons_batch_z_sharded_matches_single_device(rng):
     # divisibility contracts
     with pytest.raises(ValueError, match="not divisible"):
         demons_batch_z_sharded(fixeds[:3], movings[:3], mesh)
+
+
+def test_warp_z_sharded_matches_warp_volume(rng):
+    """z-sharded DVF warp (halo slab + fused disp kernel per shard)
+    must match the single-device warp_volume exactly where the field
+    stays within the halo reach, including background at the global
+    z edges."""
+    _require_8()
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+    from medicalimageanalysis_tpu.parallel.halo import warp_z_sharded
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, space=4)
+    vol = rng.normal(size=(32, 16, 24)).astype(np.float32) * 100
+    # rough random field; |dz| < 4 mm stays within halo reach but
+    # pushes edge rows out of the volume (background semantics)
+    dvf = rng.uniform(-3.5, 3.5, size=(32, 16, 24, 3)).astype(np.float32)
+    spacing = (1.0, 1.0, 1.0)
+
+    golden = np.asarray(warp_volume(vol, dvf, spacing, background=-3001))
+    got = np.asarray(warp_z_sharded(vol, dvf, mesh, spacing,
+                                    background=-3001, halo=8))
+    np.testing.assert_allclose(got, golden, atol=2e-3)
+    # the edge rows must actually exercise the background path
+    assert np.any(golden == -3001)
+
+
+def test_warp_z_sharded_anisotropic_spacing(rng):
+    """mm -> voxel conversion respects [sx, sy, sz]."""
+    _require_8()
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+    from medicalimageanalysis_tpu.parallel.halo import warp_z_sharded
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, space=2)
+    vol = rng.normal(size=(16, 12, 20)).astype(np.float32)
+    dvf = rng.uniform(-4, 4, size=(16, 12, 20, 3)).astype(np.float32)
+    spacing = (0.8, 1.2, 2.5)
+    golden = np.asarray(warp_volume(vol, dvf, spacing, background=0.0))
+    got = np.asarray(warp_z_sharded(vol, dvf, mesh, spacing, halo=8))
+    np.testing.assert_allclose(got, golden, atol=2e-3)
+
+
+def test_warp_z_sharded_halo_overflow_warns(rng):
+    """z-motion beyond the halo reach: affected voxels take the
+    background (never a silently wrong value) and a RuntimeWarning
+    names the remedy."""
+    _require_8()
+    import warnings as _w
+    from medicalimageanalysis_tpu.parallel.halo import warp_z_sharded
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, space=4)
+    vol = rng.normal(size=(32, 8, 8)).astype(np.float32)
+    dvf = np.zeros((32, 8, 8, 3), np.float32)
+    # sample 12 rows away: IN-volume (z=20) but beyond the halo-8 cap
+    # of 6 rows — must background + warn, never silently clamp
+    dvf[8, :, :, 2] = 12.0
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = np.asarray(warp_z_sharded(vol, dvf, mesh, halo=8,
+                                        background=-3001))
+    assert any("halo" in str(r.message) for r in rec)
+    assert np.all(out[8] == -3001)
+    # untouched rows stay exact (identity warp)
+    np.testing.assert_allclose(out[0], vol[0], atol=1e-4)
