@@ -20,7 +20,8 @@ from ..ops.filters import _gauss_kernel_matrix
 from ..ops.resample import _interp_matrix
 
 __all__ = ["make_preprocess_fn", "make_registration_step",
-           "preprocess_batch", "demons_batch"]
+           "preprocess_batch", "demons_batch",
+           "compare_masks_batch"]
 
 
 def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
@@ -185,3 +186,50 @@ def make_registration_step(vol_shape, lr=0.05, stride=2):
         return params, opt.init(params)
 
     return train_step, init
+
+
+def compare_masks_batch(masks_a, masks_b, spacing, tolerance_mm=2.0,
+                        mesh=None):
+    """Cohort-scale segmentation QA: the full Dice/HD95/ASSD/
+    surface-Dice panel for B mask pairs in ONE compiled program,
+    optionally sharded over the mesh's 'data' axis (each chip runs its
+    local pairs; the EDT min-plus passes are pure XLA, so a plain
+    vmap batches them — no Pallas in this path).
+
+    masks_a/masks_b: (B, Z, Y, X) bool/uint8; spacing [sx, sy, sz] mm
+    (shared across the batch — resample first if grids differ).
+    Returns a dict of (B,) float32 numpy arrays with the same keys as
+    ops.edt.surface_metrics. With ``mesh``, B must be divisible by the
+    'data' axis size.
+    """
+    from functools import partial
+
+    import numpy as np
+
+    from ..ops.edt import _surface_metrics_jit
+
+    a = jnp.asarray(masks_a)
+    b = jnp.asarray(masks_b)
+    if a.shape != b.shape or a.ndim != 4:
+        raise ValueError("compare_masks_batch: expected matching "
+                         f"(B, Z, Y, X) stacks, got {a.shape} vs {b.shape}")
+    sp = tuple(float(v) for v in np.asarray(spacing).reshape(-1))
+    single = partial(_surface_metrics_jit, spacing=sp,
+                     tolerance_mm=float(tolerance_mm))
+    fn = jax.vmap(single)
+    if mesh is None:
+        jfn = jax.jit(fn)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .mesh import shard_map_nocheck
+        n_data = mesh.shape["data"]
+        if a.shape[0] % n_data:
+            raise ValueError(
+                f"compare_masks_batch: batch {a.shape[0]} not divisible "
+                f"by the 'data' axis ({n_data})")
+        spec = P("data")
+        jfn = jax.jit(shard_map_nocheck(
+            fn, mesh, in_specs=(spec, spec), out_specs=spec))
+    out = jfn(a, b)
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -135,14 +135,35 @@ def surface_dice(mask_a, mask_b, spacing, tolerance_mm):
                   tolerance_mm)
 
 
-def compare_rois(image, name_a, name_b, tolerance_mm=2.0):
+def compare_rois(image, name_a, name_b, tolerance_mm=2.0,
+                 backend="host"):
     """Full comparison panel for two ROIs on one image: Dice, Jaccard,
     HD, HD95, ASSD, surface Dice @tolerance, volumes. The natural QA
     for auto-segmentation (DICOM SEG) against manual contours
-    (RTSTRUCT) — both land as mask-backed ROIs here."""
+    (RTSTRUCT) — both land as mask-backed ROIs here.
+
+    backend='device' computes the identical panel with the exact-EDT
+    kernel (ops/edt.py) in one jitted program — same numbers to float32
+    tolerance; for whole-cohort QA use
+    parallel.batch.compare_masks_batch instead."""
     mask_a = np.asarray(image.rois[name_a].compute_mask())
     mask_b = np.asarray(image.rois[name_b].compute_mask())
     spacing = np.asarray(image.spacing, float)
+    if backend == "device":
+        from ..ops.edt import surface_metrics
+
+        dev = surface_metrics(mask_a, mask_b, spacing, tolerance_mm)
+        out = {k: float(dev[k]) for k in
+               ("dice", "jaccard", "volume_a_cc", "volume_b_cc")}
+        if _as_bool(mask_a).any() and _as_bool(mask_b).any():
+            out["hausdorff_mm"] = float(dev["hausdorff_mm"])
+            out["hd95_mm"] = float(dev["hd95_mm"])
+            out["assd_mm"] = float(dev["assd_mm"])
+            out[f"surface_dice@{tolerance_mm}mm"] = \
+                float(dev["surface_dice"])
+        return out
+    if backend != "host":
+        raise ValueError(f"compare_rois: unknown backend {backend!r}")
     out = {
         "dice": dice_coefficient(mask_a, mask_b),
         "jaccard": jaccard_index(mask_a, mask_b),

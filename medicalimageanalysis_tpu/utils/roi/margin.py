@@ -15,11 +15,17 @@ import numpy as np
 __all__ = ["expand_mask", "combine_masks"]
 
 
-def expand_mask(mask, spacing, margin_mm):
+def expand_mask(mask, spacing, margin_mm, backend="scipy"):
     """Expand (margin > 0) or contract (margin < 0) a (Z, Y, X) mask
     by a Euclidean mm margin. ``spacing`` is [sx, sy, sz];
     ``margin_mm`` is a scalar or per-axis [mx, my, mz] (the margin
-    ellipsoid's semi-axes). Returns uint8."""
+    ellipsoid's semi-axes). Returns uint8.
+
+    backend='device' runs the exact EDT on the accelerator
+    (ops/edt.py) — same semantics, float32 distances (a voxel landing
+    exactly ON the margin ellipsoid can tie-break differently from
+    scipy's float64; clinically sub-voxel). Useful when expanding many
+    structures in a jit pipeline."""
     from scipy import ndimage
 
     mask = np.asarray(mask) > 0
@@ -48,6 +54,25 @@ def expand_mask(mask, spacing, margin_mm):
         nz = sc > 0
         eff[nz] = sampling_zyx[nz] / sc[nz]
         return eff
+
+    if backend == "device":
+        from ...ops.edt import squared_edt
+
+        def dev_sampling(sc):
+            # cap the zero-margin-axis penalty so its SQUARE stays
+            # within float32 (1e6^2 per step: forbidden in practice,
+            # finite in arithmetic)
+            return np.minimum(margin_sampling(sc), 1e6)
+
+        if np.all(m >= 0):
+            eff = dev_sampling(scale)          # (z, y, x)
+            d2 = squared_edt(mask, (eff[2], eff[1], eff[0]))
+            return np.asarray(d2 <= 1.0).astype(np.uint8)
+        eff = dev_sampling(-scale)
+        d2 = squared_edt(~mask, (eff[2], eff[1], eff[0]))
+        return np.asarray(d2 > 1.0).astype(np.uint8)
+    if backend != "scipy":
+        raise ValueError(f"expand_mask: unknown backend {backend!r}")
 
     if np.all(m >= 0):
         # distance from the outside to the mask, in margin units
