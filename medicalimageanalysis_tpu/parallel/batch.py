@@ -208,8 +208,11 @@ def compare_masks_batch(masks_a, masks_b, spacing, tolerance_mm=2.0,
 
     from ..ops.edt import _surface_metrics_jit
 
-    a = jnp.asarray(masks_a)
-    b = jnp.asarray(masks_b)
+    # stay host-side: jnp.asarray would stage the whole cohort on one
+    # device before the sharded program reshards it (review finding —
+    # same rule as the z-sharded halo entry points)
+    a = np.asarray(masks_a)
+    b = np.asarray(masks_b)
     if a.shape != b.shape or a.ndim != 4:
         raise ValueError("compare_masks_batch: expected matching "
                          f"(B, Z, Y, X) stacks, got {a.shape} vs {b.shape}")
@@ -218,10 +221,11 @@ def compare_masks_batch(masks_a, masks_b, spacing, tolerance_mm=2.0,
                      tolerance_mm=float(tolerance_mm))
     fn = jax.vmap(single)
     if mesh is None:
-        jfn = jax.jit(fn)
+        out = jax.jit(fn)(jnp.asarray(a), jnp.asarray(b))
     else:
         from jax.sharding import PartitionSpec as P
 
+        from .halo import _put_sharded, _replicate
         from .mesh import shard_map_nocheck
         n_data = mesh.shape["data"]
         if a.shape[0] % n_data:
@@ -231,5 +235,8 @@ def compare_masks_batch(masks_a, masks_b, spacing, tolerance_mm=2.0,
         spec = P("data")
         jfn = jax.jit(shard_map_nocheck(
             fn, mesh, in_specs=(spec, spec), out_specs=spec))
-    out = jfn(a, b)
+        (av, bv), multiproc = _put_sharded(mesh, [(a, spec), (b, spec)])
+        out = jfn(av, bv)
+        if multiproc:
+            out = {k: _replicate(mesh, v) for k, v in out.items()}
     return {k: np.asarray(v) for k, v in out.items()}

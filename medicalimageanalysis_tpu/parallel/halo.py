@@ -102,6 +102,47 @@ def _exchange_z(block, h, n_shards, axis_name, z_axis):
     return jnp.concatenate([below, block, above], axis=z_axis)
 
 
+def _halo_depth(halo, Zl):
+    """Effective halo depth for a Zl-row shard. The ring exchange is
+    single-hop, so the halo is bounded by the local shard depth; below
+    3 rows the z-displacement cap (H - 2) cannot serve any motion."""
+    H = min(int(halo), Zl)
+    if H < 3:
+        raise ValueError(
+            f"effective halo {H} (min(halo={halo}, Z/shards={Zl})) is "
+            "too shallow for any z-motion; use fewer shards or a "
+            "deeper volume")
+    return H
+
+
+def _put_sharded(mesh, pairs):
+    """Place host numpy arrays onto the mesh per [(array, spec), ...]
+    WITHOUT staging any of them whole on one device (jnp.asarray here
+    would — exactly the OOM the z-sharded entry points exist to
+    avoid). Multi-host meshes build each global jax.Array
+    shard-by-shard (device_put cannot target non-addressable devices).
+    Returns (placed_arrays, multiproc)."""
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+    placed = []
+    for arr, spec in pairs:
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            placed.append(jax.make_array_from_callback(
+                arr.shape, sh, lambda idx, a=arr: a[idx]))
+        else:
+            placed.append(jax.device_put(arr, sh))
+    return placed, multiproc
+
+
+def _replicate(mesh, arr):
+    """Replicate a sharded result so every process can pull it to
+    host (np.asarray on an array spanning non-addressable devices
+    raises)."""
+    return jax.jit(jnp.asarray,
+                   out_shardings=NamedSharding(mesh, P()))(arr)
+
+
 def warp_z_sharded(volume, dvf_mm, mesh, spacing_xyz=(1.0, 1.0, 1.0),
                    background=0.0, halo=16, axis_name="space"):
     """Warp ONE large z-sharded volume by a DVF: the SPMD twin of
@@ -135,12 +176,7 @@ def warp_z_sharded(volume, dvf_mm, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     if Z % n_shards != 0:
         raise ValueError(f"z={Z} not divisible by {n_shards} shards")
     Zl = Z // n_shards
-    H = min(int(halo), Zl)
-    if H < 3:
-        raise ValueError(
-            f"effective halo {H} (min(halo={halo}, Z/shards={Zl})) is "
-            "too shallow for any z-motion; use fewer shards or a "
-            "deeper volume")
+    H = _halo_depth(halo, Zl)
     sp = np.asarray(spacing_xyz, np.float32)
     bg = jnp.float32(background)
 
@@ -165,37 +201,40 @@ def warp_z_sharded(volume, dvf_mm, mesh, spacing_xyz=(1.0, 1.0, 1.0),
         # a cap-clamped in-volume sample is wrong either way:
         # background + counted (exact-or-backgrounded contract)
         out = jnp.where(over_cap | ~z_in, bg, w[0])
-        ovf = jnp.sum((over_cap & z_in).astype(jnp.float32)) + kovf
-        return out, lax.psum(ovf, axis_name)
+        halo_ovf = jnp.sum((over_cap & z_in).astype(jnp.float32))
+        return (out, lax.psum(halo_ovf, axis_name),
+                lax.psum(kovf, axis_name))
 
     from .mesh import shard_map_nocheck
     fn = shard_map_nocheck(
         local_fn, mesh,
         in_specs=(P(None, axis_name, None, None),
                   P(None, axis_name, None, None)),
-        out_specs=(P(axis_name, None, None), P()))
+        out_specs=(P(axis_name, None, None), P(), P()))
     run = jax.jit(lambda v, d: fn(v[None], d))
 
-    vol_sh = NamedSharding(mesh, P(axis_name, None, None))
     disp_host = np.moveaxis(dvf / sp, -1, 0)  # (3, Z, Y, X) voxels
-    disp_sh = NamedSharding(mesh, P(None, axis_name, None, None))
-    multiproc = any(d.process_index != jax.process_index()
-                    for d in mesh.devices.flat)
-    if multiproc:
-        v = jax.make_array_from_callback(
-            volume.shape, vol_sh, lambda idx: volume[idx])
-        d = jax.make_array_from_callback(
-            disp_host.shape, disp_sh, lambda idx: disp_host[idx])
-    else:
-        v = jax.device_put(volume, vol_sh)
-        d = jax.device_put(disp_host, disp_sh)
-    out, ovf = run(v, d)
-    if float(jax.device_get(ovf).ravel()[0]) > 0:
-        import warnings
+    (v, d), multiproc = _put_sharded(mesh, [
+        (volume, P(axis_name, None, None)),
+        (disp_host, P(None, axis_name, None, None))])
+    out, halo_ovf, kovf = run(v, d)
+    import warnings
+    if float(jax.device_get(halo_ovf).ravel()[0]) > 0:
         warnings.warn(
             "warp_z_sharded: z-displacements exceeded the halo reach "
             f"(cap {H - 2} rows); affected voxels took the background. "
             "Increase halo or use fewer z-shards.", RuntimeWarning)
+    if float(jax.device_get(kovf).ravel()[0]) > 0:
+        # in-plane (x/y) spread blew the kernel slab window — a deeper
+        # halo cannot fix that (review finding: same contract split as
+        # demons_z_sharded)
+        warnings.warn(
+            "warp_z_sharded: warp taps exceeded the kernel slab caps "
+            "(treated as background). Smooth the field or warp with "
+            "ops.registration.dvf.warp_volume (auto-sized windows).",
+            RuntimeWarning)
+    if multiproc:
+        out = _replicate(mesh, out)
     return out
 
 
@@ -322,16 +361,7 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     if Z % n_shards != 0:
         raise ValueError(f"z={Z} not divisible by {n_shards} shards")
     Zl = Z // n_shards
-    # ring exchange is single-hop: a shard can only see its immediate
-    # neighbors, so the halo (and the z-displacement cap) is bounded by
-    # the local shard depth
-    H = min(int(halo), Zl)
-    if H < 3:
-        # cap = H - 2 would pin (or corrupt) the z-displacement
-        raise ValueError(
-            f"effective halo {H} (min(halo={halo}, Z/shards={Zl})) is "
-            "too shallow for any z-motion; use fewer shards or a "
-            "deeper volume")
+    H = _halo_depth(halo, Zl)
     sp = jnp.asarray(spacing_xyz, jnp.float32)
 
     taps, radius = _gauss_taps(max(float(std), 1e-3))
@@ -369,20 +399,8 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
             out_specs=(P(None, axis_name, None, None), P()))
         return fn(f, stack, grad_f)
 
-    vol_sh = NamedSharding(mesh, P(axis_name, None, None))
-    multiproc = any(d.process_index != jax.process_index()
-                    for d in mesh.devices.flat)
-    if multiproc:
-        # multi-host mesh: every process holds the same global host
-        # array; build the sharded jax.Array shard-by-shard (device_put
-        # cannot target non-addressable devices)
-        f = jax.make_array_from_callback(
-            fixed.shape, vol_sh, lambda idx: fixed[idx])
-        m = jax.make_array_from_callback(
-            moving.shape, vol_sh, lambda idx: moving[idx])
-    else:
-        f = jax.device_put(fixed, vol_sh)
-        m = jax.device_put(moving, vol_sh)
+    spec = P(axis_name, None, None)
+    (f, m), multiproc = _put_sharded(mesh, [(fixed, spec), (moving, spec)])
     u, ovf = run(f, m)
     if float(jax.device_get(ovf).ravel()[0]) > 0:
         # same diagnostic contract as demons_registration (review
@@ -394,8 +412,7 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
             "step.", RuntimeWarning)
     if multiproc:
         # replicate so every process can read the full field
-        u = jax.jit(jnp.asarray,
-                    out_shardings=NamedSharding(mesh, P()))(u)
+        u = _replicate(mesh, u)
     return np.moveaxis(np.asarray(u), 0, -1) * np.asarray(spacing_xyz)
 
 
@@ -434,11 +451,7 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
     if Z % n_shards != 0:
         raise ValueError(f"z={Z} not divisible by {n_shards} shards")
     Zl = Z // n_shards
-    H = min(int(halo), Zl)
-    if H < 3:
-        raise ValueError(
-            f"effective halo {H} (min(halo={halo}, Z/shards={Zl})) is "
-            "too shallow for any z-motion")
+    H = _halo_depth(halo, Zl)
     sp = jnp.asarray(spacing_xyz, jnp.float32)
     taps, radius = _gauss_taps(max(float(std), 1e-3))
     if smooth and radius > Zl:
@@ -480,17 +493,8 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
                        P(data_axis)))
         return fn(f, stack, grad_f)
 
-    vol_sh = NamedSharding(mesh, P(data_axis, space_axis, None, None))
-    multiproc = any(d.process_index != jax.process_index()
-                    for d in mesh.devices.flat)
-    if multiproc:
-        f = jax.make_array_from_callback(
-            fixed.shape, vol_sh, lambda idx: fixed[idx])
-        m = jax.make_array_from_callback(
-            moving.shape, vol_sh, lambda idx: moving[idx])
-    else:
-        f = jax.device_put(fixed, vol_sh)
-        m = jax.device_put(moving, vol_sh)
+    spec = P(data_axis, space_axis, None, None)
+    (f, m), multiproc = _put_sharded(mesh, [(fixed, spec), (moving, spec)])
     u, ovf = run(f, m)
     if multiproc:
         # ovf is P(data)-sharded; device_get on an array spanning
@@ -505,6 +509,5 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
             "slab caps (treated as background). Increase smoothing or "
             "reduce step.", RuntimeWarning)
     if multiproc:
-        u = jax.jit(jnp.asarray,
-                    out_shardings=NamedSharding(mesh, P()))(u)
+        u = _replicate(mesh, u)
     return np.moveaxis(np.asarray(u), 1, -1) * np.asarray(spacing_xyz)

@@ -472,15 +472,16 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             * np.float32(weight_g / decayed_dose)
 
     def create_roi_from_margin(self, name, source, margin_mm,
-                               color=None):
+                               color=None, backend="scipy"):
         """New ROI = ``source`` expanded/contracted by an exact
         Euclidean mm margin (scalar or per-axis [mx, my, mz]; negative
         contracts) — BEYOND-PARITY planning structure generation
-        (PTV = CTV + margin). Returns the new Roi."""
+        (PTV = CTV + margin). backend='device' runs the EDT on the
+        accelerator (ops/edt.py). Returns the new Roi."""
         from ..utils.roi.margin import expand_mask
 
         mask = expand_mask(self.rois[source].compute_mask(),
-                           self.spacing, margin_mm)
+                           self.spacing, margin_mm, backend=backend)
         self.create_roi(name=name,
                         color=color or self.rois[source].color)
         self.rois[name].convert_mask(mask)

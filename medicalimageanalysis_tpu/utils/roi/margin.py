@@ -38,6 +38,10 @@ def expand_mask(mask, spacing, margin_mm, backend="scipy"):
     if np.any(m > 0) and np.any(m < 0):
         raise ValueError("expand_mask: mixed-sign per-axis margins "
                          "are not supported (expand or contract)")
+    if backend not in ("scipy", "device"):
+        # validate before the zero-margin/empty-mask early return so a
+        # typo'd backend never silently succeeds (review finding)
+        raise ValueError(f"expand_mask: unknown backend {backend!r}")
     sx, sy, sz = (float(v) for v in spacing)
     sampling_zyx = np.array([sz, sy, sx], np.float64)
     scale = np.array([m[2], m[1], m[0]], np.float64)  # (z, y, x)
@@ -71,8 +75,6 @@ def expand_mask(mask, spacing, margin_mm, backend="scipy"):
         eff = dev_sampling(-scale)
         d2 = squared_edt(~mask, (eff[2], eff[1], eff[0]))
         return np.asarray(d2 > 1.0).astype(np.uint8)
-    if backend != "scipy":
-        raise ValueError(f"expand_mask: unknown backend {backend!r}")
 
     if np.all(m >= 0):
         # distance from the outside to the mask, in margin units

@@ -141,5 +141,19 @@ def validate_kernels(fast=True):
                                       dtype=jnp.int32))
     record("bitpack12", bool((outp == arr.astype(np.int32)).all()))
 
+    # exact EDT (min-plus separable) vs host scipy — pure XLA, but the
+    # QA panel rides it, so pin the on-chip lowering too
+    from scipy import ndimage as _ndi
+
+    from .ops.edt import edt as _edt
+    m = _ndi.binary_dilation(rng.random((18, 22, 16)) > 0.97,
+                             iterations=2)
+    m[9, 11, 8] = True  # never empty
+    sp = (0.9, 1.1, 2.4)
+    golden = _ndi.distance_transform_edt(~m, sampling=(sp[2], sp[1], sp[0]))
+    got = np.asarray(_edt(m, sp))
+    d = float(np.max(np.abs(got - golden)))
+    record("edt_exact", d < 1e-3, f"max|diff|={d:.2e}")
+
     return {"backend": backend, "ok": all(checks.values()),
             "checks": checks, "detail": detail}

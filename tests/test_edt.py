@@ -115,9 +115,13 @@ def test_surface_metrics_empty_and_identical(rng):
 
 
 def test_compare_masks_batch_sharded(rng):
+    import jax
+
     from medicalimageanalysis_tpu.parallel.batch import compare_masks_batch
     from medicalimageanalysis_tpu.parallel.mesh import make_mesh
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
     B, shape, sp = 8, (12, 16, 14), (1.0, 1.2, 2.0)
     masks_a = np.stack([_blobs(rng, shape, p=0.97) for _ in range(B)])
     masks_b = np.stack([np.roll(m, (1, -1, 2), axis=(0, 1, 2))
