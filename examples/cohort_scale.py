@@ -115,6 +115,21 @@ def main():
         print(f"z-sharded demons DVF {d1.shape}, "
               f"max |d| {np.abs(d1).max():.2f} mm")
 
+    # -- 5. cohort QA in one program: seg panel + DVH over 'data' ------
+    from medicalimageanalysis_tpu.parallel.batch import (
+        compare_masks_batch, dvh_batch)
+
+    masks_auto = np.stack(
+        [np.asarray(results[n]["mask"]) for n in names]).astype(np.uint8)
+    masks_manual = np.roll(masks_auto, (0, 1, 1, -1), (0, 1, 2, 3))
+    qa = compare_masks_batch(masks_auto, masks_manual, (1.0, 1.0, 1.0),
+                             tolerance_mm=2.0, mesh=mesh)
+    print("seg QA dice:", np.round(qa["dice"], 3),
+          "hd95 mm:", np.round(qa["hd95_mm"], 2))
+    doses = np.abs(vols).astype(np.float32) / max(np.abs(vols).max(), 1) * 70
+    dvh = dvh_batch(doses, masks_auto, 0.001, mesh=mesh)
+    print("cohort DVH Dmean Gy:", np.round(dvh["Dmean"], 2))
+
     Data.clear()
     print("cohort walkthrough OK")
 

@@ -21,7 +21,7 @@ from ..ops.resample import _interp_matrix
 
 __all__ = ["make_preprocess_fn", "make_registration_step",
            "preprocess_batch", "demons_batch",
-           "compare_masks_batch"]
+           "compare_masks_batch", "dvh_batch", "gamma_batch"]
 
 
 def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
@@ -240,3 +240,174 @@ def compare_masks_batch(masks_a, masks_b, spacing, tolerance_mm=2.0,
         if multiproc:
             out = {k: _replicate(mesh, v) for k, v in out.items()}
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def dvh_batch(doses, masks, voxel_volume_cc, max_dose=150, increment=5,
+              mesh=None):
+    """Cohort-scale DVH: the full Dmin/Dmax/Dmean/Dmedian/Dstd +
+    D1..D99 + VS{d}Gy panel for B (dose grid, ROI mask) pairs in ONE
+    compiled program, optionally sharded over the mesh's 'data' axis.
+    The single-pair path extracts dose[mask] on host and pads to a
+    bucket (ops/dvh.dvh_statistics); here the mask IS the kernel's
+    validity input, so nothing leaves the device until the (B,)
+    reductions come back.
+
+    doses/masks: (B, Z, Y, X), aligned grids (resample each dose onto
+    its image grid first — Dose.compute_roi_dose_array semantics);
+    voxel_volume_cc: scalar or (B,) when spacings differ. Returns a
+    dict of numpy arrays keyed like dvh_statistics: 'Volume (cc)',
+    'Dmin', ..., 'D{p}' per D_VALUES, 'VS{d}Gy_percent'/'VS{d}Gy_cc'.
+    Pairs with an empty mask come back NaN (volume 0), matching the
+    host path's early-out. With ``mesh``, B must divide by 'data'.
+    """
+    from functools import partial
+
+    import numpy as np
+
+    from ..ops.dvh import D_VALUES, _dvh_core
+
+    d = np.asarray(doses, np.float32)
+    m = np.asarray(masks)
+    if d.shape != m.shape or d.ndim != 4:
+        raise ValueError("dvh_batch: expected matching (B, Z, Y, X) "
+                         f"stacks, got {d.shape} vs {m.shape}")
+    B = d.shape[0]
+    vox = np.broadcast_to(np.asarray(voxel_volume_cc, np.float32), (B,))
+    n_bins = int(max_dose // increment + 2)
+    d_pcts = jnp.asarray(np.asarray(D_VALUES, np.float32))
+
+    def single(dose_vol, mask_vol):
+        return _dvh_core(dose_vol.ravel(), mask_vol.ravel() > 0,
+                         d_pcts, n_bins, float(increment))
+
+    fn = jax.vmap(single)
+    if mesh is None:
+        out = jax.jit(fn)(jnp.asarray(d), jnp.asarray(m))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .halo import _put_sharded, _replicate
+        from .mesh import shard_map_nocheck
+        n_data = mesh.shape["data"]
+        if B % n_data:
+            raise ValueError(f"dvh_batch: batch {B} not divisible by "
+                             f"the 'data' axis ({n_data})")
+        spec = P("data")
+        jfn = jax.jit(shard_map_nocheck(
+            fn, mesh, in_specs=(spec, spec), out_specs=spec))
+        (dv, mv), multiproc = _put_sharded(mesh, [(d, spec), (m, spec)])
+        out = jfn(dv, mv)
+        if multiproc:
+            out = tuple(_replicate(mesh, v) for v in out)
+    dmin, dmax, mean, median, std, d_out, below, count = \
+        (np.asarray(v).astype(np.float64) for v in out)
+    empty = count == 0
+    for stat in (dmin, dmax, mean, median, std, d_out):
+        stat[empty] = np.nan  # kernel pads would leak +-3.4e38 here
+    res = {"Volume (cc)": count * vox,
+           "Dmin": dmin, "Dmax": dmax, "Dmean": mean,
+           "Dmedian": median, "Dstd": std}
+    for i, p in enumerate(D_VALUES):
+        res[f"D{p}"] = d_out[:, i]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i in range(n_bins):
+            g = i * increment
+            if g > max_dose + increment:
+                break
+            res[f"VS{g}Gy_percent"] = below[:, i] / count * 100.0
+            res[f"VS{g}Gy_cc"] = below[:, i] * vox
+    return res
+
+
+def gamma_batch(ref_doses, eval_doses, spacing, dose_pct=3.0,
+                dta_mm=3.0, local=False, threshold_pct=10.0,
+                subdiv=None, cap=2.0, mesh=None, return_maps=False):
+    """Cohort gamma-index QA: B (reference, evaluated) dose pairs on a
+    SHARED grid — the accumulated / recomputed dose-QA case (cross-grid
+    pairs: resample first, or run Dose.compute_gamma per pair) — in one
+    compiled program, optionally sharded over the 'data' mesh axis.
+
+    Same TG-218 sub-voxel search as ops.gamma.gamma_index (one
+    fine-grid upsample + phase-decomposed offset scan per pair, exact
+    up to ``cap``); per-pair normalisation is max(ref). Returns a dict
+    of (B,) numpy arrays: pass_rate, mean, max, analysed_voxels,
+    norm_dose (+ 'gamma' (B, Z, Y, X) maps when ``return_maps``).
+    All-zero reference grids report pass_rate 100 with 0 analysed
+    voxels (the per-pair path raises instead).
+    """
+    import numpy as np
+
+    from ..ops.gamma import (_decompose_offsets, _gamma_fn,
+                             fine_grid_layout, upsample_to_fine)
+
+    ref = np.asarray(ref_doses, np.float32)
+    ev = np.asarray(eval_doses, np.float32)
+    if ref.shape != ev.shape or ref.ndim != 4:
+        raise ValueError("gamma_batch: expected matching (B, Z, Y, X) "
+                         f"stacks, got {ref.shape} vs {ev.shape}")
+    if cap < 1.0:
+        raise ValueError(f"gamma_batch: cap must be >= 1, got {cap}")
+    B = ref.shape[0]
+    s, r, offsets, dist2 = fine_grid_layout(spacing, dta_mm, subdiv, cap)
+    rows = jnp.asarray(_decompose_offsets(offsets, s, r))
+    dist2_j = jnp.asarray(dist2, jnp.float32)
+    run = _gamma_fn(ref.shape[1:], s, r, None)
+    dta2 = jnp.float32(dta_mm * dta_mm)
+    pct = jnp.float32(dose_pct / 100.0)
+    thr = jnp.float32(threshold_pct / 100.0)
+    capf = jnp.float32(cap)
+
+    def single(ref_v, ev_v):
+        norm = jnp.max(ref_v)
+        norm_safe = jnp.maximum(norm, jnp.float32(1e-6))
+        if local:
+            dd = pct * jnp.maximum(jnp.abs(ref_v), 1e-6 * norm_safe)
+            dd2 = dd * dd
+        else:
+            dd2 = (pct * norm_safe) ** 2
+        fine = upsample_to_fine(ev_v, s, r)
+        gam = jnp.minimum(run(ref_v, fine, dd2, rows, dist2_j, dta2),
+                          capf)
+        mask = (ref_v >= thr * norm) & (norm > 0)
+        n = jnp.sum(mask)
+        nf = jnp.maximum(n, 1).astype(jnp.float32)
+        stats = {
+            "pass_rate": jnp.where(
+                n > 0,
+                jnp.sum(jnp.where(mask, gam <= 1.0, False)) / nf * 100.0,
+                100.0),
+            "mean": jnp.sum(jnp.where(mask, gam, 0.0)) / nf,
+            "max": jnp.max(jnp.where(mask, gam, 0.0)),
+            "analysed_voxels": n.astype(jnp.float32),
+            "norm_dose": norm,
+        }
+        return (stats, gam) if return_maps else (stats, jnp.float32(0))
+
+    fn = jax.vmap(single)
+    if mesh is None:
+        stats, maps = jax.jit(fn)(jnp.asarray(ref), jnp.asarray(ev))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .halo import _put_sharded, _replicate
+        from .mesh import shard_map_nocheck
+        n_data = mesh.shape["data"]
+        if B % n_data:
+            raise ValueError(f"gamma_batch: batch {B} not divisible by "
+                             f"the 'data' axis ({n_data})")
+        spec = P("data")
+        jfn = jax.jit(shard_map_nocheck(
+            fn, mesh, in_specs=(spec, spec), out_specs=spec))
+        (rv, evv), multiproc = _put_sharded(mesh, [(ref, spec),
+                                                   (ev, spec)])
+        stats, maps = jfn(rv, evv)
+        if multiproc:
+            stats = {k: _replicate(mesh, v) for k, v in stats.items()}
+            if return_maps:
+                maps = _replicate(mesh, maps)
+    out = {k: np.asarray(v) for k, v in stats.items()}
+    out["subdiv"] = s
+    out["search_offsets"] = int(len(dist2))
+    if return_maps:
+        out["gamma"] = np.asarray(maps)
+    return out

@@ -331,3 +331,86 @@ def test_warp_z_sharded_halo_overflow_warns(rng):
     assert np.all(out[8] == -3001)
     # untouched rows stay exact (identity warp)
     np.testing.assert_allclose(out[0], vol[0], atol=1e-4)
+
+
+def test_dvh_batch_matches_host(rng):
+    """Cohort DVH panel == per-pair host dvh_statistics, sharded and
+    unsharded; empty masks come back NaN with volume 0."""
+    _require_8()
+    from medicalimageanalysis_tpu.ops.dvh import dvh_statistics
+    from medicalimageanalysis_tpu.parallel.batch import dvh_batch
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    B, shape = 8, (6, 12, 10)
+    doses = rng.uniform(0, 72, size=(B,) + shape).astype(np.float32)
+    masks = (rng.random((B,) + shape) > 0.4).astype(np.uint8)
+    masks[5] = 0  # empty-mask pair
+    vox_cc = 0.9 * 1.1 * 2.0 / 1000.0
+
+    out = dvh_batch(doses, masks, vox_cc)
+    mesh = make_mesh(8, space=1)
+    sharded = dvh_batch(doses, masks, vox_cc, mesh=mesh)
+    for k in out:
+        np.testing.assert_allclose(sharded[k], out[k], atol=1e-5,
+                                   err_msg=k)
+
+    for i in (0, 3, 7):
+        ref = dvh_statistics(doses[i][masks[i] > 0], vox_cc)
+        for k, v in ref.items():
+            if k == "ROI":
+                continue
+            assert out[k][i] == pytest.approx(v, rel=1e-5, abs=1e-4), \
+                f"pair {i} key {k}"
+    assert out["Volume (cc)"][5] == 0.0
+    for k in ("Dmean", "Dmin", "Dmax", "Dmedian", "Dstd", "D95"):
+        assert np.isnan(out[k][5]), k
+    with pytest.raises(ValueError):
+        dvh_batch(doses[:3], masks[:3], vox_cc, mesh=mesh)
+    with pytest.raises(ValueError):
+        dvh_batch(doses[:, 0], masks[:, 0], vox_cc)
+
+
+def test_gamma_batch_matches_single(rng):
+    """Cohort gamma == per-pair ops.gamma.gamma_index (same layout),
+    sharded and unsharded; all-zero refs report 100% / 0 analysed."""
+    _require_8()
+    from medicalimageanalysis_tpu.ops.gamma import (fine_grid_layout,
+                                                    gamma_index,
+                                                    upsample_to_fine)
+    from medicalimageanalysis_tpu.parallel.batch import gamma_batch
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    B, shape, sp = 4, (6, 14, 12), (2.5, 2.5, 2.5)
+    zz, yy, xx = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+    base = 60 * np.exp(-((zz - 3) ** 2 / 8 + (yy - 7) ** 2 / 30
+                         + (xx - 6) ** 2 / 24)).astype(np.float32)
+    refs = np.stack([base * (1 + 0.05 * i) for i in range(B)])
+    evals = np.stack([np.roll(r, 1, axis=2) * 1.02 for r in refs])
+    refs[3] = 0.0  # all-zero reference pair
+
+    out = gamma_batch(refs, evals, sp, dose_pct=3.0, dta_mm=3.0,
+                      return_maps=True)
+    mesh = make_mesh(8, space=2)
+    sharded = gamma_batch(refs, evals, sp, mesh=mesh)
+    for k in ("pass_rate", "mean", "max", "analysed_voxels"):
+        np.testing.assert_allclose(sharded[k], out[k], atol=1e-4,
+                                   err_msg=k)
+
+    layout = fine_grid_layout(sp, 3.0, None, 2.0)
+    for i in (0, 2):
+        fine = np.asarray(upsample_to_fine(evals[i], layout[0],
+                                           layout[1]))
+        ref_out = gamma_index(refs[i], fine, sp, dose_pct=3.0,
+                              dta_mm=3.0)
+        assert out["pass_rate"][i] == pytest.approx(
+            ref_out["pass_rate"], abs=1e-3)
+        assert out["mean"][i] == pytest.approx(ref_out["mean"], abs=1e-4)
+        assert out["max"][i] == pytest.approx(ref_out["max"], abs=1e-4)
+        np.testing.assert_allclose(out["gamma"][i], ref_out["gamma"],
+                                   atol=1e-5)
+    assert out["pass_rate"][3] == 100.0
+    assert out["analysed_voxels"][3] == 0
+    with pytest.raises(ValueError):
+        gamma_batch(refs, evals, sp, cap=0.5)
+    with pytest.raises(ValueError):
+        gamma_batch(refs[:3], evals[:3], sp, mesh=mesh)
