@@ -80,6 +80,14 @@ def test_masked_percentile_matches_numpy(rng):
         pytest.approx(float(vals[0, 2]), abs=1e-6)
     assert np.isnan(float(E.masked_percentile(vals[0, :5],
                                               np.zeros(5, bool), 95.0)))
+    # near-inf bit range: (lo + hi) // 2 overflowed int32 here before
+    # the midpoint fix — values with huge exponents must still resolve
+    big = np.array([1e30, 2e32, 3e35, np.inf, 5.0], np.float32)
+    bmask = np.ones(5, bool)
+    for q, want in ((0.0, 5.0), (50.0, 2e32), (100.0, np.inf)):
+        got = float(E.masked_percentile(big, bmask, q))
+        assert got == float(np.float32(want)) \
+            or (np.isinf(got) and np.isinf(want)), (q, got)
 
 
 def test_surface_metrics_match_host_panel(rng):
