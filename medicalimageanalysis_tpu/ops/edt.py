@@ -153,49 +153,74 @@ def boundary_mask(mask):
     return m & ~eroded
 
 
-def _order_stat_nonneg(keys, valid, rank):
-    """Exact ``rank``-th smallest (1-indexed) of the NON-NEGATIVE f32
-    values behind ``keys`` (their int32 bit patterns — monotonic for
-    non-negative IEEE floats, +inf included). Binary search over the
-    bit range: ~31 fused masked-count passes instead of a full sort
-    (the sort was the surface-panel hot spot — 2M-element jnp.sort is
-    tens of ms on TPU, the counts are HBM-streaming microseconds)."""
+def _float_keys(vals_f32):
+    """Monotonic uint32 key for the FULL f32 line (the radix-sort key
+    transform): negatives bit-flip entirely, non-negatives set the
+    sign bit, so unsigned key compare == float compare with
+    -inf < ... < -0.0 < +0.0 < ... < +inf."""
+    u = lax.bitcast_convert_type(vals_f32, jnp.uint32)
+    return jnp.where(u >> 31 != 0, ~u, u | jnp.uint32(0x80000000))
+
+
+def _key_to_float(key):
+    u = jnp.where(key >> 31 != 0, key & jnp.uint32(0x7FFFFFFF), ~key)
+    return lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _order_stat(keys, valid, rank):
+    """Exact ``rank``-th smallest (1-indexed) uint32 key among the
+    valid entries. Binary search over the key range: 32 fused
+    masked-count passes instead of a full sort (the sort was the
+    surface-panel hot spot — 2M-element jnp.sort is tens of ms on
+    TPU, the counts are HBM-streaming microseconds). Returns the key;
+    it is always one actually present (counts only change at present
+    keys)."""
     target = rank
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = lo + (hi - lo) // 2  # (lo + hi) overflows int32 near inf
+        mid = lo + (hi - lo) // 2  # (lo + hi) would overflow
         c = jnp.sum(jnp.where(valid, keys <= mid, False))
         take = c >= target
-        return (jnp.where(take, lo, mid + 1),
+        return (jnp.where(take, lo, mid + jnp.uint32(1)),
                 jnp.where(take, mid, hi))
 
-    lo = jnp.int32(0)
-    hi = jnp.int32(0x7F800000)  # +inf
-    lo, hi = lax.fori_loop(0, 31, body, (lo, hi))
-    return lax.bitcast_convert_type(hi, jnp.float32)
+    lo = jnp.uint32(0)
+    hi = jnp.uint32(0xFFFFFFFF)
+    lo, hi = lax.fori_loop(0, 32, body, (lo, hi))
+    return hi
 
 
 def masked_percentile(values, valid, q):
     """np.percentile(values[valid], q) with 'linear' interpolation,
-    jit-safe (static shapes). values must be NON-NEGATIVE floats
-    (distances; +inf pads fine) — the order statistics come from a
-    bit-level binary search, exact and sort-free. valid: same-shape
-    bool; q in [0, 100]. Returns nan when valid is empty."""
-    keys = lax.bitcast_convert_type(
-        jnp.asarray(values, jnp.float32), jnp.int32).ravel()
+    jit-safe (static shapes), for ANY f32 values (negatives and
+    +-inf included — the order statistics come from a bit-level
+    binary search over the monotonic radix key, exact and sort-free).
+    valid: same-shape bool; q in [0, 100]. Returns nan when valid is
+    empty or any valid value is NaN (numpy's nan-poisoning)."""
+    vals = jnp.asarray(values, jnp.float32).ravel()
     vmask = jnp.asarray(valid).ravel()
+    keys = _float_keys(vals)
     n = jnp.sum(vmask)
     pos = jnp.float32(q) / 100.0 * jnp.maximum(n - 1, 0).astype(jnp.float32)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.ceil(pos).astype(jnp.int32)
     frac = pos - lo.astype(jnp.float32)
-    v_lo = _order_stat_nonneg(keys, vmask, lo + 1)
-    v_hi = _order_stat_nonneg(keys, vmask, hi + 1)
+    k_lo = _order_stat(keys, vmask, lo + 1)
+    v_lo = _key_to_float(k_lo)
+    # ranks lo+1 and hi+1 differ by at most one, so the second order
+    # statistic needs no second 32-pass search: if duplicates of v_lo
+    # already cover rank hi+1 it IS v_lo, else it is the smallest
+    # valid key strictly above k_lo — two streaming passes
+    c_lo = jnp.sum(jnp.where(vmask, keys <= k_lo, False))
+    k_next = jnp.min(jnp.where(vmask & (keys > k_lo), keys,
+                               jnp.uint32(0xFFFFFFFF)))
+    v_hi = jnp.where(c_lo >= hi + 1, v_lo, _key_to_float(k_next))
     # frac == 0 must return v_lo verbatim: v_hi can be +inf (e.g.
     # q=100 on a set containing inf) and inf * 0 would NaN the result
     val = jnp.where(frac > 0, v_lo * (1.0 - frac) + v_hi * frac, v_lo)
-    return jnp.where(n > 0, val, jnp.nan)
+    bad = jnp.any(vmask & jnp.isnan(vals))
+    return jnp.where((n > 0) & ~bad, val, jnp.nan)
 
 
 def surface_metrics(mask_a, mask_b, spacing=(1.0, 1.0, 1.0),

@@ -223,23 +223,35 @@ def compare_masks_batch(masks_a, masks_b, spacing, tolerance_mm=2.0,
     if mesh is None:
         out = jax.jit(fn)(jnp.asarray(a), jnp.asarray(b))
     else:
-        from jax.sharding import PartitionSpec as P
-
-        from .halo import _put_sharded, _replicate
-        from .mesh import shard_map_nocheck
-        n_data = mesh.shape["data"]
-        if a.shape[0] % n_data:
-            raise ValueError(
-                f"compare_masks_batch: batch {a.shape[0]} not divisible "
-                f"by the 'data' axis ({n_data})")
-        spec = P("data")
-        jfn = jax.jit(shard_map_nocheck(
-            fn, mesh, in_specs=(spec, spec), out_specs=spec))
-        (av, bv), multiproc = _put_sharded(mesh, [(a, spec), (b, spec)])
-        out = jfn(av, bv)
+        from .halo import _replicate
+        out, multiproc = _data_sharded_call("compare_masks_batch",
+                                            mesh, fn, [a, b])
         if multiproc:
             out = {k: _replicate(mesh, v) for k, v in out.items()}
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _data_sharded_call(name, mesh, fn, arrays):
+    """Run a vmapped cohort kernel over the mesh's 'data' axis: batch
+    divisibility check, shard_map (check_vma=False — the body may hit
+    a Pallas kernel), host->device sharded placement. Returns
+    (out, multiproc); multi-process callers must _replicate outputs
+    before np.asarray (see parallel/halo.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .halo import _put_sharded
+    from .mesh import shard_map_nocheck
+    n_data = mesh.shape["data"]
+    B = arrays[0].shape[0]
+    if B % n_data:
+        raise ValueError(f"{name}: batch {B} not divisible by the "
+                         f"'data' axis ({n_data})")
+    spec = P("data")
+    jfn = jax.jit(shard_map_nocheck(fn, mesh,
+                                    in_specs=(spec,) * len(arrays),
+                                    out_specs=spec))
+    vs, multiproc = _put_sharded(mesh, [(a, spec) for a in arrays])
+    return jfn(*vs), multiproc
 
 
 def dvh_batch(doses, masks, voxel_volume_cc, max_dose=150, increment=5,
@@ -260,8 +272,6 @@ def dvh_batch(doses, masks, voxel_volume_cc, max_dose=150, increment=5,
     Pairs with an empty mask come back NaN (volume 0), matching the
     host path's early-out. With ``mesh``, B must divide by 'data'.
     """
-    from functools import partial
-
     import numpy as np
 
     from ..ops.dvh import D_VALUES, _dvh_core
@@ -284,19 +294,9 @@ def dvh_batch(doses, masks, voxel_volume_cc, max_dose=150, increment=5,
     if mesh is None:
         out = jax.jit(fn)(jnp.asarray(d), jnp.asarray(m))
     else:
-        from jax.sharding import PartitionSpec as P
-
-        from .halo import _put_sharded, _replicate
-        from .mesh import shard_map_nocheck
-        n_data = mesh.shape["data"]
-        if B % n_data:
-            raise ValueError(f"dvh_batch: batch {B} not divisible by "
-                             f"the 'data' axis ({n_data})")
-        spec = P("data")
-        jfn = jax.jit(shard_map_nocheck(
-            fn, mesh, in_specs=(spec, spec), out_specs=spec))
-        (dv, mv), multiproc = _put_sharded(mesh, [(d, spec), (m, spec)])
-        out = jfn(dv, mv)
+        from .halo import _replicate
+        out, multiproc = _data_sharded_call("dvh_batch", mesh, fn,
+                                            [d, m])
         if multiproc:
             out = tuple(_replicate(mesh, v) for v in out)
     dmin, dmax, mean, median, std, d_out, below, count = \
@@ -378,7 +378,9 @@ def gamma_batch(ref_doses, eval_doses, spacing, dose_pct=3.0,
                 100.0),
             "mean": jnp.sum(jnp.where(mask, gam, 0.0)) / nf,
             "max": jnp.max(jnp.where(mask, gam, 0.0)),
-            "analysed_voxels": n.astype(jnp.float32),
+            # int32, not f32: exact counts above 2^24 voxels (the
+            # per-pair gamma_index path reports an exact int)
+            "analysed_voxels": n.astype(jnp.int32),
             "norm_dose": norm,
         }
         return (stats, gam) if return_maps else (stats, jnp.float32(0))
@@ -387,20 +389,9 @@ def gamma_batch(ref_doses, eval_doses, spacing, dose_pct=3.0,
     if mesh is None:
         stats, maps = jax.jit(fn)(jnp.asarray(ref), jnp.asarray(ev))
     else:
-        from jax.sharding import PartitionSpec as P
-
-        from .halo import _put_sharded, _replicate
-        from .mesh import shard_map_nocheck
-        n_data = mesh.shape["data"]
-        if B % n_data:
-            raise ValueError(f"gamma_batch: batch {B} not divisible by "
-                             f"the 'data' axis ({n_data})")
-        spec = P("data")
-        jfn = jax.jit(shard_map_nocheck(
-            fn, mesh, in_specs=(spec, spec), out_specs=spec))
-        (rv, evv), multiproc = _put_sharded(mesh, [(ref, spec),
-                                                   (ev, spec)])
-        stats, maps = jfn(rv, evv)
+        from .halo import _replicate
+        (stats, maps), multiproc = _data_sharded_call(
+            "gamma_batch", mesh, fn, [ref, ev])
         if multiproc:
             stats = {k: _replicate(mesh, v) for k, v in stats.items()}
             if return_maps:

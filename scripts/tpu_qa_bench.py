@@ -71,8 +71,12 @@ def bench_panel(shape, sp=(1.0, 1.0, 1.0)):
         @jax.jit
         def prog():
             def body(i, acc):
+                # BOTH sides perturbed: a loop-invariant b would let
+                # while-loop invariant code motion hoist edt(boundary(b))
+                # — half the panel's cost — out of the rep loop
                 aa = jnp.roll(a, i, axis=0)
-                out = _surface_metrics_jit(aa, b, sp, 2.0)
+                bb = jnp.roll(b, i, axis=2)
+                out = _surface_metrics_jit(aa, bb, sp, 2.0)
                 return acc + out["hd95_mm"] + out["dice"]
             return lax.fori_loop(0, reps, body, jnp.float32(0))
         return prog
@@ -96,7 +100,8 @@ def bench_dvh(B, shape):
         def prog():
             def body(i, acc):
                 dd = jnp.roll(d, i, axis=1)
-                out = jax.vmap(single)(dd, m)
+                mm = jnp.roll(m, i, axis=2)  # perturb BOTH inputs
+                out = jax.vmap(single)(dd, mm)
                 # reduce EVERY output (the percentile sort and VS bins
                 # are the cost — summing one scalar lets XLA DCE them)
                 return acc + sum(jnp.sum(o).astype(jnp.float32)
@@ -114,7 +119,6 @@ def bench_gamma(B, shape, sp=(2.5, 2.5, 2.5)):
                                                     _gamma_fn,
                                                     fine_grid_layout,
                                                     upsample_to_fine)
-    rng = np.random.default_rng(3)
     zz, yy, xx = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
     base = 60 * np.exp(-((zz - shape[0] / 2) ** 2 / 50
                          + (yy - shape[1] / 2) ** 2 / 300
@@ -139,7 +143,9 @@ def bench_gamma(B, shape, sp=(2.5, 2.5, 2.5)):
         def prog():
             def body(i, acc):
                 rr = jnp.roll(refs, i, axis=1)
-                return acc + jnp.sum(jax.vmap(single)(rr, evals))
+                ee = jnp.roll(evals, i, axis=2)  # keep the fine-grid
+                # upsample inside the loop (LICM would hoist it)
+                return acc + jnp.sum(jax.vmap(single)(rr, ee))
             return lax.fori_loop(0, reps, body, jnp.float32(0))
         return prog
 

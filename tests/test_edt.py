@@ -90,6 +90,41 @@ def test_masked_percentile_matches_numpy(rng):
             or (np.isinf(got) and np.isinf(want)), (q, got)
 
 
+def test_masked_percentile_signed_and_nan(rng):
+    # the radix-key search must be exact on NEGATIVE values (HU, dose
+    # differences) — the first bit-search version was silently wrong
+    # there (review finding: [-5,-1,2,3] q=0 returned 0.0)
+    neg = np.array([-5.0, -1.0, 2.0, 3.0], np.float32)
+    allv = np.ones(4, bool)
+    for q in (0.0, 25.0, 50.0, 90.0, 100.0):
+        got = float(E.masked_percentile(neg, allv, q))
+        assert got == pytest.approx(
+            float(np.percentile(neg.astype(np.float64), q)), abs=1e-6), q
+    mixed = (rng.random((300,)).astype(np.float32) - 0.5) * 2000.0
+    mmask = rng.random(300) > 0.4
+    mmask[:2] = True
+    for q in (0.0, 12.5, 50.0, 95.0, 100.0):
+        got = float(E.masked_percentile(mixed, mmask, q))
+        ref = float(np.percentile(mixed[mmask].astype(np.float64), q))
+        assert got == pytest.approx(ref, abs=1e-3), q
+    # -inf resolves exactly; duplicates across the interpolation ranks
+    # must reuse the duplicate, not jump to the next distinct value
+    winf = np.array([-np.inf, -2.0, 1.0], np.float32)
+    assert np.isneginf(float(E.masked_percentile(winf, np.ones(3, bool),
+                                                 0.0)))
+    dup = np.array([1.0, 1.0, 2.0], np.float32)
+    assert float(E.masked_percentile(dup, np.ones(3, bool), 25.0)) == \
+        pytest.approx(1.0, abs=1e-7)
+    # a valid NaN poisons the result (numpy semantics), an invalid one
+    # is ignored
+    nanv = np.array([1.0, np.nan, 3.0], np.float32)
+    assert np.isnan(float(E.masked_percentile(nanv, np.ones(3, bool),
+                                              50.0)))
+    sel = np.array([True, False, True])
+    assert float(E.masked_percentile(nanv, sel, 50.0)) == \
+        pytest.approx(2.0, abs=1e-6)
+
+
 def test_surface_metrics_match_host_panel(rng):
     a = _blobs(rng, (20, 30, 25), p=0.995, iters=4)
     b = np.roll(a, (1, 2, -1), axis=(0, 1, 2))
