@@ -46,6 +46,14 @@ def main():
           "mesh pts", ext.mesh.number_of_points,
           "volume cc", round(ext.volume / 1000.0, 1))
 
+    # -- 2b. radiomics panel on the ROI (device texture counting) -----------
+    rx = img.compute_radiomics("External", bin_width=25.0)
+    print("radiomics: Ng", rx["meta"]["Ng"],
+          "firstorder Mean", round(rx["firstorder"]["Mean"], 1),
+          "GLCM Contrast", round(rx["glcm"]["Contrast"], 3),
+          "NGTDM Coarseness", round(rx["ngtdm"]["Coarseness"], 5),
+          "Sphericity", round(rx["shape"]["Sphericity"], 3))
+
     # -- 3. a second (shifted) series + rigid registration ------------------
     moved = np.roll(body, shift=(1, -2), axis=(1, 2))
     CreateDicomImage(os.path.join(tmp, "mr"), moved.astype(np.int16),

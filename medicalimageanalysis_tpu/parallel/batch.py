@@ -21,7 +21,8 @@ from ..ops.resample import _interp_matrix
 
 __all__ = ["make_preprocess_fn", "make_registration_step",
            "preprocess_batch", "demons_batch",
-           "compare_masks_batch", "dvh_batch", "gamma_batch"]
+           "compare_masks_batch", "dvh_batch", "gamma_batch",
+           "radiomics_batch"]
 
 
 def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
@@ -401,4 +402,102 @@ def gamma_batch(ref_doses, eval_doses, spacing, dose_pct=3.0,
     out["search_offsets"] = int(len(dist2))
     if return_maps:
         out["gamma"] = np.asarray(maps)
+    return out
+
+
+def radiomics_batch(volumes, masks, spacing, bin_width=None, n_bins=32,
+                    alpha=0, families=None, mesh=None):
+    """Cohort radiomics: the texture-matrix counting for B (volume,
+    ROI) pairs — the heavy part of a radiomics run — in ONE compiled
+    program (vmapped one-hot MXU counting, ops/radiomics.py),
+    optionally sharded over the mesh's 'data' axis. The tiny per-pair
+    matrices come back to host where the feature formulas (and the
+    inherently-host shape/GLSZM families) evaluate per pair.
+
+    volumes/masks: (B, Z, Y, X) pairs pre-cropped to a SHARED bounding
+    shape (pad masks with False; per-pair discretization happens here
+    so intensity ranges may differ). Returns a list of B dicts with
+    the exact ``ops.radiomics.compute_radiomics`` schema. With
+    ``mesh``, B must divide by 'data'.
+    """
+    import numpy as np
+
+    from ..ops import radiomics as rad
+
+    vols = np.asarray(volumes, np.float32)
+    ms = np.asarray(masks) > 0
+    if vols.shape != ms.shape or vols.ndim != 4:
+        raise ValueError("radiomics_batch: expected matching "
+                         f"(B, Z, Y, X) stacks, got {vols.shape} vs "
+                         f"{ms.shape}")
+    if families is None:
+        families = rad.ALL_FAMILIES
+    B = vols.shape[0]
+    sp = np.asarray(spacing, np.float64).reshape(-1)
+
+    levels = np.zeros(vols.shape, np.int32)
+    ngs = []
+    for b in range(B):
+        if bin_width is not None:
+            levels[b], ng = rad.discretize(vols[b], ms[b],
+                                           bin_width=bin_width)
+        else:
+            levels[b], ng = rad.discretize(vols[b], ms[b],
+                                           n_bins=n_bins)
+        ngs.append(ng)
+    ng_max = max(ngs)
+    lmax = max(vols.shape[1:])
+
+    need_tex = any(f in families for f in
+                   ("glcm", "glrlm", "gldm", "ngtdm", "firstorder"))
+    mats = None
+    if need_tex:
+        def single(lev, valid):
+            return rad._texture_matrices_jit(lev, valid, ng_max, lmax,
+                                             int(alpha))
+
+        fn = jax.vmap(single)
+        if mesh is None:
+            mats = jax.jit(fn)(jnp.asarray(levels), jnp.asarray(ms))
+        else:
+            from .halo import _replicate
+            mats, multiproc = _data_sharded_call(
+                "radiomics_batch", mesh, fn, [levels, ms])
+            if multiproc:
+                mats = {k: _replicate(mesh, v) for k, v in mats.items()}
+        mats = {k: np.asarray(v, np.float64) for k, v in mats.items()}
+
+    out = []
+    for b in range(B):
+        ng = ngs[b]  # formulas see the pair's OWN level count: Ng
+        # appears directly in Idn/Idmn, and zero-padded rows would
+        # shift nothing else (zero counts)
+        res = {}
+        n_vox = int(ms[b].sum())
+        if "firstorder" in families:
+            res["firstorder"] = rad.first_order_features(
+                vols[b], ms[b], sp,
+                hist=None if mats is None else mats["hist"][b][:ng])
+        if "shape" in families:
+            res["shape"] = rad.shape_features(ms[b], sp)
+        if "glcm" in families:
+            res["glcm"] = rad.glcm_features(
+                mats["glcm"][b][:, :ng, :ng])
+        if "glrlm" in families:
+            res["glrlm"] = rad.glrlm_features(
+                mats["glrlm"][b][:, :ng, :], n_vox)
+        if "glszm" in families:
+            res["glszm"] = rad.glszm_features(
+                rad.glszm_matrix(levels[b], ms[b], ng), n_vox)
+        if "gldm" in families:
+            res["gldm"] = rad.gldm_features(mats["gldm"][b][:ng],
+                                            n_vox)
+        if "ngtdm" in families:
+            res["ngtdm"] = rad.ngtdm_features(mats["ngtdm_s"][b][:ng],
+                                              mats["ngtdm_n"][b][:ng])
+        res["meta"] = {"Ng": ng, "voxels": n_vox,
+                       "bin_width": bin_width,
+                       "n_bins": (None if bin_width is not None
+                                  else n_bins)}
+        out.append(res)
     return out

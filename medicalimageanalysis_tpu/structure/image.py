@@ -571,6 +571,30 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             "threshold": cut,
         }
 
+    def compute_radiomics(self, roi_name, values=None, bin_width=None,
+                          n_bins=32, families=None, alpha=0):
+        """Full radiomics panel for one ROI — BEYOND-PARITY (the
+        reference ecosystem pairs with pyradiomics; here the texture
+        matrices are counted on device, ops/radiomics.py). ``values``
+        overrides the intensity map (e.g. ``img.compute_suv()`` for
+        PET). Discretize with ``bin_width`` (IBSI fixed-bin-size, the
+        choice for calibrated HU/SUV) or ``n_bins`` (default 32).
+        Returns {family: {feature: value}, 'meta': {...}}."""
+        from ..ops.radiomics import ALL_FAMILIES, compute_radiomics
+        mask = np.asarray(self.rois[roi_name].compute_mask()) > 0
+        vals = np.asarray(self.array if values is None else values,
+                          np.float32)
+        if vals.shape != mask.shape:
+            raise ValueError(
+                f"compute_radiomics: values shape {vals.shape} != "
+                f"image grid {mask.shape}")
+        out = compute_radiomics(
+            vals, mask, self.spacing, bin_width=bin_width,
+            n_bins=n_bins, alpha=alpha,
+            families=ALL_FAMILIES if families is None else families)
+        out["meta"]["ROI"] = roi_name
+        return out
+
     def create_seg(self, roi_names=None, path=None, fractional=False,
                    label="medicalimageanalysis_tpu"):
         """Build a DICOM SEG (Segmentation Storage) dataset from this
