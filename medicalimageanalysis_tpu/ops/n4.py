@@ -1,0 +1,258 @@
+"""N4-style MR bias field correction — TPU-native.
+
+BEYOND-PARITY: the reference wraps SimpleITK (which ships
+N4BiasFieldCorrectionImageFilter) but never exposes bias correction;
+MR pipelines need it before intensity registration / radiomics. This
+is a from-scratch implementation of the N4 scheme (Tustison et al.,
+IEEE TMI 2010): iterate
+
+  1. histogram sharpening of the log-intensity distribution (Wiener
+     deconvolution of a Gaussian bias kernel) -> the expected true
+     intensity E[u|v] per voxel,
+  2. the residual v - E[u|v] is a bias sample; smooth it with a
+     multi-level cubic B-spline approximation,
+  3. subtract, accumulate, repeat until the field update's coefficient
+     of variation stalls; halve the control spacing per fitting level.
+
+Work split per the package rule (host decides, device moves): the
+200-bin histogram deconvolution is host FFT (microseconds), while the
+per-iteration volume work — the E[u|v] lookup and the B-spline
+scattered-data approximation — runs on device. The smoother solves
+the EXACT weighted least-squares B-spline fit
+
+    min_phi  sum_p w_p ( (B phi)_p - r_p )^2  +  lam |phi|^2
+
+by Jacobi-preconditioned conjugate gradients, where applying the
+normal operator A = B^T W B factorizes on the regular voxel grid into
+six separable per-axis matrix contractions (pure MXU einsums — the
+TPU-native form of ITK's per-point scatter accumulation; ITK instead
+uses Lee's one-shot heuristic, whose refinement iteration is not a
+contraction for all modes and can diverge on dense 3-D data). The
+control grid is tiny (~(extent/spacing)^3), so ~tens of CG steps on
+device dominate nothing. Not bit-parity with ITK (different
+shrink/fit details, documented); convergence behavior and output
+quality match the N4 design.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["n4_bias_correction", "bspline_smooth_field"]
+
+_EPS = 1e-12
+
+
+def _bspline_basis_matrix(length, spacing_vox, power=1):
+    """Dense (length, n_ctrl) cubic B-spline evaluation matrix for a
+    uniform control grid of ``spacing_vox`` voxels (one border control
+    each side). ``power`` raises the basis entries elementwise (the
+    B^2 / B^3 matrices of Lee's approximation)."""
+    u = np.arange(length, dtype=np.float64) / float(spacing_vox)
+    i = np.floor(u).astype(int)
+    t = u - i
+    b0 = (1 - t) ** 3 / 6.0
+    b1 = (3 * t ** 3 - 6 * t ** 2 + 4) / 6.0
+    b2 = (-3 * t ** 3 + 3 * t ** 2 + 3 * t + 1) / 6.0
+    b3 = t ** 3 / 6.0
+    n_ctrl = int(np.floor((length - 1) / spacing_vox)) + 3
+    m = np.zeros((length, n_ctrl), np.float64)
+    for k, bk in enumerate((b0, b1, b2, b3)):
+        cols = np.clip(i + k, 0, n_ctrl - 1)
+        np.add.at(m, (np.arange(length), cols), bk)
+    return m ** power
+
+
+def _bspline_eval(phi, bz, by, bx):
+    f = jnp.einsum("cde,zc->zde", phi, bz)
+    f = jnp.einsum("zde,yd->zye", f, by)
+    return jnp.einsum("zye,xe->zyx", f, bx)
+
+
+def _bspline_adjoint(vol, bz, by, bx):
+    g = jnp.einsum("zyx,zc->cyx", vol, bz)
+    g = jnp.einsum("cyx,yd->cdx", g, by)
+    return jnp.einsum("cdx,xe->cde", g, bx)
+
+
+@jax.jit
+def _wls_fit_apply(vol_r, w, bz, by, bx, bz2, by2, bx2):
+    """Exact weighted least-squares cubic-B-spline fit of vol_r with
+    per-voxel weights w (normal equations, Jacobi-preconditioned CG),
+    then evaluate the fitted field back on the voxel grid. The normal
+    operator A phi = B^T W (B phi) + lam phi is applied as six
+    separable contractions; its exact diagonal is the separable
+    contraction of w with the squared basis matrices."""
+    b = _bspline_adjoint(w * vol_r, bz, by, bx)
+    # Jacobi preconditioner: diag(A)_c = sum_p w_p B_pc^2 + lam
+    diag = _bspline_adjoint(w, bz2, by2, bx2)
+    lam = 1e-5 * jnp.maximum(jnp.max(diag), _EPS)
+    diag = diag + lam
+
+    def a_op(phi):
+        return _bspline_adjoint(w * _bspline_eval(phi, bz, by, bx),
+                                bz, by, bx) + lam * phi
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = r / diag
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, st):
+        x, r, p, rz = st
+        ap = a_op(p)
+        denom = jnp.sum(p * ap)
+        alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, _EPS), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = r / diag
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, _EPS), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, p, rz = jax.lax.fori_loop(0, 60, body, (x, r, p, rz))
+    return _bspline_eval(x, bz, by, bx)
+
+
+def bspline_smooth_field(residual, weights, spacing_vox, passes=None):
+    """Smooth a (masked) residual volume onto a cubic B-spline field
+    with control spacing ``spacing_vox`` (scalar or per-axis voxels):
+    the exact least-squares projection onto the spline space under the
+    voxel weights (a tiny ridge keeps unsupported border controls
+    bounded). f32 on device; ``passes`` is accepted for backward
+    compatibility and ignored (CG solves to convergence)."""
+    del passes
+    r = jnp.asarray(np.asarray(residual, np.float32))
+    w = jnp.asarray(np.asarray(weights, np.float32))
+    sv = np.broadcast_to(np.asarray(spacing_vox, np.float64), (3,))
+    mats = []
+    for p in (1, 2):
+        for ax, n in enumerate(r.shape):
+            mats.append(jnp.asarray(
+                _bspline_basis_matrix(n, sv[ax], p), jnp.float32))
+    return np.asarray(_wls_fit_apply(r, w, *mats), np.float64)
+
+
+def _sharpen_mapping(v, n_bins, fwhm, noise):
+    """N4 histogram sharpening: Wiener-deconvolve the log-intensity
+    histogram with the Gaussian bias kernel, return (bin centers,
+    E[u|v] at those centers). Host numpy — 200-point FFTs."""
+    vmin = float(v.min())
+    vmax = float(v.max())
+    if vmax - vmin < 1e-9:
+        c = np.array([vmin, vmax + 1.0])
+        return c, c.copy()
+    h, edges = np.histogram(v, bins=n_bins, range=(vmin, vmax))
+    h = h.astype(np.float64)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    binw = edges[1] - edges[0]
+    n_pad = 1
+    while n_pad < 2 * n_bins:
+        n_pad <<= 1
+    sigma = fwhm / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+    # wrapped Gaussian kernel centered at bin 0
+    d = np.arange(n_pad, dtype=np.float64)
+    d = np.minimum(d, n_pad - d) * binw
+    g = np.exp(-0.5 * (d / sigma) ** 2)
+    g /= g.sum()
+    gf = np.fft.fft(g)
+    hf = np.fft.fft(h, n_pad)
+    wiener = np.conj(gf) / (np.abs(gf) ** 2 + noise ** 2)
+    u_hist = np.real(np.fft.ifft(hf * wiener))[:n_bins]
+    u_hist = np.maximum(u_hist, 0.0)
+    if u_hist.sum() <= 0:
+        return centers, centers.copy()
+    # E[u|v] = conv(u_hist * u, G)(v) / conv(u_hist, G)(v)
+    uf = np.fft.fft(u_hist, n_pad)
+    uuf = np.fft.fft(u_hist * centers, n_pad)
+    den = np.real(np.fft.ifft(uf * gf))[:n_bins]
+    num = np.real(np.fft.ifft(uuf * gf))[:n_bins]
+    mapping = np.where(den > _EPS, num / np.maximum(den, _EPS), centers)
+    return centers, mapping
+
+
+def n4_bias_correction(volume, mask=None, shrink=4, n_bins=200,
+                       fwhm=0.15, noise=0.01, levels=4,
+                       max_iterations=50, conv_threshold=1e-3,
+                       min_control_spacing=32.0, return_field=False):
+    """Correct a smooth multiplicative bias field (MR shading).
+
+    volume: (Z, Y, X) positive intensities (non-positive voxels are
+    excluded from the fit and pass through the division untouched);
+    mask: optional fit region (default: volume > 0); shrink: integer
+    subsampling for the fit (N4 practice — the field is smooth, the
+    fit does not need full resolution); levels/max_iterations: fitting
+    levels with control spacing halved per level, iterations gated by
+    ``conv_threshold`` on the field update's coefficient of variation.
+    ``min_control_spacing`` (FULL-resolution voxels, scalar or
+    per-axis (z, y, x)) floors the control mesh: finer meshes start
+    absorbing anatomy into the "bias" (measurably worsening recovery)
+    — the same reason ITK's N4 defaults to a very coarse 200 mm
+    spline distance.
+
+    Returns the corrected volume (same shape, float32), or
+    (corrected, field) with the full-resolution multiplicative field
+    when ``return_field`` — input == corrected * field.
+    """
+    vol = np.asarray(volume, np.float64)
+    if vol.ndim != 3:
+        raise ValueError(f"n4_bias_correction: expected (Z, Y, X), "
+                         f"got {vol.shape}")
+    m_full = (np.ones(vol.shape, bool) if mask is None
+              else np.asarray(mask) > 0)
+    m_full = m_full & (vol > 0)
+    shrink = max(1, int(shrink))
+    sv = vol[::shrink, ::shrink, ::shrink]
+    sm = m_full[::shrink, ::shrink, ::shrink]
+    if not sm.any():
+        out = vol.astype(np.float32)
+        return (out, np.ones_like(out)) if return_field else out
+    logv = np.zeros(sv.shape, np.float64)
+    logv[sm] = np.log(sv[sm])
+    w = sm.astype(np.float32)
+    total = np.zeros(sv.shape, np.float64)
+    res = logv.copy()
+    max_extent = max(sv.shape)
+    floor_sp = np.maximum(
+        np.broadcast_to(np.asarray(min_control_spacing, np.float64),
+                        (3,)) / shrink, 4.0)
+    prev_sp = None
+    for level in range(levels):
+        # control spacing: whole-extent at level 0, halved per level,
+        # floored before it can resolve anatomy
+        sp_vox = np.maximum(max_extent / (2.0 ** level), floor_sp)
+        if prev_sp is not None and np.array_equal(sp_vox, prev_sp):
+            break
+        prev_sp = sp_vox
+        for _ in range(max_iterations):
+            centers, mapping = _sharpen_mapping(res[sm], n_bins, fwhm,
+                                                noise)
+            euv = np.interp(res, centers, mapping)
+            r = np.where(sm, res - euv, 0.0)
+            f = bspline_smooth_field(r, w, sp_vox)
+            f -= f[sm].mean()  # bias is defined up to a global scale
+            res -= f
+            total += f
+            ef = np.exp(f[sm])
+            cv = ef.std() / max(ef.mean(), _EPS)
+            if cv < conv_threshold:
+                break
+    # exact full-resolution field: trilinear sample of the (smooth)
+    # shrunk-grid log field at full-grid coordinates
+    if shrink > 1:
+        from scipy import ndimage
+        coords = np.meshgrid(*[np.arange(n) / shrink for n in vol.shape],
+                             indexing="ij")
+        total_full = ndimage.map_coordinates(total, coords, order=1,
+                                             mode="nearest")
+    else:
+        total_full = total
+    field = np.exp(total_full)
+    corrected = (vol / field).astype(np.float32)
+    if return_field:
+        return corrected, field.astype(np.float32)
+    return corrected
