@@ -15,9 +15,11 @@ IEEE TMI 2010): iterate
      of variation stalls; halve the control spacing per fitting level.
 
 Work split per the package rule (host decides, device moves): the
-200-bin histogram deconvolution is host FFT (microseconds), while the
-per-iteration volume work — the E[u|v] lookup and the B-spline
-scattered-data approximation — runs on device. The smoother solves
+host only chooses the level schedule and builds the per-level basis
+matrices; a whole fitting level — histogram, Wiener deconvolution
+(512-point XLA FFT), E[u|v] lookup, B-spline smoothing, convergence
+test — is ONE device program (`lax.while_loop`), so iteration count
+never multiplies host<->device round trips. The smoother solves
 the EXACT weighted least-squares B-spline fit
 
     min_phi  sum_p w_p ( (B phi)_p - r_p )^2  +  lam |phi|^2
@@ -35,6 +37,8 @@ quality match the N4 design.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -137,19 +141,97 @@ def bspline_smooth_field(residual, weights, spacing_vox, passes=None):
     return np.asarray(_wls_fit_apply(r, w, *mats), np.float64)
 
 
-def _sharpen_mapping(v, n_bins, fwhm, noise):
-    """N4 histogram sharpening: Wiener-deconvolve the log-intensity
-    histogram with the Gaussian bias kernel, return (bin centers,
-    E[u|v] at those centers). Host numpy — 200-point FFTs."""
-    vmin = float(v.min())
-    vmax = float(v.max())
+def _masked_hist(res, w, n_bins):
+    """Weighted histogram of the masked residual with a data-dependent
+    range (traced)."""
+    big = jnp.float32(3.4e38)
+    vmin = jnp.min(jnp.where(w > 0, res, big))
+    vmax = jnp.max(jnp.where(w > 0, res, -big))
+    width = jnp.maximum(vmax - vmin, 1e-9) / n_bins
+    idx = jnp.clip(((res - vmin) / width).astype(jnp.int32),
+                   0, n_bins - 1)
+    hist = jnp.zeros((n_bins,), jnp.float32).at[idx.ravel()].add(
+        w.ravel())
+    return hist, vmin, vmax
+
+
+def _device_sharpen(h, vmin, vmax, n_bins, fwhm, noise):
+    """Device twin of ``_sharpen_from_hist``: Wiener deconvolution of
+    the histogram by the Gaussian bias kernel and the E[u|v] table,
+    via an XLA FFT over the (tiny, power-of-two) padded bin axis."""
+    binw = jnp.maximum(vmax - vmin, 1e-9) / n_bins
+    centers = vmin + (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) * binw
+    n_pad = 1
+    while n_pad < 2 * n_bins:
+        n_pad <<= 1
+    sigma = fwhm / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+    d = np.arange(n_pad, dtype=np.float32)
+    d = jnp.minimum(d, n_pad - d) * binw
+    g = jnp.exp(-0.5 * (d / sigma) ** 2)
+    g = g / jnp.sum(g)
+    gf = jnp.fft.fft(g)
+    hf = jnp.fft.fft(h, n_pad)
+    wiener = jnp.conj(gf) / (jnp.abs(gf) ** 2 + noise ** 2)
+    u_hist = jnp.maximum(jnp.real(jnp.fft.ifft(hf * wiener))[:n_bins],
+                         0.0)
+    uf = jnp.fft.fft(u_hist, n_pad)
+    uuf = jnp.fft.fft(u_hist * centers, n_pad)
+    den = jnp.real(jnp.fft.ifft(uf * gf))[:n_bins]
+    num = jnp.real(jnp.fft.ifft(uuf * gf))[:n_bins]
+    mapping = jnp.where(den > _EPS, num / jnp.maximum(den, _EPS),
+                        centers)
+    # degenerate guards: flat residual range or empty sharpened
+    # histogram fall back to the identity mapping
+    degenerate = ((vmax - vmin < 1e-9) | (jnp.sum(u_hist) <= 0))
+    return centers, jnp.where(degenerate, centers, mapping)
+
+
+@partial(jax.jit,
+         static_argnames=("n_bins", "fwhm", "noise", "conv_threshold",
+                          "max_iter"))
+def _n4_level(res, total, w, n_bins, fwhm, noise, conv_threshold,
+              max_iter, *mats):
+    """One full N4 fitting level as a single device program: the
+    sharpen -> E[u|v] -> WLS-smooth -> subtract iteration runs inside
+    a lax.while_loop with its own convergence test, so a level costs
+    ONE dispatch regardless of iteration count (the host only builds
+    the per-level basis matrices)."""
+    n = jnp.maximum(jnp.sum(w), 1.0)
+
+    def body(st):
+        i, res, total, _ = st
+        h, vmin, vmax = _masked_hist(res, w, n_bins)
+        centers, mapping = _device_sharpen(h, vmin, vmax, n_bins,
+                                           fwhm, noise)
+        euv = jnp.interp(res, centers, mapping)
+        r = jnp.where(w > 0, res - euv, 0.0)
+        f = _wls_fit_apply(r, w, *mats)
+        # bias is defined up to a global scale
+        f = f - jnp.sum(f * w) / n
+        ef = jnp.exp(f)
+        mu = jnp.sum(ef * w) / n
+        var = jnp.sum(w * (ef - mu) ** 2) / n
+        cv = jnp.sqrt(jnp.maximum(var, 0.0)) / jnp.maximum(mu, _EPS)
+        return i + 1, res - f, total + f, cv
+
+    def cond(st):
+        i, _, _, cv = st
+        return (i < max_iter) & (cv >= conv_threshold)
+
+    _, res, total, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), res, total, jnp.float32(1e9)))
+    return res, total
+
+
+def _sharpen_from_hist(h, vmin, vmax, n_bins, fwhm, noise):
+    """Host numpy golden twin of ``_device_sharpen`` (f64 FFTs) —
+    kept for parity testing of the device path."""
     if vmax - vmin < 1e-9:
         c = np.array([vmin, vmax + 1.0])
         return c, c.copy()
-    h, edges = np.histogram(v, bins=n_bins, range=(vmin, vmax))
-    h = h.astype(np.float64)
-    centers = 0.5 * (edges[:-1] + edges[1:])
-    binw = edges[1] - edges[0]
+    h = np.asarray(h, np.float64)
+    binw = (vmax - vmin) / n_bins
+    centers = vmin + (np.arange(n_bins) + 0.5) * binw
     n_pad = 1
     while n_pad < 2 * n_bins:
         n_pad <<= 1
@@ -213,9 +295,11 @@ def n4_bias_correction(volume, mask=None, shrink=4, n_bins=200,
         return (out, np.ones_like(out)) if return_field else out
     logv = np.zeros(sv.shape, np.float64)
     logv[sm] = np.log(sv[sm])
-    w = sm.astype(np.float32)
-    total = np.zeros(sv.shape, np.float64)
-    res = logv.copy()
+    # device-resident iteration state: per iteration only the n_bins
+    # histogram comes down and the n_bins mapping table goes up
+    w = jnp.asarray(sm.astype(np.float32))
+    res = jnp.asarray(logv.astype(np.float32))
+    total = jnp.zeros_like(res)
     max_extent = max(sv.shape)
     floor_sp = np.maximum(
         np.broadcast_to(np.asarray(min_control_spacing, np.float64),
@@ -228,31 +312,69 @@ def n4_bias_correction(volume, mask=None, shrink=4, n_bins=200,
         if prev_sp is not None and np.array_equal(sp_vox, prev_sp):
             break
         prev_sp = sp_vox
-        for _ in range(max_iterations):
-            centers, mapping = _sharpen_mapping(res[sm], n_bins, fwhm,
-                                                noise)
-            euv = np.interp(res, centers, mapping)
-            r = np.where(sm, res - euv, 0.0)
-            f = bspline_smooth_field(r, w, sp_vox)
-            f -= f[sm].mean()  # bias is defined up to a global scale
-            res -= f
-            total += f
-            ef = np.exp(f[sm])
-            cv = ef.std() / max(ef.mean(), _EPS)
-            if cv < conv_threshold:
-                break
-    # exact full-resolution field: trilinear sample of the (smooth)
-    # shrunk-grid log field at full-grid coordinates
+        mats = []
+        for p in (1, 2):
+            for ax, n in enumerate(sv.shape):
+                mats.append(jnp.asarray(
+                    _bspline_basis_matrix(n, sp_vox[ax], p), jnp.float32))
+        res, total = _n4_level(res, total, w, n_bins, float(fwhm),
+                               float(noise), float(conv_threshold),
+                               int(max_iterations), *mats)
+    # finalize (trilinear-upsample the shrunk-grid log field to the
+    # full grid, exponentiate, divide): on device when transfers are
+    # local-priced, on host when the full-volume round trip would cost
+    # more than the host math (tunnel) — same auto-selection as the
+    # marching-cubes / rasterizer paths
+    if _finalize_on_device(vol.nbytes // 2):
+        corrected, field = _n4_finalize(
+            jnp.asarray(np.asarray(vol, np.float32)), total, shrink)
+        corrected = np.asarray(corrected)
+        field = np.asarray(field) if return_field else None
+    else:
+        lt = np.asarray(total, np.float64)
+        if shrink > 1:
+            from scipy import ndimage
+            coords = np.meshgrid(
+                *[np.arange(n) / shrink for n in vol.shape],
+                indexing="ij")
+            lt = ndimage.map_coordinates(lt, coords, order=1,
+                                         mode="nearest")
+        field = np.exp(lt).astype(np.float32)
+        corrected = (vol / field).astype(np.float32)
+    if return_field:
+        return corrected, field
+    return corrected
+
+
+# host fallback threshold: upsample+exp+divide on host runs at
+# ~100 MB/s-of-volume; the device path moves ~2 volumes across the link
+_HOST_FINALIZE_BYTES_PER_S = 1e8
+
+
+def _finalize_on_device(n_bytes_f32):
+    try:
+        from ..runtime import transfer_rate_bytes_per_s
+        rate = transfer_rate_bytes_per_s()
+        if rate is None:
+            return True
+        return 2.0 * n_bytes_f32 / rate < \
+            n_bytes_f32 / _HOST_FINALIZE_BYTES_PER_S
+    except Exception:
+        return True
+
+
+@partial(jax.jit, static_argnames=("shrink",))
+def _n4_finalize(vol, total, shrink):
     if shrink > 1:
-        from scipy import ndimage
-        coords = np.meshgrid(*[np.arange(n) / shrink for n in vol.shape],
-                             indexing="ij")
-        total_full = ndimage.map_coordinates(total, coords, order=1,
-                                             mode="nearest")
+        coords = [
+            jnp.minimum(
+                jnp.arange(n, dtype=jnp.float32) / shrink, sn - 1
+            ).reshape([-1 if a == i else 1 for i in range(3)])
+            for a, (n, sn) in enumerate(zip(vol.shape, total.shape))]
+        coords = [jnp.broadcast_to(c, vol.shape) for c in coords]
+        total_full = jax.scipy.ndimage.map_coordinates(
+            total, coords, order=1, mode="nearest")
     else:
         total_full = total
-    field = np.exp(total_full)
-    corrected = (vol / field).astype(np.float32)
-    if return_field:
-        return corrected, field.astype(np.float32)
-    return corrected
+    field = jnp.exp(total_full)
+    return vol / field, field

@@ -99,6 +99,30 @@ def test_n4_mask_and_nonpositive_passthrough():
     assert np.all(out == 0) and np.all(field == 1)
 
 
+def test_device_sharpen_matches_host_golden():
+    """The on-device Wiener sharpening (f32 XLA FFT inside the level
+    loop) matches the host f64 golden to interp-table tolerance."""
+    import jax.numpy as jnp
+
+    from medicalimageanalysis_tpu.ops.n4 import (_device_sharpen,
+                                                 _sharpen_from_hist)
+    rng = np.random.default_rng(5)
+    n_bins = 200
+    h = rng.gamma(2.0, 50.0, n_bins).astype(np.float32)
+    h[:20] = 0
+    vmin, vmax = 5.1, 6.9
+    c_d, m_d = _device_sharpen(jnp.asarray(h), jnp.float32(vmin),
+                               jnp.float32(vmax), n_bins, 0.15, 0.01)
+    c_h, m_h = _sharpen_from_hist(h, vmin, vmax, n_bins, 0.15, 0.01)
+    scale = vmax - vmin
+    assert np.abs(np.asarray(c_d) - c_h).max() < 1e-4 * scale
+    assert np.abs(np.asarray(m_d) - m_h).max() < 1e-3 * scale
+    # degenerate range -> identity mapping on both paths
+    c_d, m_d = _device_sharpen(jnp.asarray(h), jnp.float32(2.0),
+                               jnp.float32(2.0), n_bins, 0.15, 0.01)
+    assert np.allclose(np.asarray(m_d), np.asarray(c_d))
+
+
 def test_n4_rejects_non_3d():
     with pytest.raises(ValueError, match="expected"):
         n4_bias_correction(np.ones((8, 8)))
