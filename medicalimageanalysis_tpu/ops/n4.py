@@ -195,11 +195,16 @@ def _n4_level(res, total, w, n_bins, fwhm, noise, conv_threshold,
     sharpen -> E[u|v] -> WLS-smooth -> subtract iteration runs inside
     a lax.while_loop with its own convergence test, so a level costs
     ONE dispatch regardless of iteration count (the host only builds
-    the per-level basis matrices)."""
+    the per-level basis matrices).
+
+    The body gates its update on the carried convergence statistic:
+    under vmap (n4_batch) the loop runs until EVERY lane converges,
+    and without the gate already-converged lanes would keep drifting
+    past their single-volume trajectories."""
     n = jnp.maximum(jnp.sum(w), 1.0)
 
     def body(st):
-        i, res, total, _ = st
+        i, res, total, cv_prev = st
         h, vmin, vmax = _masked_hist(res, w, n_bins)
         centers, mapping = _device_sharpen(h, vmin, vmax, n_bins,
                                            fwhm, noise)
@@ -212,7 +217,11 @@ def _n4_level(res, total, w, n_bins, fwhm, noise, conv_threshold,
         mu = jnp.sum(ef * w) / n
         var = jnp.sum(w * (ef - mu) ** 2) / n
         cv = jnp.sqrt(jnp.maximum(var, 0.0)) / jnp.maximum(mu, _EPS)
-        return i + 1, res - f, total + f, cv
+        active = cv_prev >= conv_threshold
+        return (i + 1,
+                jnp.where(active, res - f, res),
+                jnp.where(active, total + f, total),
+                jnp.where(active, cv, cv_prev))
 
     def cond(st):
         i, _, _, cv = st
@@ -221,6 +230,35 @@ def _n4_level(res, total, w, n_bins, fwhm, noise, conv_threshold,
     _, res, total, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), res, total, jnp.float32(1e9)))
     return res, total
+
+
+def _level_spacings(shape3, levels, min_control_spacing, shrink):
+    """The control-spacing schedule (one (3,) vector per level):
+    whole-extent at level 0, halved per level, floored before the mesh
+    can resolve anatomy, deduplicated once the floor engages."""
+    max_extent = max(shape3)
+    floor_sp = np.maximum(
+        np.broadcast_to(np.asarray(min_control_spacing, np.float64),
+                        (3,)) / shrink, 4.0)
+    out = []
+    for level in range(levels):
+        sp_vox = np.maximum(max_extent / (2.0 ** level), floor_sp)
+        if out and np.array_equal(sp_vox, out[-1]):
+            break
+        out.append(sp_vox)
+    return out
+
+
+def _level_basis_mats(shape3, sp_vox):
+    """The six (grid, control) basis matrices one fitting level needs
+    (B and B^2 per axis), as device f32 arrays in ``_wls_fit_apply``
+    order."""
+    mats = []
+    for p in (1, 2):
+        for ax, n in enumerate(shape3):
+            mats.append(jnp.asarray(
+                _bspline_basis_matrix(n, sp_vox[ax], p), jnp.float32))
+    return tuple(mats)
 
 
 def _sharpen_from_hist(h, vmin, vmax, n_bins, fwhm, noise):
@@ -300,23 +338,9 @@ def n4_bias_correction(volume, mask=None, shrink=4, n_bins=200,
     w = jnp.asarray(sm.astype(np.float32))
     res = jnp.asarray(logv.astype(np.float32))
     total = jnp.zeros_like(res)
-    max_extent = max(sv.shape)
-    floor_sp = np.maximum(
-        np.broadcast_to(np.asarray(min_control_spacing, np.float64),
-                        (3,)) / shrink, 4.0)
-    prev_sp = None
-    for level in range(levels):
-        # control spacing: whole-extent at level 0, halved per level,
-        # floored before it can resolve anatomy
-        sp_vox = np.maximum(max_extent / (2.0 ** level), floor_sp)
-        if prev_sp is not None and np.array_equal(sp_vox, prev_sp):
-            break
-        prev_sp = sp_vox
-        mats = []
-        for p in (1, 2):
-            for ax, n in enumerate(sv.shape):
-                mats.append(jnp.asarray(
-                    _bspline_basis_matrix(n, sp_vox[ax], p), jnp.float32))
+    for sp_vox in _level_spacings(sv.shape, levels,
+                                  min_control_spacing, shrink):
+        mats = _level_basis_mats(sv.shape, sp_vox)
         res, total = _n4_level(res, total, w, n_bins, float(fwhm),
                                float(noise), float(conv_threshold),
                                int(max_iterations), *mats)

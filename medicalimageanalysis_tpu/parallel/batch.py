@@ -22,7 +22,7 @@ from ..ops.resample import _interp_matrix
 __all__ = ["make_preprocess_fn", "make_registration_step",
            "preprocess_batch", "demons_batch",
            "compare_masks_batch", "dvh_batch", "gamma_batch",
-           "radiomics_batch"]
+           "radiomics_batch", "n4_batch"]
 
 
 def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
@@ -501,3 +501,84 @@ def radiomics_batch(volumes, masks, spacing, bin_width=None, n_bins=32,
                                   else n_bins)}
         out.append(res)
     return out
+
+
+def n4_batch(volumes, masks=None, shrink=4, n_bins=200, fwhm=0.15,
+             noise=0.01, levels=4, max_iterations=50,
+             conv_threshold=1e-3, min_control_spacing=32.0,
+             return_fields=False, mesh=None):
+    """Cohort N4 bias correction: all fitting levels for B volumes in
+    ONE compiled program (vmapped ``ops.n4._n4_level`` — the loop body
+    gates on each lane's own convergence statistic, so per-lane
+    trajectories match the single-volume path even though the batched
+    while_loop runs until the slowest lane converges), optionally
+    sharded over the mesh's 'data' axis. The MR-standardization
+    front-end for cohort registration / radiomics.
+
+    volumes: (B, Z, Y, X) positive intensities (shared shape); masks:
+    optional (B, Z, Y, X) fit regions. Returns corrected (B, Z, Y, X)
+    float32 (plus the multiplicative fields when ``return_fields``).
+    With ``mesh``, B must divide by 'data'. Other knobs as
+    :func:`medicalimageanalysis_tpu.ops.n4.n4_bias_correction`.
+    """
+    import numpy as np
+
+    from ..ops import n4 as _n4
+
+    vols = np.asarray(volumes, np.float32)
+    if vols.ndim != 4:
+        raise ValueError(f"n4_batch: expected (B, Z, Y, X), got "
+                         f"{vols.shape}")
+    m = (np.ones(vols.shape, bool) if masks is None
+         else np.asarray(masks) > 0)
+    m = m & (vols > 0)
+    shrink = max(1, int(shrink))
+    sv = vols[:, ::shrink, ::shrink, ::shrink]
+    sm = m[:, ::shrink, ::shrink, ::shrink]
+    logv = np.where(sm, np.log(np.maximum(sv, 1e-30)), 0.0)
+    w = sm.astype(np.float32)
+    shape3 = sv.shape[1:]
+    mats_per_level = [
+        _n4._level_basis_mats(shape3, sp) for sp in
+        _n4._level_spacings(shape3, levels, min_control_spacing,
+                            shrink)]
+
+    def lane(res, wl):
+        total = jnp.zeros_like(res)
+        for mats in mats_per_level:
+            res, total = _n4._n4_level(
+                res, total, wl, n_bins, float(fwhm), float(noise),
+                float(conv_threshold), int(max_iterations), *mats)
+        return total
+
+    fn = jax.vmap(lane)
+    arrays = [logv.astype(np.float32), w]
+    if mesh is None:
+        total = jax.jit(fn)(*[jnp.asarray(a) for a in arrays])
+    else:
+        from .halo import _replicate
+        total, multiproc = _data_sharded_call("n4_batch", mesh, fn,
+                                              arrays)
+        if multiproc:
+            total = _replicate(mesh, total)
+
+    if _n4._finalize_on_device(vols.nbytes):
+        fin = jax.vmap(_n4._n4_finalize, in_axes=(0, 0, None))
+        corrected, fields = fin(jnp.asarray(vols), total, shrink)
+        corrected = np.asarray(corrected)
+        fields = np.asarray(fields) if return_fields else None
+    else:
+        lt = np.asarray(total, np.float64)
+        if shrink > 1:
+            from scipy import ndimage
+            coords = np.meshgrid(
+                *[np.arange(n) / shrink for n in vols.shape[1:]],
+                indexing="ij")
+            lt = np.stack([ndimage.map_coordinates(
+                lt[b], coords, order=1, mode="nearest")
+                for b in range(lt.shape[0])])
+        fields = np.exp(lt).astype(np.float32)
+        corrected = (vols / fields).astype(np.float32)
+    if return_fields:
+        return corrected, fields
+    return corrected

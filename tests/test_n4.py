@@ -128,6 +128,38 @@ def test_n4_rejects_non_3d():
         n4_bias_correction(np.ones((8, 8)))
 
 
+def test_n4_batch_matches_single_and_shards():
+    """n4_batch lanes reproduce the single-volume trajectories (the
+    convergence gate freezes early-converging lanes), empty-mask lanes
+    come back untouched with unit fields, and the 'data'-sharded path
+    matches the unsharded one."""
+    from medicalimageanalysis_tpu.parallel.batch import n4_batch
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    vols, fields = [], []
+    for seed in range(3):
+        v, _, f = _biased_volume(shape=(16, 24, 24), seed=seed)
+        vols.append(v)
+        fields.append(f)
+    vols.append(np.zeros((16, 24, 24)))  # empty-mask lane
+    fields.append(np.ones((16, 24, 24)))
+    batch = np.stack(vols)
+    corr_b, field_b = n4_batch(batch, shrink=2, return_fields=True)
+    assert corr_b.shape == batch.shape and corr_b.dtype == np.float32
+    # per-lane parity with the single-volume path
+    for b in range(3):
+        corr_s, field_s = n4_bias_correction(vols[b], shrink=2,
+                                             return_field=True)
+        assert np.allclose(field_b[b], field_s, rtol=2e-3, atol=1e-4), b
+    # empty lane untouched
+    assert np.all(corr_b[3] == 0) and np.allclose(field_b[3], 1.0)
+    # sharded over 'data' reproduces the unsharded batch
+    mesh = make_mesh(n_devices=4)
+    corr_m, field_m = n4_batch(batch, shrink=2, return_fields=True,
+                               mesh=mesh)
+    assert np.allclose(field_m, field_b, rtol=1e-4, atol=1e-5)
+
+
 def test_image_correct_bias_method(tmp_path):
     """Image.correct_bias wires mask_roi + mm control spacing +
     in_place through to the kernel."""
