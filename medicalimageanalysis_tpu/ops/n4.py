@@ -61,7 +61,11 @@ def _bspline_basis_matrix(length, spacing_vox, power=1):
     b1 = (3 * t ** 3 - 6 * t ** 2 + 4) / 6.0
     b2 = (-3 * t ** 3 + 3 * t ** 2 + 3 * t + 1) / 6.0
     b3 = t ** 3 / 6.0
-    n_ctrl = int(np.floor((length - 1) / spacing_vox)) + 3
+    # +4: the last partial cell still references controls i..i+3 — +3
+    # would clip its b3 weight into the previous control, measurably
+    # distorting the boundary fit whenever spacing does not divide
+    # length-1 (review finding)
+    n_ctrl = int(np.floor((length - 1) / spacing_vox)) + 4
     m = np.zeros((length, n_ctrl), np.float64)
     for k, bk in enumerate((b0, b1, b2, b3)):
         cols = np.clip(i + k, 0, n_ctrl - 1)
@@ -103,22 +107,33 @@ def _wls_fit_apply(vol_r, w, bz, by, bx, bz2, by2, bx2):
     r = b
     z = r / diag
     p = z
-    rz = jnp.sum(r * z)
+    rz0 = jnp.sum(r * z)
 
-    def body(_, st):
-        x, r, p, rz = st
+    # converge to a 1e-10 relative preconditioned-residual reduction
+    # (or 150 steps); the update is gated on the carried rz so lanes
+    # that converged keep their state frozen under vmap
+    def body(st):
+        i, x, r, p, rz = st
+        active = rz > 1e-10 * rz0
         ap = a_op(p)
         denom = jnp.sum(p * ap)
         alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, _EPS), 0.0)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = r / diag
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, _EPS), 0.0)
-        p = z + beta * p
-        return x, r, p, rz_new
+        x_n = x + alpha * p
+        r_n = r - alpha * ap
+        z = r_n / diag
+        rz_n = jnp.sum(r_n * z)
+        beta = jnp.where(rz > 0, rz_n / jnp.maximum(rz, _EPS), 0.0)
+        p_n = z + beta * p
+        return (i + 1,
+                jnp.where(active, x_n, x), jnp.where(active, r_n, r),
+                jnp.where(active, p_n, p), jnp.where(active, rz_n, rz))
 
-    x, r, p, rz = jax.lax.fori_loop(0, 60, body, (x, r, p, rz))
+    def cond(st):
+        i, _, _, _, rz = st
+        return (i < 150) & (rz > 1e-10 * rz0)
+
+    _, x, r, p, rz = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x, r, p, rz0))
     return _bspline_eval(x, bz, by, bx)
 
 
@@ -133,11 +148,7 @@ def bspline_smooth_field(residual, weights, spacing_vox, passes=None):
     r = jnp.asarray(np.asarray(residual, np.float32))
     w = jnp.asarray(np.asarray(weights, np.float32))
     sv = np.broadcast_to(np.asarray(spacing_vox, np.float64), (3,))
-    mats = []
-    for p in (1, 2):
-        for ax, n in enumerate(r.shape):
-            mats.append(jnp.asarray(
-                _bspline_basis_matrix(n, sv[ax], p), jnp.float32))
+    mats = _level_basis_mats(r.shape, sv)
     return np.asarray(_wls_fit_apply(r, w, *mats), np.float64)
 
 
@@ -333,8 +344,8 @@ def n4_bias_correction(volume, mask=None, shrink=4, n_bins=200,
         return (out, np.ones_like(out)) if return_field else out
     logv = np.zeros(sv.shape, np.float64)
     logv[sm] = np.log(sv[sm])
-    # device-resident iteration state: per iteration only the n_bins
-    # histogram comes down and the n_bins mapping table goes up
+    # device-resident iteration state: the host only sees the two
+    # per-level dispatch boundaries, never per-iteration data
     w = jnp.asarray(sm.astype(np.float32))
     res = jnp.asarray(logv.astype(np.float32))
     total = jnp.zeros_like(res)
@@ -349,42 +360,59 @@ def n4_bias_correction(volume, mask=None, shrink=4, n_bins=200,
     # local-priced, on host when the full-volume round trip would cost
     # more than the host math (tunnel) — same auto-selection as the
     # marching-cubes / rasterizer paths
-    if _finalize_on_device(vol.nbytes // 2):
+    if _finalize_on_device():
         corrected, field = _n4_finalize(
             jnp.asarray(np.asarray(vol, np.float32)), total, shrink)
         corrected = np.asarray(corrected)
         field = np.asarray(field) if return_field else None
     else:
-        lt = np.asarray(total, np.float64)
-        if shrink > 1:
-            from scipy import ndimage
-            coords = np.meshgrid(
-                *[np.arange(n) / shrink for n in vol.shape],
-                indexing="ij")
-            lt = ndimage.map_coordinates(lt, coords, order=1,
-                                         mode="nearest")
-        field = np.exp(lt).astype(np.float32)
-        corrected = (vol / field).astype(np.float32)
+        corrected, field = _host_finalize(vol, np.asarray(total),
+                                          shrink, return_field)
     if return_field:
         return corrected, field
     return corrected
 
 
-# host fallback threshold: upsample+exp+divide on host runs at
-# ~100 MB/s-of-volume; the device path moves ~2 volumes across the link
+# a per-volume bandwidth threshold: host upsample+exp+divide runs at
+# ~100 MB/s-of-volume, and the device path moves ~2 volumes (3 with
+# the field) across the link — so the link must be a few x faster
+# than the host math for the device finalize to win
 _HOST_FINALIZE_BYTES_PER_S = 1e8
 
 
-def _finalize_on_device(n_bytes_f32):
+def _finalize_on_device():
     try:
         from ..runtime import transfer_rate_bytes_per_s
         rate = transfer_rate_bytes_per_s()
-        if rate is None:
-            return True
-        return 2.0 * n_bytes_f32 / rate < \
-            n_bytes_f32 / _HOST_FINALIZE_BYTES_PER_S
+        return rate is None or rate > 2.0 * _HOST_FINALIZE_BYTES_PER_S
     except Exception:
         return True
+
+
+def _host_upsample(lt, out_shape, shrink):
+    """Separable trilinear upsample of the shrunk log field to the
+    full grid at coordinates k/shrink, edge-clamped — exact twin of
+    the device ``map_coordinates(order=1, mode='nearest')`` path
+    without materializing full-resolution coordinate volumes."""
+    for ax, n in enumerate(out_shape):
+        u = np.arange(n) / shrink
+        i0 = np.minimum(u.astype(np.int64), lt.shape[ax] - 1)
+        i1 = np.minimum(i0 + 1, lt.shape[ax] - 1)
+        f = (u - i0).reshape([-1 if a == ax else 1 for a in range(3)])
+        lt = (np.take(lt, i0, axis=ax) * (1.0 - f)
+              + np.take(lt, i1, axis=ax) * f)
+    return lt
+
+
+def _host_finalize(vol, log_total, shrink, want_field):
+    lt = np.asarray(log_total, np.float64)
+    if shrink > 1:
+        lt = _host_upsample(lt, vol.shape, shrink)
+    field = np.exp(lt).astype(np.float32)
+    # non-positive voxels were excluded from the fit and pass through
+    # the division untouched (documented contract)
+    corrected = np.where(vol > 0, vol / field, vol).astype(np.float32)
+    return corrected, (field if want_field else None)
 
 
 @partial(jax.jit, static_argnames=("shrink",))
@@ -401,4 +429,5 @@ def _n4_finalize(vol, total, shrink):
     else:
         total_full = total
     field = jnp.exp(total_full)
-    return vol / field, field
+    # non-positive voxels pass through untouched (documented contract)
+    return jnp.where(vol > 0, vol / field, vol), field

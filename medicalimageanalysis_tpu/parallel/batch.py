@@ -531,6 +531,9 @@ def n4_batch(volumes, masks=None, shrink=4, n_bins=200, fwhm=0.15,
                          f"{vols.shape}")
     m = (np.ones(vols.shape, bool) if masks is None
          else np.asarray(masks) > 0)
+    if m.shape != vols.shape:
+        raise ValueError(f"n4_batch: masks shape {m.shape} != "
+                         f"volumes shape {vols.shape}")
     m = m & (vols > 0)
     shrink = max(1, int(shrink))
     sv = vols[:, ::shrink, ::shrink, ::shrink]
@@ -562,23 +565,19 @@ def n4_batch(volumes, masks=None, shrink=4, n_bins=200, fwhm=0.15,
         if multiproc:
             total = _replicate(mesh, total)
 
-    if _n4._finalize_on_device(vols.nbytes):
+    if _n4._finalize_on_device():
         fin = jax.vmap(_n4._n4_finalize, in_axes=(0, 0, None))
         corrected, fields = fin(jnp.asarray(vols), total, shrink)
         corrected = np.asarray(corrected)
         fields = np.asarray(fields) if return_fields else None
     else:
-        lt = np.asarray(total, np.float64)
-        if shrink > 1:
-            from scipy import ndimage
-            coords = np.meshgrid(
-                *[np.arange(n) / shrink for n in vols.shape[1:]],
-                indexing="ij")
-            lt = np.stack([ndimage.map_coordinates(
-                lt[b], coords, order=1, mode="nearest")
-                for b in range(lt.shape[0])])
-        fields = np.exp(lt).astype(np.float32)
-        corrected = (vols / fields).astype(np.float32)
+        lt = np.asarray(total)
+        lanes = [_n4._host_finalize(vols[b], lt[b], shrink,
+                                    return_fields)
+                 for b in range(vols.shape[0])]
+        corrected = np.stack([c for c, _ in lanes])
+        fields = (np.stack([f for _, f in lanes]) if return_fields
+                  else None)
     if return_fields:
         return corrected, fields
     return corrected
