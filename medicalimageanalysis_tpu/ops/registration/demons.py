@@ -12,6 +12,15 @@ Update rule (Thirion, as in ITK): for difference D = f - m(x+u) and
 gradient g (fixed grad, or symmetric mean for the fast variant):
     du = D * g / (|g|^2 + D^2 / K),  K = mean voxel spacing squared
 Diffeomorphic composes exp(du) into the field instead of adding.
+
+forces='lncc' swaps the Thirion update for ANTs-CC local normalized
+cross-correlation gradient forces (Avants et al., MedIA 2008) — the
+contrast-invariant metric for CT<->MR: all windowed moments are
+separable box sums on the MXU, the update rides the warped moving
+gradient (the symmetric mean cancels under opposite contrast
+polarity), and fluid-like smoothing precedes ANTs' gradient-step
+normalization so noise-window spikes cannot starve the coherent
+component.
 """
 
 from __future__ import annotations
@@ -46,11 +55,35 @@ def _smooth_field(u, mz, my, mx):
                       preferred_element_type=jnp.float32)
 
 
+def _box_matrix(n, radius):
+    """(n, n) banded ones matrix: applying it along an axis is the
+    axis's windowed box sum (radius voxels each side)."""
+    i = np.arange(n)
+    return (np.abs(i[:, None] - i[None, :]) <= radius).astype(np.float32)
+
+
+def _box_sum(vol, bz, by, bx):
+    """Separable windowed sum over a (Z, Y, X) volume (MXU einsums —
+    the TPU form of a box filter). Precision HIGHEST is load-bearing:
+    the LNCC variances come from moment cancellation E[x^2] - E[x]^2,
+    and the TPU's default bf16 matmul inputs destroy them (measured:
+    inverted-contrast recovery degrades 0.33 -> 1.38 mm on hardware
+    while CPU tests stay green)."""
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("ij,jyx->iyx", bz, vol, precision=hi,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("kj,zjx->zkx", by, out, precision=hi,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("lj,zyj->zyl", bx, out, precision=hi,
+                      preferred_element_type=jnp.float32)
+
+
 @partial(jax.jit,
-         static_argnames=("iterations", "method", "smooth", "std_vox"))
+         static_argnames=("iterations", "method", "smooth", "std_vox",
+                          "forces", "lncc_radius"))
 def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
                  iterations, method, smooth, elastic_lambda=0.2,
-                 u0=None):
+                 u0=None, forces="ssd", lncc_radius=3):
     """Returns (dvf_mm (Z,Y,X,3), total_overflow).
 
     The whole iteration loop holds the field PLANAR (3, Z, Y, X) and
@@ -72,14 +105,28 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
     mx = jnp.asarray(_gauss_kernel_matrix(fixed.shape[2],
                                           max(float(std_vox), 1e-3)))
 
-    # the symmetric-forces variants warp the moving image AND its three
-    # gradient components every iteration: batch all four through ONE
-    # Pallas tile-slab warp sharing coordinates (docs/PERF.md)
-    if method in ("fast", "diffeomorphic", "biomechanical"):
+    # the symmetric-forces variants (and LNCC, whose force rides the
+    # moving gradient) warp the moving image AND its three gradient
+    # components every iteration: batch all four through ONE Pallas
+    # tile-slab warp sharing coordinates (docs/PERF.md)
+    symmetric = method in ("fast", "diffeomorphic", "biomechanical")
+    if symmetric or forces == "lncc":
         grad_m = _spatial_gradient_planar(moving, sp)
         warp_stack = jnp.concatenate([moving[None], grad_m])
     else:
         warp_stack = moving[None]
+
+    if forces == "lncc":
+        # fixed-image local statistics are loop-invariant
+        lz = jnp.asarray(_box_matrix(fixed.shape[0], lncc_radius))
+        ly = jnp.asarray(_box_matrix(fixed.shape[1], lncc_radius))
+        lx = jnp.asarray(_box_matrix(fixed.shape[2], lncc_radius))
+        cnt = _box_sum(jnp.ones_like(fixed), lz, ly, lx)
+        mu_f = _box_sum(fixed, lz, ly, lx) / cnt
+        var_f = _box_sum(fixed * fixed, lz, ly, lx) / cnt - mu_f ** 2
+        var_f = jnp.maximum(var_f, 0.0)
+        i_f = fixed - mu_f
+        v_eps = 1e-5 * jnp.maximum(jnp.mean(var_f), 1e-12)
 
     def body(_, carry):
         u_vox, ovf = carry                     # u_vox (3, Z, Y, X)
@@ -87,21 +134,58 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
                                 with_overflow=True)
         ovf = ovf + dovf
         warped = w[0]
-        diff = fixed - warped
-        if method in ("fast", "diffeomorphic", "biomechanical"):
+        if forces == "lncc":
+            # the CC force differentiates wrt the WARPED MOVING image:
+            # its own gradient is the only correct carrier (the
+            # symmetric mean 0.5(grad_f + grad_m) CANCELS under
+            # opposite contrast polarity — measured: inverted-contrast
+            # registration stalls entirely on the mean)
+            g = w[1:4]
+        elif symmetric:
             g = 0.5 * (grad_f + w[1:4])
         else:
             g = grad_f
-        g2 = jnp.sum(g * g, axis=0)
-        denom = g2 + (diff * diff) / K
-        active = (jnp.abs(diff) > intensity_threshold) & (denom > 1e-9)
-        upd_mm = jnp.where(active[None],
-                           (diff / jnp.maximum(denom, 1e-9))[None] * g,
-                           0.0)
-        if method in ("fast", "diffeomorphic", "biomechanical"):
-            max_norm = jnp.sqrt(jnp.max(jnp.sum(upd_mm * upd_mm, axis=0)))
-            scale = jnp.minimum(1.0, step / jnp.maximum(max_norm, 1e-9))
-            upd_mm = upd_mm * scale
+        if forces == "lncc":
+            # ANTs-CC gradient forces (Avants 2008): maximize the
+            # local correlation CC = cross^2 / (var_f var_m) — the
+            # cross-modality force where SSD demons stalls. All
+            # windowed moments are separable box sums on the MXU.
+            mu_m = _box_sum(warped, lz, ly, lx) / cnt
+            var_m = _box_sum(warped * warped, lz, ly, lx) / cnt \
+                - mu_m ** 2
+            var_m = jnp.maximum(var_m, 0.0)
+            cross = _box_sum(fixed * warped, lz, ly, lx) / cnt \
+                - mu_f * mu_m
+            i_m = warped - mu_m
+            force = (2.0 * cross / (var_f * var_m + v_eps)
+                     * (i_f - cross / (var_m + v_eps) * i_m))
+            upd_mm = force[None] * g
+            # fluid-like regularization BEFORE normalization (ANTs'
+            # update-field smoothing): raw CC forces in noise-flat
+            # windows are random-signed spikes of signal magnitude —
+            # smoothing first cancels them so the peak normalization
+            # reflects the coherent component, not the spikes
+            upd_mm = _smooth_field(upd_mm, mz, my, mx)
+            # CC forces are dimensionless-per-mm: normalize the peak
+            # update to `step` mm (ANTs' gradient-step normalization)
+            max_norm = jnp.sqrt(
+                jnp.max(jnp.sum(upd_mm * upd_mm, axis=0)))
+            upd_mm = upd_mm * (step / jnp.maximum(max_norm, 1e-12))
+        else:
+            diff = fixed - warped
+            g2 = jnp.sum(g * g, axis=0)
+            denom = g2 + (diff * diff) / K
+            active = (jnp.abs(diff) > intensity_threshold) \
+                & (denom > 1e-9)
+            upd_mm = jnp.where(
+                active[None],
+                (diff / jnp.maximum(denom, 1e-9))[None] * g, 0.0)
+            if symmetric:
+                max_norm = jnp.sqrt(
+                    jnp.max(jnp.sum(upd_mm * upd_mm, axis=0)))
+                scale = jnp.minimum(
+                    1.0, step / jnp.maximum(max_norm, 1e-9))
+                upd_mm = upd_mm * scale
         upd_vox = upd_mm / spc
         if method == "diffeomorphic":
             # exp(upd) via scaling and squaring (3 squarings)
@@ -159,7 +243,8 @@ def _upsample_field(u_mm, out_shape):
 def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                         method="demons", smooth=True, std=1,
                         iterations=50, intensity_threshold=0.001,
-                        step=2.0, elastic_lambda=0.2, pyramid=None):
+                        step=2.0, elastic_lambda=0.2, pyramid=None,
+                        forces="ssd", lncc_radius=3):
     """Run a demons variant; returns (Z, Y, X, 3) DVF in mm such that
     moving(x + d(x)) ~ fixed(x) on the fixed grid.
 
@@ -170,6 +255,15 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     (weight ``elastic_lambda``) for tissue-like near-incompressibility
     (the reference reserved this as an empty stub).
 
+    forces: 'ssd' (Thirion intensity-difference update, the ITK
+    behavior) | 'lncc' — BEYOND-PARITY: ANTs-CC local normalized
+    cross-correlation gradient forces (windowed radius ``lncc_radius``
+    voxels), contrast-invariant so CT<->MR / cross-sequence MR pairs
+    register without prior histogram matching; every update is
+    normalized to ``step`` mm peak displacement (ANTs' gradient-step
+    normalization — raw CC gradients carry no mm scale). Composes with
+    any ``method`` (additive, diffeomorphic, elastic).
+
     pyramid: optional coarse-to-fine downsample factors, e.g. (4, 2, 1)
     — beyond-parity multi-resolution schedule (the reference's
     single-level sitk filters stall on large deformations). Each level
@@ -177,6 +271,9 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     started from the previous level's upsampled mm field (mm components
     are resolution-independent). The final factor should be 1.
     """
+    if forces not in ("ssd", "lncc"):
+        raise ValueError(f"demons: forces must be 'ssd' or 'lncc', "
+                         f"got {forces!r}")
     fixed = jnp.asarray(fixed, dtype=jnp.float32)
     moving = jnp.asarray(moving, dtype=jnp.float32)
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
@@ -209,7 +306,8 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                 f_l, m_l, sp_l, float(std), jnp.float32(step),
                 jnp.float32(intensity_threshold), int(iterations),
                 method, bool(smooth), jnp.float32(elastic_lambda),
-                u0=u0)
+                u0=u0, forces=str(forces),
+                lncc_radius=int(lncc_radius))
             ovf = ovf + dovf
         out = out_mm
     else:
@@ -217,7 +315,9 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                                 jnp.float32(step),
                                 jnp.float32(intensity_threshold),
                                 int(iterations), method, bool(smooth),
-                                jnp.float32(elastic_lambda))
+                                jnp.float32(elastic_lambda),
+                                forces=str(forces),
+                                lncc_radius=int(lncc_radius))
     if float(ovf) > 0:
         # the evolving field exceeded the warp kernel's slab windows in
         # some tiles (possible for very rough/large deformations with

@@ -93,7 +93,8 @@ def preprocess_batch(raw, slopes, intercepts, out_shape=(64, 256, 256),
 
 def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
                  method="fast", iterations=30, std=1.0, step=2.0,
-                 intensity_threshold=0.001, smooth=True, mesh=None):
+                 intensity_threshold=0.001, smooth=True, mesh=None,
+                 forces="ssd", lncc_radius=3):
     """Deformable registration over a whole cohort: one compiled
     program runs B pairs back-to-back (``lax.map``; a vmap here would
     batch the Pallas warp, which Mosaic cannot lower for
@@ -112,7 +113,9 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
         f, m = args
         return _demons_core(f, m, sp, float(std), jnp.float32(step),
                             jnp.float32(intensity_threshold),
-                            int(iterations), method, bool(smooth))
+                            int(iterations), method, bool(smooth),
+                            forces=str(forces),
+                            lncc_radius=int(lncc_radius))
 
     def fn(f, m):
         return jax.lax.map(single, (f, m))

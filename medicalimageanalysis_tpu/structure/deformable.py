@@ -403,29 +403,36 @@ class Deformable(object):
     def compute_demons(self, method=None, modality_gradient=True, sigma=2,
                        smooth=True, std=1, iterations=50,
                        intensity_threshold=0.001, step=2.0, crop=5,
-                       pyramid=None):
+                       pyramid=None, forces="ssd", lncc_radius=3):
         """Demons variants (reference structure/deformable.py:615-690).
 
         ``pyramid``: optional coarse-to-fine factors, e.g. (4, 2, 1) —
         beyond-parity multi-resolution schedule for large deformations
-        (see ops.registration.demons.demons_registration)."""
+        (see ops.registration.demons.demons_registration).
+
+        ``forces='lncc'`` — BEYOND-PARITY: ANTs-CC local normalized
+        cross-correlation forces (window radius ``lncc_radius``),
+        contrast-invariant for CT<->MR / cross-sequence pairs; pair it
+        with ``modality_gradient=False`` since the CC metric replaces
+        the gradient-magnitude preprocessing trick."""
         backend = self._backend(modality_gradient, sigma)
         backend.resample()
         if method in ("Demons", "demons"):
             dvf_volume = backend.demons(
                 smooth=smooth, std=std, iterations=iterations,
                 intensity_threshold=intensity_threshold, crop=crop,
-                pyramid=pyramid)
+                pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
         elif method in ("Diffeomorphic", "diffeomorphic"):
             dvf_volume = backend.diffeomorphic(
                 smooth=smooth, std=std, iterations=iterations,
                 intensity_threshold=intensity_threshold, crop=crop,
-                pyramid=pyramid)
+                pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
         else:
             dvf_volume = backend.fast_demons(
                 smooth=smooth, std=std, iterations=iterations,
                 intensity_threshold=intensity_threshold, step=step,
-                crop=crop, pyramid=pyramid)
+                crop=crop, pyramid=pyramid, forces=forces,
+                lncc_radius=lncc_radius)
         self._store_dvf(dvf_volume)
 
     def compute_tps(self, poi_names=None, points_reference=None,

@@ -166,7 +166,8 @@ class DeformableJAX(object):
         return self._dvf_volume(dvf)
 
     def demons(self, smooth=True, std=1, iterations=50,
-               intensity_threshold=0.001, crop=5, pyramid=None):
+               intensity_threshold=0.001, crop=5, pyramid=None,
+               forces="ssd", lncc_radius=3):
         if crop > 0:
             self.mask_crop(margin=crop)
         fixed, moving = self._masked_arrays()
@@ -174,12 +175,13 @@ class DeformableJAX(object):
             fixed, moving, self.reference_image["spacing"],
             method="demons", smooth=smooth, std=std,
             iterations=iterations,
-            intensity_threshold=intensity_threshold, pyramid=pyramid)
+            intensity_threshold=intensity_threshold, pyramid=pyramid,
+            forces=forces, lncc_radius=lncc_radius)
         return self._dvf_volume(dvf)
 
     def fast_demons(self, smooth=True, std=1, iterations=50,
                     intensity_threshold=0.001, step=2.0, crop=5,
-                    pyramid=None):
+                    pyramid=None, forces="ssd", lncc_radius=3):
         if crop > 0:
             self.mask_crop(margin=crop)
         fixed, moving = self._masked_arrays()
@@ -187,12 +189,12 @@ class DeformableJAX(object):
             fixed, moving, self.reference_image["spacing"],
             method="fast", smooth=smooth, std=std, iterations=iterations,
             intensity_threshold=intensity_threshold, step=step,
-            pyramid=pyramid)
+            pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
         return self._dvf_volume(dvf)
 
     def diffeomorphic(self, smooth=True, std=1, iterations=50,
                       intensity_threshold=0.001, step=2.0, crop=5,
-                      pyramid=None):
+                      pyramid=None, forces="ssd", lncc_radius=3):
         if crop > 0:
             self.mask_crop(margin=crop)
         fixed, moving = self._masked_arrays()
@@ -201,7 +203,7 @@ class DeformableJAX(object):
             method="diffeomorphic", smooth=smooth, std=std,
             iterations=iterations,
             intensity_threshold=intensity_threshold, step=step,
-            pyramid=pyramid)
+            pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
         return self._dvf_volume(dvf)
 
     def biomechanical(self, smooth=True, std=1, iterations=50,
