@@ -10,6 +10,8 @@ surfaces a reference user migrates to:
 3. elastix-parity multi-resolution Mattes-MI B-spline —
    `DeformableJAX.elastix` / `elastix_registration`
 4. demons with a coarse-to-fine pyramid — `Deformable.compute_demons`
+   — plus the LNCC (ANTs-CC) forces variant registering CT straight
+   onto inverted-contrast "MR" (`forces='lncc'`)
 5. mesh ICP — `Rigid.compute_icp_vtk` drop-in
 """
 
@@ -108,6 +110,22 @@ def main():
     print("demons pyramid: err",
           round(float(np.abs(m - f)[inner].mean()), 1), "->",
           round(float(np.abs(out["array"] - f)[inner].mean()), 1))
+
+    # 4a'. LNCC demons: CT onto inverted-contrast "MR" directly — the
+    # cross-modality forces where the intensity-difference update has
+    # the wrong sign everywhere. The MR is the (0,3,-2)-rolled anatomy
+    # remapped; the stored point-displacement field (the inverse of
+    # the solver's sampling field, `_store_dvf`) should approach the
+    # constant (2, -3, 0) mm
+    d_mr = mia.Deformable(reference_name=cts[0], moving_name=mrs[0],
+                          roi_names=[])
+    d_mr.compute_demons(method="fast", modality_gradient=False,
+                        iterations=80, crop=0, step=1.0,
+                        forces="lncc")
+    med = np.median(d_mr.dvf[2:-2, 6:-6, 6:-6], axis=(0, 1, 2))
+    print("LNCC demons CT<->MR: median DVF", np.round(med, 2),
+          "(expect ~[2, -3, 0])")
+    assert np.allclose(med, [2, -3, 0], atol=1.0)
 
     # 4b. landmark TPS: matched POIs -> dense DVF (no intensities)
     truth = np.array([[-90.0, -100.0, -20.0], [-60.0, -80.0, -10.0],
