@@ -224,6 +224,128 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
     return jnp.moveaxis(u, 0, -1) * sp, ovf    # voxels -> mm
 
 
+@partial(jax.jit,
+         static_argnames=("iterations", "smooth", "std_vox", "forces",
+                          "lncc_radius", "invert_iters"))
+def _syn_core(fixed, moving, sp, std_vox, step, intensity_threshold,
+              iterations, smooth, forces, lncc_radius,
+              invert_iters=20, u1_0=None, u2_0=None):
+    """Greedy SyN (Avants et al., MedIA 2008): two diffeomorphic
+    half-maps phi1 (from the fixed side) and phi2 (from the moving
+    side) evolve toward the common midpoint — each iteration warps
+    BOTH images to the middle, computes opposing forces there, and
+    composes each half with the exponential of its own (smoothed,
+    step-normalized) update. Inverse-consistent by construction: the
+    returned field is u2 o u1^{-1} (and swapping the inputs yields its
+    inverse). Returns (dvf_mm (Z,Y,X,3), u1_mm, u2_mm planar,
+    overflow)."""
+    from ..pallas_warp import warp_disp_jit
+
+    grad_f = _spatial_gradient_planar(fixed, sp)
+    grad_m = _spatial_gradient_planar(moving, sp)
+    stack_f = jnp.concatenate([fixed[None], grad_f])
+    stack_m = jnp.concatenate([moving[None], grad_m])
+    K = jnp.mean(sp) ** 2
+    spc = sp[:, None, None, None]
+    half = 0.5 * step
+
+    mz = jnp.asarray(_gauss_kernel_matrix(fixed.shape[0],
+                                          max(float(std_vox), 1e-3)))
+    my = jnp.asarray(_gauss_kernel_matrix(fixed.shape[1],
+                                          max(float(std_vox), 1e-3)))
+    mx = jnp.asarray(_gauss_kernel_matrix(fixed.shape[2],
+                                          max(float(std_vox), 1e-3)))
+    if forces == "lncc":
+        lz = jnp.asarray(_box_matrix(fixed.shape[0], lncc_radius))
+        ly = jnp.asarray(_box_matrix(fixed.shape[1], lncc_radius))
+        lx = jnp.asarray(_box_matrix(fixed.shape[2], lncc_radius))
+        cnt = _box_sum(jnp.ones_like(fixed), lz, ly, lx)
+
+    def _exp(upd_vox, ovf):
+        # exp via scaling and squaring (3 squarings)
+        v = upd_vox / 8.0
+        for _s in range(3):
+            v, dovf = _compose_planar(v, v)
+            ovf = ovf + dovf
+        return v, ovf
+
+    def _normalize(upd_mm, ssd_cap_only):
+        max_norm = jnp.sqrt(jnp.max(jnp.sum(upd_mm * upd_mm, axis=0)))
+        if ssd_cap_only:
+            scale = jnp.minimum(1.0, half / jnp.maximum(max_norm, 1e-9))
+        else:
+            scale = half / jnp.maximum(max_norm, 1e-12)
+        return upd_mm * scale
+
+    def body(_, carry):
+        u1, u2, ovf = carry
+        wf, d1 = warp_disp_jit(stack_f, u1, 0.0, with_overflow=True)
+        wm, d2 = warp_disp_jit(stack_m, u2, 0.0, with_overflow=True)
+        ovf = ovf + d1 + d2
+        fw, gfw = wf[0], wf[1:4]
+        mw, gmw = wm[0], wm[1:4]
+        if forces == "lncc":
+            mu_fw = _box_sum(fw, lz, ly, lx) / cnt
+            mu_mw = _box_sum(mw, lz, ly, lx) / cnt
+            var_fw = jnp.maximum(
+                _box_sum(fw * fw, lz, ly, lx) / cnt - mu_fw ** 2, 0.0)
+            var_mw = jnp.maximum(
+                _box_sum(mw * mw, lz, ly, lx) / cnt - mu_mw ** 2, 0.0)
+            cross = _box_sum(fw * mw, lz, ly, lx) / cnt - mu_fw * mu_mw
+            i_fw = fw - mu_fw
+            i_mw = mw - mu_mw
+            v_eps = 1e-5 * jnp.maximum(jnp.mean(var_fw), 1e-12)
+            base = 2.0 * cross / (var_fw * var_mw + v_eps)
+            f_m = (base * (i_fw - cross / (var_mw + v_eps) * i_mw)
+                   )[None] * gmw
+            f_f = (base * (i_mw - cross / (var_fw + v_eps) * i_fw)
+                   )[None] * gfw
+            f_m = _normalize(_smooth_field(f_m, mz, my, mx), False)
+            f_f = _normalize(_smooth_field(f_f, mz, my, mx), False)
+        else:
+            diff = fw - mw
+            active = jnp.abs(diff) > intensity_threshold
+            den_m = jnp.sum(gmw * gmw, axis=0) + diff * diff / K
+            f_m = jnp.where(
+                (active & (den_m > 1e-9))[None],
+                (diff / jnp.maximum(den_m, 1e-9))[None] * gmw, 0.0)
+            den_f = jnp.sum(gfw * gfw, axis=0) + diff * diff / K
+            f_f = jnp.where(
+                (active & (den_f > 1e-9))[None],
+                (-diff / jnp.maximum(den_f, 1e-9))[None] * gfw, 0.0)
+            f_m = _normalize(f_m, True)
+            f_f = _normalize(f_f, True)
+        e_f, ovf = _exp(f_f / spc, ovf)
+        e_m, ovf = _exp(f_m / spc, ovf)
+        u1n, d1 = _compose_planar(u1, e_f)
+        u2n, d2 = _compose_planar(u2, e_m)
+        ovf = ovf + d1 + d2
+        if smooth:
+            u1n = _smooth_field(u1n, mz, my, mx)
+            u2n = _smooth_field(u2n, mz, my, mx)
+        return u1n, u2n, ovf
+
+    zero = jnp.zeros((3,) + fixed.shape, jnp.float32)
+    u1 = zero if u1_0 is None else u1_0
+    u2 = zero if u2_0 is None else u2_0
+    u1, u2, ovf = jax.lax.fori_loop(0, iterations, body,
+                                    (u1, u2, jnp.float32(0.0)))
+    # full map: x -> phi2(phi1^{-1}(x)); with w = u1^{-1},
+    # d = w + u2(x + w) = compose(u2, w)
+    def inv_body(_, carry):
+        v, ovf = carry
+        out, dovf = warp_disp_jit(u1, v, 0.0, with_overflow=True)
+        return -out, ovf + dovf
+
+    w, ovf = jax.lax.fori_loop(0, invert_iters, inv_body,
+                               (-u1, ovf))
+    d, dovf = _compose_planar(u2, w)
+    ovf = ovf + dovf
+    return (jnp.moveaxis(d, 0, -1) * sp,
+            jnp.moveaxis(u1, 0, -1) * sp,
+            jnp.moveaxis(u2, 0, -1) * sp, ovf)
+
+
 def _downsample_volume(vol, factor):
     from ..resample import separable_resample
     Z, Y, X = vol.shape
@@ -253,7 +375,12 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     structure/deformable.py:677-690) — plus 'biomechanical': symmetric
     forces with a linear-elastic grad(div u) relaxation step
     (weight ``elastic_lambda``) for tissue-like near-incompressibility
-    (the reference reserved this as an empty stub).
+    (the reference reserved this as an empty stub) — plus 'syn':
+    BEYOND-PARITY greedy SyN (ANTs' flagship): two diffeomorphic
+    half-maps meet at the midpoint, inverse-consistent by
+    construction; the returned field is u2 o u1^{-1} on the fixed
+    grid (same contract as every other method). Pairs naturally with
+    forces='lncc' (the ANTs CC+SyN combination).
 
     forces: 'ssd' (Thirion intensity-difference update, the ITK
     behavior) | 'lncc' — BEYOND-PARITY: ANTs-CC local normalized
@@ -277,6 +404,7 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     fixed = jnp.asarray(fixed, dtype=jnp.float32)
     moving = jnp.asarray(moving, dtype=jnp.float32)
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
+    syn = method == "syn"
 
     if pyramid:
         pyramid = tuple(int(f) for f in pyramid)
@@ -285,6 +413,7 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
             # finish at full resolution
             pyramid = pyramid + (1,)
         out_mm = None
+        halves_mm = None                     # (u1_mm, u2_mm) for syn
         ovf = jnp.float32(0.0)
         for factor in pyramid:
             if int(factor) > 1:
@@ -298,18 +427,37 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                  fixed.shape[1] / f_l.shape[1],
                  fixed.shape[0] / f_l.shape[0]], jnp.float32)
             sp_l = sp * ratio
-            u0 = None
-            if out_mm is not None:
-                up = _upsample_field(jnp.asarray(out_mm), f_l.shape)
-                u0 = jnp.moveaxis(up / sp_l, -1, 0)      # mm -> voxels
-            out_mm, dovf = _demons_core(
-                f_l, m_l, sp_l, float(std), jnp.float32(step),
-                jnp.float32(intensity_threshold), int(iterations),
-                method, bool(smooth), jnp.float32(elastic_lambda),
-                u0=u0, forces=str(forces),
-                lncc_radius=int(lncc_radius))
+            if syn:
+                u1_0 = u2_0 = None
+                if halves_mm is not None:
+                    ups = [_upsample_field(jnp.asarray(h), f_l.shape)
+                           for h in halves_mm]
+                    u1_0, u2_0 = [jnp.moveaxis(u / sp_l, -1, 0)
+                                  for u in ups]
+                out_mm, u1_mm, u2_mm, dovf = _syn_core(
+                    f_l, m_l, sp_l, float(std), jnp.float32(step),
+                    jnp.float32(intensity_threshold), int(iterations),
+                    bool(smooth), str(forces), int(lncc_radius),
+                    u1_0=u1_0, u2_0=u2_0)
+                halves_mm = (u1_mm, u2_mm)
+            else:
+                u0 = None
+                if out_mm is not None:
+                    up = _upsample_field(jnp.asarray(out_mm), f_l.shape)
+                    u0 = jnp.moveaxis(up / sp_l, -1, 0)  # mm -> voxels
+                out_mm, dovf = _demons_core(
+                    f_l, m_l, sp_l, float(std), jnp.float32(step),
+                    jnp.float32(intensity_threshold), int(iterations),
+                    method, bool(smooth), jnp.float32(elastic_lambda),
+                    u0=u0, forces=str(forces),
+                    lncc_radius=int(lncc_radius))
             ovf = ovf + dovf
         out = out_mm
+    elif syn:
+        out, _, _, ovf = _syn_core(
+            fixed, moving, sp, float(std), jnp.float32(step),
+            jnp.float32(intensity_threshold), int(iterations),
+            bool(smooth), str(forces), int(lncc_radius))
     else:
         out, ovf = _demons_core(fixed, moving, sp, float(std),
                                 jnp.float32(step),

@@ -103,7 +103,7 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
     FIRST, so each chip lax.maps only its local pairs (a bare lax.map
     under jit is a sequential loop GSPMD cannot partition — review
     finding). Returns (B, Z, Y, X, 3) DVFs in mm."""
-    from ..ops.registration.demons import _demons_core
+    from ..ops.registration.demons import _demons_core, _syn_core
 
     fixed = jnp.asarray(fixed_batch, jnp.float32)
     moving = jnp.asarray(moving_batch, jnp.float32)
@@ -111,6 +111,12 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
 
     def single(args):
         f, m = args
+        if method == "syn":
+            d, _, _, ovf = _syn_core(
+                f, m, sp, float(std), jnp.float32(step),
+                jnp.float32(intensity_threshold), int(iterations),
+                bool(smooth), str(forces), int(lncc_radius))
+            return d, ovf
         return _demons_core(f, m, sp, float(std), jnp.float32(step),
                             jnp.float32(intensity_threshold),
                             int(iterations), method, bool(smooth),

@@ -414,7 +414,12 @@ class Deformable(object):
         cross-correlation forces (window radius ``lncc_radius``),
         contrast-invariant for CT<->MR / cross-sequence pairs; pair it
         with ``modality_gradient=False`` since the CC metric replaces
-        the gradient-magnitude preprocessing trick."""
+        the gradient-magnitude preprocessing trick.
+
+        ``method='syn'`` — BEYOND-PARITY: greedy SyN, inverse-
+        consistent symmetric diffeomorphic registration (two half-maps
+        meeting at the midpoint); with ``forces='lncc'`` this is the
+        ANTs CC+SyN combination."""
         backend = self._backend(modality_gradient, sigma)
         backend.resample()
         if method in ("Demons", "demons"):
@@ -427,6 +432,12 @@ class Deformable(object):
                 smooth=smooth, std=std, iterations=iterations,
                 intensity_threshold=intensity_threshold, crop=crop,
                 pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
+        elif method in ("SyN", "syn"):
+            dvf_volume = backend.syn(
+                smooth=smooth, std=std, iterations=iterations,
+                intensity_threshold=intensity_threshold, step=step,
+                crop=crop, pyramid=pyramid, forces=forces,
+                lncc_radius=lncc_radius)
         else:
             dvf_volume = backend.fast_demons(
                 smooth=smooth, std=std, iterations=iterations,

@@ -206,6 +206,23 @@ class DeformableJAX(object):
             pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
         return self._dvf_volume(dvf)
 
+    def syn(self, smooth=True, std=1, iterations=50,
+            intensity_threshold=0.001, step=2.0, crop=5, pyramid=None,
+            forces="ssd", lncc_radius=3):
+        """Greedy SyN: inverse-consistent symmetric diffeomorphic
+        registration (ANTs' flagship; pairs with forces='lncc' for
+        the CC+SyN combination). BEYOND-PARITY."""
+        if crop > 0:
+            self.mask_crop(margin=crop)
+        fixed, moving = self._masked_arrays()
+        dvf = demons_registration(
+            fixed, moving, self.reference_image["spacing"],
+            method="syn", smooth=smooth, std=std,
+            iterations=iterations,
+            intensity_threshold=intensity_threshold, step=step,
+            pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
+        return self._dvf_volume(dvf)
+
     def biomechanical(self, smooth=True, std=1, iterations=50,
                       intensity_threshold=0.001, step=2.0,
                       elastic_lambda=0.2, crop=5):

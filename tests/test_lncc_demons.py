@@ -87,6 +87,55 @@ def test_lncc_composes_with_diffeomorphic():
     assert np.abs(dvf[..., 0] - truth)[core].mean() < 0.6
 
 
+def test_syn_recovers_and_is_inverse_consistent():
+    """Greedy SyN: same-quality recovery as fast demons on the SSD
+    pair, and the defining property — swapping fixed/moving yields the
+    inverse field (their composition is ~0)."""
+    from medicalimageanalysis_tpu.ops.registration.dvf import (
+        compose_dvf)
+
+    fixed, moving, truth, core = _pair(seed=5)
+    kw = dict(method="syn", iterations=100, step=2.0)
+    fwd = demons_registration(fixed, moving, (1.0, 1.0, 1.0), **kw)
+    assert np.abs(fwd[..., 0] - truth)[core].mean() < 0.3
+    bwd = demons_registration(moving, fixed, (1.0, 1.0, 1.0), **kw)
+    comp = compose_dvf(bwd, fwd, (1.0, 1.0, 1.0))
+    assert np.abs(comp[core]).mean() < 0.05
+
+
+def test_syn_lncc_inverted_contrast():
+    """The ANTs CC+SyN combination on the contrast-reversal pair."""
+    fixed, moving, truth, core = _pair(seed=6)
+    inverted = (700.0 - moving).astype(np.float32)
+    dvf = demons_registration(fixed, inverted, (1.0, 1.0, 1.0),
+                              method="syn", iterations=150, step=2.0,
+                              forces="lncc")
+    assert np.abs(dvf[..., 0] - truth)[core].mean() < 0.75
+
+
+def test_syn_pyramid_path():
+    fixed, moving, truth, core = _pair(seed=7, shape=(16, 32, 32),
+                                       max_shift=1.5)
+    dvf = demons_registration(fixed, moving, (1.0, 1.0, 1.0),
+                              method="syn", iterations=60, step=2.0,
+                              pyramid=(2, 1))
+    assert np.abs(dvf[..., 0] - truth)[core].mean() < 0.35
+
+
+def test_demons_batch_syn_routing():
+    """demons_batch(method='syn') must hit the SyN core, not fall
+    through to the Thirion loop."""
+    from medicalimageanalysis_tpu.parallel.batch import demons_batch
+
+    fixed, moving, truth, core = _pair(shape=(16, 32, 32), seed=8,
+                                       max_shift=1.5)
+    batch = demons_batch(np.stack([fixed]), np.stack([moving]),
+                         (1.0, 1.0, 1.0), method="syn", iterations=60,
+                         step=2.0)
+    err = np.abs(np.asarray(batch[0])[..., 0] - truth)[core]
+    assert err.mean() < 0.4
+
+
 def test_forces_validation():
     with pytest.raises(ValueError, match="forces"):
         demons_registration(np.ones((4, 8, 8)), np.ones((4, 8, 8)),
