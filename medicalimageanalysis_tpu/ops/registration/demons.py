@@ -62,6 +62,22 @@ def _box_matrix(n, radius):
     return (np.abs(i[:, None] - i[None, :]) <= radius).astype(np.float32)
 
 
+def _lncc_moments(vol, lz, ly, lx, cnt):
+    """Windowed (mean-removed value, variance) of one volume."""
+    mu = _box_sum(vol, lz, ly, lx) / cnt
+    var = jnp.maximum(_box_sum(vol * vol, lz, ly, lx) / cnt - mu ** 2,
+                      0.0)
+    return vol - mu, var
+
+
+def _lncc_force(i_a, var_a, i_b, var_b, cross, g_b, v_eps):
+    """ANTs-CC gradient force pushing image b toward image a (Avants
+    2008), riding b's own warped gradient g_b — the single shared
+    formula for the demons and SyN cores."""
+    base = 2.0 * cross / (var_a * var_b + v_eps)
+    return (base * (i_a - cross / (var_b + v_eps) * i_b))[None] * g_b
+
+
 def _box_sum(vol, bz, by, bx):
     """Separable windowed sum over a (Z, Y, X) volume (MXU einsums —
     the TPU form of a box filter). Precision HIGHEST is load-bearing:
@@ -122,10 +138,8 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         ly = jnp.asarray(_box_matrix(fixed.shape[1], lncc_radius))
         lx = jnp.asarray(_box_matrix(fixed.shape[2], lncc_radius))
         cnt = _box_sum(jnp.ones_like(fixed), lz, ly, lx)
-        mu_f = _box_sum(fixed, lz, ly, lx) / cnt
-        var_f = _box_sum(fixed * fixed, lz, ly, lx) / cnt - mu_f ** 2
-        var_f = jnp.maximum(var_f, 0.0)
-        i_f = fixed - mu_f
+        i_f, var_f = _lncc_moments(fixed, lz, ly, lx, cnt)
+        mu_f = fixed - i_f
         v_eps = 1e-5 * jnp.maximum(jnp.mean(var_f), 1e-12)
 
     def body(_, carry):
@@ -146,20 +160,16 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         else:
             g = grad_f
         if forces == "lncc":
-            # ANTs-CC gradient forces (Avants 2008): maximize the
-            # local correlation CC = cross^2 / (var_f var_m) — the
-            # cross-modality force where SSD demons stalls. All
-            # windowed moments are separable box sums on the MXU.
-            mu_m = _box_sum(warped, lz, ly, lx) / cnt
-            var_m = _box_sum(warped * warped, lz, ly, lx) / cnt \
-                - mu_m ** 2
-            var_m = jnp.maximum(var_m, 0.0)
+            # ANTs-CC gradient forces: maximize the local correlation
+            # CC = cross^2 / (var_f var_m) — the cross-modality force
+            # where SSD demons stalls. All windowed moments are
+            # separable box sums on the MXU.
+            i_m, var_m = _lncc_moments(warped, lz, ly, lx, cnt)
+            mu_m = warped - i_m
             cross = _box_sum(fixed * warped, lz, ly, lx) / cnt \
                 - mu_f * mu_m
-            i_m = warped - mu_m
-            force = (2.0 * cross / (var_f * var_m + v_eps)
-                     * (i_f - cross / (var_m + v_eps) * i_m))
-            upd_mm = force[None] * g
+            upd_mm = _lncc_force(i_f, var_f, i_m, var_m, cross, g,
+                                 v_eps)
             # fluid-like regularization BEFORE normalization (ANTs'
             # update-field smoothing): raw CC forces in noise-flat
             # windows are random-signed spikes of signal magnitude —
@@ -226,19 +236,23 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
 
 @partial(jax.jit,
          static_argnames=("iterations", "smooth", "std_vox", "forces",
-                          "lncc_radius", "invert_iters"))
+                          "lncc_radius"))
 def _syn_core(fixed, moving, sp, std_vox, step, intensity_threshold,
               iterations, smooth, forces, lncc_radius,
-              invert_iters=20, u1_0=None, u2_0=None):
+              u1_0=None, u2_0=None):
     """Greedy SyN (Avants et al., MedIA 2008): two diffeomorphic
     half-maps phi1 (from the fixed side) and phi2 (from the moving
     side) evolve toward the common midpoint — each iteration warps
     BOTH images to the middle, computes opposing forces there, and
     composes each half with the exponential of its own (smoothed,
-    step-normalized) update. Inverse-consistent by construction: the
-    returned field is u2 o u1^{-1} (and swapping the inputs yields its
-    inverse). Returns (dvf_mm (Z,Y,X,3), u1_mm, u2_mm planar,
-    overflow)."""
+    step-normalized) update. Returns the half-fields
+    (u1_mm, u2_mm (Z,Y,X,3), overflow); the caller assembles the full
+    inverse-consistent map u2 o u1^{-1} through the canonical
+    invert_dvf (which verifies the kernel's overflow counter and
+    redoes on the exact XLA twin — an inline inversion here could
+    silently corrupt the field through overflowed taps, and would
+    waste its dispatches at coarse pyramid levels whose composed
+    output is discarded)."""
     from ..pallas_warp import warp_disp_jit
 
     grad_f = _spatial_gradient_planar(fixed, sp)
@@ -285,21 +299,15 @@ def _syn_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         fw, gfw = wf[0], wf[1:4]
         mw, gmw = wm[0], wm[1:4]
         if forces == "lncc":
-            mu_fw = _box_sum(fw, lz, ly, lx) / cnt
-            mu_mw = _box_sum(mw, lz, ly, lx) / cnt
-            var_fw = jnp.maximum(
-                _box_sum(fw * fw, lz, ly, lx) / cnt - mu_fw ** 2, 0.0)
-            var_mw = jnp.maximum(
-                _box_sum(mw * mw, lz, ly, lx) / cnt - mu_mw ** 2, 0.0)
-            cross = _box_sum(fw * mw, lz, ly, lx) / cnt - mu_fw * mu_mw
-            i_fw = fw - mu_fw
-            i_mw = mw - mu_mw
+            i_fw, var_fw = _lncc_moments(fw, lz, ly, lx, cnt)
+            i_mw, var_mw = _lncc_moments(mw, lz, ly, lx, cnt)
+            cross = _box_sum(fw * mw, lz, ly, lx) / cnt \
+                - (fw - i_fw) * (mw - i_mw)
             v_eps = 1e-5 * jnp.maximum(jnp.mean(var_fw), 1e-12)
-            base = 2.0 * cross / (var_fw * var_mw + v_eps)
-            f_m = (base * (i_fw - cross / (var_mw + v_eps) * i_mw)
-                   )[None] * gmw
-            f_f = (base * (i_mw - cross / (var_fw + v_eps) * i_fw)
-                   )[None] * gfw
+            f_m = _lncc_force(i_fw, var_fw, i_mw, var_mw, cross, gmw,
+                              v_eps)
+            f_f = _lncc_force(i_mw, var_mw, i_fw, var_fw, cross, gfw,
+                              v_eps)
             f_m = _normalize(_smooth_field(f_m, mz, my, mx), False)
             f_f = _normalize(_smooth_field(f_f, mz, my, mx), False)
         else:
@@ -330,19 +338,7 @@ def _syn_core(fixed, moving, sp, std_vox, step, intensity_threshold,
     u2 = zero if u2_0 is None else u2_0
     u1, u2, ovf = jax.lax.fori_loop(0, iterations, body,
                                     (u1, u2, jnp.float32(0.0)))
-    # full map: x -> phi2(phi1^{-1}(x)); with w = u1^{-1},
-    # d = w + u2(x + w) = compose(u2, w)
-    def inv_body(_, carry):
-        v, ovf = carry
-        out, dovf = warp_disp_jit(u1, v, 0.0, with_overflow=True)
-        return -out, ovf + dovf
-
-    w, ovf = jax.lax.fori_loop(0, invert_iters, inv_body,
-                               (-u1, ovf))
-    d, dovf = _compose_planar(u2, w)
-    ovf = ovf + dovf
-    return (jnp.moveaxis(d, 0, -1) * sp,
-            jnp.moveaxis(u1, 0, -1) * sp,
+    return (jnp.moveaxis(u1, 0, -1) * sp,
             jnp.moveaxis(u2, 0, -1) * sp, ovf)
 
 
@@ -401,6 +397,10 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     if forces not in ("ssd", "lncc"):
         raise ValueError(f"demons: forces must be 'ssd' or 'lncc', "
                          f"got {forces!r}")
+    method = str(method).lower()
+    if method not in ("demons", "fast", "diffeomorphic",
+                      "biomechanical", "syn"):
+        raise ValueError(f"demons: unknown method {method!r}")
     fixed = jnp.asarray(fixed, dtype=jnp.float32)
     moving = jnp.asarray(moving, dtype=jnp.float32)
     sp = jnp.asarray(spacing_xyz, dtype=jnp.float32)
@@ -412,60 +412,59 @@ def demons_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
             # the contract is a fixed-grid (Z, Y, X, 3) field: always
             # finish at full resolution
             pyramid = pyramid + (1,)
-        out_mm = None
-        halves_mm = None                     # (u1_mm, u2_mm) for syn
-        ovf = jnp.float32(0.0)
-        for factor in pyramid:
-            if int(factor) > 1:
-                f_l = _downsample_volume(fixed, int(factor))
-                m_l = _downsample_volume(moving, int(factor))
-            else:
-                f_l, m_l = fixed, moving
-            # physical voxel size grows with the factor
-            ratio = jnp.asarray(
-                [fixed.shape[2] / f_l.shape[2],
-                 fixed.shape[1] / f_l.shape[1],
-                 fixed.shape[0] / f_l.shape[0]], jnp.float32)
-            sp_l = sp * ratio
-            if syn:
-                u1_0 = u2_0 = None
-                if halves_mm is not None:
-                    ups = [_upsample_field(jnp.asarray(h), f_l.shape)
-                           for h in halves_mm]
-                    u1_0, u2_0 = [jnp.moveaxis(u / sp_l, -1, 0)
-                                  for u in ups]
-                out_mm, u1_mm, u2_mm, dovf = _syn_core(
-                    f_l, m_l, sp_l, float(std), jnp.float32(step),
-                    jnp.float32(intensity_threshold), int(iterations),
-                    bool(smooth), str(forces), int(lncc_radius),
-                    u1_0=u1_0, u2_0=u2_0)
-                halves_mm = (u1_mm, u2_mm)
-            else:
-                u0 = None
-                if out_mm is not None:
-                    up = _upsample_field(jnp.asarray(out_mm), f_l.shape)
-                    u0 = jnp.moveaxis(up / sp_l, -1, 0)  # mm -> voxels
-                out_mm, dovf = _demons_core(
-                    f_l, m_l, sp_l, float(std), jnp.float32(step),
-                    jnp.float32(intensity_threshold), int(iterations),
-                    method, bool(smooth), jnp.float32(elastic_lambda),
-                    u0=u0, forces=str(forces),
-                    lncc_radius=int(lncc_radius))
-            ovf = ovf + dovf
-        out = out_mm
-    elif syn:
-        out, _, _, ovf = _syn_core(
-            fixed, moving, sp, float(std), jnp.float32(step),
-            jnp.float32(intensity_threshold), int(iterations),
-            bool(smooth), str(forces), int(lncc_radius))
     else:
-        out, ovf = _demons_core(fixed, moving, sp, float(std),
-                                jnp.float32(step),
-                                jnp.float32(intensity_threshold),
-                                int(iterations), method, bool(smooth),
-                                jnp.float32(elastic_lambda),
-                                forces=str(forces),
-                                lncc_radius=int(lncc_radius))
+        pyramid = (1,)
+    out_mm = None
+    halves_mm = None                     # (u1_mm, u2_mm) for syn
+    ovf = jnp.float32(0.0)
+    for factor in pyramid:
+        if int(factor) > 1:
+            f_l = _downsample_volume(fixed, int(factor))
+            m_l = _downsample_volume(moving, int(factor))
+        else:
+            f_l, m_l = fixed, moving
+        # physical voxel size grows with the factor
+        ratio = jnp.asarray(
+            [fixed.shape[2] / f_l.shape[2],
+             fixed.shape[1] / f_l.shape[1],
+             fixed.shape[0] / f_l.shape[0]], jnp.float32)
+        sp_l = sp * ratio
+        if syn:
+            u1_0 = u2_0 = None
+            if halves_mm is not None:
+                ups = [_upsample_field(jnp.asarray(h), f_l.shape)
+                       for h in halves_mm]
+                u1_0, u2_0 = [jnp.moveaxis(u / sp_l, -1, 0)
+                              for u in ups]
+            u1_mm, u2_mm, dovf = _syn_core(
+                f_l, m_l, sp_l, float(std), jnp.float32(step),
+                jnp.float32(intensity_threshold), int(iterations),
+                bool(smooth), forces, int(lncc_radius),
+                u1_0=u1_0, u2_0=u2_0)
+            halves_mm = (u1_mm, u2_mm)
+        else:
+            u0 = None
+            if out_mm is not None:
+                up = _upsample_field(jnp.asarray(out_mm), f_l.shape)
+                u0 = jnp.moveaxis(up / sp_l, -1, 0)      # mm -> voxels
+            out_mm, dovf = _demons_core(
+                f_l, m_l, sp_l, float(std), jnp.float32(step),
+                jnp.float32(intensity_threshold), int(iterations),
+                method, bool(smooth), jnp.float32(elastic_lambda),
+                u0=u0, forces=forces, lncc_radius=int(lncc_radius))
+        ovf = ovf + dovf
+    if syn:
+        # full map: x -> phi2(phi1^{-1}(x)); with w = u1^{-1},
+        # d = w + u2(x + w) = compose(u2, w). invert_dvf / compose_dvf
+        # carry their own overflow-verified exact-XLA fallbacks, and
+        # the inversion runs only once at full resolution
+        from .dvf import compose_dvf, invert_dvf
+        u1_np, u2_np = [np.asarray(h) for h in halves_mm]
+        sp_np = np.asarray(spacing_xyz, np.float32)
+        w = invert_dvf(u1_np, sp_np)
+        out = compose_dvf(u2_np, w, sp_np)
+    else:
+        out = out_mm
     if float(ovf) > 0:
         # the evolving field exceeded the warp kernel's slab windows in
         # some tiles (possible for very rough/large deformations with

@@ -102,9 +102,20 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
     hardware). With a Mesh, shard_map splits the pair axis over 'data'
     FIRST, so each chip lax.maps only its local pairs (a bare lax.map
     under jit is a sequential loop GSPMD cannot partition — review
-    finding). Returns (B, Z, Y, X, 3) DVFs in mm."""
+    finding). Returns (B, Z, Y, X, 3) DVFs in mm.
+
+    method='syn' maps the SyN half-field evolution per pair, then
+    assembles each u2 o u1^{-1} on host through the overflow-verified
+    invert_dvf/compose_dvf (same contract as demons_registration)."""
     from ..ops.registration.demons import _demons_core, _syn_core
 
+    if forces not in ("ssd", "lncc"):
+        raise ValueError(f"demons_batch: forces must be 'ssd' or "
+                         f"'lncc', got {forces!r}")
+    method = str(method).lower()
+    if method not in ("demons", "fast", "diffeomorphic",
+                      "biomechanical", "syn"):
+        raise ValueError(f"demons_batch: unknown method {method!r}")
     fixed = jnp.asarray(fixed_batch, jnp.float32)
     moving = jnp.asarray(moving_batch, jnp.float32)
     sp = jnp.asarray(spacing_xyz, jnp.float32)
@@ -112,16 +123,17 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
     def single(args):
         f, m = args
         if method == "syn":
-            d, _, _, ovf = _syn_core(
+            u1, u2, ovf = _syn_core(
                 f, m, sp, float(std), jnp.float32(step),
                 jnp.float32(intensity_threshold), int(iterations),
-                bool(smooth), str(forces), int(lncc_radius))
-            return d, ovf
+                bool(smooth), forces, int(lncc_radius))
+            # stack the halves on a leading axis so the map result
+            # stays a single array per pair
+            return jnp.stack([u1, u2]), ovf
         return _demons_core(f, m, sp, float(std), jnp.float32(step),
                             jnp.float32(intensity_threshold),
                             int(iterations), method, bool(smooth),
-                            forces=str(forces),
-                            lncc_radius=int(lncc_radius))
+                            forces=forces, lncc_radius=int(lncc_radius))
 
     def fn(f, m):
         return jax.lax.map(single, (f, m))
@@ -145,6 +157,16 @@ def demons_batch(fixed_batch, moving_batch, spacing_xyz=(1.0, 1.0, 1.0),
             f"demons_batch: {total_ovf:.0f} warp taps exceeded the "
             "kernel slab caps (treated as background). Increase "
             "smoothing or reduce step.", RuntimeWarning)
+    if method == "syn":
+        import numpy as np
+
+        from ..ops.registration.dvf import compose_dvf, invert_dvf
+        halves = np.asarray(dvfs)            # (B, 2, Z, Y, X, 3) mm
+        sp_np = np.asarray(spacing_xyz, np.float32)
+        return np.stack([
+            compose_dvf(halves[b, 1], invert_dvf(halves[b, 0], sp_np),
+                        sp_np)
+            for b in range(halves.shape[0])])
     return dvfs
 
 

@@ -425,13 +425,15 @@ class Deformable(object):
         if method in ("Demons", "demons"):
             dvf_volume = backend.demons(
                 smooth=smooth, std=std, iterations=iterations,
-                intensity_threshold=intensity_threshold, crop=crop,
-                pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
+                intensity_threshold=intensity_threshold, step=step,
+                crop=crop, pyramid=pyramid, forces=forces,
+                lncc_radius=lncc_radius)
         elif method in ("Diffeomorphic", "diffeomorphic"):
             dvf_volume = backend.diffeomorphic(
                 smooth=smooth, std=std, iterations=iterations,
-                intensity_threshold=intensity_threshold, crop=crop,
-                pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
+                intensity_threshold=intensity_threshold, step=step,
+                crop=crop, pyramid=pyramid, forces=forces,
+                lncc_radius=lncc_radius)
         elif method in ("SyN", "syn"):
             dvf_volume = backend.syn(
                 smooth=smooth, std=std, iterations=iterations,

@@ -166,8 +166,8 @@ class DeformableJAX(object):
         return self._dvf_volume(dvf)
 
     def demons(self, smooth=True, std=1, iterations=50,
-               intensity_threshold=0.001, crop=5, pyramid=None,
-               forces="ssd", lncc_radius=3):
+               intensity_threshold=0.001, step=2.0, crop=5,
+               pyramid=None, forces="ssd", lncc_radius=3):
         if crop > 0:
             self.mask_crop(margin=crop)
         fixed, moving = self._masked_arrays()
@@ -175,8 +175,8 @@ class DeformableJAX(object):
             fixed, moving, self.reference_image["spacing"],
             method="demons", smooth=smooth, std=std,
             iterations=iterations,
-            intensity_threshold=intensity_threshold, pyramid=pyramid,
-            forces=forces, lncc_radius=lncc_radius)
+            intensity_threshold=intensity_threshold, step=step,
+            pyramid=pyramid, forces=forces, lncc_radius=lncc_radius)
         return self._dvf_volume(dvf)
 
     def fast_demons(self, smooth=True, std=1, iterations=50,
@@ -225,7 +225,8 @@ class DeformableJAX(object):
 
     def biomechanical(self, smooth=True, std=1, iterations=50,
                       intensity_threshold=0.001, step=2.0,
-                      elastic_lambda=0.2, crop=5):
+                      elastic_lambda=0.2, crop=5, forces="ssd",
+                      lncc_radius=3):
         """Linear-elastic demons (grad(div u) relaxation for tissue-like
         near-incompressibility). The reference reserved this capability
         as an empty stub (structure/deformable.py:536-540)."""
@@ -237,7 +238,8 @@ class DeformableJAX(object):
             method="biomechanical", smooth=smooth, std=std,
             iterations=iterations,
             intensity_threshold=intensity_threshold, step=step,
-            elastic_lambda=elastic_lambda)
+            elastic_lambda=elastic_lambda, forces=forces,
+            lncc_radius=lncc_radius)
         return self._dvf_volume(dvf)
 
     def mask_crop(self, margin=5):

@@ -23,7 +23,7 @@ _KERNEL_NAMES = (
     "warp_jit", "warp_disp_jit", "field_warp", "field_warp_disp",
     "make_warp_sampler", "make_disp_sampler", "affine_warp",
     "affine_warp_fused", "_warp_call", "_field_warp_call",
-    "_demons_core", "_invert_planar", "_compose_planar",
+    "_demons_core", "_syn_core", "_invert_planar", "_compose_planar",
 )
 
 

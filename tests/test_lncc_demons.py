@@ -140,6 +140,19 @@ def test_forces_validation():
     with pytest.raises(ValueError, match="forces"):
         demons_registration(np.ones((4, 8, 8)), np.ones((4, 8, 8)),
                             forces="ncc")
+    with pytest.raises(ValueError, match="unknown method"):
+        demons_registration(np.ones((4, 8, 8)), np.ones((4, 8, 8)),
+                            method="sny")
+    from medicalimageanalysis_tpu.parallel.batch import demons_batch
+    with pytest.raises(ValueError, match="forces"):
+        demons_batch(np.ones((1, 4, 8, 8)), np.ones((1, 4, 8, 8)),
+                     forces="LNCC ")
+    # canonical ANTs casing routes to the SyN core, not the Thirion
+    # fallthrough (method strings are normalized)
+    d = demons_registration(np.ones((6, 10, 10), np.float32),
+                            np.ones((6, 10, 10), np.float32),
+                            method="SyN", iterations=2)
+    assert d.shape == (6, 10, 10, 3)
 
 
 def test_demons_batch_lncc_passthrough():
