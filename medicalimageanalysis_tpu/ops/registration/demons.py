@@ -133,13 +133,21 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         warp_stack = moving[None]
 
     if forces == "lncc":
-        # fixed-image local statistics are loop-invariant
+        # fixed-image local statistics are loop-invariant. GLOBAL
+        # CENTERING is load-bearing numerics, not style: LNCC is
+        # invariant to a constant image shift, and centering removes
+        # the E[x^2] - E[x]^2 cancellation on large raw intensities —
+        # uncentered, the f32 moment noise wobbles the peak-normalized
+        # step by ~1e-3/iter, which is what made the z-sharded twin
+        # visibly diverge from this path
         lz = jnp.asarray(_box_matrix(fixed.shape[0], lncc_radius))
         ly = jnp.asarray(_box_matrix(fixed.shape[1], lncc_radius))
         lx = jnp.asarray(_box_matrix(fixed.shape[2], lncc_radius))
         cnt = _box_sum(jnp.ones_like(fixed), lz, ly, lx)
-        i_f, var_f = _lncc_moments(fixed, lz, ly, lx, cnt)
-        mu_f = fixed - i_f
+        f_cent = fixed - jnp.mean(fixed)
+        m_shift = jnp.mean(moving)
+        i_f, var_f = _lncc_moments(f_cent, lz, ly, lx, cnt)
+        mu_f = f_cent - i_f
         v_eps = 1e-5 * jnp.maximum(jnp.mean(var_f), 1e-12)
 
     def body(_, carry):
@@ -164,9 +172,10 @@ def _demons_core(fixed, moving, sp, std_vox, step, intensity_threshold,
             # CC = cross^2 / (var_f var_m) — the cross-modality force
             # where SSD demons stalls. All windowed moments are
             # separable box sums on the MXU.
-            i_m, var_m = _lncc_moments(warped, lz, ly, lx, cnt)
-            mu_m = warped - i_m
-            cross = _box_sum(fixed * warped, lz, ly, lx) / cnt \
+            w_cent = warped - m_shift
+            i_m, var_m = _lncc_moments(w_cent, lz, ly, lx, cnt)
+            mu_m = w_cent - i_m
+            cross = _box_sum(f_cent * w_cent, lz, ly, lx) / cnt \
                 - mu_f * mu_m
             upd_mm = _lncc_force(i_f, var_f, i_m, var_m, cross, g,
                                  v_eps)
@@ -274,6 +283,10 @@ def _syn_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         ly = jnp.asarray(_box_matrix(fixed.shape[1], lncc_radius))
         lx = jnp.asarray(_box_matrix(fixed.shape[2], lncc_radius))
         cnt = _box_sum(jnp.ones_like(fixed), lz, ly, lx)
+        # global centering constants (LNCC shift-invariance; kills the
+        # f32 moment cancellation — see _demons_core)
+        f_shift = jnp.mean(fixed)
+        m_shift = jnp.mean(moving)
 
     def _exp(upd_vox, ovf):
         # exp via scaling and squaring (3 squarings)
@@ -299,10 +312,12 @@ def _syn_core(fixed, moving, sp, std_vox, step, intensity_threshold,
         fw, gfw = wf[0], wf[1:4]
         mw, gmw = wm[0], wm[1:4]
         if forces == "lncc":
-            i_fw, var_fw = _lncc_moments(fw, lz, ly, lx, cnt)
-            i_mw, var_mw = _lncc_moments(mw, lz, ly, lx, cnt)
-            cross = _box_sum(fw * mw, lz, ly, lx) / cnt \
-                - (fw - i_fw) * (mw - i_mw)
+            fw_c = fw - f_shift
+            mw_c = mw - m_shift
+            i_fw, var_fw = _lncc_moments(fw_c, lz, ly, lx, cnt)
+            i_mw, var_mw = _lncc_moments(mw_c, lz, ly, lx, cnt)
+            cross = _box_sum(fw_c * mw_c, lz, ly, lx) / cnt \
+                - (fw_c - i_fw) * (mw_c - i_mw)
             v_eps = 1e-5 * jnp.maximum(jnp.mean(var_fw), 1e-12)
             f_m = _lncc_force(i_fw, var_fw, i_mw, var_mw, cross, gmw,
                               v_eps)

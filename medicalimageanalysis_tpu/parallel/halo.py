@@ -240,10 +240,17 @@ def warp_z_sharded(volume, dvf_mm, mesh, spacing_xyz=(1.0, 1.0, 1.0),
 
 def _make_pair_loop(n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j,
                     my, mx, radius, symmetric, smooth, iterations, step,
-                    intensity_threshold):
+                    intensity_threshold, forces="ssd", lncc_radius=3):
     """Per-pair z-sharded demons loop (closure over the static config);
     shared by :func:`demons_z_sharded` (one pair) and
-    :func:`demons_batch_z_sharded` (lax.map over local pairs)."""
+    :func:`demons_batch_z_sharded` (lax.map over local pairs).
+
+    forces='lncc' swaps in the ANTs-CC update: the windowed moments'
+    y/x passes are shard-local banded-matrix einsums and the z pass is
+    a sliding-window sum over an ``lncc_radius``-row halo with
+    GLOBAL-EDGE ZEROING (the dense path's clipped basis matrices
+    truncate windows at the volume edge — edge replication here would
+    silently diverge from the single-device field)."""
     from ..ops.pallas_warp import warp_disp_jit
 
     def local_loop(f_loc, stack_loc, gf_loc):
@@ -255,6 +262,61 @@ def _make_pair_loop(n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j,
         K = jnp.mean(sp) ** 2
         spc = sp[:, None, None, None]
         cap = jnp.float32(H - 2)
+
+        def gauss_smooth(u):
+            # y/x: shard-local MXU contractions; z: taps over a
+            # radius-row halo (same taps + edge replication as the
+            # dense _gauss_kernel_matrix -> identical result)
+            u = jnp.einsum("kj,czjx->czkx", my, u,
+                           preferred_element_type=jnp.float32)
+            u = jnp.einsum("lj,czyj->czyl", mx, u,
+                           preferred_element_type=jnp.float32)
+            uslab = _exchange_z(u, radius, n_shards, axis_name, 1)
+            acc = jnp.zeros_like(u)
+            for t in range(2 * radius + 1):
+                acc = acc + taps_j[t] * lax.dynamic_slice_in_dim(
+                    uslab, t, Zl, axis=1)
+            return acc
+
+        if forces == "lncc":
+            from ..ops.registration.demons import (_box_matrix,
+                                                   _lncc_force)
+            R = int(lncc_radius)
+            lyb = jnp.asarray(_box_matrix(Y, R))
+            lxb = jnp.asarray(_box_matrix(X, R))
+            hi = lax.Precision.HIGHEST
+            # slab-row global validity for the R-halo (loop-invariant)
+            zvalid = ((z_base - R
+                       + jnp.arange(Zl + 2 * R, dtype=jnp.float32))
+                      >= 0)[:, None, None] \
+                & ((z_base - R
+                    + jnp.arange(Zl + 2 * R, dtype=jnp.float32))
+                   <= jnp.float32(Z - 1))[:, None, None]
+
+            def box_sum(v):
+                vs = _exchange_z(v[None], R, n_shards, axis_name, 1)[0]
+                vs = jnp.where(zvalid, vs, 0.0)
+                acc = jnp.zeros_like(v)
+                for t in range(2 * R + 1):
+                    acc = acc + lax.dynamic_slice_in_dim(vs, t, Zl,
+                                                         axis=0)
+                acc = jnp.einsum("kj,zjx->zkx", lyb, acc, precision=hi,
+                                 preferred_element_type=jnp.float32)
+                return jnp.einsum("lj,zyj->zyl", lxb, acc, precision=hi,
+                                  preferred_element_type=jnp.float32)
+
+            cnt = box_sum(jnp.ones_like(f_loc))
+            # global centering (LNCC shift-invariance; kills the f32
+            # E[x^2]-E[x]^2 cancellation — see ops _demons_core)
+            npts = jnp.float32(Z * Y * X)
+            f_cent = f_loc - lax.psum(jnp.sum(f_loc), axis_name) / npts
+            m_shift = lax.psum(jnp.sum(stack_loc[0]), axis_name) / npts
+            mu_f = box_sum(f_cent) / cnt
+            var_f = jnp.maximum(
+                box_sum(f_cent * f_cent) / cnt - mu_f ** 2, 0.0)
+            i_f = f_cent - mu_f
+            vmean = lax.psum(jnp.sum(var_f), axis_name) / npts
+            v_eps = 1e-5 * jnp.maximum(vmean, 1e-12)
 
         def body(_, carry):
             u_vox, ovf = carry
@@ -269,36 +331,40 @@ def _make_pair_loop(n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j,
             z_in = (gz >= 0) & (gz <= jnp.float32(Z - 1))
             w = jnp.where(z_in[None], w, 0.0)
             warped = w[0]
-            diff = f_loc - warped
-            g = 0.5 * (gf_loc + w[1:4]) if symmetric else gf_loc
-            g2 = jnp.sum(g * g, axis=0)
-            denom = g2 + (diff * diff) / K
-            active = ((jnp.abs(diff) > intensity_threshold)
-                      & (denom > 1e-9))
-            upd_mm = jnp.where(
-                active[None], (diff / jnp.maximum(denom, 1e-9))[None] * g,
-                0.0)
-            if symmetric:
+            if forces == "lncc":
+                w_cent = warped - m_shift
+                mu_m = box_sum(w_cent) / cnt
+                var_m = jnp.maximum(
+                    box_sum(w_cent * w_cent) / cnt - mu_m ** 2, 0.0)
+                cross = box_sum(f_cent * w_cent) / cnt - mu_f * mu_m
+                upd_mm = _lncc_force(i_f, var_f, w_cent - mu_m, var_m,
+                                     cross, w[1:4], v_eps)
+                # fluid smoothing BEFORE the gradient-step
+                # normalization (same rationale as the dense core)
+                upd_mm = gauss_smooth(upd_mm)
                 local_max2 = jnp.max(jnp.sum(upd_mm * upd_mm, axis=0))
                 max_norm = jnp.sqrt(lax.pmax(local_max2, axis_name))
-                scale = jnp.minimum(
-                    1.0, step / jnp.maximum(max_norm, 1e-9))
-                upd_mm = upd_mm * scale
+                upd_mm = upd_mm * (step / jnp.maximum(max_norm, 1e-12))
+            else:
+                diff = f_loc - warped
+                g = 0.5 * (gf_loc + w[1:4]) if symmetric else gf_loc
+                g2 = jnp.sum(g * g, axis=0)
+                denom = g2 + (diff * diff) / K
+                active = ((jnp.abs(diff) > intensity_threshold)
+                          & (denom > 1e-9))
+                upd_mm = jnp.where(
+                    active[None],
+                    (diff / jnp.maximum(denom, 1e-9))[None] * g, 0.0)
+                if symmetric:
+                    local_max2 = jnp.max(jnp.sum(upd_mm * upd_mm,
+                                                 axis=0))
+                    max_norm = jnp.sqrt(lax.pmax(local_max2, axis_name))
+                    scale = jnp.minimum(
+                        1.0, step / jnp.maximum(max_norm, 1e-9))
+                    upd_mm = upd_mm * scale
             u_new = u_vox + upd_mm / spc
             if smooth:
-                # y/x: shard-local MXU contractions; z: taps over a
-                # radius-row halo (same taps + edge replication as the
-                # dense _gauss_kernel_matrix -> identical result)
-                u_new = jnp.einsum("kj,czjx->czkx", my, u_new,
-                                   preferred_element_type=jnp.float32)
-                u_new = jnp.einsum("lj,czyj->czyl", mx, u_new,
-                                   preferred_element_type=jnp.float32)
-                uslab = _exchange_z(u_new, radius, n_shards, axis_name, 1)
-                acc = jnp.zeros_like(u_new)
-                for t in range(2 * radius + 1):
-                    acc = acc + taps_j[t] * lax.dynamic_slice_in_dim(
-                        uslab, t, Zl, axis=1)
-                u_new = acc
+                u_new = gauss_smooth(u_new)
             return u_new, ovf
 
         # derive u0 from a shard-local value: the loop carry must be
@@ -315,7 +381,7 @@ def _make_pair_loop(n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j,
 def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
                      method="fast", iterations=30, smooth=True, std=1,
                      step=2.0, intensity_threshold=0.001, halo=16,
-                     axis_name="space"):
+                     axis_name="space", forces="ssd", lncc_radius=3):
     """Demons registration of ONE large volume z-sharded over the
     `axis_name` mesh axis (SPMD sequence-parallel analogue for volumes
     too large for a single chip's HBM, or to put all chips on one pair).
@@ -344,6 +410,8 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     fixed/moving: (Z, Y, X) with Z divisible by the shard count.
     Returns a (Z, Y, X, 3) mm DVF (host numpy).
     method: 'demons' (fixed-gradient Thirion) or 'fast' (symmetric).
+    forces: 'ssd' | 'lncc' (ANTs-CC cross-modality forces; the z pass
+    of the windowed moments rides an extra lncc_radius-row halo).
     """
     from ..ops.filters import _gauss_kernel_matrix
     from ..ops.pallas_warp import warp_disp_jit
@@ -351,6 +419,9 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     if method not in ("demons", "fast"):
         raise ValueError("sharded demons supports 'demons' and 'fast'; "
                          "use demons_registration for diffeomorphic")
+    if forces not in ("ssd", "lncc"):
+        raise ValueError(f"demons_z_sharded: forces must be 'ssd' or "
+                         f"'lncc', got {forces!r}")
     n_shards = mesh.shape[axis_name]
     # stay HOST-side until the sharded placement: jnp.asarray here
     # would stage the whole volume on one local device — exactly the
@@ -373,11 +444,16 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
     my = jnp.asarray(_gauss_kernel_matrix(Y, max(float(std), 1e-3)))
     mx = jnp.asarray(_gauss_kernel_matrix(X, max(float(std), 1e-3)))
     symmetric = method == "fast"
+    if forces == "lncc" and int(lncc_radius) > Zl:
+        raise ValueError(
+            f"lncc_radius {lncc_radius} exceeds the {Zl}-row shard "
+            "depth; use fewer z-shards")
 
     local_loop = _make_pair_loop(
         n_shards, axis_name, Z, Zl, Y, X, H, sp, taps_j, my, mx,
         radius, symmetric, smooth, iterations, step,
-        intensity_threshold)
+        intensity_threshold, forces=forces,
+        lncc_radius=int(lncc_radius))
 
     @jax.jit
     def run(f, m):
@@ -385,7 +461,7 @@ def demons_z_sharded(fixed, moving, mesh, spacing_xyz=(1.0, 1.0, 1.0),
         # gradient stencils itself (1-row halo collectives)
         gz, gy, gx = jnp.gradient(f)
         grad_f = jnp.stack([gx / sp[0], gy / sp[1], gz / sp[2]])
-        if symmetric:
+        if symmetric or forces == "lncc":
             mz_, my_, mx_ = jnp.gradient(m)
             stack = jnp.stack([m, mx_ / sp[0], my_ / sp[1], mz_ / sp[2]])
         else:
@@ -420,7 +496,8 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
                            spacing_xyz=(1.0, 1.0, 1.0), method="fast",
                            iterations=30, smooth=True, std=1, step=2.0,
                            intensity_threshold=0.001, halo=16,
-                           data_axis="data", space_axis="space"):
+                           data_axis="data", space_axis="space",
+                           forces="ssd", lncc_radius=3):
     """Demons over B pairs x z-shards on the FULL ('data', 'space')
     mesh at once (VERDICT r2 next #6: ``demons_batch`` replicated
     'space', leaving half the mesh idle for cohorts of huge volumes).
@@ -441,6 +518,9 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
 
     if method not in ("demons", "fast"):
         raise ValueError("sharded demons supports 'demons' and 'fast'")
+    if forces not in ("ssd", "lncc"):
+        raise ValueError(f"demons_batch_z_sharded: forces must be "
+                         f"'ssd' or 'lncc', got {forces!r}")
     n_data = mesh.shape[data_axis]
     n_shards = mesh.shape[space_axis]
     fixed = np.asarray(fixed_batch, np.float32)
@@ -461,10 +541,16 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
     my = jnp.asarray(_gauss_kernel_matrix(Y, max(float(std), 1e-3)))
     mx = jnp.asarray(_gauss_kernel_matrix(X, max(float(std), 1e-3)))
     symmetric = method == "fast"
+    if forces == "lncc" and int(lncc_radius) > Zl:
+        raise ValueError(
+            f"lncc_radius {lncc_radius} exceeds the {Zl}-row shard "
+            "depth; use fewer z-shards")
 
     pair_loop = _make_pair_loop(
         n_shards, space_axis, Z, Zl, Y, X, H, sp, taps_j, my, mx,
-        radius, symmetric, smooth, iterations, step, intensity_threshold)
+        radius, symmetric, smooth, iterations, step,
+        intensity_threshold, forces=forces,
+        lncc_radius=int(lncc_radius))
 
     def local_batch(f_loc, stack_loc, gf_loc):
         # f_loc (Bl, Zl, Y, X); stack (Bl, C, Zl, Y, X); gf (Bl, 3, ...)
@@ -477,7 +563,7 @@ def demons_batch_z_sharded(fixed_batch, moving_batch, mesh,
     def run(f, m):
         gz, gy, gx = jnp.gradient(f, axis=(1, 2, 3))
         grad_f = jnp.stack([gx / sp[0], gy / sp[1], gz / sp[2]], axis=1)
-        if symmetric:
+        if symmetric or forces == "lncc":
             mz_, my_, mx_ = jnp.gradient(m, axis=(1, 2, 3))
             stack = jnp.stack(
                 [m, mx_ / sp[0], my_ / sp[1], mz_ / sp[2]], axis=1)

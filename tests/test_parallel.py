@@ -202,6 +202,47 @@ def test_demons_z_sharded_matches_single_device(rng):
     assert np.abs(got[..., 0]).max() > 0.3
 
 
+def test_demons_z_sharded_lncc_matches_single_device(rng):
+    """LNCC forces z-sharded: windowed moments span shard boundaries
+    (box-sum halo with GLOBAL-EDGE ZEROING — edge replication would
+    silently diverge from the dense clipped-matrix path) and must
+    match the single-device LNCC trajectory to f32 tolerance, on an
+    INVERTED-contrast pair where SSD does nothing."""
+    from medicalimageanalysis_tpu.ops.registration.demons import (
+        demons_registration)
+    from medicalimageanalysis_tpu.parallel.halo import demons_z_sharded
+    from medicalimageanalysis_tpu.parallel.mesh import make_mesh
+
+    zz, yy, xx = np.mgrid[0:32, 0:24, 0:40].astype(np.float32)
+    fixed = (np.exp(-(((zz - 16) / 6) ** 2 + ((yy - 12) / 5) ** 2
+                      + ((xx - 20) / 8) ** 2)) * 100
+             + np.exp(-(((zz - 8) / 4) ** 2 + ((yy - 8) / 4) ** 2
+                        + ((xx - 10) / 5) ** 2)) * 60
+             ).astype(np.float32)
+    fixed += rng.normal(0, 0.5, fixed.shape).astype(np.float32)
+    moving = (120.0 - np.roll(fixed, shift=2, axis=2)).astype(
+        np.float32)
+
+    mesh = make_mesh(8, space=4)
+    ref = demons_registration(fixed, moving, (1.0, 1.0, 1.0),
+                              method="fast", iterations=12, std=1,
+                              step=1.0, forces="lncc")
+    got = demons_z_sharded(fixed, moving, mesh, (1.0, 1.0, 1.0),
+                           method="fast", iterations=12, std=1,
+                           step=1.0, forces="lncc")
+    assert got.shape == fixed.shape + (3,)
+    d = np.abs(got - ref)
+    # the per-iteration peak normalization amplifies f32 summation-
+    # order noise into a small trajectory wobble (heavier in the max
+    # than the mean); single-iteration parity is ~4e-5
+    assert d.mean() < 5e-4, f"sharded LNCC diverges (mean {d.mean()})"
+    assert d.max() < 0.05, f"sharded LNCC diverges (max {d.max()})"
+    # and it actually moved (inverted contrast: SSD would stall)
+    assert np.abs(got[..., 0]).max() > 0.3
+    with pytest.raises(ValueError, match="forces"):
+        demons_z_sharded(fixed, moving, mesh, forces="ncc")
+
+
 def test_register_batch_mi_metric(rng):
     """metric='mi' threads through the batched cohort registration
     (static arg through lax.map + shard_map)."""
