@@ -502,6 +502,38 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         self.rois[name].convert_mask(mask)
         return self.rois[name]
 
+    def resample_to(self, other, values=None, background=-3001.0):
+        """Resample this image's volume onto another image's grid —
+        BEYOND-PARITY convenience (the reference would need the full
+        sitk.Resample dance; here one composed pixel->pixel matrix
+        feeds the Pallas affine warp). Both grids must share a frame
+        of reference (same-study CT/PT/MR or dose grids); for
+        cross-study resampling compose a Rigid and use
+        Rigid.create_image.
+
+        other: Image/Dose object or a registered image name;
+        values: optional voxel-aligned map to resample instead of
+        ``self.array`` (e.g. a SUV map or an ROI mask — pass
+        ``background=0`` for masks). Returns float32 on the other
+        grid."""
+        from ..data import Data
+        from ..ops.resample import affine_resample, compose_pixel_matrix
+
+        if isinstance(other, str):
+            other = Data.image[other]
+        vals = np.asarray(self.array if values is None else values,
+                          np.float32)
+        if vals.shape != tuple(self.dimensions):
+            raise ValueError(
+                f"resample_to: values shape {vals.shape} != image "
+                f"grid {tuple(self.dimensions)}")
+        A = compose_pixel_matrix(self.matrix, self.spacing, self.origin,
+                                 other.matrix, other.spacing,
+                                 other.origin)
+        return np.asarray(affine_resample(
+            vals, A, tuple(int(n) for n in other.dimensions),
+            background=float(background)), np.float32)
+
     def compute_roi_statistics(self, roi_name, values=None):
         """First-order statistics of a value map inside an ROI —
         BEYOND-PARITY (the reference only has the dose-specific

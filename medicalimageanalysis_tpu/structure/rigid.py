@@ -338,6 +338,82 @@ class Rigid(object):
         self.update_rois()
         return info
 
+    def compute_landmarks(self, poi_names=None, points_reference=None,
+                          points_moving=None, scaling=False):
+        """Rigid landmark (fiducial) registration — BEYOND-PARITY: the
+        closed-form Kabsch/Umeyama solve over matched POIs, the rigid
+        twin of Deformable.compute_tps (the reference's POIs are never
+        consumed by any registration; VTK's LandmarkTransform is the
+        analogue it wraps for meshes only).
+
+        Matches POI names shared by the reference and moving images
+        (or explicit (N, 3) mm arrays, N >= 3 non-collinear). Solves
+        min sum ||s R p_ref + t - p_mov||^2 (s = 1 unless ``scaling``)
+        in host f64 and stores the full map so that
+        ``matrix @ combo_matrix`` takes reference physical points to
+        moving physical points (the class convention). Returns
+        {name: residual mm} fiducial registration errors."""
+        if points_reference is not None or points_moving is not None:
+            if points_reference is None or points_moving is None:
+                raise ValueError(
+                    "compute_landmarks: points_reference and "
+                    "points_moving must be given together")
+            t_pts = np.asarray(points_reference, np.float64).reshape(-1, 3)
+            m_pts = np.asarray(points_moving, np.float64).reshape(-1, 3)
+            if t_pts.shape != m_pts.shape:
+                raise ValueError(
+                    "compute_landmarks: point array shapes differ")
+            names = [str(i) for i in range(t_pts.shape[0])]
+        else:
+            ref_pois = Data.image[self.reference_name].pois
+            mov_pois = Data.image[self.moving_name].pois
+            names, t_list, m_list = [], [], []
+            for name, poi in ref_pois.items():
+                if poi_names is not None and name not in poi_names:
+                    continue
+                other = mov_pois.get(name)
+                if poi.point_position is None or other is None \
+                        or other.point_position is None:
+                    continue
+                names.append(name)
+                t_list.append(np.asarray(poi.point_position, np.float64))
+                m_list.append(np.asarray(other.point_position,
+                                         np.float64))
+            if len(names) < 3:
+                raise ValueError(
+                    f"compute_landmarks: need >= 3 matched POIs, found "
+                    f"{len(names)}")
+            t_pts = np.stack(t_list)
+            m_pts = np.stack(m_list)
+
+        # Umeyama: centered cross-covariance SVD with det correction
+        mu_t = t_pts.mean(axis=0)
+        mu_m = m_pts.mean(axis=0)
+        tc = t_pts - mu_t
+        mc = m_pts - mu_m
+        cov = mc.T @ tc / t_pts.shape[0]
+        U, S, Vt = np.linalg.svd(cov)
+        d = np.sign(np.linalg.det(U @ Vt))
+        D = np.diag([1.0, 1.0, d])
+        R = U @ D @ Vt
+        if scaling:
+            var_t = (tc ** 2).sum() / t_pts.shape[0]
+            s = float((S * np.diag(D)).sum() / max(var_t, 1e-12))
+        else:
+            s = 1.0
+        F = np.eye(4)
+        F[:3, :3] = s * R
+        F[:3, 3] = mu_m - s * R @ mu_t
+        # store so matrix @ combo_matrix == F (class convention)
+        self.matrix = F @ np.linalg.inv(np.asarray(self.combo_matrix,
+                                                   np.float64))
+        self.update_rois()
+        mapped = (t_pts @ (s * R).T) + F[:3, 3]
+        residuals = {n: float(np.linalg.norm(mapped[i] - m_pts[i]))
+                     for i, n in enumerate(names)}
+        self.misc["landmark_fre"] = residuals
+        return residuals
+
     def copy_roi(self, roi_name=None):
         """Project an ROI mesh across the registration
         (reference structure/rigid.py:668-690)."""

@@ -504,3 +504,79 @@ def test_register_intensity_mode_validation(two_images):
     with pytest.raises(ValueError, match="pose0"):
         register_rigid_intensity(ref, mov, mode="similarity",
                                  pose0=np.zeros(6))
+
+
+def test_compute_landmarks_recovers_transform(two_images):
+    """Umeyama over matched POIs: exact recovery of a known rigid (and
+    similarity) map, stored in the matrix @ combo convention."""
+    ct, mr = two_images
+    R = Rotation.from_euler("xyz", [5, -3, 8], degrees=True).as_matrix()
+    t = np.array([4.0, -6.0, 2.5])
+    pts = np.array([[-90.0, -110.0, -45.0], [-60.0, -90.0, -40.0],
+                    [-75.0, -100.0, -35.0], [-50.0, -120.0, -42.0],
+                    [-85.0, -95.0, -50.0]])
+    for i, p in enumerate(pts):
+        Data.image[ct].add_poi(poi_name=f"F{i}", point=list(p))
+        Data.image[mr].add_poi(poi_name=f"F{i}", point=list(R @ p + t))
+    rigid = mia.Rigid(ct, mr)
+    res = rigid.compute_landmarks()
+    assert max(res.values()) < 1e-6
+    F = rigid.matrix @ rigid.combo_matrix
+    np.testing.assert_allclose(F[:3, :3], R, atol=1e-8)
+    np.testing.assert_allclose(F[:3, 3], t, atol=1e-6)
+    # similarity variant
+    s = 1.07
+    for i, p in enumerate(pts):
+        Data.image[mr].pois[f"F{i}"].point_position = s * (R @ p) + t
+    rigid.compute_landmarks(scaling=True)
+    F = rigid.matrix @ rigid.combo_matrix
+    np.testing.assert_allclose(F[:3, :3], s * R, atol=1e-6)
+    # validation: too few matches / mismatched explicit arrays
+    with pytest.raises(ValueError, match=">= 3"):
+        mia.Rigid(ct, mr).compute_landmarks(poi_names=["F0"])
+    with pytest.raises(ValueError, match="together"):
+        mia.Rigid(ct, mr).compute_landmarks(points_reference=pts)
+
+
+def test_resample_to_matches_golden(tmp_path):
+    """Image.resample_to: composed pixel matrix + Pallas affine warp
+    lands on a scipy map_coordinates golden for an interior grid."""
+    from scipy import ndimage
+
+    from medicalimageanalysis_tpu.ops.resample import (
+        compose_pixel_matrix)
+
+    Data.clear()
+    rng = np.random.default_rng(4)
+    arr = rng.integers(-200, 900, (12, 32, 32)).astype(np.int16)
+    write_ct_series(tmp_path / "a", arr, spacing=(1, 1), thickness=2.0)
+    write_ct_series(tmp_path / "b", np.zeros((6, 12, 12), np.int16),
+                    origin=(-98.0, -118.0, -49.0), spacing=(2, 2),
+                    thickness=4.0, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path))
+    names = sorted(Data.image_list)
+    a = Data.image[[n for n in names
+                    if Data.image[n].modality == "CT"][0]]
+    b = Data.image[[n for n in names
+                    if Data.image[n].modality == "MR"][0]]
+    out = a.resample_to(b)
+    assert out.shape == tuple(b.dimensions) and out.dtype == np.float32
+
+    A = compose_pixel_matrix(a.matrix, a.spacing, a.origin,
+                             b.matrix, b.spacing, b.origin)
+    zz, yy, xx = np.meshgrid(*[np.arange(n, dtype=np.float64)
+                               for n in b.dimensions], indexing="ij")
+    ones = np.ones_like(xx)
+    pix_in = np.einsum(
+        "rc,czyx->rzyx", np.asarray(A, np.float64),
+        np.stack([xx, yy, zz, ones]))
+    golden = ndimage.map_coordinates(
+        a.array.astype(np.float64),
+        [pix_in[2], pix_in[1], pix_in[0]], order=1)
+    np.testing.assert_allclose(out, golden, atol=0.01)
+    # values mode + shape validation
+    mask = (a.array > 200).astype(np.float32)
+    mout = a.resample_to(b, values=mask, background=0.0)
+    assert mout.min() >= 0.0 and mout.max() <= 1.0
+    with pytest.raises(ValueError, match="values shape"):
+        a.resample_to(b, values=np.zeros((2, 2, 2)))
