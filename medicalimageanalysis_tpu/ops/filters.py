@@ -19,7 +19,9 @@ from jax import lax
 
 __all__ = ["gaussian_filter", "binary_erode", "binary_dilate",
            "binary_open", "binary_close", "window_level",
-           "largest_component", "largest_component_batch", "fill_holes_2d"]
+           "largest_component", "largest_component_batch",
+           "fill_holes_2d", "histogram_match", "anisotropic_diffusion",
+           "curvature_flow"]
 
 
 def gauss_taps(sigma_vox, dtype=np.float32):
@@ -261,3 +263,110 @@ def histogram_match(moving, reference, n_quantiles=256,
     out = jnp.interp(jnp.asarray(mov_np), jnp.asarray(mov_q),
                      jnp.asarray(ref_q))
     return out.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("iterations", "conductance_fn"))
+def _aniso_core(vol, sp2_inv, kappa, time_step, iterations,
+                conductance_fn):
+    def flux(v, axis):
+        # forward difference with edge-zero flux (Neumann boundary)
+        d = jnp.diff(v, axis=axis)
+        pad = [(0, 0)] * 3
+        pad[axis] = (0, 1)
+        return jnp.pad(d, pad)
+
+    def body(_, v):
+        upd = jnp.zeros_like(v)
+        for axis, w in ((0, sp2_inv[2]), (1, sp2_inv[1]),
+                        (2, sp2_inv[0])):
+            df = flux(v, axis)                      # I(i+1) - I(i)
+            if conductance_fn == "exp":
+                c = jnp.exp(-(df / kappa) ** 2)
+            else:                                   # 'reciprocal'
+                c = 1.0 / (1.0 + (df / kappa) ** 2)
+            fl = c * df
+            pad = [(0, 0)] * 3
+            pad[axis] = (1, 0)
+            fb = jnp.pad(fl, pad)[
+                tuple(slice(0, s) for s in v.shape)]
+            upd = upd + (fl - fb) * w
+        return v + time_step * upd
+
+    return lax.fori_loop(0, iterations, body, vol)
+
+
+def anisotropic_diffusion(volume, iterations=5, kappa=20.0,
+                          time_step=None, spacing_xyz=(1.0, 1.0, 1.0),
+                          conductance="exp"):
+    """Perona-Malik edge-preserving smoothing — the TPU-native twin of
+    ITK's GradientAnisotropicDiffusionImageFilter (the MR denoising
+    front-end the reference's SimpleITK stack ships but never
+    exposes). Per iteration, each axis' forward-difference flux is
+    gated by a conductance of the local gradient (``'exp'`` — ITK's
+    default — or ``'reciprocal'``), so noise diffuses while edges
+    (|dI| >> kappa) do not. The whole loop is one jit (a fori_loop of
+    shifted adds — pure VPU stencils).
+
+    ``kappa``: gradient magnitude (intensity units) treated as an
+    edge; ``time_step`` defaults to the 3-D stability bound
+    1 / (2 * sum(1/sp^2)). Returns float32.
+    """
+    vol = jnp.asarray(volume, jnp.float32)
+    if vol.ndim != 3:
+        raise ValueError(f"anisotropic_diffusion: expected (Z, Y, X), "
+                         f"got {vol.shape}")
+    if conductance not in ("exp", "reciprocal"):
+        raise ValueError(f"anisotropic_diffusion: unknown conductance "
+                         f"{conductance!r}")
+    sp = np.asarray(spacing_xyz, np.float64)
+    sp2_inv = jnp.asarray(1.0 / sp ** 2, jnp.float32)
+    if time_step is None:
+        time_step = 1.0 / (2.0 * float((1.0 / sp ** 2).sum()))
+    return _aniso_core(vol, sp2_inv, jnp.float32(kappa),
+                       jnp.float32(time_step), int(iterations),
+                       str(conductance))
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _curvature_core(vol, sp_j, time_step, iterations):
+    eps = 1e-8
+
+    def g(v, axis):
+        d = jnp.gradient(v, axis=axis)
+        return d / sp_j[2 - axis]
+
+    def body(_, v):
+        ix = g(v, 2)
+        iy = g(v, 1)
+        iz = g(v, 0)
+        ixx = g(ix, 2)
+        iyy = g(iy, 1)
+        izz = g(iz, 0)
+        ixy = g(ix, 1)
+        ixz = g(ix, 0)
+        iyz = g(iy, 0)
+        g2 = ix * ix + iy * iy + iz * iz
+        num = (ixx * (iy * iy + iz * iz)
+               + iyy * (ix * ix + iz * iz)
+               + izz * (ix * ix + iy * iy)
+               - 2.0 * (ix * iy * ixy + ix * iz * ixz + iy * iz * iyz))
+        return v + time_step * num / (g2 + eps)
+
+    return lax.fori_loop(0, iterations, body, vol)
+
+
+def curvature_flow(volume, iterations=5, time_step=0.05,
+                   spacing_xyz=(1.0, 1.0, 1.0)):
+    """Level-set curvature flow denoising — the TPU-native twin of
+    ITK's CurvatureFlowImageFilter: each iso-intensity surface moves
+    with speed proportional to its mean curvature (dI/dt = kappa
+    |grad I|), smoothing noise while leaving straight edges in place.
+    Central-difference stencils in one jitted fori_loop. Returns
+    float32."""
+    vol = jnp.asarray(volume, jnp.float32)
+    if vol.ndim != 3:
+        raise ValueError(f"curvature_flow: expected (Z, Y, X), got "
+                         f"{vol.shape}")
+    sp_j = jnp.asarray(spacing_xyz, jnp.float32)
+    return _curvature_core(vol, sp_j, jnp.float32(time_step),
+                           int(iterations))
