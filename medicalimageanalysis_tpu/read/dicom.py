@@ -354,14 +354,16 @@ class DicomReader(object):
         acq_ranges = []
         for acq in acq_values:
             sub = [e for e in group if int(e[1]) == acq]
-            positions = np.asarray([e[3][comp] for e in sub])
-            order = np.argsort(positions)
-            if not ascending:
-                order = order[::-1]
-            sorted_sub = [sub[i][4] for i in order]
-            sorted_pos = positions[order]
-            acq_images.append(sorted_sub)
-            acq_ranges.append((float(sorted_pos[0]), float(sorted_pos[-1])))
+            for phase_sub in self._split_temporal_phases(sub, comp):
+                positions = np.asarray([e[3][comp] for e in phase_sub])
+                order = np.argsort(positions)
+                if not ascending:
+                    order = order[::-1]
+                sorted_sub = [phase_sub[i][4] for i in order]
+                sorted_pos = positions[order]
+                acq_images.append(sorted_sub)
+                acq_ranges.append((float(sorted_pos[0]),
+                                   float(sorted_pos[-1])))
 
         if len(acq_images) <= 1:
             for img in acq_images:
@@ -403,6 +405,72 @@ class DicomReader(object):
         else:
             for img in acq_images:
                 self.ds_modality[modality].append(img)
+
+    def _split_temporal_phases(self, sub, comp):
+        """4D-series phase splitting (BEYOND-PARITY).
+
+        A respiratory/cardiac-gated 4D acquisition stores K phases of
+        the same couch range inside ONE series — often inside one
+        AcquisitionNumber (Philips-style), where every slice location
+        appears K times. The reference's grouper (read/dicom.py:285)
+        only splits on AcquisitionNumber, so such a series collapses
+        into a single stack of duplicated positions whose mean-pitch
+        spacing math and skipped-slice interpolation both break.
+
+        Here, when every location in an acquisition repeats exactly K
+        times, the stack splits into K single-phase stacks keyed by
+        (in priority order) TemporalPositionIdentifier, TriggerTime, or
+        the per-location occurrence rank ordered by InstanceNumber.
+        Ragged duplication (only some locations repeated) is left to
+        the existing irregular-spacing machinery.
+        """
+        from ..dicom.dataset import value_or
+
+        if len(sub) < 2:
+            return [sub]
+        pos = np.asarray([e[3][comp] for e in sub], np.float64)
+        from ..config import config
+        quant = np.round(pos / config.spacing_tolerance_mm).astype(np.int64)
+        uniq, counts = np.unique(quant, return_counts=True)
+        k = int(counts.max())
+        if k == 1 or not np.all(counts == k):
+            return [sub]
+        n_loc = len(uniq)
+
+        # explicit temporal keys first
+        for keyword, caster in (("TemporalPositionIdentifier", int),
+                                ("TriggerTime", float)):
+            vals = [value_or(e[4], keyword, None) for e in sub]
+            if any(v is None for v in vals):
+                continue
+            try:
+                vals = [caster(v) for v in vals]
+            except (TypeError, ValueError):
+                continue
+            distinct = sorted(set(vals))
+            if len(distinct) != k:
+                continue
+            groups = [[e for e, v in zip(sub, vals) if v == key]
+                      for key in distinct]
+            if all(len(g) == n_loc for g in groups):
+                return groups
+
+        # fallback: occurrence rank per location, ordered by
+        # InstanceNumber (acquisition order within each couch position)
+        inst = []
+        for i, e in enumerate(sub):
+            v = value_or(e[4], "InstanceNumber", None)
+            try:
+                inst.append(int(v))
+            except (TypeError, ValueError):
+                inst.append(i)
+        order = np.lexsort((np.asarray(inst), quant))
+        groups = [[] for _ in range(k)]
+        for start in range(0, len(order), k):
+            block = order[start:start + k]
+            for rank, idx in enumerate(block):
+                groups[rank].append(sub[idx])
+        return groups
 
     # ------------------------------------------------------------------
     # construction

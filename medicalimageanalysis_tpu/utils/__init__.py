@@ -34,6 +34,9 @@ _LAZY = {
     "ntcp_lkb": ("radiobiology", "ntcp_lkb"),
     "ntcp_logistic": ("radiobiology", "ntcp_logistic"),
     "tcp_logistic": ("radiobiology", "tcp_logistic"),
+    "find_phase_groups": ("fourd", "find_phase_groups"),
+    "combine_phases": ("fourd", "combine_phases"),
+    "compute_itv": ("fourd", "compute_itv"),
     "dice_coefficient": ("metrics", "dice_coefficient"),
     "jaccard_index": ("metrics", "jaccard_index"),
     "hausdorff_distance": ("metrics", "hausdorff_distance"),

@@ -64,13 +64,16 @@ class CreateDicomImage(object):
 
     def run(self, patient_name="Test", patient_id="Test", modality="CT",
             description="", sex="M", rescale_slope=1,
-            rescale_intercept=0, extra_tags=None):
+            rescale_intercept=0, extra_tags=None, instance_offset=0):
         """Write each slice as an individual Explicit VR LE file.
 
         ``rescale_slope``/``rescale_intercept`` and ``extra_tags``
         ({keyword: value} applied to every slice) are beyond-parity
         knobs for fabricating modality-specific fixtures (e.g. PT with
-        RadiopharmaceuticalInformationSequence for SUV tests)."""
+        RadiopharmaceuticalInformationSequence for SUV tests).
+        ``instance_offset`` shifts InstanceNumber and the SOP suffix so
+        multiple ``run`` calls can extend ONE series without UID
+        collisions (e.g. 4D phase fixtures sharing a SeriesInstanceUID)."""
         if self.study is None:
             self.study = generate_uid()
         if self.series is None:
@@ -89,7 +92,7 @@ class CreateDicomImage(object):
         # unique per-series SOP base (the reference hardcodes
         # str(10000+ii), utils/creation.py:186, which collides across
         # series and breaks REG/RTSTRUCT matching)
-        self.sops = [f"{self.series}.{ii}"
+        self.sops = [f"{self.series}.{instance_offset + ii}"
                      for ii in range(self.data.shape[0])]
         today = str(datetime.date.today()).replace("-", "")
         os.makedirs(str(self.output_dir), exist_ok=True)
@@ -123,7 +126,7 @@ class CreateDicomImage(object):
             ds.FrameOfReferenceUID = self.frame
             ds.AcquisitionNumber = "1"
             ds.SeriesNumber = "2"
-            ds.InstanceNumber = str(ii + 1)
+            ds.InstanceNumber = str(instance_offset + ii + 1)
             ds.ImageOrientationPatient = self.orientation
             # self.spacing follows the package [sx, sy] convention;
             # DICOM PixelSpacing is [row = sy, col = sx] (previously
@@ -164,7 +167,7 @@ class CreateDicomImage(object):
                 array.astype("<i2")).tobytes()
 
             export_file = os.path.join(str(self.output_dir),
-                                       str(ii) + ".dcm")
+                                       str(instance_offset + ii) + ".dcm")
             dcmwrite(export_file, ds,
                      transfer_syntax=self.transfer_syntax)
 
