@@ -414,6 +414,54 @@ class Rigid(object):
         self.misc["landmark_fre"] = residuals
         return residuals
 
+    def compute_phase_correlation(self, window=True, update=True):
+        """Global translation initialization by FFT phase correlation
+        — BEYOND-PARITY (ops/registration/phase_correlation). The
+        moving volume is resliced onto the reference grid through the
+        CURRENT ``matrix @ combo_matrix`` (so it composes with
+        pre_alignment or a coarse rotation guess), the residual
+        translation is recovered from the normalized cross-power
+        spectrum in one device FFT program, and the matrix is
+        post-composed with it. Recovers any shift up to half the
+        field of view — the capture-range step before
+        ``compute_intensity`` descent.
+
+        Returns {'shift_mm': (x, y, z) physical shift applied,
+        'response': normalized peak in [0, 1]}. ``update=False``
+        estimates without touching the matrix.
+        """
+        from ..ops.registration.phase_correlation import phase_correlation
+        from ..ops.resample import affine_resample, compose_pixel_matrix
+
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+        T = np.asarray(self.matrix @ self.combo_matrix, np.float64)
+        A = compose_pixel_matrix(mov.matrix, mov.spacing, mov.origin,
+                                 ref.matrix, ref.spacing, ref.origin,
+                                 phys_transform=T)
+        mov_arr = np.asarray(mov.array, np.float32)
+        resliced = affine_resample(mov_arr, A, tuple(ref.array.shape),
+                                   background=float(mov_arr.mean()))
+        shift_zyx, response = phase_correlation(
+            np.asarray(ref.array, np.float32), resliced,
+            spacing_xyz=ref.spacing, window=window)
+        # resliced(p) = ref(p - d) in ref PIXEL-axis mm; physical
+        # shift = sum_i d_i * matrix_row_i; T'q = T(q + d) composes a
+        # pre-translation in reference physical space
+        d_xyz = shift_zyx[::-1]
+        s_phys = np.asarray(ref.matrix, np.float64).T @ d_xyz
+        info = {"shift_mm": tuple(float(v) for v in s_phys),
+                "response": response}
+        if update:
+            Tr = np.eye(4)
+            Tr[:3, 3] = s_phys
+            combo = np.asarray(self.combo_matrix, np.float64)
+            self.matrix = np.asarray(self.matrix, np.float64) \
+                @ combo @ Tr @ np.linalg.inv(combo)
+            self.misc["phase_correlation"] = info
+            self.update_rois()
+        return info
+
     def copy_roi(self, roi_name=None):
         """Project an ROI mesh across the registration
         (reference structure/rigid.py:668-690)."""
