@@ -135,6 +135,13 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         volume_percent = 100.0 * (1.0 - below / dose_in_roi.size)
         return bins, volume_percent
 
+    def evaluate_constraints(self, goals, image_name=None):
+        """Evaluate clinical DVH goals ({roi: ['D95% >= 70Gy',
+        'V20Gy <= 35%', ...]}) against this dose — BEYOND-PARITY
+        plan-QA; see utils/dose.evaluate_constraints."""
+        from ..utils.dose import evaluate_constraints
+        return evaluate_constraints(self, goals, image_name=image_name)
+
     def compute_gamma(self, dose_name, dose_pct=3.0, dta_mm=3.0,
                       local=False, norm_dose=None, threshold_pct=10.0,
                       subdiv=None, cap=2.0, chunk=None):

@@ -171,7 +171,40 @@ class Roi(object):
         return contour_list
 
     def compute_mask(self):
-        return self._mesher().mask
+        """Rasterized (Z, Y, X) mask on the image grid.
+
+        Contoured ROIs rasterize through ContourToDiscreteMesh
+        (reference structure/roi.py:384-404). BEYOND-PARITY: a
+        mesh-only ROI (update_mesh / the 3MF pipeline's add_mesh_roi)
+        is voxelized by slicing the mesh on every image plane — the
+        reference crashes on such ROIs (its ContourToDiscreteMesh
+        dereferences the absent contours); an ROI with neither
+        contours nor mesh returns an all-zero mask."""
+        has_contours = self.contour_pixel is not None \
+            and len(self.contour_pixel) > 0
+        if has_contours:
+            return self._mesher().mask
+        if self.mesh is not None:
+            return self._mask_from_mesh()
+        return np.zeros(tuple(int(v) for v in self.image.dimensions),
+                        dtype=np.uint8)
+
+    def _mask_from_mesh(self):
+        """Voxelize ``self.mesh`` on the image grid by exact
+        ray-casting parity over the faces (utils/convert/voxelize) —
+        plane slicing + rasterization would shatter non-welded
+        surfaces (a discrete marching mesh cuts into dozens of open
+        polylines) where face-level parity is immune."""
+        from ..ops import geometry as geo
+        from ..utils.convert.voxelize import voxelize_mesh
+
+        img = self.image
+        p2pix = geo.position_to_pixel_matrix(img.matrix, img.spacing,
+                                             img.origin)
+        pts = np.asarray(self.mesh.points, np.float64)
+        pts_pixel = pts @ p2pix[:3, :3].T + p2pix[:3, 3]
+        return voxelize_mesh(pts_pixel, self.mesh.faces,
+                             img.dimensions, plane=self.plane)
 
     def compute_mesh_slice(self, location=None, slice_plane=None, offset=0,
                            return_pixel=False):

@@ -28,6 +28,7 @@ _LAZY = {
     "CreateImageFromMask": ("creation", "CreateImageFromMask"),
     "accumulate_dose": ("dose", "accumulate_dose"),
     "register_dose_grid": ("dose", "register_dose_grid"),
+    "evaluate_constraints": ("dose", "evaluate_constraints"),
     "bed": ("radiobiology", "bed"),
     "eqd2": ("radiobiology", "eqd2"),
     "geud": ("radiobiology", "geud"),

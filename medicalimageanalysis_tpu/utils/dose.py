@@ -14,13 +14,15 @@ accumulated grid unchanged.
 
 from __future__ import annotations
 
+import re
 import types
 
 import numpy as np
 
 from ..data import Data
 
-__all__ = ["accumulate_dose", "register_dose_grid"]
+__all__ = ["accumulate_dose", "register_dose_grid",
+           "evaluate_constraints"]
 
 
 def register_dose_grid(array, like, name=None, description="derived",
@@ -144,3 +146,148 @@ def accumulate_dose(image_name, contributions, weights=None, name=None,
         total, ref, name=name,
         description="accumulated: " + ", ".join(source_doses),
         misc={"source_doses": source_doses})
+
+
+# --------------------------------------------------------------------
+# clinical-goal evaluation
+# --------------------------------------------------------------------
+_GOAL_RE = re.compile(
+    r"^\s*([DV])\s*"
+    r"(max|min|mean|median|[0-9]+(?:\.[0-9]+)?\s*(?:%|cc|Gy))\s*"
+    r"(<=|>=|<|>)\s*"
+    r"([0-9]+(?:\.[0-9]+)?)\s*"
+    r"(Gy|%|cc)\s*$",
+    re.IGNORECASE)
+
+
+def _parse_goal(goal):
+    m = _GOAL_RE.match(goal)
+    if not m:
+        raise ValueError(
+            f"evaluate_constraints: cannot parse goal {goal!r} "
+            "(expected e.g. 'D95% >= 70Gy', 'Dmax < 50Gy', "
+            "'D2cc <= 30Gy', 'V20Gy <= 35%', 'V30Gy <= 500cc')")
+    kind = m.group(1).upper()
+    qual = m.group(2).replace(" ", "")
+    comparator = m.group(3)
+    limit = float(m.group(4))
+    unit = {"gy": "Gy", "%": "%", "cc": "cc"}[m.group(5).lower()]
+    ql = qual.lower()
+    if kind == "D":
+        if unit != "Gy":
+            raise ValueError(
+                f"evaluate_constraints: D-metric limit must be in Gy "
+                f"({goal!r})")
+        if ql not in ("max", "min", "mean", "median") \
+                and not (ql.endswith("%") or ql.endswith("cc")):
+            raise ValueError(
+                f"evaluate_constraints: bad D qualifier in {goal!r}")
+    else:
+        if not ql.endswith("gy"):
+            raise ValueError(
+                f"evaluate_constraints: V-metric threshold must be in "
+                f"Gy ({goal!r})")
+        if unit not in ("%", "cc"):
+            raise ValueError(
+                f"evaluate_constraints: V-metric limit must be % or cc "
+                f"({goal!r})")
+    return kind, qual, comparator, limit, unit
+
+
+def _metric_value(kind, qual, unit, dose_in_roi, voxel_cc):
+    d = np.asarray(dose_in_roi, np.float64)
+    ql = qual.lower()
+    if kind == "D":
+        if ql == "max":
+            return float(d.max())
+        if ql == "min":
+            return float(d.min())
+        if ql == "mean":
+            return float(d.mean())
+        if ql == "median":
+            return float(np.median(d))
+        if ql.endswith("%"):
+            p = float(ql[:-1])
+            if not 0.0 < p <= 100.0:
+                raise ValueError(
+                    f"evaluate_constraints: D{qual} out of (0, 100]")
+            # dose received by at least p% of the volume
+            return float(np.percentile(d, 100.0 - p))
+        # D<v>cc: dose to the hottest v cc
+        v = float(ql[:-2])
+        k = int(np.clip(round(v / voxel_cc), 1, d.size))
+        return float(np.sort(d)[::-1][k - 1])
+    # V<d>Gy
+    thresh = float(ql[:-2])
+    covered = d >= thresh
+    if unit == "%":
+        return float(100.0 * covered.mean())
+    return float(covered.sum() * voxel_cc)
+
+
+def evaluate_constraints(dose, goals, image_name=None):
+    """Evaluate clinical DVH goals against a dose — BEYOND-PARITY
+    (plan-QA tooling the reference lacks; its DVH support stops at the
+    statistics dict, reference structure/dose.py:774-816).
+
+    Parameters
+    ----------
+    dose : Dose or str
+        Dose object or registered ``Data.dose`` name.
+    goals : dict
+        ``{roi_name: [goal, ...]}``. Each goal is a string in the
+        QUANTEC/TPS idiom: ``D``-metrics (``Dmax/Dmin/Dmean/Dmedian``,
+        ``D95%`` dose covering 95% of the volume, ``D2cc`` dose to the
+        hottest 2 cc) compared against Gy, and ``V``-metrics
+        (``V20Gy`` volume receiving >= 20 Gy) compared against ``%``
+        or ``cc``. Comparators: ``<= >= < >``.
+    image_name : str, optional
+        Image whose ROIs the goals reference; defaults to the single
+        registered image.
+
+    Returns a list of dicts ``{roi, goal, metric, value, comparator,
+    limit, unit, passed}`` (``value`` is NaN and ``passed`` False for
+    an empty ROI), in the given order. Exact voxel-level evaluation
+    (sorting/percentiles of the masked dose), not a binned
+    approximation.
+    """
+    dose = Data.dose[dose] if isinstance(dose, str) else dose
+    if image_name is None:
+        if len(Data.image_list) != 1:
+            raise ValueError(
+                "evaluate_constraints: image_name required when "
+                f"{len(Data.image_list)} images are registered")
+        image_name = Data.image_list[0]
+    spacing = Data.image[image_name].spacing
+    voxel_cc = float(np.prod(np.asarray(spacing, np.float64))) / 1000.0
+
+    ops = {"<=": np.less_equal, ">=": np.greater_equal,
+           "<": np.less, ">": np.greater}
+    results = []
+    image = Data.image[image_name]
+    for roi_name, goal_list in goals.items():
+        roi = image.rois.get(roi_name)
+        if roi is None:
+            raise KeyError(
+                f"evaluate_constraints: image {image_name!r} has no "
+                f"ROI {roi_name!r}")
+        if not roi.contour_position and roi.mesh is None:
+            dose_in_roi = np.zeros(0, np.float32)  # empty ROI
+        else:
+            dose_in_roi = dose.compute_roi_dose_array(image_name,
+                                                      roi_name)
+        for goal in goal_list:
+            kind, qual, comparator, limit, unit = _parse_goal(goal)
+            if dose_in_roi.size == 0:
+                value, passed = float("nan"), False
+            else:
+                value = _metric_value(kind, qual, unit, dose_in_roi,
+                                      voxel_cc)
+                passed = bool(ops[comparator](value, limit))
+            results.append({
+                "roi": roi_name, "goal": goal,
+                "metric": f"{kind}{qual}", "value": value,
+                "comparator": comparator, "limit": limit,
+                "unit": unit, "passed": passed,
+            })
+    return results
