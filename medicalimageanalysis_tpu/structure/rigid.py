@@ -338,6 +338,58 @@ class Rigid(object):
         self.update_rois()
         return info
 
+    def auto_register(self, metric=None, mode="rigid",
+                      use_phase_correlation=True, **kwargs):
+        """One-call capture-range-robust registration ladder —
+        BEYOND-PARITY convenience (the reference has no automatic
+        pipeline; a user must hand-chain origin alignment + ICP):
+
+        1. ``pre_alignment(center=True)`` volume-center matching (only
+           when the matrix is still identity, so a prior ICP/manual
+           pose is respected),
+        2. ``compute_phase_correlation()`` FFT translation — any
+           offset up to half the field of view in one device program,
+        3. ``compute_intensity`` multi-resolution descent warm-started
+           from the recovered pose (``pose0``; rotation decomposed
+           when the current matrix is rigid).
+
+        ``metric`` defaults to 'mse' for same-modality pairs and 'mi'
+        across modalities. ``mode``/``levels``/... forward to
+        compute_intensity. Assumes an identity ``combo_matrix`` (like
+        compute_intensity). Returns the intensity info dict; stage
+        contributions land in ``misc['auto_register']``."""
+        from ..models.rigid_intensity import _MODE_NPARAMS
+
+        ref = Data.image[self.reference_name]
+        mov = Data.image[self.moving_name]
+        if metric is None:
+            metric = "mse" if ref.modality == mov.modality else "mi"
+
+        stages = {}
+        if np.allclose(self.matrix, np.eye(4)):
+            self.pre_alignment(center=True)
+            stages["center"] = [float(v) for v in self.matrix[:3, 3]]
+        if use_phase_correlation:
+            stages["phase_correlation"] = \
+                self.compute_phase_correlation()
+
+        n_params = _MODE_NPARAMS[mode]
+        pose0 = np.zeros(n_params, np.float32)
+        M = np.asarray(self.matrix, np.float64)
+        R = M[:3, :3]
+        if np.allclose(R @ R.T, np.eye(3), atol=1e-5):
+            # matrix = pose_to_matrix(pose, center) inverts to
+            # angles('xyz' extrinsic = Rz@Ry@Rx) and
+            # t = m[:3,3] - c + R c
+            pose0[:3] = Rotation.from_matrix(R).as_euler("xyz")
+            center = np.asarray(ref.compute_center(), np.float64)
+            pose0[3:6] = M[:3, 3] - center + R @ center
+        info = self.compute_intensity(metric=metric, mode=mode,
+                                      pose0=pose0, **kwargs)
+        stages["metric"] = metric
+        self.misc["auto_register"] = stages
+        return info
+
     def compute_landmarks(self, poi_names=None, points_reference=None,
                           points_moving=None, scaling=False):
         """Rigid landmark (fiducial) registration — BEYOND-PARITY: the

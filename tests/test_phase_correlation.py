@@ -60,6 +60,65 @@ def test_shape_validation():
         phase_correlation(np.zeros((4, 4)), np.zeros((4, 4)))
 
 
+def test_auto_register_ladder(tmp_path, rng):
+    """auto_register recovers a rotation + beyond-capture-range
+    translation that plain intensity descent from identity cannot."""
+    from scipy.spatial.transform import Rotation
+
+    from medicalimageanalysis_tpu.ops.resample import (
+        affine_resample, compose_pixel_matrix)
+
+    base = np.zeros((16, 48, 48), np.float32)
+    zz, yy, xx = np.mgrid[0:16, 0:48, 0:48]
+    base += 900 * np.exp(-(((zz - 8) / 4.0) ** 2 + ((yy - 20) / 8.0) ** 2
+                           + ((xx - 26) / 6.0) ** 2))
+    base += 300 * np.exp(-(((zz - 5) / 2.0) ** 2 + ((yy - 32) / 4.0) ** 2
+                           + ((xx - 14) / 4.0) ** 2))
+    base += rng.normal(0, 5, base.shape)
+
+    # ground-truth reference -> moving physical map: 4 deg in-plane
+    # about the volume center + (12, -9, 4) mm translation
+    write_ct_series(tmp_path / "a", base.astype(np.int16),
+                    spacing=(1, 1), thickness=1.0)
+    mia.read_dicoms(folder_path=str(tmp_path / "a"))
+    ref_img = Data.image[Data.image_list[0]]
+    center = np.asarray(ref_img.compute_center(), np.float64)
+    R = Rotation.from_euler("z", 4, degrees=True).as_matrix()
+    M_true = np.eye(4)
+    M_true[:3, :3] = R
+    M_true[:3, 3] = center - R @ center + [12.0, -9.0, 4.0]
+
+    # moving(q) = ref(M_true^{-1} q) on the same grid => the perfect
+    # registration matrix (reference -> moving) is M_true
+    A = compose_pixel_matrix(ref_img.matrix, ref_img.spacing,
+                             ref_img.origin, ref_img.matrix,
+                             ref_img.spacing, ref_img.origin,
+                             phys_transform=np.linalg.inv(M_true))
+    moved = np.asarray(affine_resample(base, A, base.shape,
+                                       background=0.0))
+    write_ct_series(tmp_path / "b", moved.astype(np.int16),
+                    spacing=(1, 1), thickness=1.0, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path), clear=True)
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+
+    rigid = mia.Rigid(ct, mr)
+    info = rigid.auto_register(metric="mse")
+    assert rigid.misc["auto_register"]["metric"] == "mse"
+    assert "phase_correlation" in rigid.misc["auto_register"]
+    got = np.asarray(rigid.matrix, np.float64)
+    ang_err = np.rad2deg(np.arccos(np.clip(
+        (np.trace(got[:3, :3] @ M_true[:3, :3].T) - 1) / 2, -1, 1)))
+    assert ang_err < 1.0
+    # compare the full map at the volume center (translation +
+    # rotation composed)
+    c_h = np.append(center, 1.0)
+    err_mm = np.linalg.norm((got @ c_h)[:3] - (M_true @ c_h)[:3])
+    assert err_mm < 1.0
+
+
 def test_rigid_compute_phase_correlation(tmp_path, rng):
     base = np.zeros((12, 32, 32), np.float32)
     zz, yy, xx = np.mgrid[0:12, 0:32, 0:32]
