@@ -275,15 +275,22 @@ def _aniso_core(vol, sp2_inv, kappa, time_step, iterations,
         pad[axis] = (0, 1)
         return jnp.pad(d, pad)
 
+    sp_inv = jnp.sqrt(sp2_inv)
+
     def body(_, v):
         upd = jnp.zeros_like(v)
-        for axis, w in ((0, sp2_inv[2]), (1, sp2_inv[1]),
-                        (2, sp2_inv[0])):
+        for axis, w, hi in ((0, sp2_inv[2], sp_inv[2]),
+                            (1, sp2_inv[1], sp_inv[1]),
+                            (2, sp2_inv[0], sp_inv[0])):
             df = flux(v, axis)                      # I(i+1) - I(i)
+            # conductance gates on the PHYSICAL gradient df/h
+            # (intensity/mm, like ITK) — raw per-voxel differences
+            # would make kappa axis-dependent under anisotropic spacing
+            grad = df * hi
             if conductance_fn == "exp":
-                c = jnp.exp(-(df / kappa) ** 2)
+                c = jnp.exp(-(grad / kappa) ** 2)
             else:                                   # 'reciprocal'
-                c = 1.0 / (1.0 + (df / kappa) ** 2)
+                c = 1.0 / (1.0 + (grad / kappa) ** 2)
             fl = c * df
             pad = [(0, 0)] * 3
             pad[axis] = (1, 0)
@@ -307,8 +314,10 @@ def anisotropic_diffusion(volume, iterations=5, kappa=20.0,
     (|dI| >> kappa) do not. The whole loop is one jit (a fori_loop of
     shifted adds — pure VPU stencils).
 
-    ``kappa``: gradient magnitude (intensity units) treated as an
-    edge; ``time_step`` defaults to the 3-D stability bound
+    ``kappa``: physical gradient magnitude (intensity per mm — the
+    conductance gates on df/spacing, so the edge threshold is
+    axis-independent under anisotropic spacing, matching ITK) treated
+    as an edge; ``time_step`` defaults to the 3-D stability bound
     1 / (2 * sum(1/sp^2)). Returns float32.
     """
     vol = jnp.asarray(volume, jnp.float32)

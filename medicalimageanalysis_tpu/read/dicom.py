@@ -456,14 +456,20 @@ class DicomReader(object):
                 return groups
 
         # fallback: occurrence rank per location, ordered by
-        # InstanceNumber (acquisition order within each couch position)
+        # InstanceNumber (acquisition order within each couch position).
+        # All-or-nothing on the parsed numbers: a single corrupt
+        # InstanceNumber replaced by its list index would rank ahead of
+        # its real-numbered siblings and shuffle one slice into the
+        # wrong phase — if any fails to parse, the whole stack falls
+        # back to file-enumeration order consistently.
         inst = []
-        for i, e in enumerate(sub):
+        for e in sub:
             v = value_or(e[4], "InstanceNumber", None)
             try:
                 inst.append(int(v))
             except (TypeError, ValueError):
-                inst.append(i)
+                inst = list(range(len(sub)))
+                break
         order = np.lexsort((np.asarray(inst), quant))
         groups = [[] for _ in range(k)]
         for start in range(0, len(order), k):

@@ -93,9 +93,15 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             "grid_volume_cc": float(arr.size * voxel_cc),
         }
 
-    def compute_roi_dose_array(self, image_name, roi_name):
+    def compute_roi_dose_array(self, image_name, roi_name,
+                               return_coverage=False):
         """Resample the dose grid onto the image grid and extract the
-        masked voxels (reference structure/dose.py:738-772)."""
+        masked voxels (reference structure/dose.py:738-772).
+
+        With ``return_coverage=True`` also returns the fraction of ROI
+        voxels whose center falls inside the dose grid (voxels outside
+        it enter the array as background 0 Gy — DVH metrics on a
+        partially-covered ROI are only trustworthy when this is 1.0)."""
         image = Data.image[image_name]
         roi = image.rois[roi_name]
         mask = roi.compute_mask()
@@ -105,7 +111,23 @@ class Dose(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         dose_resampled = np.asarray(affine_resample(
             np.asarray(self.array, np.float32), A, image.array.shape,
             background=0.0))
-        return dose_resampled[mask > 0]
+        values = dose_resampled[mask > 0]
+        if not return_coverage:
+            return values
+        idx = np.argwhere(mask > 0)
+        if idx.size == 0:
+            return values, 1.0
+        # image pixel -> dose pixel via the same composed matrix the
+        # resample used; inside = the voxel center lies within the dose
+        # grid extent (half-voxel margin at each face)
+        hom = np.concatenate(
+            [idx[:, ::-1].astype(np.float64),
+             np.ones((idx.shape[0], 1))], axis=1)  # (N, 4) xyz1
+        dose_px = hom @ np.asarray(A, np.float64).T
+        dims_xyz = np.asarray(self.dimensions, np.float64)[::-1]
+        inside = np.all((dose_px[:, :3] >= -0.5)
+                        & (dose_px[:, :3] <= dims_xyz - 0.5), axis=1)
+        return values, float(inside.mean())
 
     def compute_roi_dose_statistics(self, image_name, roi_name,
                                     max_dose=150, increment=5):

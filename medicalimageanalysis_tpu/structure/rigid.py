@@ -377,13 +377,29 @@ class Rigid(object):
         pose0 = np.zeros(n_params, np.float32)
         M = np.asarray(self.matrix, np.float64)
         R = M[:3, :3]
-        if np.allclose(R @ R.T, np.eye(3), atol=1e-5):
-            # matrix = pose_to_matrix(pose, center) inverts to
-            # angles('xyz' extrinsic = Rz@Ry@Rx) and
-            # t = m[:3,3] - c + R c
-            pose0[:3] = Rotation.from_matrix(R).as_euler("xyz")
-            center = np.asarray(ref.compute_center(), np.float64)
-            pose0[3:6] = M[:3, 3] - center + R @ center
+        if not np.allclose(R @ R.T, np.eye(3), atol=1e-5):
+            # a prior affine/scaled-landmark fit left a non-rigid
+            # block: warm-start from the nearest rotation (polar
+            # decomposition) instead of discarding the accumulated
+            # pose — stage 2's phase-correlation translation lives in
+            # this matrix and restarting descent from identity throws
+            # it away
+            U, _, Vt = np.linalg.svd(R)
+            R = U @ Vt
+            if np.linalg.det(R) < 0:
+                R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+            import warnings
+            warnings.warn(
+                "auto_register: current matrix is not rigid; the "
+                "scale/shear part was dropped from the descent warm "
+                "start (nearest rotation kept)", UserWarning,
+                stacklevel=2)
+        # matrix = pose_to_matrix(pose, center) inverts to
+        # angles('xyz' extrinsic = Rz@Ry@Rx) and
+        # t = m[:3,3] - c + R c
+        pose0[:3] = Rotation.from_matrix(R).as_euler("xyz")
+        center = np.asarray(ref.compute_center(), np.float64)
+        pose0[3:6] = M[:3, 3] - center + R @ center
         info = self.compute_intensity(metric=metric, mode=mode,
                                       pose0=pose0, **kwargs)
         stages["metric"] = metric

@@ -246,11 +246,19 @@ def evaluate_constraints(dose, goals, image_name=None):
         registered image.
 
     Returns a list of dicts ``{roi, goal, metric, value, comparator,
-    limit, unit, passed}`` (``value`` is NaN and ``passed`` False for
-    an empty ROI), in the given order. Exact voxel-level evaluation
-    (sorting/percentiles of the masked dose), not a binned
-    approximation.
+    limit, unit, passed, dose_grid_coverage}`` (``value`` is NaN and
+    ``passed`` False for an empty ROI), in the given order. Exact
+    voxel-level evaluation (sorting/percentiles of the masked dose),
+    not a binned approximation.
+
+    ``dose_grid_coverage`` is the fraction of ROI voxels inside the
+    dose grid: voxels beyond it enter the metrics as 0 Gy (RTDOSE
+    grids are often cropped), which silently biases V-goals and
+    Dmean/Dmin toward passing — any ROI with coverage < 1 also raises
+    a ``UserWarning`` naming the ROI.
     """
+    import warnings
+
     dose = Data.dose[dose] if isinstance(dose, str) else dose
     if image_name is None:
         if len(Data.image_list) != 1:
@@ -273,9 +281,16 @@ def evaluate_constraints(dose, goals, image_name=None):
                 f"ROI {roi_name!r}")
         if not roi.contour_position and roi.mesh is None:
             dose_in_roi = np.zeros(0, np.float32)  # empty ROI
+            coverage = 1.0
         else:
-            dose_in_roi = dose.compute_roi_dose_array(image_name,
-                                                      roi_name)
+            dose_in_roi, coverage = dose.compute_roi_dose_array(
+                image_name, roi_name, return_coverage=True)
+        if coverage < 1.0:
+            warnings.warn(
+                f"evaluate_constraints: only {100.0 * coverage:.1f}% of "
+                f"ROI {roi_name!r} lies inside the dose grid — the "
+                "uncovered voxels count as 0 Gy, so these goal results "
+                "are unreliable", UserWarning, stacklevel=2)
         for goal in goal_list:
             kind, qual, comparator, limit, unit = _parse_goal(goal)
             if dose_in_roi.size == 0:
@@ -289,5 +304,6 @@ def evaluate_constraints(dose, goals, image_name=None):
                 "metric": f"{kind}{qual}", "value": value,
                 "comparator": comparator, "limit": limit,
                 "unit": unit, "passed": passed,
+                "dose_grid_coverage": coverage,
             })
     return results

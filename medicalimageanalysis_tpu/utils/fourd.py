@@ -169,9 +169,28 @@ def compute_itv(image_names, roi_name, target=None, itv_name=None,
         target = images[0]
     elif isinstance(target, str):
         target = Data.image[target]
-    if tuple(target.dimensions) != tuple(images[0].dimensions):
-        raise ValueError("compute_itv: target grid differs from the "
-                         "phase grid")
+    first = images[0]
+    same_grid = (
+        tuple(target.dimensions) == tuple(first.dimensions)
+        and np.allclose(target.spacing, first.spacing, atol=1e-4)
+        and np.allclose(target.origin, first.origin, atol=1e-3)
+        and np.allclose(target.matrix, first.matrix, atol=1e-6))
+    if not same_grid:
+        # geometrically different target (e.g. a coarser planning CT):
+        # resample the union mask onto its grid instead of transplanting
+        # voxels (a dims-only check used to let that through silently)
+        from ..ops.resample import affine_resample, compose_pixel_matrix
+        A = compose_pixel_matrix(first.matrix, first.spacing,
+                                 first.origin, target.matrix,
+                                 target.spacing, target.origin)
+        union = np.asarray(affine_resample(
+            union.astype(np.float32), A,
+            tuple(int(v) for v in target.dimensions),
+            background=0.0)) >= 0.5
+        if not union.any():
+            raise ValueError(
+                "compute_itv: the phase-union ROI does not intersect "
+                f"the target grid ({target.image_name})")
     itv_name = itv_name or f"ITV_{roi_name}"
     target.create_roi(name=itv_name,
                       color=color or images[0].rois[roi_name].color)

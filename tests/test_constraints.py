@@ -116,3 +116,43 @@ def test_goal_parse_errors(dose_setup):
         with pytest.raises(ValueError):
             evaluate_constraints(dose, {"PTV": [bad]},
                                  image_name=image_name)
+
+
+def test_partial_dose_grid_coverage(dose_setup):
+    """ROI voxels outside the dose grid count as 0 Gy in the metrics —
+    the result must carry the coverage fraction and warn, so a V-goal
+    cannot silently pass on a padded denominator."""
+    import types
+    import warnings as _warnings
+
+    image_name, _ = dose_setup
+    img = Data.image[image_name]
+    # dose grid covering only image slices z >= 5 (origin shifted +5 mm
+    # along z), uniform 60 Gy
+    cropped_like = types.SimpleNamespace(
+        plane=img.plane, spacing=np.asarray(img.spacing, float),
+        orientation=np.asarray(img.orientation, float),
+        origin=np.asarray(img.origin, float) + np.array([0.0, 0.0, 5.0]),
+        matrix=np.asarray(img.matrix, float), frame_ref=img.frame_ref)
+    cropped = register_dose_grid(np.full((5, 20, 20), 60.0, np.float32),
+                                 cropped_like, name="Cropped")
+
+    # ROI occupies z 2..7 -> z 5..7 covered = 300 of 600 voxels
+    vals, cov = cropped.compute_roi_dose_array(image_name, "PTV",
+                                               return_coverage=True)
+    assert cov == pytest.approx(0.5)
+    assert vals.size == 600
+
+    with pytest.warns(UserWarning, match="inside the dose grid"):
+        res = evaluate_constraints(cropped, {"PTV": ["V30Gy <= 60%"]},
+                                   image_name=image_name)
+    assert res[0]["dose_grid_coverage"] == pytest.approx(0.5)
+    # the metric itself is still the raw (biased) number: 50% pass
+    assert res[0]["value"] == pytest.approx(50.0)
+
+    # fully covered dose: coverage 1.0 and NO warning
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        res_full = evaluate_constraints("Plan", {"PTV": ["Dmean >= 40Gy"]},
+                                        image_name=image_name)
+    assert res_full[0]["dose_grid_coverage"] == pytest.approx(1.0)

@@ -124,3 +124,28 @@ def test_curvature_flow_denoises():
     # edge contrast retained
     assert (out[:, :, 24:].mean() - out[:, :, :8].mean()) > \
         0.9 * (vol[:, :, 24:].mean() - vol[:, :, :8].mean())
+
+
+def test_anisotropic_diffusion_physical_gradient_conductance():
+    """The conductance gates on the PHYSICAL gradient df/spacing
+    (ITK semantics) — a raw-difference gate would make kappa
+    axis-dependent under anisotropic spacing. Pinned analytically on a
+    single step face: spacing_z = 3, step height 30, kappa = 10 ->
+    grad = 10 -> c = exp(-1) (a raw-df gate would give exp(-9))."""
+    import numpy as np
+
+    from medicalimageanalysis_tpu.ops.filters import anisotropic_diffusion
+
+    vol = np.zeros((4, 4, 4), np.float32)
+    vol[2:] = 30.0  # step between z=1 and z=2
+    sp = (1.0, 1.0, 3.0)  # [sx, sy, sz]
+    t = 1.0 / (2.0 * (1.0 + 1.0 + 1.0 / 9.0))
+    out = np.asarray(anisotropic_diffusion(
+        vol, iterations=1, kappa=10.0, spacing_xyz=sp,
+        conductance="exp"))
+    c = np.exp(-((30.0 / 3.0) / 10.0) ** 2)
+    delta = t * c * 30.0 / 9.0  # time_step * c * df / sz^2
+    np.testing.assert_allclose(out[1], 0.0 + delta, rtol=1e-5)
+    np.testing.assert_allclose(out[2], 30.0 - delta, rtol=1e-5)
+    np.testing.assert_allclose(out[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[3], 30.0, atol=1e-5)

@@ -145,3 +145,75 @@ def test_fourd_error_branches(tmp_path):
         combine_phases(names[:1])
     with pytest.raises(KeyError, match="no ROI"):
         compute_itv(names, "Missing")
+
+
+def test_itv_resamples_to_different_grid(tmp_path):
+    """A geometrically different target grid (e.g. a coarser planning
+    CT) gets the union mask RESAMPLED onto it — a dims-only check used
+    to transplant the voxels onto the wrong physical location whenever
+    the shapes happened to agree."""
+    from medicalimageanalysis_tpu.utils.creation import CreateImageFromMask
+
+    vols = _write_4d(tmp_path / "ct4d", "tpi")
+    mia.read_dicoms(folder_path=str(tmp_path / "ct4d"))
+    names = find_phase_groups()[0]
+    union = np.zeros((NZ, NY, NX), bool)
+    for k, n in enumerate(names):
+        img = Data.image[n]
+        img.create_roi(name="GTV", color=[255, 0, 0])
+        img.rois["GTV"].convert_mask(np.asarray(vols[k]) == 200)
+        union |= np.asarray(img.rois["GTV"].compute_mask()) > 0
+
+    # coarser target: 2 mm in-plane / same z pitch, half the rows/cols
+    coarse = CreateImageFromMask(
+        np.zeros((NZ, NY // 2, NX // 2), np.int16), [0.0, 0.0, 0.0],
+        [2.0, 2.0, 2.0], "Planning", plane="Axial", modality="CT")
+    coarse.add_image()
+    itv = compute_itv(names, "GTV", target="Planning")
+    got = np.asarray(Data.image["Planning"].rois["ITV_GTV"]
+                     .compute_mask()) > 0
+    assert got.any()
+    # centroids agree in PHYSICAL mm (x, y, z)
+    fine_img = Data.image[names[0]]
+    c_fine = np.mean(np.argwhere(union)[:, ::-1]
+                     * np.asarray(fine_img.spacing), axis=0)
+    c_coarse = np.mean(np.argwhere(got)[:, ::-1] * 2.0, axis=0)
+    np.testing.assert_allclose(c_coarse, c_fine, atol=1.5)
+    # volumes agree to voxelization tolerance
+    vol_fine = union.sum() * np.prod(np.asarray(fine_img.spacing))
+    vol_coarse = got.sum() * 8.0
+    assert abs(vol_coarse - vol_fine) / vol_fine < 0.35
+
+    # a target that does not intersect the phases raises cleanly
+    far = CreateImageFromMask(
+        np.zeros((4, 8, 8), np.int16), [500.0, 500.0, 500.0],
+        [1.0, 1.0, 1.0], "Far", plane="Axial", modality="CT")
+    far.add_image()
+    with pytest.raises(ValueError, match="does not intersect"):
+        compute_itv(names, "GTV", target="Far")
+
+
+def test_phase_split_corrupt_instance_number():
+    """One unparseable InstanceNumber must not mix raw list indices
+    with real InstanceNumbers in the fallback sort key (a corrupt
+    slice would steal rank 0 of its couch-position block and land in
+    the wrong phase): the whole stack falls back to enumeration
+    order."""
+    from medicalimageanalysis_tpu.dicom import Dataset
+    from medicalimageanalysis_tpu.read.dicom import DicomReader
+
+    def entry(z, instance):
+        ds = Dataset()
+        if instance is not None:
+            ds.InstanceNumber = instance
+        return (0, 1, 0, np.array([0.0, 0.0, float(z)]), ds)
+
+    # acquisition order: phase 0 = IN 1..3, phase 1 = IN 4..6 with the
+    # LAST slice's InstanceNumber corrupt
+    sub = [entry(0, "1"), entry(2, "2"), entry(4, "3"),
+           entry(0, "4"), entry(2, "5"), entry(4, "not-a-number")]
+    groups = DicomReader._split_temporal_phases(None, sub, 2)
+    assert len(groups) == 2
+    # enumeration-order fallback keeps each written phase intact
+    assert [id(e) for e in groups[0]] == [id(e) for e in sub[:3]]
+    assert [id(e) for e in groups[1]] == [id(e) for e in sub[3:]]

@@ -174,3 +174,56 @@ def test_rigid_compute_phase_correlation(tmp_path, rng):
     info2 = rigid2.compute_phase_correlation(update=False)
     np.testing.assert_array_equal(rigid2.matrix, m_before)
     assert abs(info2["shift_mm"][0] - expected[0]) < 0.3
+
+
+def test_auto_register_nonrigid_warm_start(tmp_path, rng):
+    """A prior non-rigid matrix (e.g. a scaled landmark fit) must seed
+    the descent via its nearest rotation + translation instead of
+    silently restarting from identity — the preset translation here is
+    beyond plain-descent capture range, so a discarded warm start
+    fails the final accuracy check."""
+    from medicalimageanalysis_tpu.ops.resample import (
+        affine_resample, compose_pixel_matrix)
+
+    base = np.zeros((16, 48, 48), np.float32)
+    zz, yy, xx = np.mgrid[0:16, 0:48, 0:48]
+    base += 900 * np.exp(-(((zz - 8) / 4.0) ** 2 + ((yy - 20) / 8.0) ** 2
+                           + ((xx - 26) / 6.0) ** 2))
+    base += 300 * np.exp(-(((zz - 5) / 2.0) ** 2 + ((yy - 32) / 4.0) ** 2
+                           + ((xx - 14) / 4.0) ** 2))
+    base += rng.normal(0, 5, base.shape)
+    write_ct_series(tmp_path / "a", base.astype(np.int16),
+                    spacing=(1, 1), thickness=1.0)
+    mia.read_dicoms(folder_path=str(tmp_path / "a"))
+    ref_img = Data.image[Data.image_list[0]]
+
+    M_true = np.eye(4)
+    M_true[:3, 3] = [14.0, -10.0, 4.0]
+    A = compose_pixel_matrix(ref_img.matrix, ref_img.spacing,
+                             ref_img.origin, ref_img.matrix,
+                             ref_img.spacing, ref_img.origin,
+                             phys_transform=np.linalg.inv(M_true))
+    moved = np.asarray(affine_resample(base, A, base.shape,
+                                       background=0.0))
+    write_ct_series(tmp_path / "b", moved.astype(np.int16),
+                    spacing=(1, 1), thickness=1.0, modality="MR")
+    mia.read_dicoms(folder_path=str(tmp_path), clear=True)
+    ct = [n for n in Data.image_list
+          if Data.image[n].modality == "CT"][0]
+    mr = [n for n in Data.image_list
+          if Data.image[n].modality == "MR"][0]
+
+    rigid = mia.Rigid(ct, mr)
+    # a prior (hypothetical) scaled fit: correct translation, but the
+    # 3x3 block is 1.04 * I -> NOT orthonormal
+    M0 = np.eye(4)
+    M0[:3, :3] *= 1.04
+    M0[:3, 3] = M_true[:3, 3]
+    rigid.matrix = M0
+    with pytest.warns(UserWarning, match="not rigid"):
+        rigid.auto_register(metric="mse", use_phase_correlation=False)
+    got = np.asarray(rigid.matrix, np.float64)
+    center = np.asarray(ref_img.compute_center(), np.float64)
+    c_h = np.append(center, 1.0)
+    err_mm = np.linalg.norm((got @ c_h)[:3] - (M_true @ c_h)[:3])
+    assert err_mm < 1.0
