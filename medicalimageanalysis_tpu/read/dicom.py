@@ -156,9 +156,14 @@ class DicomReader(object):
                         p, stop_before_pixels=self.only_tags),
                     paths))
         self.report.files_total = len(paths)
-        self.report.parsed_ok = sum(1 for d in self.ds if d)
-        self.report.failed_files = [p for p, d in zip(paths, self.ds)
-                                    if not d]
+        # a partial dataset without a Modality tag (e.g. a file
+        # truncated inside the header) can never route anywhere:
+        # count it failed rather than letting it vanish silently
+        # (torture-archive finding)
+        usable = [bool(d) and (0x0008, 0x0060) in d for d in self.ds]
+        self.report.parsed_ok = sum(usable)
+        self.report.failed_files = [p for p, u in zip(paths, usable)
+                                    if not u]
 
     def _read_batch(self, paths):
         """File IO in a small thread pool, then ONE native batch scan;
@@ -490,6 +495,38 @@ class DicomReader(object):
         try:
             return builder(image_set, *args, **kwargs)
         except Exception as exc:  # noqa: BLE001 - untrusted input boundary
+            # slice-level tolerance: ONE corrupt slice (e.g. a file
+            # truncated mid-PixelData that still parsed a full header)
+            # must not poison its whole series (torture-archive
+            # finding). Triage decodability per slice, drop the bad
+            # ones, retry once, and flag the rebuilt image.
+            if isinstance(image_set, list) and len(image_set) > 1 \
+                    and not self.only_tags:
+                good, bad = [], []
+                for d in image_set:
+                    try:
+                        d.pixel_array
+                        good.append(d)
+                    except Exception:  # noqa: BLE001
+                        bad.append(d)
+                if bad and good:
+                    badpaths = [getattr(d, "filename", "<memory>")
+                                for d in bad]
+                    try:
+                        obj = builder(good, *args, **kwargs)
+                    except Exception as retry_exc:  # noqa: BLE001
+                        exc = retry_exc
+                    else:
+                        self.report.failed_files.extend(badpaths)
+                        self.report.warn(
+                            f"dicom: dropped {len(bad)} undecodable "
+                            f"slice(s) from a {builder.__name__} "
+                            f"series: {badpaths}")
+                        name = getattr(obj, "image_name", None)
+                        if name is not None and name in Data.image \
+                                and Data.image[name].unverified is None:
+                            Data.image[name].unverified = "CorruptSlices"
+                        return obj
             paths = [getattr(d, "filename", "<memory>")
                      for d in (image_set if isinstance(image_set, list)
                                else [image_set])]

@@ -42,6 +42,7 @@ def file_parser(folder_path=None, file_list=None, exclude_files=None):
         "Stl": [],
         "Vtk": [],
         "3mf": [],
+        "Zip": [],
         "NoExtension": [],
     }
 
@@ -70,6 +71,8 @@ def file_parser(folder_path=None, file_list=None, exclude_files=None):
             files["Vtk"].append(filepath)
         elif extension == ".3mf":
             files["3mf"].append(filepath)
+        elif extension == ".zip":
+            files["Zip"].append(filepath)
         elif extension == "":
             files["NoExtension"].append(filepath)
 
@@ -115,15 +118,18 @@ def _expand_zip(path):
 def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
                 only_tags=False, only_modality=None,
                 only_load_roi_names=None, clear=True,
-                include_no_extension=False):
+                include_no_extension=True):
     """Load DICOM files into the global Data registry
     (reference reader.py:230-329).
 
-    ``include_no_extension=True`` additionally sniffs extension-less
+    ``include_no_extension`` (default True) sniffs extension-less
     files for the DICM magic and ingests the matches (the reference
     buckets them but silently ignores them; common in clinical
-    archives). ``folder_path`` may also be a .zip archive (extracted
-    to a temp dir), and .zip entries in ``file_list`` are expanded."""
+    archives — the sniff reads 132 bytes per candidate, so it is the
+    default). ``folder_path`` may also be a .zip archive (extracted
+    to a temp dir), .zip entries in ``file_list`` are expanded, and
+    .zip archives FOUND inside a walked folder are expanded in place
+    (corrupt archives are skipped; tolerant-ingest semantics)."""
     from .read.dicom import DicomReader
 
     if only_modality is None:
@@ -153,6 +159,15 @@ def read_dicoms(folder_path=None, file_list=None, exclude_files=None,
     if folder_path is not None or file_list is not None:
         files = file_parser(folder_path=folder_path, file_list=file_list,
                             exclude_files=exclude_files)
+        for zpath in files.get("Zip", ()):
+            try:
+                zroot = _expand_zip(zpath)
+            except Exception:
+                continue  # corrupt archive: skip, like unparseable files
+            sub = file_parser(folder_path=zroot)
+            for key, vals in sub.items():
+                if key != "Zip":  # no nested-zip recursion
+                    files[key].extend(vals)
         if include_no_extension:
             for path in files["NoExtension"]:
                 try:

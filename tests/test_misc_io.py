@@ -299,11 +299,14 @@ def test_no_extension_dicoms(tmp_path, rng):
     for p in (tmp_path / "ct").glob("*.dcm"):
         (noext / p.stem).write_bytes(p.read_bytes())
         p.unlink()
+    # DICM-sniff ingest is the default (clinical archives commonly
+    # ship extension-less; the reference buckets but ignores them)
     mia.read_dicoms(folder_path=str(noext))
-    assert Data.image_list == []  # reference behavior: ignored
-    mia.read_dicoms(folder_path=str(noext), include_no_extension=True)
     assert Data.image_list == ["CT 01"]
     np.testing.assert_array_equal(Data.image["CT 01"].array, arr)
+    # opt out restores the reference's bucket-and-ignore behavior
+    mia.read_dicoms(folder_path=str(noext), include_no_extension=False)
+    assert Data.image_list == []
 
 
 def test_poi_point_pixel(tmp_path, rng):

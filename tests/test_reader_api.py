@@ -10,12 +10,12 @@ from helpers import write_ct_series
 
 def test_file_parser_buckets(tmp_path):
     for name in ("a.dcm", "b.mhd", "c.raw", "d.nii.gz", "e.stl",
-                 "f.vtk", "g.3mf", "noext"):
+                 "f.vtk", "g.3mf", "h.zip", "noext"):
         (tmp_path / name).write_bytes(b"x")
     files = mia.file_parser(folder_path=str(tmp_path))
     assert [len(files[k]) for k in
             ("Dicom", "MHD", "Raw", "Nifti", "Stl", "Vtk", "3mf",
-             "NoExtension")] == [1] * 8
+             "Zip", "NoExtension")] == [1] * 9
 
 
 def test_file_parser_exclude(tmp_path):
