@@ -219,3 +219,164 @@ def test_image_correct_bias_method(tmp_path):
     before = img.array.copy()
     out = img.correct_bias(shrink=2, in_place=True)
     assert img.array is out and not np.array_equal(img.array, before)
+
+
+# --- host-f64 full-loop twin (VERDICT r3 #8) ---------------------------
+# A plain-NumPy float64 implementation of one N4 fitting level
+# (masked histogram -> Wiener sharpen -> E[u|v] -> exact WLS B-spline
+# smooth -> subtract, with the CV convergence gate), mirroring
+# ops/n4._n4_level step for step. The device path is pinned against it
+# per level — the same golden-twin pattern as the warp/EDT/DVH kernels.
+
+def _host_wls_fit_apply(vol_r, w, bz, by, bx, bz2, by2, bx2):
+    def ev(phi):
+        f = np.einsum("cde,zc->zde", phi, bz)
+        f = np.einsum("zde,yd->zye", f, by)
+        return np.einsum("zye,xe->zyx", f, bx)
+
+    def adj(vol, mz, my, mx):
+        g = np.einsum("zyx,zc->cyx", vol, mz)
+        g = np.einsum("cyx,yd->cdx", g, my)
+        return np.einsum("cdx,xe->cde", g, mx)
+
+    eps = 1e-12
+    b = adj(w * vol_r, bz, by, bx)
+    diag = adj(w, bz2, by2, bx2)
+    lam = 1e-5 * max(diag.max(), eps)
+    diag = diag + lam
+
+    def a_op(phi):
+        return adj(w * ev(phi), bz, by, bx) + lam * phi
+
+    x = np.zeros_like(b)
+    r = b.copy()
+    z = r / diag
+    p = z.copy()
+    rz = (r * z).sum()
+    rz0 = rz
+    for _ in range(150):
+        if not rz > 1e-10 * rz0:
+            break
+        ap = a_op(p)
+        denom = (p * ap).sum()
+        alpha = rz / max(denom, eps) if denom > 0 else 0.0
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = r / diag
+        rz_n = (r * z).sum()
+        beta = rz_n / max(rz, eps) if rz > 0 else 0.0
+        p = z + beta * p
+        rz = rz_n
+    return ev(x)
+
+
+def _host_n4_level(res, total, w, n_bins, fwhm, noise, conv_threshold,
+                   max_iter, mats):
+    from medicalimageanalysis_tpu.ops.n4 import _sharpen_from_hist
+
+    eps = 1e-12
+    res = res.astype(np.float64).copy()
+    total = total.astype(np.float64).copy()
+    n = max(w.sum(), 1.0)
+    cv = 1e9
+    i = 0
+    while i < max_iter and cv >= conv_threshold:
+        sel = w > 0
+        vmin, vmax = res[sel].min(), res[sel].max()
+        width = max(vmax - vmin, 1e-9) / n_bins
+        idx = np.clip(((res - vmin) / width).astype(np.int64),
+                      0, n_bins - 1)
+        hist = np.zeros(n_bins)
+        np.add.at(hist, idx.ravel(), w.ravel())
+        centers, mapping = _sharpen_from_hist(hist, vmin, vmax, n_bins,
+                                              fwhm, noise)
+        euv = np.interp(res, centers, mapping)
+        r = np.where(sel, res - euv, 0.0)
+        f = _host_wls_fit_apply(r, w, *mats)
+        f = f - (f * w).sum() / n
+        ef = np.exp(f)
+        mu = (ef * w).sum() / n
+        var = (w * (ef - mu) ** 2).sum() / n
+        cv = np.sqrt(max(var, 0.0)) / max(mu, eps)
+        res -= f
+        total += f
+        i += 1
+    return res, total
+
+
+@pytest.mark.parametrize("bias_mode", ["poly", "waves"])
+def test_n4_device_level_matches_host_f64_twin(bias_mode):
+    """Pin every fitting level of the device N4 program against the
+    plain-NumPy f64 twin: identical level inputs, outputs compared on
+    the accumulated log-field and the residual."""
+    import jax.numpy as jnp
+
+    from medicalimageanalysis_tpu.ops.n4 import (_bspline_basis_matrix,
+                                                 _level_basis_mats,
+                                                 _level_spacings,
+                                                 _n4_level)
+
+    shape = (16, 24, 24)
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, n) for n in shape],
+                             indexing="ij")
+    if bias_mode == "poly":
+        logb = 0.3 * zz + 0.2 * yy * xx - 0.18 * xx ** 2
+    else:
+        logb = 0.22 * np.sin(1.3 * zz + 0.4) + 0.15 * np.cos(
+            1.1 * yy) * xx
+    rng = np.random.default_rng(3)
+    truth = np.where(zz ** 2 + yy ** 2 + xx ** 2 < 0.55, 700.0, 250.0)
+    truth = np.clip(truth + rng.normal(0, 10, shape), 1, None)
+    vol = truth * np.exp(logb)
+
+    w64 = (vol > 0).astype(np.float64)
+    res64 = np.where(w64 > 0, np.log(vol), 0.0)
+    tot64 = np.zeros_like(res64)
+    n_bins, fwhm, noise, thr, iters = 64, 0.15, 0.01, 1e-4, 6
+
+    for sp_vox in _level_spacings(shape, 3, 8.0, 1):
+        mats_dev = _level_basis_mats(shape, sp_vox)
+        mats_host = [_bspline_basis_matrix(n, sp_vox[ax], p)
+                     for p in (1, 2) for ax, n in enumerate(shape)]
+
+        def dev_level(n_it):
+            return _n4_level(
+                jnp.asarray(res64, jnp.float32),
+                jnp.asarray(tot64, jnp.float32),
+                jnp.asarray(w64, jnp.float32), n_bins, fwhm, noise,
+                thr, n_it, *mats_dev)
+
+        # tier 1 — ONE iteration from identical inputs: the f32 CG
+        # contributes ~9e-4 abs, so 2e-3 catches any transposed
+        # contraction / wrong mapping / binning bug outright (field
+        # updates are O(0.05))
+        res_d1, tot_d1 = dev_level(1)
+        res_h1, tot_h1 = _host_n4_level(res64, tot64, w64, n_bins,
+                                        fwhm, noise, thr, 1, mats_host)
+        np.testing.assert_allclose(np.asarray(tot_d1), tot_h1,
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(res_d1), res_h1,
+                                   atol=2e-3)
+
+        # tier 2 — the full level (convergence gate live): per-iter
+        # f32 noise compounds, so 1.2e-2; a gate/trajectory bug costs
+        # a whole O(0.05) update and still fails
+        res_d, tot_d = dev_level(iters)
+        res_h, tot_h = _host_n4_level(res64, tot64, w64, n_bins, fwhm,
+                                      noise, thr, iters, mats_host)
+        np.testing.assert_allclose(np.asarray(tot_d), tot_h,
+                                   atol=1.2e-2)
+        np.testing.assert_allclose(np.asarray(res_d), res_h,
+                                   atol=1.2e-2)
+        # propagate the HOST state so each level is pinned from
+        # identical inputs
+        res64, tot64 = res_h, tot_h
+
+    # smoke check on the same fixture: the accumulated field tracks
+    # the true log-bias direction (recovery QUALITY is pinned by
+    # test_n4_recovers_synthetic_bias at production settings; this
+    # tiny 6-iter fixture only needs to move the right way)
+    lb = logb - logb.mean()
+    tb = tot64 - tot64.mean()
+    err = np.abs(tb - lb).mean() / np.abs(lb).mean()
+    assert err < 0.6, err
