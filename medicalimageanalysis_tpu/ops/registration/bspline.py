@@ -250,6 +250,149 @@ _ELASTIX_METRICS = {
     "AdvancedNormalizedCorrelation": "ncc",
 }
 
+_ELASTIX_LINEAR_MODES = {
+    "TranslationTransform": "rigid",
+    "EulerTransform": "rigid",
+    "SimilarityTransform": "similarity",
+    "AffineTransform": "affine",
+}
+
+
+def _pm_flat(pm):
+    """Elastix-style values are one-element string lists; flatten."""
+    return {k: (v[0] if isinstance(v, (list, tuple)) else v)
+            for k, v in dict(pm).items()}
+
+
+def _linear_levels(resolutions, iterations):
+    """Coarse-to-fine (stride, steps, lr) schedule for a linear stage
+    from its elastix NumberOfResolutions / MaximumNumberOfIterations."""
+    res = int(max(1, min(int(resolutions), 4)))
+    steps = int(max(10, min(int(iterations), 400) // res))
+    return tuple((2 ** (res - 1 - lev), steps, 0.3 * (0.33 ** lev))
+                 for lev in range(res))
+
+
+def _elastix_staged(fixed, moving, spacing_xyz, stages, metric, bins,
+                    iterations, fixed_mask, moving_mask):
+    """Elastix multi-stage parameter maps (the SimpleElastix vector-of-
+    maps form the reference's path accepts,
+    /root/reference/medicalimageanalysis/utils/deformable/simpleitk.py:131-176):
+    linear stage(s) — Translation/Euler/Similarity/Affine, run on the
+    rigid_intensity descent — warm-start the final BSpline stage. All
+    stages compose into ONE point-displacement field on the fixed
+    grid:  moving(M @ (p + b(p))) ~ fixed(p),  so
+    d(p) = M (p + b(p)) - p  with M the composed linear matrix
+    (fixed -> moving physical) and b the B-spline field fitted between
+    fixed and the M-resampled moving."""
+    from ...models.rigid_intensity import register_rigid_intensity
+    from ..resample import affine_resample
+
+    fixed = np.asarray(fixed, np.float32)
+    moving = np.asarray(moving, np.float32)
+    sp = np.asarray(spacing_xyz, np.float64).reshape(-1)
+    S = np.diag([sp[0], sp[1], sp[2], 1.0])
+    Sinv = np.linalg.inv(S)
+
+    class _Grid:
+        """Minimal image-like shim: both volumes share the fixed grid
+        (identity orientation, origin 0) by the time they reach the
+        registration ops."""
+
+        def __init__(self, arr):
+            self.array = arr
+            self.matrix = np.eye(3)
+            self.spacing = sp.copy()
+            self.origin = np.zeros(3)
+
+    kinds = [st.get("Transform", "BSplineTransform") for st in stages]
+    for k in kinds:
+        if k != "BSplineTransform" and k not in _ELASTIX_LINEAR_MODES:
+            raise ValueError(f"elastix: unsupported Transform {k!r}")
+    if kinds.count("BSplineTransform") > 1:
+        raise ValueError("elastix: at most one BSplineTransform stage")
+    if "BSplineTransform" in kinds \
+            and kinds.index("BSplineTransform") != len(kinds) - 1:
+        raise ValueError("elastix: the BSplineTransform stage must be "
+                         "last")
+
+    M_total = np.eye(4)
+    mov_cur = moving
+    mmask_cur = (None if moving_mask is None
+                 else np.asarray(moving_mask, np.float32))
+    bg = float(moving.min())
+    b_field = None
+    losses_all = []
+    for st in stages:
+        kind = st.get("Transform", "BSplineTransform")
+        if kind in _ELASTIX_LINEAR_MODES:
+            st_metric = _ELASTIX_METRICS.get(str(st.get("Metric", "")),
+                                             metric)
+            levels = _linear_levels(
+                st.get("NumberOfResolutions", 3),
+                st.get("MaximumNumberOfIterations", 120))
+            mode = _ELASTIX_LINEAR_MODES[kind]
+            # elastix's AutomaticTransformInitialization (default on):
+            # FFT phase-correlation translation on GRADIENT MAGNITUDES
+            # (contrast-inversion invariant — raw cross-modality
+            # intensities flip the cross-power peak) seeds the descent;
+            # any offset up to half the field of view is captured in
+            # one device program
+            pose0 = None
+            auto_init = str(st.get("AutomaticTransformInitialization",
+                                   "true")).lower() != "false"
+            if auto_init and np.allclose(M_total, np.eye(4)):
+                from ...models.rigid_intensity import _MODE_NPARAMS
+                from .phase_correlation import phase_correlation
+
+                def gmag(a):
+                    gz, gy, gx = np.gradient(np.asarray(a, np.float64))
+                    return np.sqrt(gz * gz + gy * gy + gx * gx)
+
+                shift, peak = phase_correlation(
+                    gmag(fixed), gmag(mov_cur), spacing_xyz=sp)
+                if peak > 0.02:
+                    pose0 = np.zeros(_MODE_NPARAMS[mode], np.float32)
+                    pose0[3:6] = shift[::-1]  # (z,y,x) mm -> (x,y,z)
+            mat, info = register_rigid_intensity(
+                _Grid(fixed), _Grid(mov_cur), metric=st_metric,
+                mode=mode, pose0=pose0, levels=levels)
+            losses_all.append(np.float32([info["loss"]]))
+            # mov_cur(p) = moving(M_total p) and the stage matched
+            # mov_cur(mat p) to fixed(p): compose right
+            M_total = M_total @ mat
+            P = Sinv @ M_total @ S  # fixed voxel -> moving voxel
+            mov_cur = np.asarray(affine_resample(
+                moving, P, fixed.shape, background=bg))
+            # warp the moving-domain mask with the image (ITK Mattes
+            # semantics) so the B-spline stage never scores the
+            # resample fill; a ones-mask stands in when none given
+            base_mask = (np.ones_like(moving) if moving_mask is None
+                         else np.asarray(moving_mask, np.float32))
+            mmask_cur = (np.asarray(affine_resample(
+                base_mask, P, fixed.shape, background=0.0))
+                > 0.5).astype(np.float32)
+        else:
+            dvf, losses = elastix_registration(
+                fixed, mov_cur, spacing_xyz=sp, parameter_map=st,
+                metric=metric, bins=bins, iterations=iterations,
+                fixed_mask=fixed_mask, moving_mask=mmask_cur)
+            b_field = np.asarray(dvf, np.float64)
+            losses_all.append(np.asarray(losses, np.float32).ravel())
+
+    Z, Y, X = fixed.shape
+    p = np.empty((Z, Y, X, 3), np.float64)
+    p[..., 0] = (np.arange(X) * sp[0])[None, None, :]
+    p[..., 1] = (np.arange(Y) * sp[1])[None, :, None]
+    p[..., 2] = (np.arange(Z) * sp[2])[:, None, None]
+    q = p if b_field is None else p + b_field
+    R = M_total[:3, :3]
+    t = M_total[:3, 3]
+    d = (q @ R.T + t) - p
+    losses = (np.concatenate(losses_all) if losses_all
+              else np.zeros(0, np.float32))
+    return d.astype(np.float32), losses
+
 
 def elastix_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
                          parameter_map=None, metric="mi", bins=32,
@@ -274,9 +417,22 @@ def elastix_registration(fixed, moving, spacing_xyz=(1.0, 1.0, 1.0),
     ``parameter_map`` accepts the elastix keys the reference exposes
     (values may be elastix-style one-element string lists): Metric,
     NumberOfHistogramBins, NumberOfResolutions,
-    FinalGridSpacingInPhysicalUnits, MaximumNumberOfIterations.
-    Returns ((Z, Y, X, 3) DVF mm, losses) like bspline_registration.
+    FinalGridSpacingInPhysicalUnits, MaximumNumberOfIterations —
+    or a SEQUENCE of stage maps (SimpleElastix's multi-stage form,
+    keyed by Transform: Translation/Euler/Similarity/Affine stages
+    warm-starting a final BSplineTransform stage; see
+    :func:`_elastix_staged`). Returns ((Z, Y, X, 3) DVF mm, losses)
+    like bspline_registration; for staged maps the DVF composes every
+    stage.
     """
+    if parameter_map is not None and isinstance(
+            parameter_map, (list, tuple)):
+        return _elastix_staged(fixed, moving, spacing_xyz,
+                               [_pm_flat(p) for p in parameter_map],
+                               metric=metric, bins=bins,
+                               iterations=iterations,
+                               fixed_mask=fixed_mask,
+                               moving_mask=moving_mask)
     if parameter_map:
         pm = {k: (v[0] if isinstance(v, (list, tuple)) else v)
               for k, v in dict(parameter_map).items()}

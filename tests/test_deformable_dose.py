@@ -1045,3 +1045,98 @@ def test_deformable_save_load_round_trip(tmp_path):
     d3 = mia.Deformable.load_deformable(str(tmp_path / "defo"))
     assert d3.deformable_name == "DVF_saved_1"
     Data.clear()
+
+
+def test_elastix_staged_pipeline_rotation_plus_deformation():
+    """Multi-stage elastix parameter maps (VERDICT r3 #7): an
+    EulerTransform stage (phase-correlation auto-initialized) warm-
+    starting a BSplineTransform stage recovers a 14-voxel offset +
+    6 deg rotation + smooth deformation on a CT<->'MR' pair. The
+    single-stage B-spline cannot fix this from identity: the offset is
+    far outside the multi-resolution FFD's capture range. Matches the
+    reference's SimpleElastix vector-of-maps form
+    (/root/reference/medicalimageanalysis/utils/deformable/simpleitk.py:131-176)."""
+    from scipy.ndimage import gaussian_filter as _gf
+    from scipy.ndimage import map_coordinates as _mc
+
+    from medicalimageanalysis_tpu.ops.registration.bspline import (
+        elastix_registration)
+    from medicalimageanalysis_tpu.ops.registration.dvf import warp_volume
+
+    rng = np.random.default_rng(5)
+    anat = _gf(rng.normal(size=(16, 48, 48)), (1.5, 3, 3)).astype(
+        np.float32)
+    fixed = (anat - anat.min()) / (anat.max() - anat.min()) * 1000
+
+    # true motion: 6 deg in-plane rotation about the center, +14 voxel
+    # y / +6 voxel x offset, + a smooth sinusoidal y deformation
+    th = np.deg2rad(6.0)
+    cz, cy, cx = [(s - 1) / 2.0 for s in fixed.shape]
+    zz, yy, xx = np.mgrid[0:16, 0:48, 0:48].astype(np.float64)
+    xr = np.cos(th) * (xx - cx) - np.sin(th) * (yy - cy) + cx + 6.0
+    yr = (np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy + 14.0
+          + 1.5 * np.sin(2 * np.pi * xx / 48.0))
+    # moving(v) = fixed(T_true v): the registration must find
+    # p + d(p) ~ T_true^{-1} p
+    moving_ct = _mc(fixed, [zz, yr, xr], order=1, mode="nearest"
+                    ).astype(np.float32)
+    m = moving_ct.max()
+    moving_mr = (m - moving_ct) * 0.41 + 7.0  # inverted-contrast 'MR'
+
+    stages = [
+        {"Transform": ["EulerTransform"],
+         "Metric": ["AdvancedMattesMutualInformation"],
+         "NumberOfResolutions": ["3"],
+         "MaximumNumberOfIterations": ["180"]},
+        {"Transform": ["BSplineTransform"],
+         "Metric": ["AdvancedMattesMutualInformation"],
+         "NumberOfHistogramBins": ["32"],
+         "NumberOfResolutions": ["2"],
+         "FinalGridSpacingInPhysicalUnits": ["12"],
+         "MaximumNumberOfIterations": ["100"]},
+    ]
+    dvf_staged, losses = elastix_registration(
+        fixed, moving_mr, (1, 1, 1), parameter_map=stages, metric="mi")
+    assert dvf_staged.shape == fixed.shape + (3,)
+    assert losses.size > 0
+
+    # single-stage B-spline from identity on the same pair
+    dvf_single, _ = elastix_registration(
+        fixed, moving_mr, (1, 1, 1), metric="mi", bins=32,
+        resolutions=2, final_grid_spacing=12.0, iterations=100)
+
+    # evaluate on the band whose true correspondence stays inside the
+    # moving volume (the recovered displacement is ~(-6, -14) voxels,
+    # so low-y/low-x fixed rows map outside moving) so the metric
+    # scores alignment, not resample fill
+    inner = np.s_[2:-2, 18:-2, 10:-2]
+
+    def err(dvf):
+        warped = np.asarray(warp_volume(moving_ct, dvf, (1, 1, 1)))
+        return np.abs(warped - fixed)[inner].mean()
+
+    err_before = np.abs(moving_ct - fixed)[inner].mean()
+    e_staged = err(dvf_staged)
+    e_single = err(dvf_single)
+    # staged recovers; single-stage must be left far behind
+    assert e_staged < 0.2 * err_before, (e_staged, err_before)
+    assert e_staged < 0.5 * e_single, (e_staged, e_single)
+
+
+def test_elastix_staged_map_validation():
+    from medicalimageanalysis_tpu.ops.registration.bspline import (
+        elastix_registration)
+
+    fixed = make_blob().astype(np.float32)
+    with pytest.raises(ValueError, match="unsupported Transform"):
+        elastix_registration(fixed, fixed, (1, 1, 1),
+                             parameter_map=[{"Transform": ["Warp"]}])
+    two_b = [{"Transform": ["BSplineTransform"]}] * 2
+    with pytest.raises(ValueError, match="at most one"):
+        elastix_registration(fixed, fixed, (1, 1, 1),
+                             parameter_map=two_b)
+    wrong_order = [{"Transform": ["BSplineTransform"]},
+                   {"Transform": ["EulerTransform"]}]
+    with pytest.raises(ValueError, match="must be last"):
+        elastix_registration(fixed, fixed, (1, 1, 1),
+                             parameter_map=wrong_order)
