@@ -83,9 +83,13 @@ def _polygon_bitmaps(verts, edge_valid, H, W):
     sdy = jnp.where(dy != 0, dy, 1.0)
     t_m = x1b + (py - 0.5 - y1b) * dx / sdy   # x at y = py - 0.5
     t_p = x1b + (py + 0.5 - y1b) * dx / sdy   # x at y = py + 0.5
-    # ties (exact half-integer crossings) are included at both ends —
-    # matches cv2's fixed-point rounding across slope signs
-    lo_sl = jnp.ceil(jnp.minimum(t_m, t_p) - EPS)
+    # cv2's fixed-point tie rule, probed over both slope signs and
+    # both directions (concave-star regression): positive slope puts
+    # the exact half-integer crossing in the LOWER row, negative slope
+    # in the UPPER — both cases reduce to "x-run open at min(t),
+    # closed at max(t)". The old both-ends-closed rule leaked one
+    # pixel per tie outside concave corners.
+    lo_sl = jnp.ceil(jnp.minimum(t_m, t_p) + EPS)
     hi_sl = jnp.floor(jnp.maximum(t_m, t_p) + EPS)
     # dy == 0: whole x-range when the row matches exactly
     row_match = jnp.abs(py - y1b) < 0.5
@@ -155,6 +159,89 @@ def _scatter_xor(bitmaps, slice_idx, n_slices):
     return (acc[:n_slices] % 2).astype(jnp.uint8)
 
 
+# ------------------------------------------------------------------ #
+# bbox-tile path: each polygon rasterizes only its own tile           #
+# ------------------------------------------------------------------ #
+# The full-frame kernel pays K x E x H x W compares even though a
+# typical contour spans a fraction of the slice (a liver contour's
+# ~170 px bbox on a 512 grid wastes ~9x). Polygons are classed by
+# bbox size into this power-of-two ladder, rasterized tile-locally,
+# and composed by K sequential dynamic-slice adds (cheap: each is one
+# tile, and parity survives uint8 wraparound).
+_TILE_LADDER = (16, 32, 64, 128, 256)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _compose_tiles(canvas, tiles, rows, ays, axs):
+    """canvas[(rows[k], ays[k]:, axs[k]:)] += tiles[k] for every k,
+    sequentially (tiles overlap; parity needs exact counts mod 2,
+    which uint8 addition preserves)."""
+    th, tw = tiles.shape[1], tiles.shape[2]
+
+    def body(k, cv):
+        cur = lax.dynamic_slice(cv, (rows[k], ays[k], axs[k]),
+                                (1, th, tw))
+        return lax.dynamic_update_slice(
+            cv, cur + tiles[k][None], (rows[k], ays[k], axs[k]))
+
+    return lax.fori_loop(0, tiles.shape[0], body, canvas)
+
+
+def _pooled_canvas(polygons, targets, n_rows, H, W):
+    """Rasterize ALL polygons (across slices / ROIs / volumes) into a
+    (n_rows, H, W) uint8 parity canvas in one device pass per tile
+    class. ``targets`` is each polygon's canvas row; out-of-range
+    values must already be mapped to the dump row ``n_rows``. Returns
+    the device canvas (parity taken, dump row dropped)."""
+    K = len(polygons)
+    trunc = [np.trunc(np.asarray(p)[:, :2] + 1e-6).astype(np.int32)
+             for p in polygons]
+    lo = np.array([p.min(axis=0) for p in trunc], np.int64)  # (K,2) x,y
+    hi = np.array([p.max(axis=0) for p in trunc], np.int64)
+    size = (hi - lo).max(axis=1) + 1
+
+    classes = {}
+    for k in range(K):
+        for t in _TILE_LADDER:
+            if size[k] <= t and t <= max(H, W):
+                classes.setdefault(t, []).append(k)
+                break
+        else:
+            classes.setdefault(0, []).append(k)  # full frame
+
+    canvas = jnp.zeros((int(n_rows) + 1, H, W), jnp.uint8)
+    targets = np.asarray(targets, np.int32)
+    for t, ks in sorted(classes.items()):
+        th = H if t == 0 else min(t, H)
+        tw = W if t == 0 else min(t, W)
+        ay = np.clip(lo[ks, 1], 0, max(H - th, 0)).astype(np.int32)
+        ax = np.clip(lo[ks, 0], 0, max(W - tw, 0)).astype(np.int32)
+        Kc = len(ks)
+        E = _bucket(max(trunc[k].shape[0] for k in ks))
+        # K buckets: multiples of 8 up to 64, then of 64 (bounds the
+        # jit-variant count without the up-to-2x waste of power-of-2)
+        Kb = -(-Kc // 8) * 8 if Kc <= 64 else -(-Kc // 64) * 64
+        verts = np.zeros((Kb, E + 1, 2), np.int32)
+        valid = np.zeros((Kb, E), bool)
+        for j, k in enumerate(ks):
+            p = trunc[k] - np.array([ax[j], ay[j]], np.int32)
+            n = p.shape[0]
+            verts[j, :n] = p
+            verts[j, n:] = p[0]
+            valid[j, :n] = True
+        tiles = _polygon_bitmaps(jnp.asarray(verts), jnp.asarray(valid),
+                                 th, tw)
+        rows = np.full(Kb, int(n_rows), np.int32)
+        rows[:Kc] = targets[ks]
+        ays = np.zeros(Kb, np.int32)
+        axs = np.zeros(Kb, np.int32)
+        ays[:Kc] = ay
+        axs[:Kc] = ax
+        canvas = _compose_tiles(canvas, tiles, jnp.asarray(rows),
+                                jnp.asarray(ays), jnp.asarray(axs))
+    return (canvas[:n_rows] & 1).astype(jnp.uint8)
+
+
 def _polygon_bitmaps_device(polygons, H, W):
     """(K-padded device bitmaps, K): stage polygons into (Kb, E) buckets
     and run the fused bitmap program; the result STAYS on device (rows
@@ -200,21 +287,43 @@ def fill_polygons_2d(polygons, H, W):
 
 def rasterize_polygons(polygons, slice_indices, n_slices, H, W):
     """Full 3D rasterization: polygons (list of (N,2)) at slice_indices
-    -> (n_slices, H, W) uint8 mask with per-slice XOR semantics."""
+    -> (n_slices, H, W) uint8 mask with per-slice XOR semantics.
+
+    Rides the bbox-tile path: each polygon rasterizes only its own
+    power-of-two tile and K dynamic-slice adds compose the canvas —
+    ~an order of magnitude less VPU work than the old full-frame
+    kernel at liver scale (bbox ~170 px on a 512 grid)."""
     K = len(polygons)
     if K == 0:
         return np.zeros((n_slices, H, W), dtype=np.uint8)
-    # bitmaps stay ON DEVICE through the scatter-XOR: the padded rows
-    # route to the dump row, so no per-K slice executable is needed and
-    # the only host transfer is the final mask (the old host round trip
-    # of the padded bitmaps cost seconds through the tunnel)
-    bitmaps, _ = _polygon_bitmaps_device(polygons, H, W)
-    Kb = bitmaps.shape[0]
-    idx = np.full(Kb, n_slices, dtype=np.int32)        # padding -> dump
     ids = np.asarray(slice_indices, dtype=np.int32)
     # out-of-range (including NEGATIVE) slices -> dump row, matching the
     # cv2 backend's `if 0 <= s < S` drop (round-2 review finding: a
     # clip-to-0 XORed below-volume contours into slice 0)
-    idx[:K] = np.where((ids >= 0) & (ids < n_slices), ids, n_slices)
-    out = _scatter_xor(bitmaps, jnp.asarray(idx), int(n_slices))
+    targets = np.where((ids >= 0) & (ids < n_slices), ids, n_slices)
+    out = _pooled_canvas(polygons, targets, int(n_slices), int(H),
+                         int(W))
     return np.asarray(out)
+
+
+def rasterize_polygons_grouped(grouped, n_slices, H, W):
+    """Cohort rasterization: ``grouped`` is a list over ROIs/volumes of
+    (polygons, slice_indices) pairs on a SHARED (n_slices, H, W) grid.
+    ALL contours of ALL groups run in ONE device pass per tile class
+    (the canvas rows are (group, slice) pairs), so a whole patient's
+    structure set costs one dispatch. Returns (B, n_slices, H, W)
+    uint8."""
+    B = len(grouped)
+    S = int(n_slices)
+    pool = []
+    targets = []
+    for b, (polys, sids) in enumerate(grouped):
+        ids = np.asarray(sids, dtype=np.int32)
+        ok = (ids >= 0) & (ids < S)
+        pool.extend(polys)
+        targets.extend(np.where(ok, b * S + ids, B * S).tolist())
+    if not pool:
+        return np.zeros((B, S, H, W), dtype=np.uint8)
+    out = _pooled_canvas(pool, np.asarray(targets, np.int32), B * S,
+                         int(H), int(W))
+    return np.asarray(out).reshape(B, S, int(H), int(W))

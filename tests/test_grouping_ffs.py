@@ -284,3 +284,49 @@ def test_rasterize_out_of_range_slices_match_cv2(rng):
     np.testing.assert_array_equal(dev, gold)
     assert gold[0].sum() == 0          # nothing leaked into slice 0
     assert gold[2].sum() > 0 and gold[5].sum() > 0
+
+
+def test_rasterize_concave_star_fuzz_matches_cv2(rng):
+    """Concave random stars (many exact half-integer edge crossings
+    from integer vertices) device vs cv2 — the tie-rule class the
+    convex fuzz never hit (round-4 regression: the old both-ends-
+    closed rule leaked one pixel per tie outside concave corners)."""
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        _rasterize_plane)
+
+    dims = (6, 48, 56)
+    for trial in range(20):
+        r = np.random.default_rng(1000 + trial)
+        n = int(r.integers(5, 28))
+        th = np.sort(r.uniform(0, 2 * np.pi, n))
+        rad = r.uniform(2.0, 18.0, n)
+        cx, cy = r.uniform(20, 28, 2)  # whole star stays in-canvas
+        z = int(r.integers(0, 6))
+        poly = np.stack([cx + rad * np.cos(th), cy + rad * np.sin(th),
+                         np.full(n, float(z))], axis=1)
+        dev = _rasterize_plane([poly], dims, "Axial", backend="device")
+        gold = _rasterize_plane([poly], dims, "Axial", backend="cv2")
+        np.testing.assert_array_equal(dev, gold, err_msg=f"trial {trial}")
+
+
+def test_rasterize_out_of_canvas_is_exact_crop():
+    """A polygon extending past the canvas: cv2.fillPoly CLIPS the
+    polygon to the canvas first, which re-quantizes the clipped edge
+    and perturbs pixels far inside the image (its output depends on
+    canvas size!). The device rasterizer keeps the exact unclipped
+    geometry: its mask must equal the big-canvas cv2 result cropped —
+    a FIXED reference artifact (PARITY.md deltas)."""
+    import cv2
+
+    from medicalimageanalysis_tpu.utils.convert.contour import (
+        _rasterize_plane)
+
+    star = np.array(
+        [[42, 53], [38, 45], [36, 44], [19, 42], [24, 37], [31, 37],
+         [32, 36], [37, 27], [45, 29]], float)
+    poly = np.concatenate([star, np.zeros((len(star), 1))], axis=1)
+    dims = (1, 48, 56)
+    dev = _rasterize_plane([poly], dims, "Axial", backend="device")
+    big = np.zeros((80, 80), np.uint8)
+    cv2.fillPoly(big, [star.astype(np.int32)], 1)
+    np.testing.assert_array_equal(dev[0], big[:48, :56])
