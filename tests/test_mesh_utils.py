@@ -505,3 +505,52 @@ def test_model_to_mask_descending_slice_locations():
     dsc = manual(list(range(19, -1, -1)))
     assert (asc.mask != 0).sum() > 100
     np.testing.assert_array_equal(asc.mask, dsc.mask[::-1])
+
+
+def test_voxelize_device_matches_host_twin():
+    """Device ray-parity voxelizer (VERDICT r3 #1): bit-exact against
+    the host f64 implementation across all three slicing planes, the
+    big-face fallback class, and empty input."""
+    from medicalimageanalysis_tpu.ops.marching_cubes import mask_to_mesh
+    from medicalimageanalysis_tpu.ops.voxelize import voxelize_mesh_device
+    from medicalimageanalysis_tpu.utils.convert.voxelize import (
+        voxelize_mesh)
+
+    zz, yy, xx = np.mgrid[0:20, 0:28, 0:24].astype(np.float64)
+    blob = (((zz - 10) / 7) ** 2 + ((yy - 14) / 10) ** 2
+            + ((xx - 12) / 8) ** 2) <= 1.0
+    mesh = mask_to_mesh(blob.astype(np.uint8), [1.0, 1.0, 1.0],
+                        [0.0, 0.0, 0.0], np.eye(3))
+    pts = np.asarray(mesh.points, np.float64)
+    dims = (20, 28, 24)
+    for plane in ("Axial", "Coronal", "Sagittal"):
+        gold = voxelize_mesh(pts, mesh.faces, dims, plane=plane)
+        dev = voxelize_mesh_device(pts, mesh.faces, dims, plane=plane)
+        assert gold.sum() > 100
+        np.testing.assert_array_equal(dev, gold, err_msg=plane)
+
+    # big-face fallback: a box of 12 huge triangles (window > 32)
+    corners = np.array([[2.2, 2.2, 2.3], [21.5, 2.2, 2.3],
+                        [21.5, 25.4, 2.3], [2.2, 25.4, 2.3],
+                        [2.2, 2.2, 17.6], [21.5, 2.2, 17.6],
+                        [21.5, 25.4, 17.6], [2.2, 25.4, 17.6]])
+    faces = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                      [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                      [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    gold = voxelize_mesh(corners, faces, dims)
+    dev = voxelize_mesh_device(corners, faces, dims)
+    assert gold.sum() > 1000
+    np.testing.assert_array_equal(dev, gold)
+
+    # mixed: box + blob mesh in one face soup (classes + fallback
+    # combine by XOR)
+    pts_mix = np.concatenate([corners + np.array([0.1, 0.2, 0.0]), pts])
+    faces_mix = np.concatenate([faces, np.asarray(mesh.faces) + 8])
+    gold = voxelize_mesh(pts_mix, faces_mix, dims)
+    dev = voxelize_mesh_device(pts_mix, faces_mix, dims)
+    np.testing.assert_array_equal(dev, gold)
+
+    # empty mesh
+    dev = voxelize_mesh_device(np.zeros((0, 3)), np.zeros((0, 3), int),
+                               dims)
+    assert dev.sum() == 0
