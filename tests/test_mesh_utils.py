@@ -554,3 +554,39 @@ def test_voxelize_device_matches_host_twin():
     dev = voxelize_mesh_device(np.zeros((0, 3)), np.zeros((0, 3), int),
                                dims)
     assert dev.sum() == 0
+
+
+def test_voxelize_batch_matches_per_mesh_host():
+    """Cohort voxelization: B meshes in one pooled device pass ==
+    per-mesh host f64 voxelization, including a big-face member."""
+    from medicalimageanalysis_tpu.ops.marching_cubes import mask_to_mesh
+    from medicalimageanalysis_tpu.ops.voxelize import voxelize_batch
+    from medicalimageanalysis_tpu.utils.convert.voxelize import (
+        voxelize_mesh)
+
+    dims = (14, 24, 26)
+    meshes = []
+    for b in range(3):
+        zz, yy, xx = np.mgrid[0:14, 0:24, 0:26].astype(np.float64)
+        blob = (((zz - 7) / (4 + b)) ** 2 + ((yy - 12) / 7) ** 2
+                + ((xx - 11 - b) / 6) ** 2) <= 1.0
+        m = mask_to_mesh(blob.astype(np.uint8), [1, 1, 1],
+                         [0, 0, 0], np.eye(3))
+        meshes.append((np.asarray(m.points, np.float64),
+                       np.asarray(m.faces)))
+    corners = np.array([[2.2, 2.2, 2.3], [21.5, 2.2, 2.3],
+                        [21.5, 20.4, 2.3], [2.2, 20.4, 2.3],
+                        [2.2, 2.2, 11.6], [21.5, 2.2, 11.6],
+                        [21.5, 20.4, 11.6], [2.2, 20.4, 11.6]])
+    faces = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                      [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                      [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+    meshes.append((corners, faces))
+
+    for plane in ("Axial", "Coronal"):
+        out = voxelize_batch(meshes, dims, plane=plane)
+        assert out.shape == (4,) + dims
+        for b, (pts, fcs) in enumerate(meshes):
+            gold = voxelize_mesh(pts, fcs, dims, plane=plane)
+            np.testing.assert_array_equal(out[b], gold,
+                                          err_msg=f"{plane} mesh {b}")
