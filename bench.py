@@ -505,7 +505,7 @@ def main():
             o, ovf = _oblique_call(
                 v, a, kap, jnp.float32(-3001.0), (No, No, No),
                 (obl_plan["Z2"], obl_plan["Y2"]), obl_plan["window"],
-                None, (), False)
+                None, (), False, tz=int(obl_plan.get("tz", 8)))
             return acc + jnp.sum(o) + ovf, None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
