@@ -1053,26 +1053,21 @@ def oblique_plan(pixel_matrix, vol_shape_zyx, budget=None):
     # (y_o, z_o) plus bounded constants (floor tap +1, staircase
     # rounding +1, x0-vs-x1 shift difference +|k|, second tap +1).
     # The kernel's (kz, ky) match loop trips = the PRODUCT of the two
-    # spreads, so for fully-oblique maps (both cross-couplings large)
-    # a thinner output tile (TZ 4/2) trades 4x the tiles for much
-    # smaller spreads — pick TZ by the modeled cost (trips + per-tile
-    # fixed overhead in trip-equivalents; VERDICT r3 #4 measurement).
-    TY = 8
-    a11 = abs(R[1, 1] - ky * R[0, 1])
+    # spreads. TZ stays 8: thinner output tiles were MEASURED worse
+    # (45deg-(1,1,1) 256^3: 61.5 ms at TZ=2 vs 48.0 ms at TZ=8) — the
+    # per-tile fixed cost (~1.1 us: DMA latency + grid iteration) and
+    # the per-LOOP-ITERATION fixed cost (~50 ns) grow faster than the
+    # trip ranges shrink (total iterations = trips(tz) * 8/tz RISES:
+    # 51.5 -> 74 -> 117 for tz 8/4/2 despite per-tile trips falling
+    # 51.5 -> 37 -> 29). Full roofline analysis: docs/PERF.md round 4.
+    TZ, TY = 8, 8
+    tz = TZ
     a12 = abs(R[1, 2] - ky * R[0, 2])
-    a21 = abs(R[2, 1] - kz * R[0, 1])
-    a22 = abs(R[2, 2] - kz * R[0, 2])
-    best = None
-    for tz_c in (8, 4, 2):
-        sy_c = (abs(a11 - 1) * (TY - 1) + a12 * (tz_c - 1)
-                + abs(ky) + 4)
-        sz_c = (a21 * (TY - 1) + abs(a22 - 1) * (tz_c - 1)
-                + abs(kz) + 4)
-        cost = ((sz_c + 1) * (sy_c + 1)
-                + 5.0 * (8.0 / tz_c - 1.0))  # ~5 trips/tile fixed
-        if best is None or cost < best[0]:
-            best = (cost, tz_c, sy_c, sz_c)
-    _, tz, sy, szp = best
+    sy = (abs(R[1, 1] - ky * R[0, 1]) * (TY - 1)
+          + a12 * (TZ - 1) + abs(ky) + 4)
+    szp = (abs(R[2, 1] - kz * R[0, 1]) * (TY - 1)
+           + abs(R[2, 2] - kz * R[0, 2]) * (TZ - 1)
+           + abs(kz) + 4)
     # the window also absorbs the slab-base alignment residual (y base
     # aligns down to 8) the non-shear path absorbs the same way
     win = (max(2 * tz, int(np.ceil(szp)) + 2),
