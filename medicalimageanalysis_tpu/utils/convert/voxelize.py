@@ -98,7 +98,32 @@ def _parity_fill(tri, S, H, W):
     return out
 
 
-def voxelize_mesh(points_pixel, faces, dimensions, plane="Axial"):
+def _pick_voxelize_backend(n_faces, dims):
+    """host vs device, from the measured link rate (same auto-selection
+    as the marching-cubes / rasterizer paths): the device path wins on
+    compute (ops/voxelize: scatter histogram + lane cumsum) but must
+    download the (Z, Y, X) uint8 mask; through a tunnel-priced link the
+    host's ragged hit-list is faster."""
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return "host"
+        from ...runtime import transfer_rate_bytes_per_s
+        rate = transfer_rate_bytes_per_s()
+        if rate is None:
+            return "host"
+        # host: ~1.1 us/face (bbox+bary+scatter) + ~1 ns/voxel (XOR
+        # scan); device: ~60 ms fixed + the mask download
+        vox = float(np.prod(dims))
+        est_host = 1.1e-6 * n_faces + 1.2e-9 * vox
+        est_dev = 0.06 + vox / rate
+        return "device" if est_dev < est_host else "host"
+    except Exception:
+        return "host"
+
+
+def voxelize_mesh(points_pixel, faces, dimensions, plane="Axial",
+                  backend="auto"):
     """Voxelize a closed mesh given in PIXEL coordinates.
 
     points_pixel: (N, 3) (x, y, z) pixel coordinates on the target
@@ -107,8 +132,18 @@ def voxelize_mesh(points_pixel, faces, dimensions, plane="Axial"):
     dimensions: (Z, Y, X); plane: which pixel axis the parity rays
     follow (matches the ROI slicing-plane conventions). Returns a
     (Z, Y, X) uint8 mask of voxel centers inside the mesh.
+
+    backend: 'auto' (default — measured-link-rate selection between
+    the host hit-list and the device kernel, bit-identical results),
+    'host', or 'device'.
     """
     pts = np.asarray(points_pixel, np.float64)
+    if backend == "auto":
+        backend = _pick_voxelize_backend(
+            np.asarray(faces).reshape(-1, 3).shape[0], dimensions[:3])
+    if backend == "device":
+        from ...ops.voxelize import voxelize_mesh_device
+        return voxelize_mesh_device(pts, faces, dimensions, plane=plane)
     faces = np.asarray(faces, np.int64).reshape(-1, 3)
     d0, d1, d2 = (int(d) for d in dimensions[:3])
     tri = pts[faces]  # (T, 3, 3) columns (x, y, z)

@@ -155,5 +155,36 @@ def validate_kernels(fast=True):
     d = float(np.max(np.abs(got - golden)))
     record("edt_exact", d < 1e-3, f"max|diff|={d:.2e}")
 
+    # bbox-tile rasterizer vs the cv2 bit-parity backend (r4: the tie
+    # rule + tile composition are hardware-exercised every bench)
+    import cv2 as _cv2
+
+    from .ops.rasterize import rasterize_polygons
+    r2 = np.random.default_rng(7)
+    th = np.sort(r2.uniform(0, 2 * np.pi, 17))
+    star = np.stack([24 + r2.uniform(3, 14, 17) * np.cos(th),
+                     20 + r2.uniform(3, 14, 17) * np.sin(th)], axis=1)
+    got_r = rasterize_polygons([star], [1], 3, 40, 44)
+    img = np.zeros((40, 44), np.uint8)
+    _cv2.fillPoly(img, [np.trunc(star + 1e-6).astype(np.int32)], 1)
+    record("raster_tile_xor",
+           bool((got_r[1] == img).all() and got_r[0].sum() == 0))
+
+    # device ray-parity voxelizer vs the host f64 twin
+    from .ops.voxelize import voxelize_mesh_device
+    from .utils.convert.voxelize import voxelize_mesh as _vox_host
+    from .ops.marching_cubes import mask_to_mesh as _m2m
+    zz, yy, xx = np.mgrid[0:10, 0:14, 0:12].astype(np.float64)
+    blob = (((zz - 5) / 3.5) ** 2 + ((yy - 7) / 5) ** 2
+            + ((xx - 6) / 4) ** 2) <= 1.0
+    vmesh = _m2m(blob.astype(np.uint8), [1, 1, 1], [0, 0, 0], np.eye(3))
+    vdims = (10, 14, 12)
+    vg = _vox_host(np.asarray(vmesh.points, np.float64), vmesh.faces,
+                   vdims, backend="host")
+    vd = voxelize_mesh_device(np.asarray(vmesh.points, np.float64),
+                              vmesh.faces, vdims)
+    record("voxelize_parity",
+           bool((vd == vg).all() and vg.sum() > 50))
+
     return {"backend": backend, "ok": all(checks.values()),
             "checks": checks, "detail": detail}
