@@ -447,7 +447,8 @@ def main():
     vox_host_ms = float("inf")
     for _ in range(3):
         t7b = time.perf_counter()
-        voxelize_mesh(pts_pixel, mesh_d.faces, (120, 512, 512))
+        voxelize_mesh(pts_pixel, mesh_d.faces, (120, 512, 512),
+                      backend="host")
         vox_host_ms = min(vox_host_ms,
                           (time.perf_counter() - t7b) * 1000.0)
     vox_dev_ms = float("inf")
@@ -505,7 +506,7 @@ def main():
             o, ovf = _oblique_call(
                 v, a, kap, jnp.float32(-3001.0), (No, No, No),
                 (obl_plan["Z2"], obl_plan["Y2"]), obl_plan["window"],
-                None, (), False, tz=int(obl_plan.get("tz", 8)))
+                None, (), False)
             return acc + jnp.sum(o) + ovf, None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))

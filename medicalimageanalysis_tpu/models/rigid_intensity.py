@@ -205,28 +205,31 @@ def _register_level(ref_vol, mov_vol, ref_pix2pos, mov_pos2pix, center,
     mov_vol = mov_vol.astype(jnp.float32) * intensity_scale
     s = stride[0]
     if s > 1:
-        Z, Y, X = ref_vol.shape
-        oz, oy, ox = max(Z // s, 2), max(Y // s, 2), max(X // s, 2)
-        mz = jnp.asarray(_interp_matrix(oz, Z, Z / oz))
-        my = jnp.asarray(_interp_matrix(oy, Y, Y / oy))
-        mx = jnp.asarray(_interp_matrix(ox, X, X / ox))
-
         def down(v):
+            # per-volume matrices: ref and mov may live on DIFFERENT
+            # grids (review finding: shared ref-shaped matrices crashed
+            # any differing-shape pair)
+            Z, Y, X = v.shape
+            oz, oy, ox = max(Z // s, 2), max(Y // s, 2), max(X // s, 2)
+            mz = jnp.asarray(_interp_matrix(oz, Z, Z / oz))
+            my = jnp.asarray(_interp_matrix(oy, Y, Y / oy))
+            mx = jnp.asarray(_interp_matrix(ox, X, X / ox))
             out = jnp.einsum("ij,jyx->iyx", mz, v,
                              preferred_element_type=jnp.float32)
             out = jnp.einsum("kj,zjx->zkx", my, out,
                              preferred_element_type=jnp.float32)
-            return jnp.einsum("lj,zyj->zyl", mx, out,
-                              preferred_element_type=jnp.float32)
+            out = jnp.einsum("lj,zyj->zyl", mx, out,
+                             preferred_element_type=jnp.float32)
+            return out, (Z, Y, X), (oz, oy, ox)
 
-        ref_vol = down(ref_vol)
-        mov_vol = down(mov_vol)
+        ref_vol, (Z, Y, X), (oz, oy, ox) = down(ref_vol)
+        mov_vol, (MZf, MYf, MXf), (mzo, myo, mxo) = down(mov_vol)
         # low-res pixel i maps to full-res pixel i * (full/low)
         scale_ref = jnp.diag(jnp.asarray(
             [X / ox, Y / oy, Z / oz, 1.0], jnp.float32))
         ref_pix2pos = ref_pix2pos @ scale_ref
         inv_scale = jnp.diag(jnp.asarray(
-            [ox / X, oy / Y, oz / Z, 1.0], jnp.float32))
+            [mxo / MXf, myo / MYf, mzo / MZf, 1.0], jnp.float32))
         mov_pos2pix = inv_scale @ mov_pos2pix
         stride = (1, 1, 1)
 

@@ -79,22 +79,20 @@ def _base_grid(shape_zyx):
     return zz, yy, xx
 
 
-def _pick_config(vol_shape, window=None, tz=8):
+def _pick_config(vol_shape, window=None):
     """Static tile/slab sizes for a given (padded) volume shape.
 
     window: optional (DZ, DY) within-tile coordinate-spread caps.
-    tz: output-tile z extent — the oblique path shrinks it (4/2) when
-    the residual matrix's y-row z-coupling |A12'| is large, because
-    that coupling multiplies (TZ - 1) into the kernel's (kz, ky)
-    match-loop trip count (measured: TZ=2 cuts 45deg-(1,1,1) trips
-    51.5 -> 29.3 per tile at 4x the tiles = 1.76x less loop work).
 
-    TY is FIXED at 8: the kernel's aligned-load + pltpu.roll residual
+    TZ is FIXED at 8 too: thinner output tiles were probed on hardware
+    for the fully-oblique residual and LOST (docs/PERF.md round 4 —
+    per-tile and per-loop-iteration fixed costs outgrow the shrinking
+    trip ranges). TY is FIXED at 8: the kernel's aligned-load + pltpu.roll residual
     trick produces wrong row mappings for TY>8 (probed on hardware;
     multi-vreg sublane rotates). Tile-size probes showed (8,8,256) etc.
     within run noise of (8,8,128), so there is no perf reason to vary."""
     Z, Y, X = vol_shape
-    TZ, TY, TX = int(tz), 8, 128
+    TZ, TY, TX = 8, 8, 128
     DZ, DY = (16, 16) if window is None else window
     # NOTE: never shrink the slab below the window caps for small
     # volumes — the wrapper pads the volume to fit the slab, and
@@ -438,7 +436,7 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
 
 
 def _warp_call(vol, coords, background, want_grad, window, interpret,
-               mode="coords", out_shape=None, logical_dims=None, tz=8):
+               mode="coords", out_shape=None, logical_dims=None):
     """Padded pallas_call. vol (B, Z, Y, X) f32.
 
     coords per mode:
@@ -469,7 +467,7 @@ def _warp_call(vol, coords, background, want_grad, window, interpret,
         Zo, Yo, Xo = out_shape
     if mode == "affine_shear" and want_grad:
         raise NotImplementedError("affine_shear mode is forward-only")
-    cfg = _pick_config((Z, Y, X), window, tz=tz)
+    cfg = _pick_config((Z, Y, X), window)
     TZ, TY, TX = cfg["TZ"], cfg["TY"], cfg["TX"]
     ZS, YS, SX = cfg["ZS"], cfg["YS"], cfg["SX"]
 
@@ -1061,7 +1059,6 @@ def oblique_plan(pixel_matrix, vol_shape_zyx, budget=None):
     # 51.5 -> 74 -> 117 for tz 8/4/2 despite per-tile trips falling
     # 51.5 -> 37 -> 29). Full roofline analysis: docs/PERF.md round 4.
     TZ, TY = 8, 8
-    tz = TZ
     a12 = abs(R[1, 2] - ky * R[0, 2])
     sy = (abs(R[1, 1] - ky * R[0, 1]) * (TY - 1)
           + a12 * (TZ - 1) + abs(ky) + 4)
@@ -1070,7 +1067,7 @@ def oblique_plan(pixel_matrix, vol_shape_zyx, budget=None):
            + abs(kz) + 4)
     # the window also absorbs the slab-base alignment residual (y base
     # aligns down to 8) the non-shear path absorbs the same way
-    win = (max(2 * tz, int(np.ceil(szp)) + 2),
+    win = (max(16, int(np.ceil(szp)) + 2),
            max(16, int(np.ceil(sy)) + 2))
     # sheared dims: staircases are monotone, extremes at x endpoints
     ez = int(_stair(kz, X - 1))
@@ -1086,20 +1083,20 @@ def oblique_plan(pixel_matrix, vol_shape_zyx, budget=None):
     # x slab: when the padded row exceeds the resident SX window the
     # within-tile x footprint (plus the 128-aligned base residual)
     # must fit the window, exactly like fits_x_window for fields
-    cfg = _pick_config((Z2, Y2, X), win, tz=tz)
+    cfg = _pick_config((Z2, Y2, X), win)
     if cfg["SX"] < _round_up(X, 128):
         foot = (abs(R[0, 0]) * 127 + abs(R[0, 1]) * 7
-                + abs(R[0, 2]) * (tz - 1) + 2)
+                + abs(R[0, 2]) * 7 + 2)
         if foot > cfg["SX"] - 128:
             return None
     return dict(ky=float(ky), kz=float(kz), oy=int(oy), oz=int(oz),
-                Z2=int(Z2), Y2=int(Y2), window=win, tz=int(tz))
+                Z2=int(Z2), Y2=int(Y2), window=win)
 
 
 @partial(jax.jit, static_argnames=("out_shape", "v2_shape", "window",
-                                   "perm", "flips", "interpret", "tz"))
+                                   "perm", "flips", "interpret"))
 def _oblique_call(vol, A12, kap, background, out_shape, v2_shape,
-                  window, perm, flips, interpret, tz=8):
+                  window, perm, flips, interpret):
     """One-program oblique resample: relayout -> on-device staircase
     shear (transposed-layout warp, integer coords, exact) -> residual
     affine_shear kernel. Returns (out, total_overflow)."""
@@ -1132,7 +1129,7 @@ def _oblique_call(vol, A12, kap, background, out_shape, v2_shape,
     out, _, ovf2 = _warp_call(v2[None], coef, background, False, window,
                               interpret, mode="affine_shear",
                               out_shape=out_shape,
-                              logical_dims=(Z, Y, X), tz=tz)
+                              logical_dims=(Z, Y, X))
     return out[0], ovf1 + ovf2
 
 
@@ -1152,4 +1149,4 @@ def affine_warp_oblique(volume, pixel_matrix, background, out_shape,
                          tuple(int(s) for s in out_shape),
                          (plan["Z2"], plan["Y2"]), plan["window"],
                          perm, tuple(flips) if flips else (),
-                         bool(interpret), tz=int(plan.get("tz", 8)))
+                         bool(interpret))

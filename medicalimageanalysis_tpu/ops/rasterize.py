@@ -40,6 +40,27 @@ def _bucket(n, minimum=8):
     return b
 
 
+def stage_polygons(polys, E, Kb, offsets=None):
+    """The ONE staging of the cv2 vertex contract (shared by the
+    full-frame path, the bbox-tile path and the sharded cohort path so
+    the quantization can never drift between them): trunc(poly + 1e-6)
+    -> int32 (idempotent for already-integer input), close each chain
+    on its first vertex, pad to (Kb, E+1, 2) verts + (Kb, E)
+    edge_valid. ``offsets``: optional per-polygon (x, y) int
+    translation applied AFTER truncation (tile anchoring)."""
+    verts = np.zeros((Kb, E + 1, 2), np.int32)
+    valid = np.zeros((Kb, E), bool)
+    for k, poly in enumerate(polys):
+        p = np.trunc(np.asarray(poly)[:, :2] + 1e-6).astype(np.int32)
+        if offsets is not None:
+            p = p - offsets[k]
+        n = p.shape[0]
+        verts[k, :n] = p
+        verts[k, n:] = p[0]
+        valid[k, :n] = True
+    return verts, valid
+
+
 @partial(jax.jit, static_argnames=("H", "W"))
 def _polygon_bitmaps(verts, edge_valid, H, W):
     """verts: (K, E+1, 2) int32 closed vertex chains (v[i], v[i+1]) edges;
@@ -221,14 +242,9 @@ def _pooled_canvas(polygons, targets, n_rows, H, W):
         # K buckets: multiples of 8 up to 64, then of 64 (bounds the
         # jit-variant count without the up-to-2x waste of power-of-2)
         Kb = -(-Kc // 8) * 8 if Kc <= 64 else -(-Kc // 64) * 64
-        verts = np.zeros((Kb, E + 1, 2), np.int32)
-        valid = np.zeros((Kb, E), bool)
-        for j, k in enumerate(ks):
-            p = trunc[k] - np.array([ax[j], ay[j]], np.int32)
-            n = p.shape[0]
-            verts[j, :n] = p
-            verts[j, n:] = p[0]
-            valid[j, :n] = True
+        verts, valid = stage_polygons(
+            [trunc[k] for k in ks], E, Kb,
+            offsets=np.stack([ax, ay], axis=1))
         tiles = _polygon_bitmaps(jnp.asarray(verts), jnp.asarray(valid),
                                  th, tw)
         rows = np.full(Kb, int(n_rows), np.int32)
@@ -249,16 +265,7 @@ def _polygon_bitmaps_device(polygons, H, W):
     K = len(polygons)
     E = _bucket(max(p.shape[0] for p in polygons))
     Kb = _bucket(K, minimum=1)
-    verts = np.zeros((Kb, E + 1, 2), dtype=np.int32)
-    edge_valid = np.zeros((Kb, E), dtype=bool)
-    for k, poly in enumerate(polygons):
-        # truncation like cv2's astype(int32), epsilon-stabilized so
-        # pixel-aligned physical contours don't flip on 1e-10 roundoff
-        p = np.trunc(np.asarray(poly)[:, :2] + 1e-6).astype(np.int32)
-        n = p.shape[0]
-        verts[k, :n] = p
-        verts[k, n:] = p[0]  # close + pad on first vertex
-        edge_valid[k, :n] = True  # n edges: v0..vn-1 -> v1..vn(=v0)
+    verts, edge_valid = stage_polygons(polygons, E, Kb)
     out = _polygon_bitmaps(jnp.asarray(verts), jnp.asarray(edge_valid),
                            H, W)
     return out, K

@@ -341,6 +341,11 @@ def _elastix_staged(fixed, moving, spacing_xyz, stages, metric, bins,
             pose0 = None
             auto_init = str(st.get("AutomaticTransformInitialization",
                                    "true")).lower() != "false"
+            # phase correlation needs matching grids; differing-shape
+            # pairs skip the seed (the descent still runs — review
+            # finding: this raised on any CT<->MR size mismatch)
+            if auto_init and fixed.shape != mov_cur.shape:
+                auto_init = False
             if auto_init and np.allclose(M_total, np.eye(4)):
                 from ...models.rigid_intensity import _MODE_NPARAMS
                 from .phase_correlation import phase_correlation

@@ -68,9 +68,24 @@ def _window_keys(u, v, w, au, av, nu, nv, valid, P, S, W):
     c = 1.0 - a - b
     hit = safe & (a >= 0.0) & (b >= 0.0) & (c >= 0.0)
 
-    wc = (a * w[:, 0][:, None, None] + b * w[:, 1][:, None, None]
-          + c * w[:, 2][:, None, None])
-    k_max = jnp.floor(wc - 1e-9).astype(jnp.int32)
+    # anchored at w0 so a FLAT face (w0 == w1 == w2) interpolates to
+    # exactly w0 at any height — `a*w0 + b*w1 + c*w2` rounds each
+    # product, so caps at e.g. z = 7.0 came out 7 +- 4e-7 (review
+    # finding: 632, then 27, differing voxels on a box vs the host)
+    w0 = w[:, 0][:, None, None]
+    wc = (w0 + b * (w[:, 1][:, None, None] - w0)
+          + c * (w[:, 2][:, None, None] - w0))
+    # host twin: k_max = floor(wc - 1e-9) in f64, i.e. an EXACT
+    # integer crossing height k flips centers < k. The 1e-9 nudge
+    # underflows in f32 (ulp at wc >= 2 is 2.4e-7), so express the
+    # same semantics directly: floor, minus one exactly at integers.
+    # Residual boundary: a SLANTED face whose crossing lands within
+    # f32 rounding of an integer height can still round differently
+    # than the host's f64 — there the voxel center lies ON the
+    # surface, where in/out is genuinely ambiguous (documented in
+    # voxelize_mesh_device's docstring).
+    kf = jnp.floor(wc)
+    k_max = (kf - (wc == kf).astype(jnp.float32)).astype(jnp.int32)
     ok = (hit
           & (du[None, None, :] < nu[:, None, None].astype(jnp.float32))
           & (dv[None, :, None] < nv[:, None, None].astype(jnp.float32))
@@ -178,13 +193,16 @@ def _parity_fill_device(tri, S, H, W):
 
 def voxelize_batch(meshes_pixel, dimensions, plane="Axial",
                    as_numpy=True):
-    """Cohort ray-parity voxelization: B meshes onto one SHARED grid in
-    ONE device pass (pooled crossing keys with per-mesh canvas offsets,
-    one scatter histogram + one batched parity scan) — the batch twin
-    of :func:`voxelize_mesh_device`, like rasterize_batch for contours.
+    """Cohort ray-parity voxelization: B meshes onto one SHARED grid —
+    the batch twin of :func:`voxelize_mesh_device`, like
+    rasterize_batch for contours. One program per mesh, dispatched
+    async so mesh k+1's host prep overlaps mesh k's device work
+    (pooling everything into a single (B*S*H*W)-bin histogram was
+    measured SLOWER: the ~1 GB counts buffer thrashed HBM).
 
     meshes_pixel: list of (points_pixel (N,3), faces (T,3)) pairs;
-    dimensions: shared (Z, Y, X). Returns (B, Z, Y, X) uint8.
+    dimensions: shared (Z, Y, X). Returns (B, Z, Y, X) uint8 numpy,
+    or the device-resident array when ``as_numpy=False`` (any plane).
     """
     d0, d1, d2 = (int(d) for d in dimensions[:3])
     if plane == "Axial":
@@ -212,14 +230,11 @@ def voxelize_batch(meshes_pixel, dimensions, plane="Axial",
         lanes.append(_parity_fill_device(packed, S, H, W))
     out = jnp.stack(lanes) if lanes else jnp.zeros((0, S, H, W),
                                                    jnp.uint8)
-    if not as_numpy and plane == "Axial":
-        return out
-    out = np.asarray(out)
     if plane == "Coronal":
-        out = np.moveaxis(out, 1, 2)
+        out = jnp.moveaxis(out, 1, 2)
     elif plane == "Sagittal":
-        out = np.moveaxis(out, 1, 3)
-    return out
+        out = jnp.moveaxis(out, 1, 3)
+    return out if not as_numpy else np.asarray(out)
 
 
 def voxelize_mesh_device(points_pixel, faces, dimensions, plane="Axial",
@@ -227,7 +242,13 @@ def voxelize_mesh_device(points_pixel, faces, dimensions, plane="Axial",
     """Device ray-parity voxelization; same contract as
     ``utils.convert.voxelize.voxelize_mesh`` (pixel-coordinate points,
     (Z, Y, X) dimensions, slicing ``plane``). ``as_numpy=False``
-    returns the device-resident (Z, Y, X) uint8 array (axial only)."""
+    returns the device-resident (Z, Y, X) uint8 array.
+
+    Exactness vs the host f64 twin: bit-equal except where a SLANTED
+    face's crossing height lands within f32 rounding of an exact
+    integer — there the voxel center lies ON the surface and in/out is
+    genuinely ambiguous (flat caps at integer heights agree exactly;
+    see the anchored-wc note in :func:`_window_keys`)."""
     pts = np.asarray(points_pixel, np.float64)
     faces = np.asarray(faces, np.int64).reshape(-1, 3)
     d0, d1, d2 = (int(d) for d in dimensions[:3])
@@ -235,11 +256,12 @@ def voxelize_mesh_device(points_pixel, faces, dimensions, plane="Axial",
     x, y, z = tri[..., 0], tri[..., 1], tri[..., 2]
     if plane == "Axial":
         out = _parity_fill_device(np.stack([z, y, x], -1), d0, d1, d2)
-        if not as_numpy:
-            return out
-        return np.asarray(out)
-    if plane == "Coronal":
-        out = _parity_fill_device(np.stack([y, z, x], -1), d1, d0, d2)
-        return np.moveaxis(np.asarray(out), 0, 1)
-    out = _parity_fill_device(np.stack([x, z, y], -1), d2, d0, d1)
-    return np.moveaxis(np.asarray(out), 0, 2)
+    elif plane == "Coronal":
+        out = jnp.moveaxis(
+            _parity_fill_device(np.stack([y, z, x], -1), d1, d0, d2),
+            0, 1)
+    else:
+        out = jnp.moveaxis(
+            _parity_fill_device(np.stack([x, z, y], -1), d2, d0, d1),
+            0, 2)
+    return np.asarray(out) if as_numpy else out

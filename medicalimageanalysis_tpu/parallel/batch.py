@@ -636,7 +636,7 @@ def rasterize_batch(contour_sets, dimensions, plane="Axial", mesh=None):
     import numpy as np
 
     from ..ops.rasterize import (_bucket, _polygon_bitmaps,
-                                 _scatter_xor,
+                                 _scatter_xor, stage_polygons,
                                  rasterize_polygons_grouped)
     from ..utils.convert.contour import _plane_split
 
@@ -663,14 +663,8 @@ def rasterize_batch(contour_sets, dimensions, plane="Axial", mesh=None):
         valid = np.zeros((B, Kmax, E), bool)
         rows = np.full((B, Kmax), S, np.int32)
         for b, (polys, sids) in enumerate(grouped):
-            for k, poly in enumerate(polys):
-                p = np.trunc(np.asarray(poly)[:, :2]
-                             + 1e-6).astype(np.int32)
-                n = p.shape[0]
-                verts[b, k, :n] = p
-                verts[b, k, n:] = p[0]
-                valid[b, k, :n] = True
-                s = int(sids[k])
+            verts[b], valid[b] = stage_polygons(polys, E, Kmax)
+            for k, s in enumerate(np.asarray(sids, np.int64)):
                 rows[b, k] = s if 0 <= s < S else S
 
         def single(v, ev, r):

@@ -156,11 +156,35 @@ class DicomReader(object):
                         p, stop_before_pixels=self.only_tags),
                     paths))
         self.report.files_total = len(paths)
+
+        def _is_dicomdir(d):
+            # Media Storage Directory: legitimately Modality-less —
+            # group-0004 file-set tags identify it (present on
+            # virtually every clinical CD; review finding: the
+            # truncation heuristic below misfiled it as corrupt)
+            try:
+                return ((0x0004, 0x1220) in d or (0x0004, 0x1130) in d
+                        or (d.file_meta or {}).get(
+                            "MediaStorageSOPClassUID")
+                        == "1.2.840.10008.1.3.10")
+            except Exception:
+                return False
+
         # a partial dataset without a Modality tag (e.g. a file
         # truncated inside the header) can never route anywhere:
         # count it failed rather than letting it vanish silently
-        # (torture-archive finding)
-        usable = [bool(d) and (0x0008, 0x0060) in d for d in self.ds]
+        # (torture-archive finding). DICOMDIRs parse fine and are
+        # simply not image objects: parsed_ok, not failed.
+        usable = []
+        for d in self.ds:
+            if not d:
+                usable.append(False)
+            elif (0x0008, 0x0060) in d:
+                usable.append(True)
+            elif _is_dicomdir(d):
+                usable.append(True)
+            else:
+                usable.append(False)
         self.report.parsed_ok = sum(usable)
         self.report.failed_files = [p for p, u in zip(paths, usable)
                                     if not u]

@@ -111,8 +111,7 @@ def obl_scan(K, volj=volj):
         a = A12.at[3].add(jnp.float32(i) * 1e-3)  # defeat CSE
         out, ovf = _oblique_call(
             volj, a, kap, jnp.float32(0.0), (Z, Y, X),
-            (plan["Z2"], plan["Y2"]), plan["window"], None, (), False,
-            tz=int(plan.get("tz", 8)))
+            (plan["Z2"], plan["Y2"]), plan["window"], None, (), False)
         return acc + jnp.sum(out) + ovf, None
 
     acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
@@ -152,8 +151,7 @@ def obl3_scan(K, volj=volj):
         a = A12.at[3].add(jnp.float32(i) * 1e-3)
         out, ovf = _oblique_call(
             volj, a, kap, jnp.float32(0.0), (Z, Y, X),
-            (plan3["Z2"], plan3["Y2"]), plan3["window"], None, (),
-            False, tz=int(plan3.get("tz", 8)))
+            (plan3["Z2"], plan3["Y2"]), plan3["window"], None, (), False)
         return acc + jnp.sum(out) + ovf, None
 
     acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))

@@ -1140,3 +1140,28 @@ def test_elastix_staged_map_validation():
     with pytest.raises(ValueError, match="must be last"):
         elastix_registration(fixed, fixed, (1, 1, 1),
                              parameter_map=wrong_order)
+
+
+def test_elastix_staged_differing_shapes_no_crash():
+    """Staged maps with different fixed/moving grids: the phase-
+    correlation auto-init silently skips (it needs matching shapes)
+    and the descent still runs (round-4 review finding: this raised)."""
+    from medicalimageanalysis_tpu.ops.registration.bspline import (
+        elastix_registration)
+
+    fixed = make_blob(shape=(8, 24, 24)).astype(np.float32)
+    moving = np.pad(np.roll(fixed, 1, axis=2), ((0, 0), (0, 2), (0, 2)))
+    stages = [
+        {"Transform": ["EulerTransform"],
+         "NumberOfResolutions": ["2"],
+         "MaximumNumberOfIterations": ["30"]},
+        {"Transform": ["BSplineTransform"],
+         "NumberOfResolutions": ["1"],
+         "FinalGridSpacingInPhysicalUnits": ["8"],
+         "MaximumNumberOfIterations": ["20"]},
+    ]
+    dvf, losses = elastix_registration(fixed, moving, (1, 1, 1),
+                                       parameter_map=stages,
+                                       metric="mse")
+    assert dvf.shape == fixed.shape + (3,)
+    assert np.isfinite(dvf).all()

@@ -529,7 +529,12 @@ def test_voxelize_device_matches_host_twin():
         assert gold.sum() > 100
         np.testing.assert_array_equal(dev, gold, err_msg=plane)
 
-    # big-face fallback: a box of 12 huge triangles (window > 32)
+    # big-face fallback: a box of 12 huge triangles (window > 32).
+    # INTEGER cap heights (z = 2.0 / 7.0 would sit exactly on voxel
+    # centers) are exercised separately below — the f32 k_max tie rule
+    # must match the host's f64 floor(wc - 1e-9) exactly there
+    # (round-4 review finding: 632 differing voxels before the
+    # anchored-wc + exact-integer-tie fix).
     corners = np.array([[2.2, 2.2, 2.3], [21.5, 2.2, 2.3],
                         [21.5, 25.4, 2.3], [2.2, 25.4, 2.3],
                         [2.2, 2.2, 17.6], [21.5, 2.2, 17.6],
@@ -548,6 +553,15 @@ def test_voxelize_device_matches_host_twin():
     faces_mix = np.concatenate([faces, np.asarray(mesh.faces) + 8])
     gold = voxelize_mesh(pts_mix, faces_mix, dims)
     dev = voxelize_mesh_device(pts_mix, faces_mix, dims)
+    np.testing.assert_array_equal(dev, gold)
+
+    # integer-height flat caps: crossings exactly ON voxel centers
+    corners_i = corners.copy()
+    corners_i[:4, 2] = 2.0
+    corners_i[4:, 2] = 7.0
+    gold = voxelize_mesh(corners_i, faces, dims)
+    dev = voxelize_mesh_device(corners_i, faces, dims)
+    assert gold.sum() > 1000
     np.testing.assert_array_equal(dev, gold)
 
     # empty mesh

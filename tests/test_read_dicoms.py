@@ -136,3 +136,26 @@ def test_datetime_sorting(tmp_path, rng):
     assert Data.image_list == list(Data.image.keys())
     rd.sort_images_by_datetime()
     assert Data.image_list == list(Data.image.keys())
+
+
+def test_dicomdir_is_not_a_failed_file(tmp_path, rng):
+    """A Media Storage Directory (DICOMDIR — on virtually every
+    clinical CD) is legitimately Modality-less: it must count as
+    parsed, not corrupt (round-4 review finding: the truncation
+    heuristic misfiled it alongside genuinely damaged files)."""
+    from medicalimageanalysis_tpu.dicom import (Dataset, dcmwrite,
+                                                generate_uid)
+
+    arr = rng.integers(0, 100, size=(2, 8, 8)).astype(np.int16)
+    CreateDicomImage(tmp_path, arr).run()
+
+    dd = Dataset()
+    dd.SOPClassUID = "1.2.840.10008.1.3.10"  # Media Storage Directory
+    dd.SOPInstanceUID = generate_uid()
+    dd.add(0x00041130, "CS", "MAIN")         # FileSetID
+    dcmwrite(tmp_path / "DICOMDIR", dd)
+
+    report = mia.read_dicoms(folder_path=str(tmp_path)).report
+    assert Data.image_list == ["CT 01"]
+    assert report.failed_files == []
+    assert report.parsed_ok == report.files_total
