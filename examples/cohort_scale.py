@@ -130,6 +130,34 @@ def main():
     dvh = dvh_batch(doses, masks_auto, 0.001, mesh=mesh)
     print("cohort DVH Dmean Gy:", np.round(dvh["Dmean"], 2))
 
+    # -- 6. cohort geometry converters (round 4): every ROI's contours
+    #       rasterized in one pooled pass; meshes voxelized on device --
+    from medicalimageanalysis_tpu.parallel.batch import rasterize_batch
+    th = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    S, Hh, Ww = masks_auto.shape[1:]
+    sets = []
+    for b in range(masks_auto.shape[0]):
+        contours = [np.stack([Ww / 2 + (6 + b) * np.cos(th),
+                              Hh / 2 + (5 + b) * np.sin(th),
+                              np.full_like(th, float(z))], axis=1)
+                    for z in range(2, S - 2)]
+        sets.append(contours)
+    rois = rasterize_batch(sets, masks_auto.shape[1:], plane="Axial",
+                           mesh=mesh)
+    print("cohort rasterized ROI voxels:", rois.sum(axis=(1, 2, 3)))
+
+    from medicalimageanalysis_tpu.ops.marching_cubes import mask_to_mesh
+    from medicalimageanalysis_tpu.ops.voxelize import voxelize_batch
+    meshes = []
+    for b in range(rois.shape[0]):
+        m = mask_to_mesh(rois[b], [1.0, 1.0, 1.0], [0, 0, 0], np.eye(3))
+        meshes.append((np.asarray(m.points, np.float64),
+                       np.asarray(m.faces)))
+    revox = voxelize_batch(meshes, rois.shape[1:], plane="Axial")
+    agree = [(revox[b] & rois[b]).sum() / max(rois[b].sum(), 1)
+             for b in range(rois.shape[0])]
+    print("mesh->voxel round-trip overlap:", np.round(agree, 3))
+
     Data.clear()
     print("cohort walkthrough OK")
 
