@@ -79,20 +79,26 @@ def _base_grid(shape_zyx):
     return zz, yy, xx
 
 
-def _pick_config(vol_shape, window=None):
+def _pick_config(vol_shape, window=None, tz=8):
     """Static tile/slab sizes for a given (padded) volume shape.
 
     window: optional (DZ, DY) within-tile coordinate-spread caps.
+    tz: output-tile z extent. The AFFINE path passes 16 when the
+    transform's z-spread allows it: the kernel is slab-DMA-amplification
+    bound there, and a taller tile amortizes the (ZS, YS, SX) slab over
+    2x the output rows — measured 2.0x at 256^3 (5.58 -> 2.80 ms,
+    bit-exact; docs/PERF.md round 4). Thinner tiles (TZ < 8) were
+    probed for the oblique residual and LOST (per-tile ~1.1 us +
+    per-iteration ~50 ns fixed costs outgrow the shrinking ranges);
+    disp/coords modes keep 8 (measured slower at 16 — their
+    coordinate blocks scale with the tile).
 
-    TZ is FIXED at 8 too: thinner output tiles were probed on hardware
-    for the fully-oblique residual and LOST (docs/PERF.md round 4 —
-    per-tile and per-loop-iteration fixed costs outgrow the shrinking
-    trip ranges). TY is FIXED at 8: the kernel's aligned-load + pltpu.roll residual
+    TY is FIXED at 8: the kernel's aligned-load + pltpu.roll residual
     trick produces wrong row mappings for TY>8 (probed on hardware;
     multi-vreg sublane rotates). Tile-size probes showed (8,8,256) etc.
     within run noise of (8,8,128), so there is no perf reason to vary."""
     Z, Y, X = vol_shape
-    TZ, TY, TX = 8, 8, 128
+    TZ, TY, TX = int(tz), 8, 128
     DZ, DY = (16, 16) if window is None else window
     # NOTE: never shrink the slab below the window caps for small
     # volumes — the wrapper pads the volume to fit the slab, and
@@ -111,12 +117,12 @@ def _pick_config(vol_shape, window=None):
     return dict(TZ=TZ, TY=TY, TX=TX, ZS=ZS, YS=YS, SX=SX)
 
 
-def predicted_spread(pixel_matrix):
+def predicted_spread(pixel_matrix, tz=8):
     """Per-tile coordinate spreads implied by an (x,y,z)-convention
     affine pixel matrix, in the same units the kernel's window caps
     bound. Host-side companion of :func:`fits_warp_caps`."""
     A = np.asarray(pixel_matrix, np.float64)
-    cfg = _pick_config((1, 1, 1))
+    cfg = _pick_config((1, 1, 1), tz=tz)
     TZ, TY, TX = cfg["TZ"], cfg["TY"], cfg["TX"]
     sz = (abs(A[2, 2] - 1) * TZ + abs(A[2, 1]) * TY
           + abs(A[2, 0]) * TX + 1)
@@ -125,7 +131,7 @@ def predicted_spread(pixel_matrix):
     return sz, sy
 
 
-def fits_warp_caps(pixel_matrix, window=None, vol_x=None):
+def fits_warp_caps(pixel_matrix, window=None, vol_x=None, tz=8):
     """True when an affine's per-tile footprint fits the kernel's slab
     windows (derived from _pick_config, NOT hardcoded): beyond this the
     kernel would background-overflow and callers should take the exact
@@ -136,14 +142,14 @@ def fits_warp_caps(pixel_matrix, window=None, vol_x=None):
     without it, wide-volume downsampling affines pass the prediction,
     then overflow at runtime and pay the wasted dispatch + eager sync
     this predicate exists to avoid (review finding)."""
-    cfg = _pick_config((1 << 14, 1 << 14, 1 << 14), window)
+    cfg = _pick_config((1 << 14, 1 << 14, 1 << 14), window, tz=tz)
     ZW = cfg["ZS"] - cfg["TZ"]
     YW = cfg["YS"] - cfg["TY"] - 8
-    sz, sy = predicted_spread(pixel_matrix)
+    sz, sy = predicted_spread(pixel_matrix, tz=tz)
     if not (sz <= ZW - 1 and sy <= YW - 8):
         return False
     if vol_x is not None:
-        cfg_x = _pick_config((1, 1, int(vol_x)), window)
+        cfg_x = _pick_config((1, 1, int(vol_x)), window, tz=tz)
         if cfg_x["SX"] < _round_up(int(vol_x), 128):
             A = np.asarray(pixel_matrix, np.float64)
             TZ, TY, TX = cfg["TZ"], cfg["TY"], cfg["TX"]
@@ -436,7 +442,7 @@ def _warp_kernel(dims_ref, bg_ref, *refs, cfg, B, want_grad, mode):
 
 
 def _warp_call(vol, coords, background, want_grad, window, interpret,
-               mode="coords", out_shape=None, logical_dims=None):
+               mode="coords", out_shape=None, logical_dims=None, tz=8):
     """Padded pallas_call. vol (B, Z, Y, X) f32.
 
     coords per mode:
@@ -467,7 +473,7 @@ def _warp_call(vol, coords, background, want_grad, window, interpret,
         Zo, Yo, Xo = out_shape
     if mode == "affine_shear" and want_grad:
         raise NotImplementedError("affine_shear mode is forward-only")
-    cfg = _pick_config((Z, Y, X), window)
+    cfg = _pick_config((Z, Y, X), window, tz=tz)
     TZ, TY, TX = cfg["TZ"], cfg["TY"], cfg["TX"]
     ZS, YS, SX = cfg["ZS"], cfg["YS"], cfg["SX"]
 
@@ -973,9 +979,10 @@ def affine_warp(volume, pixel_matrix, out_shape, background=0.0,
 
 
 @partial(jax.jit,
-         static_argnames=("out_shape", "perm", "flips", "interpret"))
+         static_argnames=("out_shape", "perm", "flips", "interpret",
+                          "tz"))
 def affine_warp_fused(volume, pixel_matrix, background, out_shape,
-                      perm=None, flips=None, interpret=False):
+                      perm=None, flips=None, interpret=False, tz=8):
     """One-program affine resample: optional input relayout
     (transpose/flip pre-pass for large rotations) + coordinate
     generation + the warp kernel, returning ``(out, overflow_count)``.
@@ -997,7 +1004,8 @@ def affine_warp_fused(volume, pixel_matrix, background, out_shape,
     out, _, ovf = _warp_call(vol[None], A12,
                              jnp.asarray(background, jnp.float32),
                              False, None, interpret, mode="affine",
-                             out_shape=tuple(int(s) for s in out_shape))
+                             out_shape=tuple(int(s) for s in out_shape),
+                             tz=tz)
     return out[0], ovf
 
 

@@ -264,23 +264,37 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
         from .pallas_warp import (affine_warp_fused, affine_warp_oblique,
                                   fits_warp_caps, oblique_plan)
         osh = tuple(int(s) for s in out_shape)
+
+        def pick_tz(mat, vx):
+            # taller z-tiles halve the slab-DMA amplification the
+            # affine kernel is bound by (measured 2.0x at 256^3,
+            # bit-exact) — take 16 whenever the transform's z-spread
+            # still fits the window at that height
+            for tzc in (16, 8):
+                if fits_warp_caps(mat, vol_x=vx, tz=tzc):
+                    return tzc
+            return None
+
         fused_args = None
         al = None
-        if fits_warp_caps(A, vol_x=vol.shape[-1]):
-            fused_args = (A, None, ())
+        tz = pick_tz(A, vol.shape[-1])
+        if tz is not None:
+            fused_args = (A, None, (), tz)
         else:
             # large rotation: exact transpose/flip pre-pass (90-ish
             # degree orientation reslices become near-identity residuals)
             al = _axis_align_input(A, vol.shape)
-            if al is not None and fits_warp_caps(
-                    al[2], vol_x=vol.shape[al[0][2]]):
-                perm, flips, A2 = al
-                fused_args = (A2, perm, flips)
+            if al is not None:
+                tz = pick_tz(al[2], vol.shape[al[0][2]])
+                if tz is not None:
+                    perm, flips, A2 = al
+                    fused_args = (A2, perm, flips, tz)
         if fused_args is not None:
-            A2, perm, flips = fused_args
+            A2, perm, flips, tz = fused_args
             out, ovf = affine_warp_fused(
                 vol, jnp.asarray(A2, jnp.float32),
-                jnp.float32(background), osh, perm=perm, flips=flips)
+                jnp.float32(background), osh, perm=perm, flips=flips,
+                tz=tz)
             if float(ovf) == 0.0:
                 return out
             # caps exceeded despite the host prediction: fall through

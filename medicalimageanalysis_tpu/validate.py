@@ -78,6 +78,14 @@ def validate_kernels(fast=True):
     d = float(jnp.max(jnp.abs(outa - refa)))
     record("warp_affine_mode", d < 5e-3 and float(ovfa) == 0,
            f"max|diff|={d:.2e}")
+    # tall-tile (TZ=16) variant: the 2x slab-amplification path
+    # affine_resample auto-selects (r4) — pin it on-chip every bench
+    outa16, ovfa16 = affine_warp_fused(volm, jnp.asarray(A),
+                                       jnp.float32(-3001.0),
+                                       (17, 30, 70), tz=16)
+    d16 = float(jnp.max(jnp.abs(outa16 - refa)))
+    record("warp_affine_tz16", d16 < 5e-3 and float(ovfa16) == 0,
+           f"max|diff|={d16:.2e}")
 
     # oblique staircase-shear path (round 3)
     from scipy.spatial.transform import Rotation
