@@ -521,6 +521,35 @@ def main():
     oblique_ms = max((obl_t[10] - obl_t[2]) / 8.0, 1e-9) * 1000.0
     oblique_mpts = No ** 3 / (oblique_ms / 1000.0) / 1e6
 
+    # plain near-rigid affine reslice marginal (the vtkImageReslice
+    # replacement under Rigid.create_image): rides the r4 tall-tile
+    # (TZ=16) affine kernel
+    from medicalimageanalysis_tpu.ops.pallas_warp import affine_warp_fused
+    _Aa = np.eye(4, dtype=np.float32)
+    _Aa[:3, :3] += np.random.default_rng(5).normal(
+        scale=0.01, size=(3, 3)).astype(np.float32)
+    _Aa[:3, 3] = [1.5, -2.0, 0.5]
+    A12a = jnp.asarray(_Aa, jnp.float32)
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def aff_scan(v, reps):
+        def body(acc, i):
+            a = A12a.at[0, 3].add(jnp.float32(i) * 1e-3)
+            o, ovf = affine_warp_fused(v, a, jnp.float32(-3001.0),
+                                       (No, No, No), tz=16)
+            return acc + jnp.sum(o) + ovf, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
+        return acc
+
+    aff_t = {}
+    for reps in (2, 10):
+        pull(aff_scan(obl_vol, reps))
+        t8b = time.perf_counter()
+        pull(aff_scan(obl_vol, reps))
+        aff_t[reps] = time.perf_counter() - t8b
+    affine_ms = max((aff_t[10] - aff_t[2]) / 8.0, 1e-9) * 1000.0
+    affine_mpts = No ** 3 / (affine_ms / 1000.0) / 1e6
+
     # gamma dose-QA scan kernel (round-3 addition): clinical 3%/3mm
     # layout on a 64x100x100 2.5mm grid. Marginal discipline: the
     # offset list is runtime data, so timing the full list vs a
@@ -616,6 +645,8 @@ def main():
             "voxelize_batch_per_mesh_ms": round(vox_batch_per_mesh_ms,
                                                 2),
             "packed_upload_chunks": packed_hits,
+            "affine_reslice_marginal_ms": round(affine_ms, 2),
+            "affine_reslice_mpts_per_s": round(affine_mpts, 1),
             "oblique_reslice_marginal_ms": round(oblique_ms, 2),
             "oblique_reslice_mpts_per_s": round(oblique_mpts, 1),
             "gamma_3pct3mm_64x100x100_ms": round(gamma_full_ms, 1),

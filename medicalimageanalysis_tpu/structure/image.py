@@ -636,6 +636,39 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
             "threshold": cut,
         }
 
+    def compute_roi_masks(self, roi_names=None):
+        """Every (or the named) contoured ROI rasterized in ONE pooled
+        device pass — BEYOND-PARITY cohort twin of per-ROI
+        ``Roi.compute_mask`` (a clinical structure set holds 10-50
+        ROIs; the reference loops cv2.fillPoly per ROI per slice).
+        Bit-identical to the per-ROI path. ROIs whose slicing plane
+        differs from the majority, or that have no contours (mesh-only
+        / stub), fall back to their own ``compute_mask``. Returns
+        {name: (Z, Y, X) uint8}."""
+        from ..parallel.batch import rasterize_batch
+
+        names = list(roi_names if roi_names is not None else self.rois)
+        dims = tuple(int(v) for v in self.dimensions)
+        pooled = []
+        out = {}
+        plane_of = {}
+        for n in names:
+            roi = self.rois[n]
+            if roi.contour_pixel is not None and len(roi.contour_pixel):
+                plane_of[n] = roi.plane
+            else:
+                out[n] = np.asarray(roi.compute_mask(), np.uint8)
+        if plane_of:
+            # one pooled pass per plane present (almost always one)
+            for plane in sorted(set(plane_of.values())):
+                group = [n for n in names if plane_of.get(n) == plane]
+                masks = rasterize_batch(
+                    [self.rois[n].contour_pixel for n in group], dims,
+                    plane=plane)
+                for i, n in enumerate(group):
+                    out[n] = masks[i]
+        return {n: out[n] for n in names}
+
     def compute_radiomics(self, roi_name, values=None, bin_width=None,
                           n_bins=32, families=None, alpha=0):
         """Full radiomics panel for one ROI — BEYOND-PARITY (the

@@ -207,3 +207,39 @@ def test_raster_backend_auto_selection(monkeypatch):
                         lambda force=False: 8e9)      # local PCIe
     expected = "cv2" if jax.default_backend() == "cpu" else "device"
     assert _pick_raster_backend(500, 120, 512, 512) == expected
+
+
+def test_compute_roi_masks_pooled_matches_per_roi(tmp_path, rng):
+    """Image.compute_roi_masks: the whole structure set in one pooled
+    device pass, bit-identical to per-ROI compute_mask; stub ROIs
+    (match_rois injections, no contours) come back all-zero."""
+    from helpers import square_contour_mm, write_ct_series, write_rtstruct
+
+    arr = rng.integers(-500, 500, size=(8, 24, 24)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    rois = {
+        "Target": [(square_contour_mm(info, z, 6, 14), z)
+                   for z in range(2, 6)],
+        "Node": [(square_contour_mm(info, z, 3, 8), z)
+                 for z in range(1, 4)],
+        "Skin": [(square_contour_mm(info, z, 1, 22), z)
+                 for z in range(0, 8)],
+    }
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+    img.create_roi(name="Stub", color=[1, 2, 3])  # no contours
+
+    pooled = img.compute_roi_masks()
+    assert set(pooled) == {"Target", "Node", "Skin", "Stub"}
+    for name in ("Target", "Node", "Skin"):
+        np.testing.assert_array_equal(
+            pooled[name],
+            np.asarray(img.rois[name].compute_mask()).astype(np.uint8),
+            err_msg=name)
+        assert pooled[name].sum() > 0
+    assert pooled["Stub"].sum() == 0
+
+    sub = img.compute_roi_masks(["Node"])
+    np.testing.assert_array_equal(sub["Node"], pooled["Node"])
