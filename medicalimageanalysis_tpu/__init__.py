@@ -20,7 +20,8 @@ def __getattr__(name):
     # Lazy exports keep `import medicalimageanalysis_tpu` light (no jax
     # import until a compute path is touched).
     if name in ("read_dicoms", "read_3mf", "read_mhd", "read_stl",
-                "read_vtk", "file_parser", "check_memory"):
+                "read_vtk", "read_ply", "read_obj", "file_parser",
+                "check_memory"):
         from . import reader
         return getattr(reader, name)
     if name == "read_nifti":
@@ -35,7 +36,7 @@ def __getattr__(name):
     if name == "ThreeMfReader":
         from .read.mf3 import ThreeMfReader
         return ThreeMfReader
-    if name in ("StlReader", "VtkReader"):
+    if name in ("StlReader", "VtkReader", "PlyReader", "ObjReader"):
         from . import read
         return getattr(read, name)
     if name == "Image":

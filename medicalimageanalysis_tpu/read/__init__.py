@@ -5,7 +5,8 @@ def __getattr__(name):
     import importlib
     table = {"DicomReader": "dicom", "MhdReader": "mhd",
              "ThreeMfReader": "mf3", "StlReader": "stl",
-             "VtkReader": "vtk", "ReadRTStruct": "rtstruct",
+             "VtkReader": "vtk", "PlyReader": "ply",
+             "ObjReader": "obj", "ReadRTStruct": "rtstruct",
              "ReadREG": "reg", "ReadRTDose": "rtdose",
              "Read3D": "volume3d", "ReadXRay": "planar",
              "ReadRF": "planar", "ReadUS": "planar"}
@@ -16,5 +17,5 @@ def __getattr__(name):
 
 
 __all__ = ["DicomReader", "MhdReader", "ThreeMfReader", "StlReader",
-           "VtkReader", "Read3D", "ReadXRay", "ReadRF", "ReadUS",
-           "ReadRTStruct", "ReadREG", "ReadRTDose"]
+           "VtkReader", "PlyReader", "ObjReader", "Read3D", "ReadXRay",
+           "ReadRF", "ReadUS", "ReadRTStruct", "ReadREG", "ReadRTDose"]

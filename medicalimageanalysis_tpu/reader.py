@@ -13,7 +13,8 @@ from pathlib import Path
 import psutil
 
 __all__ = ["check_memory", "file_parser", "read_dicoms", "read_3mf",
-           "read_mhd", "read_stl", "read_vtk", "read_nifti"]
+           "read_mhd", "read_stl", "read_vtk", "read_ply", "read_obj",
+           "read_nifti"]
 
 
 def check_memory(files):
@@ -41,6 +42,8 @@ def file_parser(folder_path=None, file_list=None, exclude_files=None):
         "Nifti": [],
         "Stl": [],
         "Vtk": [],
+        "Ply": [],
+        "Obj": [],
         "3mf": [],
         "Zip": [],
         "NoExtension": [],
@@ -69,6 +72,10 @@ def file_parser(folder_path=None, file_list=None, exclude_files=None):
             files["Stl"].append(filepath)
         elif extension == ".vtk":
             files["Vtk"].append(filepath)
+        elif extension == ".ply":
+            files["Ply"].append(filepath)
+        elif extension == ".obj":
+            files["Obj"].append(filepath)
         elif extension == ".3mf":
             files["3mf"].append(filepath)
         elif extension == ".zip":
@@ -211,6 +218,26 @@ def read_vtk(file_list):
     if isinstance(file_list, (str, bytes)):
         file_list = [file_list]
     return [read_vtk_polydata(f) for f in file_list]
+
+
+def read_ply(file_list):
+    """Load .ply meshes -> list of TriMesh (the reference's generic
+    pv.read path would cover these but is dormant; functional here)."""
+    from .read.ply import read_ply as _read
+
+    if isinstance(file_list, (str, bytes)):
+        file_list = [file_list]
+    return [_read(f) for f in file_list]
+
+
+def read_obj(file_list):
+    """Load Wavefront .obj meshes -> list of TriMesh (dormant pv.read
+    path in the reference; functional here)."""
+    from .read.obj import read_obj as _read
+
+    if isinstance(file_list, (str, bytes)):
+        file_list = [file_list]
+    return [_read(f) for f in file_list]
 
 
 def read_nifti(file, modality=None, image_name=None):

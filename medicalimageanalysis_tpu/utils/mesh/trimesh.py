@@ -341,6 +341,12 @@ class TriMesh:
         elif path.lower().endswith(".vtk"):
             from ...read.vtk import write_vtk_polydata
             write_vtk_polydata(path, self)
+        elif path.lower().endswith(".ply"):
+            from ...read.ply import write_ply
+            write_ply(path, self)  # carries point_data['colors']
+        elif path.lower().endswith(".obj"):
+            from ...read.obj import write_obj
+            write_obj(path, self)  # carries point_data['colors']
         else:
             np.savez(path, points=self.points, faces=self.faces)
 
