@@ -102,8 +102,12 @@ def _read_ply(path):
 
     if vertex is None:
         raise ValueError("no vertex element")
-    mesh = TriMesh(vertex, faces if faces is not None
-                   else np.zeros((0, 3), dtype=np.int32))
+    if faces is None:
+        faces = np.zeros((0, 3), dtype=np.int32)
+    if faces.size and (faces.min() < 0
+                       or faces.max() >= vertex.shape[0]):
+        raise ValueError("face index out of range")
+    mesh = TriMesh(vertex, faces)
     if colors is not None:
         mesh["colors"] = colors
     return mesh
