@@ -297,6 +297,19 @@ def affine_resample(volume, pixel_matrix, out_shape, background=None):
                 tz=tz)
             if float(ovf) == 0.0:
                 return out
+            if tz == 16 and fits_warp_caps(
+                    A2, vol_x=vol.shape[-1] if perm is None
+                    else vol.shape[perm[2]], tz=8):
+                # the tz=16 window mispredicted (runtime z-spread
+                # exceeded it): tz=8 has strictly more headroom and
+                # served these maps before the TZ=16 auto-selection —
+                # retry it before abandoning the fused kernel
+                out, ovf = affine_warp_fused(
+                    vol, jnp.asarray(A2, jnp.float32),
+                    jnp.float32(background), osh, perm=perm,
+                    flips=flips, tz=8)
+                if float(ovf) == 0.0:
+                    return out
             # caps exceeded despite the host prediction: fall through
             # to the oblique factorization below before the gather
             # (review finding: going straight to the ~14 M pts/s

@@ -95,13 +95,10 @@ def write_obj(path, mesh):
     uint8 values round-trip exactly through the repr'd c/255 floats)."""
     p = np.asarray(mesh.points, dtype=np.float64)
     f = np.asarray(mesh.faces, dtype=np.int32).reshape(-1, 3)
-    colors = None
-    pd = getattr(mesh, "point_data", None)
-    if pd and "colors" in pd:
-        colors = np.asarray(pd["colors"])
-        if colors.dtype != np.uint8:
-            colors = np.clip(colors, 0, 255).astype(np.uint8)
-        colors = colors[:, :3].astype(np.float64) / 255.0
+    getc = getattr(mesh, "vertex_colors_uint8", lambda: None)
+    colors = getc()
+    if colors is not None:
+        colors = colors.astype(np.float64) / 255.0
 
     with open(str(path), "w") as fh:
         fh.write("# medicalimageanalysis_tpu\n")

@@ -276,13 +276,8 @@ def write_ply(path, mesh, binary=True):
     ``mesh.point_data['colors']`` (N,3) uint8 survive losslessly."""
     p = np.asarray(mesh.points, dtype=np.float64)
     f = np.asarray(mesh.faces, dtype=np.int32).reshape(-1, 3)
-    colors = None
-    pd = getattr(mesh, "point_data", None)
-    if pd and "colors" in pd:
-        colors = np.asarray(pd["colors"])
-        if colors.dtype != np.uint8:
-            colors = np.clip(colors, 0, 255).astype(np.uint8)
-        colors = colors[:, :3]
+    getc = getattr(mesh, "vertex_colors_uint8", lambda: None)
+    colors = getc()
 
     head = ["ply",
             "format binary_little_endian 1.0" if binary
@@ -316,7 +311,9 @@ def write_ply(path, mesh, binary=True):
         with open(str(path), "w") as fh:
             fh.write("\n".join(head) + "\n")
             for i in range(p.shape[0]):
-                line = f"{p[i,0]:g} {p[i,1]:g} {p[i,2]:g}"
+                # .9g round-trips float32 exactly — same fidelity as
+                # the binary path's f4 records
+                line = f"{p[i,0]:.9g} {p[i,1]:.9g} {p[i,2]:.9g}"
                 if colors is not None:
                     line += f" {colors[i,0]} {colors[i,1]} {colors[i,2]}"
                 fh.write(line + "\n")

@@ -641,15 +641,19 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         device pass — BEYOND-PARITY cohort twin of per-ROI
         ``Roi.compute_mask`` (a clinical structure set holds 10-50
         ROIs; the reference loops cv2.fillPoly per ROI per slice).
-        Bit-identical to the per-ROI path. ROIs whose slicing plane
-        differs from the majority, or that have no contours (mesh-only
-        / stub), fall back to their own ``compute_mask``. Returns
-        {name: (Z, Y, X) uint8}."""
+        Bit-identical to the per-ROI path. Contoured ROIs are grouped
+        by slicing plane, one pooled pass per plane present (almost
+        always one); ROIs with no contours (mesh-only / stub) fall
+        back to their own ``compute_mask``. Each pooled pass is gated
+        by the same measured-link-rate economics as the per-ROI path
+        (_pick_raster_backend): on a slow link the pooled (B, Z, Y, X)
+        mask download loses to host cv2, so the group loops
+        ``compute_mask`` instead. Returns {name: (Z, Y, X) uint8}."""
         from ..parallel.batch import rasterize_batch
+        from ..utils.convert.contour import _pick_raster_backend
 
         names = list(roi_names if roi_names is not None else self.rois)
         dims = tuple(int(v) for v in self.dimensions)
-        pooled = []
         out = {}
         plane_of = {}
         for n in names:
@@ -658,15 +662,26 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
                 plane_of[n] = roi.plane
             else:
                 out[n] = np.asarray(roi.compute_mask(), np.uint8)
-        if plane_of:
-            # one pooled pass per plane present (almost always one)
-            for plane in sorted(set(plane_of.values())):
-                group = [n for n in names if plane_of.get(n) == plane]
+        for plane in sorted(set(plane_of.values())):
+            group = [n for n in names if plane_of.get(n) == plane]
+            d0, d1, d2 = dims
+            H, W = ((d1, d2) if plane == "Axial" else
+                    (d0, d2) if plane == "Coronal" else (d0, d1))
+            n_polys = sum(len(self.rois[n].contour_pixel)
+                          for n in group)
+            # pooled pass downloads len(group) full volumes
+            backend = _pick_raster_backend(
+                n_polys, len(group) * d0 * d1 * d2 // (H * W), H, W)
+            if backend == "device":
                 masks = rasterize_batch(
                     [self.rois[n].contour_pixel for n in group], dims,
                     plane=plane)
                 for i, n in enumerate(group):
                     out[n] = masks[i]
+            else:
+                for n in group:
+                    out[n] = np.asarray(
+                        self.rois[n].compute_mask(), np.uint8)
         return {n: out[n] for n in names}
 
     def compute_radiomics(self, roi_name, values=None, bin_width=None,

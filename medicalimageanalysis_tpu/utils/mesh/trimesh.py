@@ -77,6 +77,21 @@ class TriMesh:
         self.faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
         self.point_data = {}
 
+    def vertex_colors_uint8(self):
+        """point_data['colors'] normalized to (N, 3) uint8 for mesh
+        writers (PLY/OBJ/3MF share this contract), or None."""
+        if "colors" not in self.point_data:
+            return None
+        colors = np.asarray(self.point_data["colors"])
+        if colors.dtype != np.uint8:
+            colors = np.clip(colors, 0, 255).astype(np.uint8)
+        colors = colors.reshape(colors.shape[0], -1)[:, :3]
+        if colors.shape[0] != self.points.shape[0]:
+            raise ValueError(
+                f"colors length {colors.shape[0]} != points "
+                f"{self.points.shape[0]}")
+        return colors
+
     # pyvista-style point-data access: mesh["colors"] = ...
     def __setitem__(self, key, value):
         self.point_data[key] = np.asarray(value)

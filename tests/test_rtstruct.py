@@ -243,3 +243,16 @@ def test_compute_roi_masks_pooled_matches_per_roi(tmp_path, rng):
 
     sub = img.compute_roi_masks(["Node"])
     np.testing.assert_array_equal(sub["Node"], pooled["Node"])
+
+    # the pooled-device branch stays bit-identical when the link-rate
+    # gate picks it (on CPU the gate picks cv2, so force it)
+    import medicalimageanalysis_tpu.utils.convert.contour as contour_mod
+    orig = contour_mod._pick_raster_backend
+    contour_mod._pick_raster_backend = lambda *a, **k: "device"
+    try:
+        forced = img.compute_roi_masks()
+    finally:
+        contour_mod._pick_raster_backend = orig
+    for name in ("Target", "Node", "Skin", "Stub"):
+        np.testing.assert_array_equal(forced[name], pooled[name],
+                                      err_msg=name)
