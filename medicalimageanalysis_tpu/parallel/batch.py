@@ -25,12 +25,48 @@ __all__ = ["make_preprocess_fn", "make_registration_step",
            "radiomics_batch", "n4_batch", "rasterize_batch"]
 
 
+def _preproc_chunk(B, chunk):
+    """Resolve the lax.map sub-batch size for the fused preprocess.
+
+    Measured on a v5e (scripts/profile_batch_chunked.py): at B=8 the
+    whole fused program runs ~16 us/series — above the HBM roofline,
+    so the separable-einsum intermediates are VMEM-resident — but at
+    B=64 the same program climbs to ~39 us/series (~700 GB/s of
+    materialized intermediates: the HBM roofline). Splitting the
+    batch into sub-batches of 4 inside ONE program (lax.map) keeps
+    each sub-program in the VMEM-resident regime: B=64 measured
+    20.2 us/series chunked vs 38.7 flat (1.9x); B=8 14.5 vs ~16-18;
+    chunk=4 beat 8 (21.0) and 2 (21.3) at B=64. Flat timings also
+    swing run-to-run (B=32: 18.8-33.3 across compiles — XLA fusion
+    choices vary) while chunk=4 stays in a 14.5-21 band. 'auto'
+    applies the split for B > 4; pass None under GSPMD meshes (a
+    reshape of the sharded batch axis + sequential lax.map would
+    fight the partitioner).
+    """
+    if chunk in (None, 0, False):
+        return None
+    if chunk != "auto":
+        c = int(chunk)
+        return c if 0 < c < B and B % c == 0 else None
+    if B <= 4:
+        return None
+    for c in (4, 3, 2):  # largest divisor <= 4; prime B stays flat
+        if B % c == 0:
+            return c
+    return None
+
+
 def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
-                       threshold=-250.0, sigma_vox=1.0):
+                       threshold=-250.0, sigma_vox=1.0, chunk="auto"):
     """Build the jittable fused preprocess step for fixed shapes.
 
     raw (B, Z, Y, X) stored values + per-series slope/intercept ->
     (volumes (B, oz, oy, ox) float32, masks uint8).
+
+    chunk: 'auto' (default) splits large batches into VMEM-friendly
+    sub-batches via lax.map (see _preproc_chunk); an int forces that
+    sub-batch size; None keeps the flat single-einsum form (required
+    when the batch axis is sharded over a Mesh).
     """
     Z, Y, X = in_shape
     if ffs_op in ("ax_rot1", "ax_rot3"):
@@ -45,7 +81,7 @@ def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
     gy = jnp.asarray(_gauss_kernel_matrix(oy, sigma_vox))
     gx = jnp.asarray(_gauss_kernel_matrix(ox, sigma_vox))
 
-    def step(raw, slope, intercept):
+    def _flat(raw, slope, intercept):
         vol = raw.astype(jnp.float32) * slope[:, None, None, None] \
             + intercept[:, None, None, None]
         if ffs_op == "ax_rot1":
@@ -70,6 +106,19 @@ def make_preprocess_fn(in_shape, out_shape, ffs_op="ax_rot2",
         mask = (blurred > threshold).astype(jnp.uint8)
         return out, mask
 
+    def step(raw, slope, intercept):
+        B = raw.shape[0]
+        c = _preproc_chunk(B, chunk)
+        if c is None:
+            return _flat(raw, slope, intercept)
+        n = B // c
+        vols, masks = jax.lax.map(
+            lambda t: _flat(*t),
+            (raw.reshape(n, c, *raw.shape[1:]),
+             slope.reshape(n, c), intercept.reshape(n, c)))
+        return (vols.reshape(B, *vols.shape[2:]),
+                masks.reshape(B, *masks.shape[2:]))
+
     return step
 
 
@@ -77,7 +126,8 @@ def preprocess_batch(raw, slopes, intercepts, out_shape=(64, 256, 256),
                      ffs_op="none", mesh=None):
     """Host wrapper: run the fused preprocess over a batch, optionally
     sharded over a Mesh."""
-    fn = make_preprocess_fn(raw.shape[1:], out_shape, ffs_op=ffs_op)
+    fn = make_preprocess_fn(raw.shape[1:], out_shape, ffs_op=ffs_op,
+                            chunk=None if mesh is not None else "auto")
     jfn = jax.jit(fn)
     if mesh is not None:
         from .mesh import batch_sharding, volume_sharding

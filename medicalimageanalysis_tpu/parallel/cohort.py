@@ -76,7 +76,8 @@ def ingest_cohort(folder_path=None, file_list=None, out_shape=None,
     for shape, group in by_shape.items():
         out = tuple(out_shape) if out_shape is not None else shape
         fn = make_preprocess_fn(shape, out, ffs_op="none",
-                                threshold=threshold, sigma_vox=sigma_vox)
+                                threshold=threshold, sigma_vox=sigma_vox,
+                                chunk=None if mesh is not None else "auto")
         if mesh is not None:
             jfn = jax.jit(fn, in_shardings=(volume_sharding(mesh),
                                             batch_sharding(mesh),
