@@ -220,11 +220,15 @@ def main():
     for st in (40, 240):
         out = _register_level(*args, steps=st, stride=(2, 2, 2))
         np.asarray(out[1])
-        t2 = time.perf_counter()
-        out = _register_level(*args, steps=st, stride=(2, 2, 2))
-        np.asarray(out[1])
-        reg_t[st] = time.perf_counter() - t2
-    reg_step_ms = max((reg_t[240] - reg_t[40]) / 200.0, 1e-9) * 1000.0
+        best = float("inf")
+        for _ in range(2):
+            t2 = time.perf_counter()
+            out = _register_level(*args, steps=st, stride=(2, 2, 2))
+            np.asarray(out[1])
+            best = min(best, time.perf_counter() - t2)
+        reg_t[st] = best
+    reg_step_ms = ((reg_t[240] - reg_t[40]) / 200.0 * 1000.0
+                   if reg_t[240] > reg_t[40] else -1.0)
 
     def pull(x):
         # forced completion: block_until_ready can return early through
@@ -242,15 +246,23 @@ def main():
     mv_d = jax.device_put(jnp.asarray(
         rng_d.normal(size=(dz, dy, dx)).astype(np.float32)))
     sp_d = jax.device_put(jnp.asarray([1.0, 1.0, 1.0], jnp.float32))
+    # 5 vs 105 iterations: the old 5-vs-25 delta (~15 ms) sat under
+    # the relay's pull jitter and recorded 0.17-0.76 ms/iter across
+    # otherwise-identical runs; 100 iterations clears it, best-of-2
+    # per point, -1 sentinel on inversion
     dem_t = {}
-    for it in (5, 25):
+    for it in (5, 105):
         pull(_demons_core(fx_d, mv_d, sp_d, 1.0, jnp.float32(2.0),
                           jnp.float32(0.001), it, "fast", True))
-        td = time.perf_counter()
-        pull(_demons_core(fx_d, mv_d, sp_d, 1.0, jnp.float32(2.0),
-                          jnp.float32(0.001), it, "fast", True))
-        dem_t[it] = time.perf_counter() - td
-    demons_iter_ms = max((dem_t[25] - dem_t[5]) / 20.0, 1e-9) * 1000.0
+        best = float("inf")
+        for _ in range(2):
+            td = time.perf_counter()
+            pull(_demons_core(fx_d, mv_d, sp_d, 1.0, jnp.float32(2.0),
+                              jnp.float32(0.001), it, "fast", True))
+            best = min(best, time.perf_counter() - td)
+        dem_t[it] = best
+    demons_iter_ms = ((dem_t[105] - dem_t[5]) / 100.0 * 1000.0
+                      if dem_t[105] > dem_t[5] else -1.0)
 
     # config #1 transfer-free: the fused device pipeline with the batch
     # already resident in HBM (the tunnel's ~12 MB/s upload dominates
