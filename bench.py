@@ -35,6 +35,26 @@ OUT_SHAPE = (N_SLICES, SIZE // 2, SIZE // 2)
 TARGET = 50.0  # series/sec on v5e-8 (BASELINE.json north_star)
 
 
+def _marginal(run, lo, hi):
+    """Best-of-2 per-unit marginal cost between two sweep points of
+    the same program family (run(n) must force completion itself).
+
+    Returns seconds-per-unit, or -1.0 on a timing inversion: the relay
+    pull jitter can make the larger point measure faster, and a floored
+    delta once printed a nonsense 2e9 Mpts/s rate.
+    """
+    ts = {}
+    for n in (lo, hi):
+        run(n)  # compile/warm this variant, unmeasured
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(n)
+            best = min(best, time.perf_counter() - t0)
+        ts[n] = best
+    return (ts[hi] - ts[lo]) / (hi - lo) if ts[hi] > ts[lo] else -1.0
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -99,11 +119,42 @@ def main():
     jax.block_until_ready(warm)
     Data.clear()
 
+    # per-pass link probe: the tunnel rate swings ~2-3x within MINUTES
+    # (one recorded run: probe 40 MB/s after passes that rode ~20 —
+    # value_over_bound 0.411 "under physics"; an earlier run the probe
+    # was the slow moment and recorded 0.96+). The bound is only
+    # meaningful when each pass is paired with a probe sample taken
+    # NEXT TO IT in time, so one sustained chunk-sized upload runs
+    # immediately before every timed pass and the ratio is formed
+    # per-pass (medians reported).
+    probe_words = pack12(np.zeros((CHUNK, N_SLICES, SIZE, SIZE),
+                                  np.int16))[0].nbytes // 2
+    wprobe = np.random.default_rng(7).integers(
+        0, 1 << 16, size=max(1, probe_words), dtype=np.uint16)
+
+    @jax.jit
+    def _touch1(w):
+        return w.ravel()[0].astype(jnp0.float32)
+
+    float(_touch1(jax.device_put(wprobe)))  # unmeasured: pays the compile
+
+    def _probe_once(i):
+        # fresh copy per sample: XOR against the ORIGINAL so every
+        # buffer differs from every other (an in-place cumulative XOR
+        # made sample 5 byte-identical to sample 1, defeating the
+        # transport-dedup defense it was meant to be)
+        w = wprobe.copy()
+        w[0] ^= np.uint16(i + 1)
+        t_up = time.perf_counter()
+        float(_touch1(jax.device_put(w)))
+        return wprobe.nbytes / max(time.perf_counter() - t_up, 1e-9)
+
     total, t_host, packed_hits = float("inf"), 0.0, 0
     staged_bytes = 0
-    pass_times = []
-    for _ in range(PASSES):
+    pass_times, pass_staged, probe_rates, pass_hosts = [], [], [], []
+    for _pass_i in range(PASSES):
         Data.clear()
+        probe_rates.append(_probe_once(_pass_i))
         t0 = time.perf_counter()
         pending = []
         th_sum = 0.0
@@ -141,6 +192,8 @@ def main():
         float(jax.tree_util.tree_leaves(pending[-1])[0].ravel()[0])
         t_pass = time.perf_counter() - t0
         pass_times.append(t_pass)
+        pass_staged.append(up_bytes)
+        pass_hosts.append(th_sum)
         if t_pass < total:
             total, t_host, packed_hits = t_pass, th_sum, hits
             staged_bytes = up_bytes
@@ -156,32 +209,26 @@ def main():
     # was exactly a stale 38 MB/s bound over a ~22 MB/s live link —
     # scripts/profile_headline_decomp.py)
     link_rate = transfer_rate_bytes_per_s(force=True) or 0.0
-    # the bound itself uses the SUSTAINED one-way upload rate at the
-    # bench's own chunk payload size (the 4 MB round-trip probe folds
-    # two RPC latencies into 8 MB and assumes symmetric directions)
-    n_chunks = (N_SERIES + CHUNK - 1) // CHUNK
-    chunk_bytes = max(2, staged_bytes // max(n_chunks, 1))
-    wprobe = np.random.default_rng(7).integers(
-        0, 1 << 16, size=chunk_bytes // 2, dtype=np.uint16)
-
-    @jax.jit
-    def _touch1(w):
-        return w.ravel()[0].astype(jnp0.float32)
-
-    up_ts = []
-    for i in range(5):
-        wprobe[0] ^= np.uint16(i + 1)   # defeat any transport dedup
-        t_up = time.perf_counter()
-        float(_touch1(jax.device_put(wprobe)))
-        up_ts.append(time.perf_counter() - t_up)
-    # median of 5: the tunnel jitters ~2x within a minute (measured
-    # 21-44 MB/s in one bench run); a best-of overstates the link the
-    # timed passes actually rode
-    upload_rate = wprobe.nbytes / float(np.median(up_ts))
-    upload_spread = [round(wprobe.nbytes / max(t, 1e-9) / 1e6, 1)
-                     for t in (max(up_ts), min(up_ts))]
+    upload_rate = float(np.median(probe_rates))
+    upload_spread = [round(r / 1e6, 1)
+                     for r in (min(probe_rates), max(probe_rates))]
     bound_series_s = (upload_rate * N_SERIES / staged_bytes
                       if upload_rate and staged_bytes else -1.0)
+    # per-pass moment-consistent ratios: pass p's series/s over the
+    # bound implied by the probe sample taken immediately before it
+    pass_ratios = [sb / (tp * pr) for sb, tp, pr
+                   in zip(pass_staged, pass_times, probe_rates)]
+    value_over_bound = float(np.median(pass_ratios))
+    n_chunks_v = max((N_SERIES + CHUNK - 1) // CHUNK, 1)
+    # full model per pass: transfer floor + the one serial host term no
+    # upload can hide (the FIRST chunk's parse; later parses overlap).
+    # ~1.0 means the pass is fully explained by named physics — the
+    # pure-transfer value_over_bound alone drops at fast-link moments
+    # (0.8 at 40 MB/s vs 0.95 at 22) precisely because the fixed head
+    # is a larger share of a shorter pass.
+    pass_model_ratio = float(np.median(
+        [(sb / pr + th / n_chunks_v) / tp for sb, pr, th, tp
+         in zip(pass_staged, probe_rates, pass_hosts, pass_times)]))
 
     # secondary BASELINE target: rigid registration < 100 ms per CT<->CT
     # pair. One dispatch runs the whole multi-resolution descent on
@@ -216,19 +263,11 @@ def main():
     # marginal per-step cost (the 40-step figure above is mostly the
     # ~24 ms relay RPC floor): steps sweep inside the same one-scan
     # program, (t(240) - t(40)) / 200
-    reg_t = {}
-    for st in (40, 240):
-        out = _register_level(*args, steps=st, stride=(2, 2, 2))
-        np.asarray(out[1])
-        best = float("inf")
-        for _ in range(2):
-            t2 = time.perf_counter()
-            out = _register_level(*args, steps=st, stride=(2, 2, 2))
-            np.asarray(out[1])
-            best = min(best, time.perf_counter() - t2)
-        reg_t[st] = best
-    reg_step_ms = ((reg_t[240] - reg_t[40]) / 200.0 * 1000.0
-                   if reg_t[240] > reg_t[40] else -1.0)
+    def _reg_run(st):
+        # forced host pull: see docs/PERF.md relay caveats
+        np.asarray(_register_level(*args, steps=st, stride=(2, 2, 2))[1])
+    reg_step = _marginal(_reg_run, 40, 240)
+    reg_step_ms = reg_step * 1000.0 if reg_step > 0 else -1.0
 
     def pull(x):
         # forced completion: block_until_ready can return early through
@@ -248,21 +287,12 @@ def main():
     sp_d = jax.device_put(jnp.asarray([1.0, 1.0, 1.0], jnp.float32))
     # 5 vs 105 iterations: the old 5-vs-25 delta (~15 ms) sat under
     # the relay's pull jitter and recorded 0.17-0.76 ms/iter across
-    # otherwise-identical runs; 100 iterations clears it, best-of-2
-    # per point, -1 sentinel on inversion
-    dem_t = {}
-    for it in (5, 105):
+    # otherwise-identical runs; 100 iterations clears it
+    def _dem_run(it):
         pull(_demons_core(fx_d, mv_d, sp_d, 1.0, jnp.float32(2.0),
                           jnp.float32(0.001), it, "fast", True))
-        best = float("inf")
-        for _ in range(2):
-            td = time.perf_counter()
-            pull(_demons_core(fx_d, mv_d, sp_d, 1.0, jnp.float32(2.0),
-                              jnp.float32(0.001), it, "fast", True))
-            best = min(best, time.perf_counter() - td)
-        dem_t[it] = best
-    demons_iter_ms = ((dem_t[105] - dem_t[5]) / 100.0 * 1000.0
-                      if dem_t[105] > dem_t[5] else -1.0)
+    dem_iter = _marginal(_dem_run, 5, 105)
+    demons_iter_ms = dem_iter * 1000.0 if dem_iter > 0 else -1.0
 
     # config #1 transfer-free: the fused device pipeline with the batch
     # already resident in HBM (the tunnel's ~12 MB/s upload dominates
@@ -559,18 +589,10 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(reps))
         return acc
 
-    obl_t = {}
-    for reps in (2, 34):
-        pull(obl_scan(obl_vol, reps))   # compile this variant
-        best = float("inf")
-        for _ in range(2):
-            t8 = time.perf_counter()
-            pull(obl_scan(obl_vol, reps))
-            best = min(best, time.perf_counter() - t8)
-        obl_t[reps] = best
-    if obl_t[34] > obl_t[2]:
-        oblique_ms = (obl_t[34] - obl_t[2]) / 32.0 * 1000.0
-        oblique_mpts = No ** 3 / (oblique_ms / 1000.0) / 1e6
+    obl_s = _marginal(lambda reps: pull(obl_scan(obl_vol, reps)), 2, 34)
+    if obl_s > 0:
+        oblique_ms = obl_s * 1000.0
+        oblique_mpts = No ** 3 / obl_s / 1e6
     else:
         oblique_ms = oblique_mpts = -1.0
 
@@ -595,21 +617,11 @@ def main():
         return acc
 
     # reps sized so the marginal delta (~50 reps x ~0.2-0.8 ms) clears
-    # the relay's tens-of-ms pull jitter; best-of-2 per point; a
-    # timing inversion records the -1 sentinel instead of a nonsense
-    # floored rate (an early run printed 2e9 Mpts/s off the 1e-9 floor)
-    aff_t = {}
-    for reps in (2, 52):
-        pull(aff_scan(obl_vol, reps))
-        best = float("inf")
-        for _ in range(2):
-            t8b = time.perf_counter()
-            pull(aff_scan(obl_vol, reps))
-            best = min(best, time.perf_counter() - t8b)
-        aff_t[reps] = best
-    if aff_t[52] > aff_t[2]:
-        affine_ms = (aff_t[52] - aff_t[2]) / 50.0 * 1000.0
-        affine_mpts = No ** 3 / (affine_ms / 1000.0) / 1e6
+    # the relay's tens-of-ms pull jitter
+    aff_s = _marginal(lambda reps: pull(aff_scan(obl_vol, reps)), 2, 52)
+    if aff_s > 0:
+        affine_ms = aff_s * 1000.0
+        affine_mpts = No ** 3 / aff_s / 1e6
     else:
         affine_ms = affine_mpts = -1.0
 
@@ -681,11 +693,20 @@ def main():
             "upload_rate_spread_mb_per_s": upload_spread,
             "staged_upload_mb": round(staged_bytes / 1e6, 2),
             "bound_series_per_s": round(bound_series_s, 2),
-            "value_over_bound": (round(N_SERIES / total / bound_series_s,
-                                       3) if bound_series_s > 0 else -1),
+            # median of the per-pass (pass series/s) / (bound implied
+            # by the probe sample taken immediately before that pass)
+            # ratios — any cross-moment pairing over the swinging link
+            # recorded artifacts in BOTH directions (0.565 stale-slow,
+            # 0.411 probe-after-fast)
+            "value_over_bound": round(value_over_bound, 3),
+            # (transfer floor + serial host head) / measured, median —
+            # ~1.0 = the pass is fully explained by named terms
+            "pass_model_ratio": round(pass_model_ratio, 3),
+            "pass_probe_mb_per_s": [round(r / 1e6, 1)
+                                    for r in probe_rates],
             # the residual below the bound, named: the first chunk's
             # host parse cannot hide under any upload (~t_host/n_chunks)
-            "serial_host_head_s": round(t_host / max(n_chunks, 1), 3),
+            "serial_host_head_s": round(t_host / n_chunks_v, 3),
             "onchip_batch_sweep_series_per_s": batch_sweep,
             "rigid_reg_40step_ms": round(reg_ms, 1),
             "rigid_reg_marginal_ms_per_step": round(reg_step_ms, 3),

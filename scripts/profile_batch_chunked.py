@@ -68,4 +68,8 @@ def probe(chunk, reps_lo, reps_hi):
 
 cfg = os.environ.get("CHUNK_PROBE", "64,16,8,4")
 for chunk in (int(c) for c in cfg.split(",")):
+    if not (0 < chunk <= B and B % chunk == 0):
+        print(f"chunk={chunk}: skipped (not a divisor of B={B})",
+              flush=True)
+        continue
     probe(chunk, 2, max(25, 1600 // B))

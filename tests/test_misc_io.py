@@ -240,7 +240,7 @@ def test_parallel_preprocess_on_mesh(rng):
 
 def test_preprocess_chunked_matches_flat(rng):
     """The VMEM-friendly lax.map sub-batch split (chunk='auto', engaged
-    for B > 8) must be bit-equal to the flat single-einsum form: the
+    for B > 4) must be bit-equal to the flat single-einsum form: the
     batch axis is never contracted, so per-series arithmetic is
     identical (scripts/profile_batch_chunked.py for the perf data)."""
     import jax
