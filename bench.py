@@ -540,18 +540,34 @@ def main():
     # cohort scale: 8 meshes in ONE pooled device pass (scatter
     # histogram + batched parity scan); the per-mesh figure is the
     # number that beats the host at cohort scale
-    from medicalimageanalysis_tpu.ops.voxelize import voxelize_batch
+    from medicalimageanalysis_tpu.ops.voxelize import (
+        voxelize_batch, voxelize_compute_marginal_ms)
     VOX_B = 8
     vmeshes = [(pts_pixel, np.asarray(mesh_d.faces))] * VOX_B
     vox_batch_ms = float("inf")
+    vox_stats = {}
     for timed in (False, True, True):
+        vox_stats = {}
         t7d = time.perf_counter()
-        dvb = voxelize_batch(vmeshes, (120, 512, 512), as_numpy=False)
+        dvb = voxelize_batch(vmeshes, (120, 512, 512), as_numpy=False,
+                             stats=vox_stats)
         float(dvb.ravel()[0])
         if timed:
             vox_batch_ms = min(vox_batch_ms,
                                (time.perf_counter() - t7d) * 1000.0)
     vox_batch_per_mesh_ms = vox_batch_ms / VOX_B
+    # self-justification (round-5): the batch is staged through the
+    # link, so the same-run transfer bound prices the end-to-end
+    # figure; the resident-input compute marginal is the number that
+    # carries to local hardware (where staging is PCIe-priced)
+    vox_upload_mb = vox_stats.get("upload_bytes", 0) / 1e6
+    vox_bound_ms = (vox_stats.get("upload_bytes", 0) / upload_rate
+                    * 1000.0 if upload_rate else -1.0)
+    vox_value_over_bound = (vox_bound_ms / vox_batch_ms
+                            if vox_batch_ms > 0 and vox_bound_ms > 0
+                            else -1.0)
+    vox_compute_marginal_per_mesh_ms = voxelize_compute_marginal_ms(
+        vmeshes, (120, 512, 512), iters=3) / VOX_B
 
     # oblique 45-degree reslice (round-3 staircase-shear kernel path):
     # marginal over K scanned warps, perturbed translations defeat CSE
@@ -733,6 +749,12 @@ def main():
             "voxelize_batch_onchip_ms": round(vox_batch_ms, 1),
             "voxelize_batch_per_mesh_ms": round(vox_batch_per_mesh_ms,
                                                 2),
+            "voxelize_batch_upload_mb": round(vox_upload_mb, 2),
+            "voxelize_batch_bound_ms": round(vox_bound_ms, 1),
+            "voxelize_batch_value_over_bound": round(
+                vox_value_over_bound, 3),
+            "voxelize_compute_marginal_per_mesh_ms": round(
+                vox_compute_marginal_per_mesh_ms, 2),
             "packed_upload_chunks": packed_hits,
             "affine_reslice_marginal_ms": round(affine_ms, 2),
             "affine_reslice_mpts_per_s": round(affine_mpts, 1),

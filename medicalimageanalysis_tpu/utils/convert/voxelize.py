@@ -113,10 +113,12 @@ def _pick_voxelize_backend(n_faces, dims):
         if rate is None:
             return "host"
         # host: ~1.1 us/face (bbox+bary+scatter) + ~1 ns/voxel (XOR
-        # scan); device: ~60 ms fixed + the mask download
+        # scan); device (round-5 batched kernel): ~30 ms fixed +
+        # ~18 B/face compact upload (per-vertex f32 + u16 faces +
+        # 6 B/tri sideband) + the mask download
         vox = float(np.prod(dims))
         est_host = 1.1e-6 * n_faces + 1.2e-9 * vox
-        est_dev = 0.06 + vox / rate
+        est_dev = 0.03 + (18.0 * n_faces + vox) / rate
         return "device" if est_dev < est_host else "host"
     except Exception:
         return "host"
