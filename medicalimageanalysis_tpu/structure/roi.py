@@ -29,6 +29,19 @@ def random_color(rgb_255=True):
 class Roi(object):
     """Region of Interest: physical contours + pixel contours + mesh."""
 
+    def __setattr__(self, name, value):
+        # Mask-shaping state: any rebind invalidates this ROI's entry
+        # in the owning Image's pooled-mask cache (compute_mask /
+        # Image.compute_roi_masks). Catches every mutator — including
+        # direct external assignment — without per-method bookkeeping.
+        # In-place mutation of an already-bound contour list (e.g.
+        # roi.contour_pixel.append(...)) is NOT tracked; rebind the
+        # attribute instead.
+        if name in ("contour_pixel", "mesh", "plane"):
+            object.__setattr__(self, "_mask_rev",
+                               getattr(self, "_mask_rev", 0) + 1)
+        object.__setattr__(self, name, value)
+
     def __init__(self, image, position=None, name=None, color=None,
                  visible=False, filepaths=None, plane=None):
         self.image = image
@@ -179,7 +192,44 @@ class Roi(object):
         is voxelized by slicing the mesh on every image plane — the
         reference crashes on such ROIs (its ContourToDiscreteMesh
         dereferences the absent contours); an ROI with neither
-        contours nor mesh returns an all-zero mask."""
+        contours nor mesh returns an all-zero mask.
+
+        Results are served from the owning Image's mask cache
+        (bbox-cropped, bit-packed; invalidated whenever this ROI's
+        contours/mesh/plane rebind — see ``__setattr__``). On a cache
+        miss, if the image holds OTHER uncached contoured ROIs, the
+        whole structure set rasterizes in one pooled device pass
+        (``Image.compute_roi_masks``) so a serial walk over N ROIs
+        pays the pooled per-ROI cost instead of N single dispatches
+        (the reference loops cv2.fillPoly per ROI per slice,
+        reference utils/conversion.py ContourToDiscreteMesh)."""
+        img = self.image
+        cached = img._roi_mask_cache_get(self.name, self)
+        if cached is not None:
+            return cached
+        has_contours = self.contour_pixel is not None \
+            and len(self.contour_pixel) > 0
+        if (has_contours
+                and not getattr(img, "_pooled_raster_active", False)):
+            others = [
+                n for n, r in img.rois.items()
+                if r is not self
+                and r.contour_pixel is not None and len(r.contour_pixel)
+                and img._roi_mask_cache_get(n, r, reconstruct=False)
+                is None]
+            if others:
+                img.compute_roi_masks()
+                cached = img._roi_mask_cache_get(self.name, self)
+                if cached is not None:
+                    return cached
+        mask = self._compute_mask_impl()
+        img._roi_mask_cache_put(self.name, self, mask)
+        return mask
+
+    def _compute_mask_impl(self):
+        """The raw single-ROI rasterization, no cache interaction —
+        the pooled pass (Image.compute_roi_masks) and compute_mask
+        both bottom out here."""
         has_contours = self.contour_pixel is not None \
             and len(self.contour_pixel) > 0
         if has_contours:

@@ -250,9 +250,75 @@ def test_compute_roi_masks_pooled_matches_per_roi(tmp_path, rng):
     orig = contour_mod._pick_raster_backend
     contour_mod._pick_raster_backend = lambda *a, **k: "device"
     try:
+        img._roi_mask_cache.clear()   # force a real device pass
         forced = img.compute_roi_masks()
     finally:
         contour_mod._pick_raster_backend = orig
     for name in ("Target", "Node", "Skin", "Stub"):
         np.testing.assert_array_equal(forced[name], pooled[name],
                                       err_msg=name)
+
+
+def test_roi_mask_cache_pooled_and_invalidation(tmp_path, rng):
+    """VERDICT r4 #3: the first Roi.compute_mask on a multi-ROI image
+    triggers ONE pooled pass that fills the per-image cache; later
+    calls are served from it (no re-rasterization), and any
+    contour/mesh rebind or Roi replacement invalidates the entry."""
+    from helpers import square_contour_mm, write_ct_series, write_rtstruct
+
+    arr = rng.integers(-500, 500, size=(8, 24, 24)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    rois = {
+        "A": [(square_contour_mm(info, z, 6, 14), z)
+              for z in range(2, 6)],
+        "B": [(square_contour_mm(info, z, 3, 8), z)
+              for z in range(1, 4)],
+    }
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+
+    import medicalimageanalysis_tpu.structure.roi as roi_mod
+    calls = {"n": 0}
+    orig_impl = roi_mod.Roi._compute_mask_impl
+
+    def counting_impl(self):
+        calls["n"] += 1
+        return orig_impl(self)
+
+    roi_mod.Roi._compute_mask_impl = counting_impl
+    try:
+        a1 = img.rois["A"].compute_mask()
+        first = calls["n"]
+        # pooled fill: B is already cached, its first call is free
+        b1 = img.rois["B"].compute_mask()
+        a2 = img.rois["A"].compute_mask()
+        assert calls["n"] == first, "cached calls re-rasterized"
+        np.testing.assert_array_equal(a1, a2)
+
+        # cached copies are fresh arrays — caller mutation is safe
+        a2[:] = 9
+        np.testing.assert_array_equal(img.rois["A"].compute_mask(), a1)
+
+        # contour rebind invalidates exactly that ROI
+        img.rois["B"].update_pixel(
+            [c + np.array([1.0, 1.0, 0.0]) for c in
+             img.rois["B"].contour_pixel], plane="Axial")
+        before = calls["n"]
+        b2 = img.rois["B"].compute_mask()
+        assert calls["n"] > before, "stale mask served after edit"
+        assert not np.array_equal(b1, b2)
+
+        # wholesale Roi replacement (same name) invalidates too
+        img.add_roi(roi_name="A", color=[1, 2, 3], contour=None)
+        a3 = img.rois["A"].compute_mask()
+        assert a3.sum() == 0
+    finally:
+        roi_mod.Roi._compute_mask_impl = orig_impl
+
+    # pooled pass and per-ROI path stay bit-identical post-cache
+    img._roi_mask_cache.clear()
+    pooled = img.compute_roi_masks()
+    np.testing.assert_array_equal(pooled["B"],
+                                  img.rois["B"].compute_mask())
