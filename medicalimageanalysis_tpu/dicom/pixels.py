@@ -529,7 +529,19 @@ def _decode_j2k_cv2_signed(frag, parse_siz):
         return None
     rewritten = _siz_to_unsigned(frag)
     if rewritten is None:
-        return None
+        # JP2-wrapped signed stream (non-conformant in DICOM PS3.5
+        # but seen in the wild): extract the raw codestream and
+        # rewrite THAT — cv2 decodes bare codestreams directly, so
+        # dropping the container is lossless (VERDICT r4 #6: this was
+        # the one class that fell through to the slow Python decoder,
+        # which rejects HT block coding outright)
+        try:
+            from .jpeg2k import _find_codestream
+            rewritten = _siz_to_unsigned(_find_codestream(bytes(frag)))
+        except Exception:
+            return None
+        if rewritten is None:
+            return None
     arr = _decode_j2k_cv2_exact(rewritten, parse_siz)
     if arr is None:
         return None
