@@ -494,6 +494,46 @@ def main():
                                   (time.perf_counter() - t4c) * 1000.0)
     raster_batch_per_roi_ms = raster_batch_ms / RASTER_B
 
+    # the SERVING path for VERDICT r4 #3: Roi.compute_mask routes a
+    # structure set's first miss through Image.compute_roi_masks (one
+    # pooled pass, backend auto-selected from the measured link rate)
+    # and caches bbox-cropped bit-packed masks; later masks cost one
+    # unpack. Timed on a real ingested Image with 8 fresh ROIs — NOT a
+    # re-emit of the resident-canvas row above.
+    from medicalimageanalysis_tpu.structure.roi import Roi as _Roi
+    pooled_img = Data.image[Data.image_list[0]]
+    pz, ph, pw = (int(v) for v in pooled_img.dimensions)
+    pooled_names = []
+    for k in range(RASTER_B):
+        rname = f"_bench_pooled_{k}"
+        pr = _Roi(pooled_img, name=rname)
+        cs = []
+        for z in range(2, pz - 2):
+            rr = min(ph, pw) * (0.12 + 0.02 * ((k + z) % 4))
+            cxk = pw * 0.5 + 10 * k
+            cyk = ph * 0.5 - 6 * k
+            cs.append(np.stack(
+                [cxk + rr * np.cos(theta), cyk + rr * np.sin(theta),
+                 np.full_like(theta, float(z))], axis=1))
+        pr.contour_pixel = cs
+        pooled_img.rois[rname] = pr
+        pooled_names.append(rname)
+    n_pool_group = sum(
+        1 for r in pooled_img.rois.values()
+        if r.contour_pixel is not None and len(r.contour_pixel))
+    t4d = time.perf_counter()
+    pooled_masks = pooled_img.rois[pooled_names[0]].compute_mask()
+    raster_pooled_first_ms = (time.perf_counter() - t4d) * 1000.0
+    raster_pooled_per_roi_ms = raster_pooled_first_ms / n_pool_group
+    t4e = time.perf_counter()
+    for rname in pooled_names[1:]:
+        pooled_img.rois[rname].compute_mask()
+    raster_cache_hit_ms = ((time.perf_counter() - t4e) * 1000.0
+                           / (RASTER_B - 1))
+    assert int(pooled_masks.max()) == 1, "pooled bench mask is empty"
+    for rname in pooled_names:
+        del pooled_img.rois[rname]
+
     # config #3: batched isotropic resample + Gaussian over the cohort
     from medicalimageanalysis_tpu.ops.filters import _gauss_kernel_matrix
     from medicalimageanalysis_tpu.ops.resample import _interp_matrix
@@ -775,12 +815,13 @@ def main():
             "raster_device_onchip_ms": round(raster_onchip_ms, 1),
             "raster_batch_onchip_ms": round(raster_batch_ms, 1),
             "raster_batch_per_roi_ms": round(raster_batch_per_roi_ms, 2),
-            # Image.compute_roi_masks routes single-ROI requests
-            # through this pooled pass and caches (VERDICT r4 #3):
-            # first mask of a structure set pays this per ROI, the
-            # rest cost one bbox unpack (~0)
-            "raster_pooled_per_roi_ms": round(raster_batch_per_roi_ms,
+            # Roi.compute_mask's REAL serving path (VERDICT r4 #3),
+            # measured on an ingested Image: first miss pools the
+            # structure set (auto-selected backend) + caches; the
+            # rest cost one bbox unpack each
+            "raster_pooled_per_roi_ms": round(raster_pooled_per_roi_ms,
                                               2),
+            "raster_cache_hit_ms": round(raster_cache_hit_ms, 3),
             "raster_cv2_ms": round(raster_ms["cv2"], 1),
             "resample_filter_batch_ms": round(resample_ms, 1),
             "marching_cubes_ms": round(mc_ms, 1),

@@ -8,6 +8,7 @@ runs on device through ops/resample.reslice_rotation instead of VTK.
 from __future__ import annotations
 
 import copy
+import itertools
 import os
 import json
 
@@ -22,6 +23,10 @@ from .poi import Poi
 from .roi import Roi
 
 __all__ = ["Display", "Image"]
+
+# Process-global monotonic ids for the ROI mask cache — never reused,
+# unlike id(), which CPython recycles after a Roi is freed.
+_ROI_CACHE_TOKENS = itertools.count(1)
 
 
 class Display(object):
@@ -638,17 +643,29 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
 
     # -- pooled ROI-mask cache (VERDICT r4 #3) ---------------------------
     # Masks are cached bbox-cropped and bit-packed (~organ-volume/8
-    # bytes per ROI), keyed on (id(roi), roi._mask_rev) so both
-    # wholesale Roi replacement and any contour/mesh/plane rebind
-    # (Roi.__setattr__) invalidate. Second and subsequent
-    # Roi.compute_mask calls on an image cost one unpack (~ms), not a
-    # 30-40 ms rasterization.
+    # bytes per ROI), keyed on (roi._mask_cache_token, roi._mask_rev)
+    # so both wholesale Roi replacement and any contour/mesh/plane
+    # rebind (Roi.__setattr__) invalidate. The token is a process-global
+    # monotonic id assigned on first cache contact — NOT id(roi):
+    # CPython reuses a freed Roi's address, and a replacement Roi built
+    # from fresh contours lands on the same deterministic _mask_rev, so
+    # an id()-keyed cache can serve the DELETED ROI's mask for the new
+    # one. Tokens are never reused, so that aliasing is impossible.
+    # Second and subsequent Roi.compute_mask calls on an image cost one
+    # unpack (~ms), not a 30-40 ms rasterization.
+
+    @staticmethod
+    def _roi_cache_key(roi):
+        tok = getattr(roi, "_mask_cache_token", None)
+        if tok is None:
+            tok = next(_ROI_CACHE_TOKENS)
+            object.__setattr__(roi, "_mask_cache_token", tok)
+        return (tok, getattr(roi, "_mask_rev", 0))
 
     def _roi_mask_cache_get(self, name, roi, reconstruct=True):
         cache = getattr(self, "_roi_mask_cache", None)
         ent = cache.get(name) if cache else None
-        if ent is None or ent[0] != (id(roi),
-                                     getattr(roi, "_mask_rev", 0)):
+        if ent is None or ent[0] != self._roi_cache_key(roi):
             return None
         if not reconstruct:
             return True
@@ -669,7 +686,7 @@ class Image(MetadataMixin, GeometryQueriesMixin, ViewOpsMixin):
         if getattr(self, "_roi_mask_cache", None) is None:
             self._roi_mask_cache = {}
         mask = np.asarray(mask, np.uint8)
-        key = (id(roi), getattr(roi, "_mask_rev", 0))
+        key = self._roi_cache_key(roi)
         zs = np.flatnonzero(mask.any(axis=(1, 2)))
         if zs.size == 0:
             self._roi_mask_cache[name] = (key, mask.shape, None, None,

@@ -218,7 +218,13 @@ class Roi(object):
                 and img._roi_mask_cache_get(n, r, reconstruct=False)
                 is None]
             if others:
-                img.compute_roi_masks()
+                # Scope the pooled pass to the CONTOURED uncached group
+                # + self: an unconstrained compute_roi_masks() would
+                # also voxelize every mesh-only ROI on the image
+                # (~100+ ms each) that this caller never asked about.
+                group = others + ([self.name] if
+                                  img.rois.get(self.name) is self else [])
+                img.compute_roi_masks(roi_names=group)
                 cached = img._roi_mask_cache_get(self.name, self)
                 if cached is not None:
                     return cached

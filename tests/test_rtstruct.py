@@ -322,3 +322,99 @@ def test_roi_mask_cache_pooled_and_invalidation(tmp_path, rng):
     pooled = img.compute_roi_masks()
     np.testing.assert_array_equal(pooled["B"],
                                   img.rois["B"].compute_mask())
+
+def test_roi_mask_cache_survives_id_reuse(tmp_path, rng):
+    """Cache keys must NOT be id()-based: CPython reuses a freed Roi's
+    address, and a replacement Roi built from fresh contours lands on
+    the same deterministic _mask_rev, so an id()-keyed cache would
+    serve the DELETED ROI's mask for the new one. Keys use a
+    process-global monotonic token instead — never reused."""
+    from medicalimageanalysis_tpu.structure.roi import Roi
+
+    arr = rng.integers(-500, 500, size=(8, 24, 24)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    rois = {"A": [(square_contour_mm(info, z, 6, 14), z)
+                  for z in range(2, 6)]}
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+
+    old_mask = np.asarray(img.rois["A"].compute_mask())
+    assert old_mask.sum() > 0
+    base = [c.copy() for c in img.rois["A"].contour_pixel]
+
+    # tokens are unique across object lifetimes even when id() collides;
+    # geometry toggles between two fixed shapes so consecutive
+    # replacements ALWAYS have different true masks
+    seen_tokens = set()
+    for i in range(30):
+        old = img.rois.pop("A")
+        del old  # freed — its address is now reusable
+        repl = Roi(img, name="A")
+        shift = 3.0 if i % 2 == 0 else 0.0
+        repl.contour_pixel = [c + np.array([0.0, shift, 0.0])
+                              for c in base]
+        img.rois["A"] = repl
+        new_mask = np.asarray(repl.compute_mask())
+        assert new_mask.sum() > 0
+        assert not np.array_equal(new_mask, old_mask), \
+            "stale cached mask served for a replacement Roi"
+        seen_tokens.add(img._roi_cache_key(repl)[0])
+        old_mask = new_mask
+    assert len(seen_tokens) == 30, "cache tokens were reused"
+
+
+def test_compute_mask_pools_only_contoured_group(tmp_path, rng):
+    """Roi.compute_mask's pooled trigger must scope the pooled pass to
+    the CONTOURED uncached ROIs + itself: an unconstrained
+    compute_roi_masks() would also voxelize every mesh-only ROI on the
+    image (~100+ ms each) the caller never asked about."""
+    arr = rng.integers(-500, 500, size=(8, 24, 24)).astype(np.int16)
+    info = write_ct_series(tmp_path / "ct", arr, spacing=(1, 1),
+                           thickness=2.0)
+    rois = {
+        "A": [(square_contour_mm(info, z, 6, 14), z)
+              for z in range(2, 6)],
+        "B": [(square_contour_mm(info, z, 3, 8), z)
+              for z in range(1, 4)],
+    }
+    write_rtstruct(tmp_path / "ct" / "rs.dcm", info, rois)
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image["CT 01"]
+
+    # a mesh-only ROI: expensive to voxelize, must stay untouched
+    img.create_roi(name="Contoured0", color=[0, 0, 255])
+    zz, yy, xx = np.mgrid[0:8, 0:24, 0:24]
+    sphere = ((zz - 4) ** 2 + ((yy - 12) / 2.0) ** 2
+              + ((xx - 12) / 2.0) ** 2) <= 6
+    img.create_roi(name="SphereSrc", color=[0, 255, 0])
+    img.rois["SphereSrc"].convert_mask(sphere)
+    img.rois["SphereSrc"].create_discrete_mesh()
+    img.create_roi(name="MeshOnly", color=[255, 0, 0])
+    img.rois["MeshOnly"].update_mesh(img.rois["SphereSrc"].mesh)
+    img.rois.pop("SphereSrc")
+    img.rois.pop("Contoured0")
+    if getattr(img, "_roi_mask_cache", None):
+        img._roi_mask_cache.clear()
+
+    import medicalimageanalysis_tpu.structure.roi as roi_mod
+    voxelized = []
+    orig = roi_mod.Roi._mask_from_mesh
+
+    def counting(self):
+        voxelized.append(self.name)
+        return orig(self)
+
+    roi_mod.Roi._mask_from_mesh = counting
+    try:
+        a = img.rois["A"].compute_mask()   # pools A + B, NOT MeshOnly
+        b = img.rois["B"].compute_mask()   # cache hit
+        assert voxelized == [], \
+            f"pooled pass voxelized mesh-only ROIs: {voxelized}"
+        assert a.sum() > 0 and b.sum() > 0
+        # the mesh-only ROI still works when actually requested
+        m = img.rois["MeshOnly"].compute_mask()
+        assert voxelized == ["MeshOnly"] and m.sum() > 0
+    finally:
+        roi_mod.Roi._mask_from_mesh = orig

@@ -136,3 +136,64 @@ def test_lax_map_batched_pallas_warp(tpu_backend, rng):
     for i in range(3):
         out_i = np.asarray(jax.jit(one)(vols[i], dvfs[i]))
         np.testing.assert_array_equal(out_b[i], out_i)
+
+
+def test_pooled_roi_mask_path_on_chip(tpu_backend, tmp_path, rng):
+    """The round-5 serving path for Roi.compute_mask — one pooled
+    rasterize_batch pass + bbox-packed cache — forced onto the DEVICE
+    backend (the link-rate gate picks cv2 through the tunnel) and
+    pinned bit-equal to the cv2 host twin on the real chip. Also pins
+    cache-hit serving and token-keyed invalidation on replacement."""
+    import medicalimageanalysis_tpu as mia
+    import medicalimageanalysis_tpu.utils.convert.contour as contour_mod
+    from medicalimageanalysis_tpu.data import Data
+    from medicalimageanalysis_tpu.structure.roi import Roi
+    from medicalimageanalysis_tpu.utils.creation import CreateDicomImage
+
+    Data.clear()
+    arr = rng.integers(-1000, 2000, size=(8, 32, 32)).astype(np.int16)
+    CreateDicomImage(str(tmp_path), arr, spacing=[1.0, 1.0],
+                     thickness=2.0).run()
+    mia.read_dicoms(folder_path=str(tmp_path))
+    img = Data.image[Data.image_list[0]]
+
+    theta = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+    for k, name in enumerate(("A", "B", "C")):
+        roi = Roi(img, name=name)
+        roi.contour_pixel = [
+            np.stack([16 + (5 + k) * np.cos(theta) + k,
+                      16 + (4 + k) * np.sin(theta) - k,
+                      np.full_like(theta, float(z))], axis=1)
+            for z in range(1, 7)]
+        img.rois[name] = roi
+
+    orig = contour_mod._pick_raster_backend
+    contour_mod._pick_raster_backend = lambda *a, **k: "device"
+    try:
+        pooled = img.compute_roi_masks()
+    finally:
+        contour_mod._pick_raster_backend = orig
+
+    for name in ("A", "B", "C"):
+        host = np.asarray(img.rois[name]._compute_mask_impl(), np.uint8)
+        np.testing.assert_array_equal(
+            pooled[name], host,
+            err_msg=f"device pooled mask != cv2 twin for {name}")
+        assert pooled[name].sum() > 0
+        # cache-hit serving: no recompute, fresh array
+        hit = img.rois[name].compute_mask()
+        np.testing.assert_array_equal(hit, host)
+
+    # replacement Roi (token-keyed, not id-keyed) invalidates
+    old_a = pooled["A"]
+    del img.rois["A"]
+    repl = Roi(img, name="A")
+    repl.contour_pixel = [
+        np.stack([16 + 3 * np.cos(theta), 16 + 3 * np.sin(theta),
+                  np.full_like(theta, float(z))], axis=1)
+        for z in range(2, 5)]
+    img.rois["A"] = repl
+    new_a = repl.compute_mask()
+    assert not np.array_equal(new_a, old_a), \
+        "stale cached mask served after Roi replacement on chip"
+    Data.clear()
