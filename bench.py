@@ -341,11 +341,20 @@ def main():
     marg = {}
     for r, lp in loops.items():
         pull(lp(bd, ones_b, zeros_b))
-        t = time.perf_counter()
-        pull(lp(bd, ones_b, zeros_b))
-        marg[r] = time.perf_counter() - t
-    onchip_marginal_s = max((marg[102] - marg[2]) / 100.0, 1e-9)
-    onchip_marginal_series_s = N_SERIES / onchip_marginal_s
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            pull(lp(bd, ones_b, zeros_b))
+            best = min(best, time.perf_counter() - t)
+        marg[r] = best
+    # same inversion contract as _marginal: the relay pull jitter can
+    # make the larger point measure faster; a 1e-9 floor once recorded
+    # a nonsense 8e9 series/s — report the -1 sentinel instead
+    if marg[102] > marg[2]:
+        onchip_marginal_series_s = N_SERIES * 100.0 / (marg[102]
+                                                       - marg[2])
+    else:
+        onchip_marginal_series_s = -1.0
 
     # on-chip batch-scale sweep (VERDICT r3 #10 / r4 #2, REFORMED
     # round 5): every B now measures the SAME quantity — a full
@@ -810,7 +819,8 @@ def main():
             "onchip_marginal_series_per_s":
                 round(onchip_marginal_series_s, 1),
             "onchip_marginal_vs_baseline":
-                round(onchip_marginal_series_s / TARGET, 2),
+                round(onchip_marginal_series_s / TARGET, 2)
+                if onchip_marginal_series_s > 0 else -1.0,
             "raster_device_ms": round(raster_ms["device"], 1),
             "raster_device_onchip_ms": round(raster_onchip_ms, 1),
             "raster_batch_onchip_ms": round(raster_batch_ms, 1),
